@@ -46,7 +46,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def _load_all() -> None:
     """Import every query module so registration side effects run."""
     from . import (  # noqa: F401
+        aggregates,
         relational,
+        scalar_funcs,
+        setops,
+        windows,
     )
 
 

@@ -1,0 +1,255 @@
+"""Aggregation surface: grouped/global aggs, rollup/cube/grouping sets,
+order statistics, distinct counts, arg-min/max. SURVEY.md §2 B4.
+
+Everything is built-in (`groupBy().agg`, `rollup`, `cube`); partial
+aggregation (map-side combine) means the shuffle carries group states,
+not rows — the property that makes these run at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import query
+from ._util import DEC, dsum, sql_dsum
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP: hierarchical subtotals region→nation. grouping_id distinguishes
+# subtotal rows from data rows with NULL keys.
+# ---------------------------------------------------------------------------
+@query(
+    "q11_rollup",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           GROUPING(r.r_name, n.n_name)::BIGINT AS gid,
+           COUNT(*)::BIGINT AS n_customers,
+           ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(28,6))), 6)::DOUBLE AS total_balance
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    ORDER BY gid, r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+)
+def q11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal", "total_balance"),
+        )
+        .orderBy("gid", F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE: all combinations of (returnflag, linestatus) subtotals.
+# ---------------------------------------------------------------------------
+@query(
+    "q12_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid,
+           COUNT(*)::BIGINT AS n_items,
+           {sql_dsum('l_quantity', 'sum_qty')}
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def q12_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_quantity", "sum_qty"),
+        )
+        .orderBy(
+            "gid",
+            F.asc_nulls_first("l_returnflag"),
+            F.asc_nulls_first("l_linestatus"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS via SQL surface (also proves spark.sql + temp views work).
+# ---------------------------------------------------------------------------
+@query(
+    "q13_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority)::BIGINT AS gid,
+           COUNT(*)::BIGINT AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def q13_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order statistics: exact percentiles (interpolated) + min/max/median.
+# ---------------------------------------------------------------------------
+@query(
+    "q14_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6)::DOUBLE AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 6)::DOUBLE AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 6)::DOUBLE AS p99,
+           ROUND(MIN(l_extendedprice), 6)::DOUBLE AS min_price,
+           ROUND(MAX(l_extendedprice), 6)::DOUBLE AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q14_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("p99"),
+            F.round(F.min("l_extendedprice"), 6).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 6).alias("max_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dispersion stats, computed from exact decimal moments so the result is
+# reduction-order-independent in both engines (built-in stddev is a
+# floating one-pass algorithm whose partials combine in engine-specific
+# order; the moment formula over decimals is exact, then one double op).
+# ---------------------------------------------------------------------------
+@query(
+    "q15_variance_stats",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*)::BIGINT AS n,
+           ROUND((CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+                  - CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+                    * CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*))
+                 / (COUNT(*) - 1), 4)::DOUBLE AS var_balance
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q15_variance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    sum_x = F.sum(bal.cast(DEC)).cast("double")
+    sum_x2 = F.sum((bal * bal).cast(DEC)).cast("double")
+    n = F.count(F.lit(1))
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            n.alias("n"),
+            F.round((sum_x2 - sum_x * sum_x / n) / (n - F.lit(1)), 4)
+            .cast("double")
+            .alias("var_balance"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# arg-min/arg-max per group with deterministic tie-breaking via a total
+# order (max_by alone is non-deterministic under ties — we break ties on
+# the unique key by packing (price, orderkey) into a struct).
+# ---------------------------------------------------------------------------
+@query(
+    "q16_argmax_per_group",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           o_orderkey AS top_orderkey,
+           ROUND(o_totalprice, 6)::DOUBLE AS top_price
+    FROM ranked WHERE rn = 1
+    ORDER BY o_orderpriority
+    """,
+)
+def q16_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.max_by(
+                "o_orderkey",
+                F.struct(F.col("o_totalprice"), (-F.col("o_orderkey")).alias("nk")),
+            ).alias("top_orderkey"),
+            F.round(F.max("o_totalprice"), 6).alias("top_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorted collect_list — deterministic list aggregation (sort_array makes
+# the order canonical; bare collect_list order is partition-dependent).
+# ---------------------------------------------------------------------------
+@query(
+    "q17_collect_sorted",
+    oracle="""
+    SELECT n_regionkey,
+           list(n_name ORDER BY n_name) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+)
+def q17_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(F.sort_array(F.collect_list("n_name")).alias("nations"))
+        .orderBy("n_regionkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# approx_count_distinct (HLL++): sketch values differ from DuckDB's HLL,
+# so no value oracle — rows-only. Tests assert relative error vs exact.
+# At 100 TB this replaces COUNT(DISTINCT) shuffles with mergeable
+# fixed-size sketches — the only distinct-count that scales.
+# ---------------------------------------------------------------------------
+@query("q18_approx_count_distinct")
+def q18_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
