@@ -1,0 +1,201 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per SURVEY.md §2 B10:
+
+- cosine_topk: exact brute force — broadcast the (small) query set
+  against the full corpus; one scan, no corpus shuffle. Right when
+  |queries| is small; cost |Q|·n dot products, embarrassingly parallel.
+- lsh_ann_topk: random-hyperplane LSH — sign-bit signatures bucket the
+  corpus so each query only scores its bucket collisions. The 100 TB
+  path: candidate cost tracks bucket occupancy, not n. Hyperplanes are
+  derived deterministically from murmur hashes, so results are stable
+  across runs/partitionings (no RNG state to ship).
+
+All arithmetic is JVM higher-order functions (zip_with/aggregate) over
+double-cast arrays — no UDF, stays in codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two double arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    v = _as_double(F.col(vec_col))
+    return df.withColumn("__vec", v).withColumn("__norm", norm(F.col("__vec")))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query row over the corpus.
+
+    Output: (query_id, neighbor_id, cosine, rank); self-matches
+    excluded; ties broken by neighbor id so the result is total-ordered.
+    """
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__vec").alias("q_vec"),
+        F.col("__norm").alias("q_norm"),
+    )
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__vec").alias("c_vec"),
+        F.col("__norm").alias("c_norm"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                round_dp,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _planes(dim: int, n_planes: int, n_tables: int):
+    """Deterministic pseudo-random hyperplanes, no RNG state.
+
+    Components come from an integer hash (splitmix64 finalizer) of
+    (table, plane, dim) scaled to [-1, 1] — bit-identical on every
+    executor, every run, every numpy version.
+    """
+    import numpy as np
+
+    idx = np.arange(n_tables * n_planes * dim, dtype=np.uint64)
+    z = idx + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    vals = z.astype(np.float64) / float(2**63) - 1.0  # ~uniform [-1, 1)
+    return vals.reshape(n_tables, n_planes, dim)
+
+
+def hyperplane_signatures(
+    dim: int = 64, n_planes: int = 8, n_tables: int = 4
+):
+    """Arrow-batched pandas UDF: embedding → array of n_tables bucket ids.
+
+    One numpy matmul per batch computes every (table, plane) projection
+    at once — the vectorized replacement for ~n_tables·n_planes·dim
+    scalar expressions per row, which codegen chokes on. This is the
+    sanctioned UDF case: built-ins can't express a matrix multiply.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    planes = _planes(dim, n_planes, n_tables)  # (T, P, D)
+    flat = planes.reshape(n_tables * n_planes, dim).T  # (D, T*P)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))  # (P,)
+
+    def sig(emb):
+        mat = np.stack(emb.to_numpy())  # (N, D) float32
+        proj = mat.astype(np.float64) @ flat  # (N, T*P)
+        bits = (proj >= 0).reshape(len(mat), n_tables, n_planes)
+        buckets = (bits * weights).sum(axis=2)  # (N, T)
+        return pd.Series(list(buckets))
+
+    # registered without annotations: `from __future__ import annotations`
+    # would stringify them and pandas_udf can't resolve local names.
+    return pandas_udf(sig, "array<long>")
+
+
+def lsh_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via multi-table hyperplane LSH.
+
+    Candidates = corpus rows sharing a bucket with the query in ANY of
+    n_tables independent tables; exact cosine is computed only on
+    candidates. Recall/cost trade-off is (n_planes, n_tables): for a
+    neighbor at angle θ, one table matches with (1 - θ/π)^n_planes, so
+    weakly-correlated corpora (θ→90°) want few planes and many tables;
+    bucket occupancy n/2^n_planes is what bounds candidate cost at scale.
+    """
+    sig_udf = hyperplane_signatures(dim=dim, n_planes=n_planes, n_tables=n_tables)
+
+    def banded(df: DataFrame, role: str) -> DataFrame:
+        out = with_norm(df, vec_col).select(
+            F.col(id_col).alias(f"{role}_id"),
+            F.col("__vec").alias(f"{role}_vec"),
+            F.col("__norm").alias(f"{role}_norm"),
+            F.posexplode(sig_udf(F.col(vec_col))).alias("tbl", "bucket"),
+        )
+        return out
+
+    qb = banded(queries, "query")
+    cb = banded(corpus, "neighbor")
+    candidates = (
+        qb.join(cb, ["tbl", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "query_vec", "query_norm",
+                "neighbor_id", "neighbor_vec", "neighbor_norm")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("query_vec"), F.col("neighbor_vec"))
+                / (F.col("query_norm") * F.col("neighbor_norm")),
+                round_dp,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

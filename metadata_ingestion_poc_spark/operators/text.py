@@ -1,0 +1,166 @@
+"""Text-analysis operators for training-data pipelines.
+
+All JVM built-ins over the `documents` table: token statistics,
+heuristic language ID, quality scoring, TF-IDF term ranking, and
+rolling-hash document fingerprints. SURVEY.md §2 B10 [EXT].
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .dedup import tokenize
+
+# Tiny marker-word sets for the heuristic language scorer. The corpus
+# is synthetic word salad, so these act as a deterministic scoring
+# fixture rather than a real model; swap for character-n-gram profiles
+# (or fastText via pandas UDF) on real data.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "des", "est"],
+}
+
+STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token counts and length statistics."""
+    t = tokenize(docs)
+    return t.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size("tokens").alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).alias("n_unique_tokens"),
+        F.length("text").alias("n_chars_computed"),
+        F.round(
+            F.size(F.array_distinct("tokens")) / F.size("tokens"), 6
+        ).alias("ttr"),  # type-token ratio
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality features + composite score per document.
+
+    Features mirror the public C4/Gopher-style filters that are
+    expressible without models: length, mean token length, stopword
+    ratio, repetition (1 - type/token ratio).
+    """
+    t = tokenize(docs)
+    n_tokens = F.size("tokens")
+    n_unique = F.size(F.array_distinct("tokens"))
+    n_stop = F.size(
+        F.filter(
+            F.col("tokens"),
+            lambda x: F.array_contains(
+                F.array(*[F.lit(s) for s in STOPWORDS]), x
+            ),
+        )
+    )
+    mean_tok_len = F.length(F.regexp_replace(F.col("text"), " ", "")) / n_tokens
+    stop_ratio = n_stop / n_tokens
+    repetition = F.lit(1.0) - n_unique / n_tokens
+    return t.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(repetition, 6).alias("repetition"),
+        F.round(
+            F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * (F.lit(1.0) - repetition),
+            6,
+        ).alias("quality"),
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language guess: argmax of marker-word hits per language,
+    deterministic tie-break by language code; 'und' when no marker hits.
+    """
+    t = tokenize(docs)
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(
+                    F.array_intersect(
+                        F.array_distinct("tokens"),
+                        F.array(*[F.lit(w) for w in LANG_MARKERS[lang]]),
+                    )
+                ).alias("hits"),
+                F.lit(lang).alias("lang_code"),
+            )
+            for lang in sorted(LANG_MARKERS)
+        ]
+    )
+    # array_max on struct compares field-by-field: highest hits, then
+    # lexicographically greatest lang — invert code ordering for a
+    # "smallest code wins ties" rule by sorting descending on hits.
+    best = F.array_max(
+        F.transform(
+            scored,
+            lambda s: F.struct(
+                s.getField("hits").alias("hits"),
+                # negate rank so ties pick the alphabetically-first code
+                (-F.array_position(
+                    F.array(*[F.lit(x) for x in sorted(LANG_MARKERS)]),
+                    s.getField("lang_code"),
+                )).alias("neg_rank"),
+                s.getField("lang_code").alias("lang_code"),
+            ),
+        )
+    )
+    return t.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        F.when(best.getField("hits") > 0, best.getField("lang_code"))
+        .otherwise(F.lit("und"))
+        .alias("lang_guess"),
+        best.getField("hits").cast("int").alias("marker_hits"),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, per: str = "lang", k: int = 5
+) -> DataFrame:
+    """Top-k TF-IDF terms per group (default: per language).
+
+    tf  = term occurrences within the group
+    idf = ln(N_docs / df) over the whole corpus
+    One explode, two aggregates, one broadcast join, one window.
+    """
+    toks = tokenize(docs).select(
+        "doc_id", F.col(per).alias("grp"), F.explode("tokens").alias("term")
+    )
+    n_docs = docs.count()  # scalar; drives a literal, not a shuffle
+
+    tf = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("grp", "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit content fingerprint of normalized text (xxhash64).
+
+    Normalization: lower-case, collapse whitespace — so trivially
+    reformatted duplicates collide. Engine-specific hash → rows-only
+    in the oracle harness; stability is covered by unit tests.
+    """
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return docs.withColumn("fp", F.xxhash64(normalized))

@@ -47,9 +47,11 @@ def _load_all() -> None:
     """Import every query module so registration side effects run."""
     from . import (  # noqa: F401
         aggregates,
+        llm_ops,
         relational,
         scalar_funcs,
         setops,
+        streaming_batch,
         windows,
     )
 

@@ -1,0 +1,88 @@
+"""Pluggable source readers. Parity with the reference's reader registry
+(readers/base_reader.py:4-55 in /root/reference): five reader kinds
+behind a dict dispatch, each ``(spark, options) -> DataFrame``.
+
+Readers pass options through to Spark verbatim (the reference's
+contract), so schema inference flags, JDBC credentials, etc. are
+metadata-driven. All readers return lazy DataFrames — nothing scans
+until a sink action runs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+ReaderFn = Callable[[SparkSession, dict], DataFrame]
+
+
+def csv_reader(spark: SparkSession, options: dict) -> DataFrame:
+    opts = dict(options)
+    path = opts.pop("path")
+    opts.pop("hub_columns", None)
+    return spark.read.options(**opts).csv(path)
+
+
+def json_reader(spark: SparkSession, options: dict) -> DataFrame:
+    opts = dict(options)
+    path = opts.pop("path")
+    opts.pop("hub_columns", None)
+    return spark.read.options(**opts).json(path)
+
+
+def parquet_reader(spark: SparkSession, options: dict) -> DataFrame:
+    opts = dict(options)
+    path = opts.pop("path")
+    opts.pop("hub_columns", None)
+    return spark.read.options(**opts).parquet(path)
+
+
+def jdbc_reader(spark: SparkSession, options: dict) -> DataFrame:
+    """Remote table scan. Requires url + dbtable (+ driver/user/password).
+
+    At scale, pass partitionColumn/lowerBound/upperBound/numPartitions in
+    options so the scan parallelizes instead of funneling through one task.
+    """
+    reader = spark.read.format("jdbc")
+    for key in ("url", "dbtable", "driver", "user", "password",
+                "partitionColumn", "lowerBound", "upperBound", "numPartitions",
+                "fetchsize"):
+        if key in options:
+            reader = reader.option(key, options[key])
+    return reader.load()
+
+
+def olap_reader(spark: SparkSession, options: dict) -> DataFrame:
+    """XMLA/MDX cube scan. No public pure-Python XMLA client is assumed
+    available (the reference's is an ImportError stub too,
+    base_reader.py:31-42); falls back to a pre-extracted CSV when
+    ``fallback_csv_path`` is configured.
+    """
+    try:
+        raise ImportError("XMLA client not available in this environment")
+    except ImportError:
+        fallback = options.get("fallback_csv_path")
+        if not fallback:
+            raise
+        return spark.read.option("header", True).option(
+            "inferSchema", True
+        ).csv(fallback)
+
+
+READERS: dict[str, ReaderFn] = {
+    "csv": csv_reader,
+    "json": json_reader,
+    "parquet": parquet_reader,
+    "jdbc": jdbc_reader,
+    "olap": olap_reader,
+}
+
+
+def get_reader(kind: str) -> ReaderFn:
+    try:
+        return READERS[kind]
+    except KeyError:
+        raise ValueError(
+            f"unknown reader type {kind!r}; registered: {sorted(READERS)}"
+        ) from None

@@ -1,0 +1,78 @@
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from metadata_ingestion_poc_spark.catalog import load_table
+from metadata_ingestion_poc_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+def test_exact_dedup_idempotent(spark, docs):
+    once = exact_dedup(docs, ["text"], ["doc_id"])
+    twice = exact_dedup(once, ["text"], ["doc_id"])
+    assert once.count() == twice.count()
+    assert once.select("text").distinct().count() == once.count()
+
+
+def test_exact_dedup_keeps_min_doc_id(spark, docs):
+    deduped = exact_dedup(docs, ["lang"], ["doc_id"])
+    expected = docs.groupBy("lang").agg(F.min("doc_id").alias("doc_id"))
+    got = {r.doc_id for r in deduped.select("doc_id").collect()}
+    want = {r.doc_id for r in expected.collect()}
+    assert got == want
+
+
+def test_shingles_shape(spark, docs):
+    row = shingles(docs.limit(1), n=3).select("text", "shingles").first()
+    n_tokens = len(row.text.split(" "))
+    assert len(row.shingles) <= max(n_tokens - 2, 1)
+    assert all(len(s.split(" ")) == 3 for s in row.shingles)
+
+
+def test_minhash_recall_against_exact_jaccard(spark, docs):
+    """LSH must recover most true pairs and introduce no false positives
+    above threshold (verification step makes FP impossible)."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.4).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(
+            docs, num_hashes=16, bands=4, threshold=0.4
+        ).collect()
+    }
+    assert lsh <= exact, "verified LSH pairs must be a subset of exact pairs"
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.6, f"recall too low: {recall}"
+
+
+def test_simhash_pairs_are_near_duplicates(spark, docs):
+    """Hamming-close simhash docs should have high token overlap."""
+    pairs = simhash_pairs(docs, max_hamming=3).collect()
+    if not pairs:
+        pytest.skip("no simhash pairs at this SF")
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    hits = [p for p in pairs if (p.doc_a, p.doc_b) in exact]
+    assert len(hits) >= len(pairs) * 0.5
+
+
+def test_minhash_deterministic_across_repartition(spark, docs):
+    a = minhash_lsh_pairs(docs, threshold=0.4).collect()
+    b = minhash_lsh_pairs(docs.repartition(7), threshold=0.4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

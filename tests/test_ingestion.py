@@ -1,0 +1,156 @@
+"""End-to-end ingestion-framework tests over synthesized fixtures,
+covering the reference's edge cases (SURVEY.md §5): keyed upsert
+idempotence, keyless merge degenerating to append, composite keys,
+schema evolution, disabled-source skip, unknown reader type.
+"""
+
+from __future__ import annotations
+
+import textwrap
+
+import pytest
+
+from metadata_ingestion_poc_spark.framework import run
+from metadata_ingestion_poc_spark.sources import get_reader
+from metadata_ingestion_poc_spark.writer import read_hub
+
+
+@pytest.fixture()
+def lake(tmp_path):
+    (tmp_path / "in").mkdir()
+    (tmp_path / "in" / "people.csv").write_text(
+        "person_id,name,country\n1,Ada,UK\n2,Grace,US\n3,Anna-María,ES\n"
+    )
+    (tmp_path / "in" / "clicks.json").write_text(
+        '{"click_id": 1, "person_id": 1, "n": 3}\n'
+        '{"click_id": 2, "person_id": 2, "n": 5}\n'
+    )
+    (tmp_path / "in" / "sales.csv").write_text(
+        "category,yr,total\nphones,2023,10\nphones,2024,12\nlaptops,2023,7\n"
+    )
+    yaml_path = tmp_path / "sources.yaml"
+    yaml_path.write_text(
+        textwrap.dedent(
+            f"""
+            version: 1
+            defaults:
+              raw_base: {tmp_path}/lake/raw
+              hub_base: {tmp_path}/lake/hub
+              checkpoint_base: {tmp_path}/lake/checkpoints
+            sources:
+              - id: people_csv
+                type: csv
+                domain: crm
+                entity: people
+                options:
+                  path: {tmp_path}/in/people.csv
+                  header: true
+                  inferSchema: true
+                hub_primary_keys: [person_id]
+              - id: clicks_json
+                type: json
+                domain: web
+                entity: clicks
+                options:
+                  path: {tmp_path}/in/clicks.json
+                hub_primary_keys: []
+              - id: sales_olap
+                type: olap
+                domain: sales
+                entity: cube
+                options:
+                  fallback_csv_path: {tmp_path}/in/sales.csv
+                hub_primary_keys: [category, yr]
+              - id: disabled_src
+                enabled: false
+                type: csv
+                domain: crm
+                entity: nope
+                options:
+                  path: /nonexistent.csv
+            """
+        )
+    )
+    return tmp_path, str(yaml_path)
+
+
+def test_run_ingests_enabled_sources_only(spark, lake):
+    tmp, yaml_path = lake
+    ran = run(spark, yaml_path, ingest_date="2026-08-13")
+    assert ran == ["people_csv", "clicks_json", "sales_olap"]
+
+
+def test_raw_zone_partitioned_by_ingest_date(spark, lake):
+    tmp, yaml_path = lake
+    run(spark, yaml_path, ingest_date="2026-08-13")
+    raw = spark.read.parquet(f"{tmp}/lake/raw/crm/people")
+    assert raw.count() == 3
+    assert (tmp / "lake/raw/crm/people/ingest_date=2026-08-13").exists()
+    row = raw.filter("person_id = 3").first()
+    assert row.name == "Anna-María"  # UTF-8 survives the round trip
+    assert row._source_id == "people_csv"
+
+
+def test_hub_upsert_idempotent(spark, lake):
+    """Running the pipeline twice must not duplicate keyed HUB rows."""
+    tmp, yaml_path = lake
+    run(spark, yaml_path, ingest_date="2026-08-13")
+    first = read_hub(spark, f"{tmp}/lake/hub/crm/people").count()
+    run(spark, yaml_path, ingest_date="2026-08-14")
+    second = read_hub(spark, f"{tmp}/lake/hub/crm/people").count()
+    assert first == second == 3
+
+
+def test_hub_upsert_updates_matching_keys(spark, lake):
+    tmp, yaml_path = lake
+    run(spark, yaml_path, ingest_date="2026-08-13")
+    (tmp / "in" / "people.csv").write_text(
+        "person_id,name,country\n1,Ada Lovelace,UK\n4,Alan,UK\n"
+    )
+    run(spark, yaml_path, ingest_date="2026-08-14")
+    hub = read_hub(spark, f"{tmp}/lake/hub/crm/people")
+    rows = {r.person_id: r.name for r in hub.collect()}
+    assert rows == {1: "Ada Lovelace", 2: "Grace", 3: "Anna-María", 4: "Alan"}
+
+
+def test_keyless_hub_degenerates_to_append(spark, lake):
+    """Reference edge case writer.py:24,34 — empty keys ⇒ append."""
+    tmp, yaml_path = lake
+    run(spark, yaml_path, ingest_date="2026-08-13")
+    run(spark, yaml_path, ingest_date="2026-08-14")
+    hub = read_hub(spark, f"{tmp}/lake/hub/web/clicks")
+    assert hub.count() == 4  # 2 rows × 2 runs
+
+
+def test_composite_key_upsert(spark, lake):
+    tmp, yaml_path = lake
+    run(spark, yaml_path, ingest_date="2026-08-13")
+    (tmp / "in" / "sales.csv").write_text(
+        "category,yr,total\nphones,2023,99\ntablets,2024,5\n"
+    )
+    run(spark, yaml_path, ingest_date="2026-08-14")
+    hub = read_hub(spark, f"{tmp}/lake/hub/sales/cube")
+    rows = {(r.category, r.yr): r.total for r in hub.collect()}
+    assert rows[("phones", 2023)] == 99  # updated
+    assert rows[("phones", 2024)] == 12  # untouched
+    assert rows[("tablets", 2024)] == 5  # inserted
+    assert len(rows) == 4
+
+
+def test_schema_evolution_widens_hub(spark, lake):
+    tmp, yaml_path = lake
+    run(spark, yaml_path, ingest_date="2026-08-13")
+    (tmp / "in" / "people.csv").write_text(
+        "person_id,name,country,email\n5,Eve,FR,eve@example.com\n"
+    )
+    run(spark, yaml_path, ingest_date="2026-08-14")
+    hub = read_hub(spark, f"{tmp}/lake/hub/crm/people")
+    assert "email" in hub.columns
+    rows = {r.person_id: r for r in hub.collect()}
+    assert rows[5].email == "eve@example.com"
+    assert rows[1].email is None  # widened with nulls for old rows
+
+
+def test_unknown_reader_type_fails_fast():
+    with pytest.raises(ValueError, match="unknown reader type"):
+        get_reader("avro")

@@ -1,0 +1,66 @@
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from metadata_ingestion_poc_spark.catalog import load_table
+from metadata_ingestion_poc_spark.operators.similarity import (
+    cosine_topk,
+    lsh_ann_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    import numpy as np
+
+    rows = emb.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    qid = min(vecs)
+    q = vecs[qid]
+    sims = {
+        vid: float(np.dot(q, v) / (np.linalg.norm(q) * np.linalg.norm(v)))
+        for vid, v in vecs.items()
+        if vid != qid
+    }
+    expected = sorted(sims.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:5]
+
+    got = (
+        cosine_topk(emb.filter(F.col("vec_id") == qid), emb, k=5)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r.neighbor_id for r in got] == [vid for vid, _ in expected]
+    for r, (_, s) in zip(got, expected):
+        assert math.isclose(r.cosine, round(s, 6), abs_tol=1e-6)
+
+
+def test_cosine_topk_deterministic_across_repartition(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 5)
+    a = cosine_topk(queries, emb, k=5).collect()
+    b = cosine_topk(queries, emb.repartition(13), k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_lsh_ann_recall_vs_brute_force(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(queries, emb, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_ann_topk(queries, emb, k=10, n_planes=6, n_tables=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # these synthetic embeddings are nearly orthogonal (top-1 cosine
+    # ≈ 0.35 → θ ≈ 70°), the hardest regime for sign-LSH; the bar here
+    # guards wiring, the parameter/recall trade-off is documented in
+    # operators/similarity.py.
+    assert recall >= 0.35, f"ANN recall too low: {recall}"
