@@ -39,9 +39,17 @@ def shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
 
     Built with sequence+transform (JVM higher-order funcs), one pass,
     no explode until the caller asks for the inverted index.
+
+    The token array is materialized as its own projection first: writing
+    the split() inline inside the lambda would evaluate it once per
+    element_at reference — O(doc_len²) work per document. As a separate
+    multiply-referenced alias, CollapseProject keeps it single-eval.
     """
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    return df.withColumn(
+    toks_df = df.withColumn(
+        "__toks", F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    )
+    toks = F.col("__toks")
+    return toks_df.withColumn(
         "shingles",
         F.array_distinct(
             F.transform(
@@ -51,7 +59,21 @@ def shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
                 ),
             )
         ),
-    )
+    ).drop("__toks")
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure CPU-heavy per-row work can use every core.
+
+    A small parquet file arrives as ONE input split, so shingling /
+    signature stages would run on a single core regardless of cluster
+    size. Repartitioning a small doc set is cheap; at real scale the
+    input already has enough splits and this is a no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def exact_dedup(
@@ -70,9 +92,15 @@ def _shingle_index(
     docs: DataFrame, id_col: str, n: int, max_shingle_df: int | None
 ) -> DataFrame:
     """Inverted index (shingle → doc), stop-shingles pruned."""
+    # explode_outer, not explode: the optimizer infers a size()>0 filter
+    # from plain explode and pushes it below the shingle projection with
+    # the whole O(len²) expression inlined — recomputing every shingle
+    # array twice. explode_outer gets no inferred filter; the null rows
+    # (empty docs) are dropped afterwards for the same semantics.
     idx = (
         shingles(docs, n=n)
-        .select(F.col(id_col).alias("doc"), F.explode("shingles").alias("sh"))
+        .select(F.col(id_col).alias("doc"), F.explode_outer("shingles").alias("sh"))
+        .filter(F.col("sh").isNotNull())
         .distinct()
     )
     if max_shingle_df is not None:
@@ -81,6 +109,39 @@ def _shingle_index(
             F.col("__df") <= max_shingle_df
         ).drop("__df")
     return idx
+
+
+def _bucket_pairs(df: DataFrame, bucket_cols: list[str], item_col: str) -> DataFrame:
+    """Candidate pairs from bucket co-membership, via ONE shuffle.
+
+    groupBy(bucket) → sorted member array → explode the C(m,2)
+    combinations. Replaces the self-join-on-bucket plan (which shuffles
+    the index twice and sort-merges); pair fan-out is still Σ m²/2 per
+    bucket, so stop-bucket pruning remains the scale lever. Emits
+    distinct (a, b) with a < b.
+    """
+    members = (
+        df.groupBy(*bucket_cols)
+        .agg(F.sort_array(F.collect_set(item_col)).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+    pairs = members.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ms") - 2),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, F.size("ms") - 1),
+                        lambda j: F.struct(
+                            F.element_at("ms", (i + 1).cast("int")).alias("a"),
+                            F.element_at("ms", (j + 1).cast("int")).alias("b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
 
 
 def ngram_jaccard_pairs(
@@ -93,18 +154,17 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard similar pairs via inverted shingle index.
 
     jaccard(a,b) = |A∩B| / (|A|+|B|-|A∩B|), computed from the count of
-    co-occurring shingles per pair — one self-join on the shingle key,
-    then a pair-level aggregate. Returns (doc_a, doc_b, jaccard) with
-    doc_a < doc_b and jaccard rounded to 6dp.
+    co-occurring shingles per pair — bucket-pair generation on the
+    shingle key, then a pair-level aggregate. Returns
+    (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded to 6dp.
     """
+    docs = _spread(docs)
     idx = _shingle_index(docs, id_col, n, max_shingle_df)
     sizes = idx.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
 
-    a = idx.alias("a")
-    b = idx.alias("b")
     common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        _bucket_pairs(idx, ["sh"], "doc")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
@@ -133,7 +193,7 @@ def minhash_signature(
     Hash family: xxhash64 of the shingle salted with the hash index —
     deterministic across runs and partitionings.
     """
-    with_sh = shingles(docs, n=n)
+    with_sh = shingles(_spread(docs), n=n)
     sig = F.array(
         *[
             F.array_min(
@@ -187,18 +247,7 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("doc", "bb.band", "bb.bucket")
 
-    a = banded.alias("a")
-    b = banded.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .distinct()
-    )
+    candidates = _bucket_pairs(banded, ["band", "bucket"], "doc").distinct()
 
     # exact verification: join shingle sets back on, Jaccard via
     # array_intersect (shingle arrays are bounded by doc length).
@@ -234,7 +283,7 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", bits: int = 64) -> DataFram
     aggregate expressions in ONE pass over the exploded tokens (no UDF,
     no per-row Python). Chunked layout feeds Hamming-band LSH directly.
     """
-    toks = tokenize(docs).select(
+    toks = tokenize(_spread(docs)).select(
         F.col(id_col).alias("doc"), F.explode("tokens").alias("tok")
     )
     h = F.xxhash64("tok")
@@ -269,7 +318,6 @@ def simhash_pairs(
 
     banded = sh.select(
         F.col(id_col).alias("doc"),
-        *chunk_cols,
         F.explode(
             F.array(
                 *[
@@ -278,27 +326,25 @@ def simhash_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc", *chunk_cols, "bb.band", "bb.chunk")
+    ).select("doc", "bb.band", "bb.chunk")
 
-    a, b = banded.alias("a"), banded.alias("b")
+    candidates = _bucket_pairs(banded, ["band", "chunk"], "doc").distinct()
+
+    fa = sh.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.col(c).alias(f"a_{c}") for c in chunk_cols],
+    )
+    fb = sh.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(c).alias(f"b_{c}") for c in chunk_cols],
+    )
     hamming = sum(
-        F.bit_count(
-            F.col(f"a.{c}").bitwiseXOR(F.col(f"b.{c}"))
-        )
+        F.bit_count(F.col(f"a_{c}").bitwiseXOR(F.col(f"b_{c}")))
         for c in chunk_cols
     )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            hamming.alias("hamming"),
-        )
-        .distinct()
+        candidates.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )

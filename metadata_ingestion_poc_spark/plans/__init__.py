@@ -16,7 +16,13 @@ def physical_plan(df: DataFrame) -> str:
 
 
 def formatted_plan(df: DataFrame) -> str:
-    return df._jdf.queryExecution().explainString("formatted")
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
 
 
 def has_broadcast_join(df: DataFrame) -> bool:
@@ -34,4 +40,18 @@ def pushed_filters(df: DataFrame) -> str:
 
 
 def num_shuffles(df: DataFrame) -> int:
-    return formatted_plan(df).count("Exchange")
+    # executedPlan shows each Exchange once (formatted mode repeats them
+    # in the detail section)
+    return physical_plan(df).count("Exchange ")
+
+
+def codegen_plan(df: DataFrame) -> str:
+    """`explain("codegen")` output — AQE's pre-execution physical plan
+    doesn't display WholeStageCodegen spans, this mode does."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("codegen")
+    return buf.getvalue()

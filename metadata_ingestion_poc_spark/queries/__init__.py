@@ -47,6 +47,7 @@ def _load_all() -> None:
     """Import every query module so registration side effects run."""
     from . import (  # noqa: F401
         aggregates,
+        joins_extra,
         llm_ops,
         relational,
         scalar_funcs,

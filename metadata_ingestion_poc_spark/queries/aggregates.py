@@ -242,14 +242,17 @@ def q17_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # approx_count_distinct (HLL++): sketch values differ from DuckDB's HLL,
-# so no value oracle — rows-only. Tests assert relative error vs exact.
-# At 100 TB this replaces COUNT(DISTINCT) shuffles with mergeable
-# fixed-size sketches — the only distinct-count that scales.
+# so no value oracle — rows-only. Relative error vs exact is asserted in
+# tests/test_aggregates.py. At 100 TB this replaces COUNT(DISTINCT)
+# shuffles with mergeable fixed-size sketches — the only distinct-count
+# that scales.
 # ---------------------------------------------------------------------------
 @query("q18_approx_count_distinct")
 def q18_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.round(F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(1000)), 2)
+        .alias("approx_median_price"),
     )

@@ -1,0 +1,76 @@
+"""Physical-plan contracts: the performance properties that must
+survive refactors. A correct-but-unpushed scan or a lost broadcast is
+a regression even when results match.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from metadata_ingestion_poc_spark.catalog import load_table
+from metadata_ingestion_poc_spark.plans import (
+    codegen_plan,
+    formatted_plan,
+    has_broadcast_join,
+    num_shuffles,
+    physical_plan,
+    pushed_filters,
+)
+from metadata_ingestion_poc_spark.queries import QUERIES
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    df = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 100000
+    ).select("o_orderkey")
+    pf = pushed_filters(df)
+    assert "o_totalprice" in pf, pf
+
+
+def test_column_pruning_reaches_parquet(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = formatted_plan(df)
+    assert "l_extendedprice" not in plan  # unneeded column not read
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    df = QUERIES["q08_join_star_multiway"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_q1_is_single_shuffle(spark, sf_dir):
+    """Partial agg means the only exchange is the 4-group shuffle."""
+    df = QUERIES["q01_pricing_summary"](spark, sf_dir)
+    assert num_shuffles(df) <= 2  # group-by exchange + final sort
+
+
+def test_theta_band_join_no_orders_shuffle(spark, sf_dir):
+    df = QUERIES["q41_theta_band_join"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_asof_join_single_shuffle_on_key(spark, sf_dir):
+    df = QUERIES["q40_asof_join"](spark, sf_dir)
+    plan = formatted_plan(df)
+    # union + window: one exchange for the window partition key, one for
+    # the final orderBy — no range-join blowup nodes
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_wholestage_codegen_covers_q1(spark, sf_dir):
+    df = QUERIES["q01_pricing_summary"](spark, sf_dir)
+    assert "WholeStageCodegen" in codegen_plan(df)
+
+
+def test_no_inferred_filter_recompute_in_shingles(spark, sf_dir):
+    """Guard against InferFiltersFromGenerate re-inlining the O(len²)
+    shingle expression below the projection (see operators/dedup.py)."""
+    from metadata_ingestion_poc_spark.operators.dedup import _shingle_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = _shingle_index(docs, "doc_id", 3, None)
+    opt = idx._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("split(") <= 2, "shingle expression duplicated in plan"
