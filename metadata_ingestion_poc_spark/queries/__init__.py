@@ -49,6 +49,7 @@ def _load_all() -> None:
         aggregates,
         joins_extra,
         llm_ops,
+        llm_ops2,
         relational,
         scalar_funcs,
         setops,
