@@ -1,0 +1,74 @@
+"""Declarative data-quality validation.
+
+The reference's roadmap names "automated validation (Great
+Expectations)" as future work (README.md:162 in /root/reference); this
+is the Spark-first realization: expectations are declared as data
+(rule dicts), compiled into ONE aggregate pass over the frame — no
+per-rule scans, no Python row path — returning a violations report.
+
+Supported rules: not_null, unique, in_range (min/max), in_set, regexp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _violation_expr(rule: dict) -> Column:
+    """Boolean column: True when the row VIOLATES the rule."""
+    col = F.col(rule["column"])
+    kind = rule["kind"]
+    if kind == "not_null":
+        return col.isNull()
+    if kind == "in_range":
+        lo, hi = rule.get("min"), rule.get("max")
+        cond = F.lit(False)
+        if lo is not None:
+            cond = cond | (col < F.lit(lo))
+        if hi is not None:
+            cond = cond | (col > F.lit(hi))
+        return col.isNotNull() & cond
+    if kind == "in_set":
+        return col.isNotNull() & ~col.isin(*rule["values"])
+    if kind == "regexp":
+        return col.isNotNull() & ~col.rlike(rule["pattern"])
+    raise ValueError(f"unknown rule kind: {kind!r}")
+
+
+def validate(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """Violations report: one row per rule with violation counts.
+
+    Row-level rules compile into a single aggregate pass; `unique`
+    rules each add one aggregate over their key (count - distinct).
+    """
+    row_rules = [r for r in rules if r["kind"] != "unique"]
+    uniq_rules = [r for r in rules if r["kind"] == "unique"]
+
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for i, r in enumerate(row_rules):
+        aggs.append(
+            F.sum(_violation_expr(r).cast("long")).alias(f"__v{i}")
+        )
+    for j, r in enumerate(uniq_rules):
+        aggs.append(
+            (F.count(r["column"]) - F.countDistinct(r["column"])).alias(
+                f"__u{j}"
+            )
+        )
+    stats = df.agg(*aggs).first()
+
+    spark = df.sparkSession
+    report = []
+    for i, r in enumerate(row_rules):
+        report.append(
+            (r["column"], r["kind"], int(stats[f"__v{i}"]), int(stats["__total"]))
+        )
+    for j, r in enumerate(uniq_rules):
+        report.append(
+            (r["column"], "unique", int(stats[f"__u{j}"]), int(stats["__total"]))
+        )
+    out = spark.createDataFrame(
+        report, ["column", "rule", "n_violations", "n_rows"]
+    )
+    return out.withColumn("passed", F.col("n_violations") == 0)

@@ -47,13 +47,17 @@ def _load_all() -> None:
     """Import every query module so registration side effects run."""
     from . import (  # noqa: F401
         aggregates,
+        analytics,
         joins_extra,
         llm_ops,
         llm_ops2,
+        quality_checks,
         relational,
+        reshape,
         scalar_funcs,
         setops,
         streaming_batch,
+        subqueries,
         windows,
     )
 

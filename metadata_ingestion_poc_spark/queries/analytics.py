@@ -1,0 +1,107 @@
+"""Event analytics + grouped-map UDF surface.
+
+- funnel: signup→purchase conversion within a horizon, pure window
+  functions (the scalable formulation — no joins, one shuffle per user).
+- grouped-map z-score via applyInPandas (B11): per-group normalization
+  where the group fits in memory — the sanctioned grouped-map pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from . import query
+
+
+# ---------------------------------------------------------------------------
+# Funnel: for each user, does a purchase follow their first signup
+# within 7 days? One window pass per user.
+# ---------------------------------------------------------------------------
+@query(
+    "q73_funnel_conversion",
+    oracle="""
+    WITH first_signup AS (
+      SELECT user_id, MIN(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    converted AS (
+      SELECT f.user_id,
+             MAX(CASE WHEN e.event_type = 'purchase'
+                       AND e.ts >= f.signup_ts
+                       AND e.ts <= f.signup_ts + INTERVAL '7 days'
+                      THEN 1 ELSE 0 END) AS converted
+      FROM first_signup f
+      JOIN events e ON e.user_id = f.user_id
+      GROUP BY f.user_id
+    )
+    SELECT COUNT(*)::BIGINT AS n_signup_users,
+           SUM(converted)::BIGINT AS n_converted,
+           ROUND(SUM(converted) * 1.0 / COUNT(*), 6)::DOUBLE AS conversion_rate
+    FROM converted
+    """,
+)
+def q73_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    first_signup = F.min(
+        F.when(F.col("event_type") == "signup", F.col("ts"))
+    ).over(w)
+    per_event = ev.withColumn("signup_ts", first_signup).filter(
+        F.col("signup_ts").isNotNull()
+    )
+    converted = per_event.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("signup_ts"))
+                & (F.col("ts") <= F.col("signup_ts") + F.expr("INTERVAL 7 DAYS"))
+            ).cast("int")
+        ).alias("converted")
+    )
+    return converted.agg(
+        F.count(F.lit(1)).alias("n_signup_users"),
+        F.sum("converted").alias("n_converted"),
+        F.round(F.sum("converted") / F.count(F.lit(1)), 6).alias(
+            "conversion_rate"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-map applyInPandas: z-score of event values per event_type.
+# Oracle: the same standardization in SQL (population stddev). Rounded
+# to 4dp — pandas' single-pass moments vs DuckDB's differ in last ulps.
+# ---------------------------------------------------------------------------
+@query(
+    "q74_grouped_zscore",
+    oracle="""
+    SELECT event_id, event_type,
+           ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+                 / stddev_pop(value) OVER (PARTITION BY event_type),
+                 4)::DOUBLE AS zscore
+    FROM events
+    WHERE event_id < 5000
+    ORDER BY event_id
+    """,
+)
+def q74_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
+
+    def zscore(pdf):
+        import numpy as np
+
+        m = pdf["value"].mean()
+        s = pdf["value"].std(ddof=0)
+        out = pdf[["event_id", "event_type"]].copy()
+        out["zscore"] = np.round((pdf["value"] - m) / s, 4)
+        return out
+
+    return (
+        ev.select("event_id", "event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(zscore, schema="event_id long, event_type string, zscore double")
+        .orderBy("event_id")
+    )
