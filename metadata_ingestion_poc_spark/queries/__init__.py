@@ -58,6 +58,7 @@ def _load_all() -> None:
         setops,
         streaming_batch,
         subqueries,
+        tpch_extra,
         windows,
     )
 

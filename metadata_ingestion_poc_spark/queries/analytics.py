@@ -105,3 +105,22 @@ def q74_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(zscore, schema="event_id long, event_type string, zscore double")
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling: per-language fractions with a fixed seed —
+# rows-only (sampling is partitioning-dependent); statistical bounds
+# are asserted in tests.
+# ---------------------------------------------------------------------------
+@query("q75_stratified_sample")
+def q75_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    langs = [r.lang for r in d.select("lang").distinct().collect()]
+    fractions = {lang: (0.5 if i % 2 == 0 else 0.2)
+                 for i, lang in enumerate(sorted(langs))}
+    return (
+        d.sampleBy("lang", fractions, seed=42)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("lang")
+    )

@@ -24,3 +24,18 @@ def test_q18_runs(spark, sf_dir):
     rows = QUERIES["q18_approx_count_distinct"](spark, sf_dir).collect()
     assert len(rows) >= 1
     assert all(r.approx_orders > 0 and r.approx_median_price > 0 for r in rows)
+
+
+def test_stratified_sample_fractions(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    totals = {r.lang: r["count"] for r in d.groupBy("lang").count().collect()}
+    sampled = {
+        r.lang: r.n_sampled
+        for r in QUERIES["q75_stratified_sample"](spark, sf_dir).collect()
+    }
+    for i, lang in enumerate(sorted(totals)):
+        frac = 0.5 if i % 2 == 0 else 0.2
+        expect = totals[lang] * frac
+        assert abs(sampled.get(lang, 0) - expect) <= max(10, 0.5 * expect), (
+            lang, sampled.get(lang), expect
+        )

@@ -57,12 +57,28 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    import os
+
     import duckdb
 
     import __spark_entry__ as entrymod
-    from metadata_ingestion_poc_spark.session import get_spark
 
-    spark = get_spark("correctness-check")
+    if os.environ.get("CHECK_VANILLA"):
+        # mimic the external driver: plain session, default confs
+        # (200 shuffle partitions, no engine-specific settings)
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .appName("correctness-check-vanilla")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        from metadata_ingestion_poc_spark.session import get_spark
+
+        spark = get_spark("correctness-check")
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events "
