@@ -56,6 +56,7 @@ def _load_all() -> None:
         reshape,
         scalar_funcs,
         setops,
+        stats_extra,
         streaming_batch,
         subqueries,
         tpch_extra,

@@ -79,9 +79,9 @@ def q73_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q74_grouped_zscore",
     oracle="""
     SELECT event_id, event_type,
-           ROUND((value - AVG(value) OVER (PARTITION BY event_type))
-                 / stddev_pop(value) OVER (PARTITION BY event_type),
-                 4)::DOUBLE AS zscore
+           (ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+                  / stddev_pop(value) OVER (PARTITION BY event_type),
+                  4) + 0)::DOUBLE AS zscore
     FROM events
     WHERE event_id < 5000
     ORDER BY event_id
@@ -96,7 +96,8 @@ def q74_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         m = pdf["value"].mean()
         s = pdf["value"].std(ddof=0)
         out = pdf[["event_id", "event_type"]].copy()
-        out["zscore"] = np.round((pdf["value"] - m) / s, 4)
+        # + 0.0 normalizes IEEE -0.0 for cross-engine hashing
+        out["zscore"] = np.round((pdf["value"] - m) / s, 4) + 0.0
         return out
 
     return (
