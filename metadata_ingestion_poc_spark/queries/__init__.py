@@ -51,6 +51,7 @@ def _load_all() -> None:
         joins_extra,
         llm_ops,
         llm_ops2,
+        llm_ops3,
         quality_checks,
         relational,
         reshape,
