@@ -30,11 +30,19 @@ def main() -> None:
 
     spark = get_spark("bench")
 
-    # warm the JVM + parquet footers once so per-query times measure the
-    # plan, not first-touch JIT/IO.
-    QUERIES["q01_pricing_summary"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # warm the JVM + parquet footers + codegen paths once so per-query
+    # times measure the plan, not first-touch JIT/IO. One warm query per
+    # table family: relational scan/agg, text, embeddings, events.
+    for warm in (
+        "q01_pricing_summary",
+        "q60_token_stats",
+        "q55_cosine_topk",
+        "q70_tumbling_window",
+    ):
+        if warm in QUERIES:
+            QUERIES[warm](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
