@@ -279,29 +279,45 @@ def minhash_lsh_pairs(
 def simhash(docs: DataFrame, id_col: str = "doc_id", bits: int = 64) -> DataFrame:
     """64-bit SimHash as 4×16-bit chunk columns (`sh0`..`sh3`).
 
-    Per-bit majority vote over token hashes, computed as `bits`
-    aggregate expressions in ONE pass over the exploded tokens (no UDF,
-    no per-row Python). Chunked layout feeds Hamming-band LSH directly.
+    Per-bit majority vote over token hashes, computed as a per-document
+    higher-order fold: tokens → hash array (one xxhash64 per token,
+    materialized so it isn't re-evaluated per bit) → aggregate() folds
+    the ±1 votes into a 64-slot accumulator. Entirely within a single
+    projection — NO shuffle, no explode, no UDF — so it scales as a map
+    over the corpus. Chunked layout feeds Hamming-band LSH directly.
     """
-    toks = tokenize(_spread(docs)).select(
-        F.col(id_col).alias("doc"), F.explode("tokens").alias("tok")
+    hashed = tokenize(_spread(docs)).withColumn(
+        "__th", F.transform("tokens", lambda t: F.xxhash64(t))
     )
-    h = F.xxhash64("tok")
-    bit_votes = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(bits)
-    ]
-    voted = toks.groupBy("doc").agg(*bit_votes)
+    votes = F.aggregate(
+        F.col("__th"),
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                    )
+                    .otherwise(F.lit(-1))
+                    .cast("long")
+                    for i in range(bits)
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    voted = hashed.withColumn("__votes", votes)
     chunks = []
     for c in range(bits // 16):
         expr = F.lit(0).cast("long")
         for i in range(16):
             bit = c * 16 + i
-            expr = expr + F.when(F.col(f"b{bit}") > 0, F.lit(1 << i)).otherwise(0)
+            expr = expr + F.when(
+                F.element_at("__votes", bit + 1) > 0, F.lit(1 << i)
+            ).otherwise(0)
         chunks.append(expr.alias(f"sh{c}"))
-    return voted.select(F.col("doc").alias(id_col), *chunks)
+    return voted.select(F.col(id_col), *chunks)
 
 
 def simhash_pairs(
