@@ -128,6 +128,53 @@ def q51_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dedup clusters: near-dup pairs → connected components → one canonical
+# doc (min id) per cluster. Oracle: DuckDB recursive CTE transitive
+# closure over the identical pair set.
+# ---------------------------------------------------------------------------
+@query(
+    "q54_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+      FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS s
+           FROM t, unnest(range(greatest(len(toks) - 2, 1))) AS u(i)),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    fixed_pairs AS (
+      SELECT c.doc_a, c.doc_b
+      FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2) c
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      WHERE c.n_common / (sa.n_sh + sb.n_sh - c.n_common) >= 0.4
+    ),
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM fixed_pairs
+              UNION SELECT doc_b, doc_a FROM fixed_pairs),
+    reach AS (
+      SELECT s AS n, s AS m FROM edges
+      UNION
+      SELECT e.s, r.m FROM edges e JOIN reach r ON e.d = r.n
+    )
+    SELECT n::BIGINT AS doc_id, MIN(m)::BIGINT AS cluster_id
+    FROM reach GROUP BY n
+    ORDER BY doc_id
+    """,
+)
+def q54_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, id_col="doc_id", n=3, threshold=0.4)
+    comps = connected_components(pairs, src="doc_a", dst="doc_b")
+    return comps.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # MinHash-LSH near-dup pairs — engine-hash-dependent → rows-only check;
 # exactness pinned against q51's ground truth in tests/test_dedup.py.
 # ---------------------------------------------------------------------------
