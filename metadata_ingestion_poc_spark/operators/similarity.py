@@ -142,6 +142,106 @@ def hyperplane_signatures(
     return pandas_udf(sig, "array<long>")
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its `nprobe` nearest centroids (by cosine).
+
+    Centroids are broadcast (they are few); assignment is one scan of
+    the corpus with k dot products per row — the IVF build step.
+    Output: (id, cell, cell_rank, vec, norm).
+    """
+    v = with_norm(df, vec_col).select(
+        F.col(id_col).alias("id"),
+        F.col("__vec").alias("vec"),
+        F.col("__norm").alias("nrm"),
+    )
+    c = centroids.select(
+        F.col("cell"), F.col("c_vec"), F.col("c_norm")
+    )
+    scored = v.crossJoin(F.broadcast(c)).select(
+        "id",
+        "vec",
+        "nrm",
+        "cell",
+        (dot(F.col("vec"), F.col("c_vec")) / (F.col("nrm") * F.col("c_norm"))
+         ).alias("cell_sim"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cell_sim"), F.asc("cell"))
+    return (
+        scored.withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") <= nprobe)
+        .select("id", "cell", "cell_rank", "vec", "nrm")
+    )
+
+
+def ivf_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted file) cells.
+
+    Coarse quantizer: every (corpus_size/n_cells)-th corpus vector by
+    id is a centroid — deterministic, no k-means dependency (swap in
+    trained centroids for better recall; the plumbing is identical).
+    Corpus rows index into their 1 nearest cell; queries probe their
+    `nprobe` nearest cells and score only those cells' members. Cost
+    per query ≈ nprobe/n_cells of the corpus — the classic ANN
+    recall/cost dial, complementary to the hyperplane-LSH path.
+    """
+    n = corpus.count()
+    stride = max(n // n_cells, 1)
+    cents = with_norm(
+        corpus.filter((F.col(id_col) % stride == 0)).limit(n_cells), vec_col
+    ).select(
+        F.monotonically_increasing_id().alias("cell"),
+        F.col("__vec").alias("c_vec"),
+        F.col("__norm").alias("c_norm"),
+    )
+    corpus_cells = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1).select(
+        F.col("id").alias("neighbor_id"),
+        "cell",
+        F.col("vec").alias("n_vec"),
+        F.col("nrm").alias("n_norm"),
+    )
+    query_cells = ivf_assign(queries, cents, id_col, vec_col, nprobe=nprobe).select(
+        F.col("id").alias("query_id"),
+        "cell",
+        F.col("vec").alias("q_vec"),
+        F.col("nrm").alias("q_norm"),
+    )
+    scored = (
+        query_cells.join(corpus_cells, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("q_vec"), F.col("n_vec"))
+                / (F.col("q_norm") * F.col("n_norm")),
+                round_dp,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def lsh_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,

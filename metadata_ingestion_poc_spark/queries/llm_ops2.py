@@ -136,6 +136,21 @@ def q58_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF ANN — inverted-file cells as the second ANN scale path (rows-only;
+# recall vs brute force pinned in tests/test_similarity.py).
+# ---------------------------------------------------------------------------
+@query("q90_ivf_ann_topk")
+def q90_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return ivf_ann_topk(
+        queries_df, emb, k=10, n_cells=16, nprobe=4
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
 # Salted two-phase aggregation — identical results to a plain groupBy
 # (oracle checks that), with the skew-proof physical shape.
 # ---------------------------------------------------------------------------

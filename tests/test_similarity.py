@@ -48,6 +48,25 @@ def test_cosine_topk_deterministic_across_repartition(spark, emb):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_ivf_ann_recall_vs_brute_force(spark, emb):
+    from metadata_ingestion_poc_spark.operators.similarity import ivf_ann_topk
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(queries, emb, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_ann_topk(queries, emb, k=10, n_cells=16, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # probing 4/16 cells scans ~25% of the corpus; on near-orthogonal
+    # vectors cell assignment carries weak signal, so the bar guards
+    # wiring + the recall/cost dial, not embedding quality
+    assert recall >= 0.25, f"IVF recall too low: {recall}"
+
+
 def test_lsh_ann_recall_vs_brute_force(spark, emb):
     queries = emb.filter(F.col("vec_id") < 20)
     exact = {
