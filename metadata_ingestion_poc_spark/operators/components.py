@@ -30,11 +30,15 @@ def connected_components(
     Returns (node, component). Only nodes present in the edge list are
     labeled (callers union in singletons if they want them).
     """
-    sym = edges.select(
-        F.col(src).alias("s"), F.col(dst).alias("d")
-    ).unionByName(
-        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
-    ).distinct()
+    # materialize the edge list once: it may be an expensive upstream
+    # plan (e.g. the n-gram Jaccard pipeline), and every iteration joins
+    # against it — without this cut each round would recompute it.
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+        .localCheckpoint()
+    )
 
     labels = (
         sym.select(F.col("s").alias("node")).distinct()
