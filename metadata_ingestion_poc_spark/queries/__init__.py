@@ -61,6 +61,7 @@ def _load_all() -> None:
         streaming_batch,
         subqueries,
         tpch_extra,
+        tpch_extra2,
         windows,
     )
 
