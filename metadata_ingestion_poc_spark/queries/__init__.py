@@ -62,6 +62,7 @@ def _load_all() -> None:
         subqueries,
         tpch_extra,
         tpch_extra2,
+        tpch_extra3,
         windows,
     )
 
