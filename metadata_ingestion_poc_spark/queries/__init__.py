@@ -56,6 +56,7 @@ def _load_all() -> None:
         relational,
         reshape,
         scalar_funcs,
+        scalar_funcs2,
         setops,
         stats_extra,
         streaming_batch,
