@@ -61,6 +61,7 @@ def _load_all() -> None:
         stats_extra,
         streaming_batch,
         subqueries,
+        timeseries,
         tpch_extra,
         tpch_extra2,
         tpch_extra3,
