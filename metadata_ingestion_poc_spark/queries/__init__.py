@@ -65,6 +65,7 @@ def _load_all() -> None:
         tpch_extra,
         tpch_extra2,
         tpch_extra3,
+        tpch_extra4,
         windows,
     )
 
