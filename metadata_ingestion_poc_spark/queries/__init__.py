@@ -52,6 +52,7 @@ def _load_all() -> None:
         llm_ops,
         llm_ops2,
         llm_ops3,
+        llm_ops4,
         quality_checks,
         relational,
         reshape,
