@@ -275,3 +275,100 @@ def q107_domain_mixture_weights(
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroid accumulators: posexplode to
+# (label, dim, value) and sum each dimension in exact decimal,
+# emitting (sum, count) rather than the divided mean — sum/count can
+# land exactly on a .5 rounding boundary (e.g. any odd micro-sum over
+# 2000 vectors), where engines disagree on tie-breaking; the
+# accumulator form is bit-deterministic and the mean is one division
+# away for the consumer. At scale this is a single shuffle keyed on
+# (label, dim) with map-side partial aggregation — no UDF, no
+# driver-side vectors.
+# ---------------------------------------------------------------------------
+@query(
+    "q108_label_centroids",
+    oracle="""
+    WITH e AS (SELECT label, embedding::DOUBLE[] AS emb
+               FROM embeddings),
+    u AS (SELECT label, i,
+                 CAST(emb[i+1] AS DECIMAL(28,6)) AS v
+          FROM e, unnest(range(len(emb))) AS t(i))
+    SELECT label, i::INT AS dim,
+           ROUND(SUM(v), 6)::DOUBLE AS dim_sum,
+           COUNT(*)::BIGINT AS n_vecs
+    FROM u GROUP BY label, i ORDER BY label, dim
+    """,
+)
+def q108_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    u = e.select(
+        "label",
+        F.posexplode("embedding").alias("dim", "x"),
+    )
+    return (
+        u.groupBy("label", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("double").cast("decimal(28,6)")), 6
+            )
+            .cast("double")
+            .alias("dim_sum"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-label L2-norm statistics. The norm is a JVM-side sequential fold
+# (aggregate over the array), which matches DuckDB's list_dot_product
+# loop bit-for-bit on doubles; norms are rounded before the decimal
+# sum so the group aggregate is order-independent (sum not mean, for
+# the same tie-boundary reason as q108).
+# ---------------------------------------------------------------------------
+@query(
+    "q109_embedding_norm_stats",
+    oracle="""
+    WITH n AS (SELECT label,
+                      ROUND(sqrt(list_dot_product(embedding::DOUBLE[],
+                                                  embedding::DOUBLE[])), 6)
+                        AS nrm
+               FROM embeddings)
+    SELECT label, COUNT(*)::BIGINT AS n_vecs,
+           ROUND(SUM(CAST(nrm AS DECIMAL(28,6))), 6)::DOUBLE AS sum_norm,
+           MIN(nrm)::DOUBLE AS min_norm,
+           MAX(nrm)::DOUBLE AS max_norm
+    FROM n GROUP BY label ORDER BY label
+    """,
+)
+def q109_embedding_norm_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    nrm = F.round(
+        F.sqrt(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda acc, x: acc
+                + x.cast("double") * x.cast("double"),
+            )
+        ),
+        6,
+    )
+    n = e.select("label", nrm.alias("nrm"))
+    return (
+        n.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.sum(F.col("nrm").cast("decimal(28,6)")), 6)
+            .cast("double")
+            .alias("sum_norm"),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+        )
+        .orderBy("label")
+    )
