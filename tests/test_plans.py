@@ -74,3 +74,42 @@ def test_no_inferred_filter_recompute_in_shingles(spark, sf_dir):
     idx = _shingle_index(docs, "doc_id", 3, None)
     opt = idx._jdf.queryExecution().optimizedPlan().toString()
     assert opt.count("split(") <= 2, "shingle expression duplicated in plan"
+
+
+def test_tpch_shapes_broadcast_dims_no_cartesian(spark, sf_dir):
+    """Q5/Q8/Q16/Q21 shapes: dimension joins resolve to broadcast
+    hash joins; nothing degenerates to a cartesian product."""
+    for name, min_bhj in [
+        ("q96_tpch_q5_local_supplier_volume", 4),
+        ("q97_tpch_q8_market_share", 5),
+        ("q100_tpch_q16_supplier_count", 2),
+        ("q102_tpch_q21_sole_blame_supplier", 1),
+    ]:
+        plan = physical_plan(QUERIES[name](spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") >= min_bhj, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_contamination_probe_is_broadcast_semi(spark, sf_dir):
+    """q105: the benchmark n-gram set probes the corpus as a broadcast
+    LeftSemi — the big side never shuffles on the gram string."""
+    plan = physical_plan(QUERIES["q105_contamination_overlap"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+
+
+def test_global_total_threshold_is_single_row_broadcast(spark, sf_dir):
+    """q99: comparing per-part values against the global total must
+    broadcast the 1-row aggregate, never shuffle the fact side for it."""
+    plan = physical_plan(QUERIES["q99_tpch_q11_important_parts"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_segment_dedup_stays_jvm_side(spark, sf_dir):
+    """q104/q106: tokenize + explode + agg never leaves codegen for
+    Python."""
+    for name in ("q104_segment_dedup", "q106_repetition_metrics"):
+        plan = physical_plan(QUERIES[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
