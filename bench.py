@@ -44,10 +44,20 @@ def main() -> None:
                 "overwrite"
             ).save()
 
+    # SPARK_GRAFT_WARM=1: execute each query once untimed first, so the
+    # timed pass measures steady-state plan execution instead of
+    # per-query first-touch JIT (which dominates short queries and adds
+    # run-to-run variance on a contended host). Default stays cold.
+    warm_each = os.environ.get("SPARK_GRAFT_WARM", "0") == "1"
+
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
-        t0 = time.time()
         try:
+            if warm_each:
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t0, 3)
         except Exception as e:  # a failing query must not kill the bench
