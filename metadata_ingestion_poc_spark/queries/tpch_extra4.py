@@ -19,6 +19,9 @@ is the contract; shapes follow the public TPC-H spec):
 - Q21 — EXISTS plus NOT EXISTS against the same derived relation
         (semi + anti join on a conjunctive/inequality condition).
 - Q2  — cheapest-supplier-per-part via min + tie-broken row_number.
+- Q12 — two-way conditional line counts per order-priority class.
+- Q20 — nested semi-join chain with a scale-relative exact-decimal
+        threshold.
 """
 
 from __future__ import annotations
@@ -473,4 +476,101 @@ def q103_tpch_q2_cheapest_supplier(
             ),
         )
         .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 shape: conditional line counts per order-priority class — the
+# two-way CASE aggregation over a fact/dim join.
+# ---------------------------------------------------------------------------
+@query(
+    "q110_tpch_q12_priority_lines",
+    oracle="""
+    SELECT o.o_orderpriority,
+           SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT
+             AS returned_lines,
+           SUM(CASE WHEN l.l_returnflag <> 'R' THEN 1 ELSE 0 END)::BIGINT
+             AS kept_lines
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q110_tpch_q12_priority_lines(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    ret = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(ret).alias("returned_lines"),
+            F.sum(F.lit(1) - ret).alias("kept_lines"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape: nested semi-join chain — suppliers whose shipped quantity
+# of 'blue%' parts exceeds 1.1x the per-supplier average, compared in
+# exact decimal via integer scaling (sum * cnt * 10 > total * 11).
+# ---------------------------------------------------------------------------
+@query(
+    "q111_tpch_q20_heavy_suppliers",
+    oracle="""
+    WITH g AS (
+      SELECT l.l_suppkey,
+             SUM(CAST(l.l_quantity AS DECIMAL(28,6))) AS qty
+      FROM lineitem l
+      WHERE l.l_partkey IN
+            (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%')
+      GROUP BY l.l_suppkey
+    ),
+    tot AS (SELECT SUM(qty) AS total, COUNT(*) AS cnt FROM g)
+    SELECT s.s_suppkey, s.s_name,
+           ROUND(g.qty, 6)::DOUBLE AS blue_qty
+    FROM supplier s
+    JOIN g ON s.s_suppkey = g.l_suppkey, tot
+    WHERE g.qty * tot.cnt * 10 > tot.total * 11
+    ORDER BY s_suppkey
+    """,
+)
+def q111_tpch_q20_heavy_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("blue%")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    g = (
+        li.join(
+            F.broadcast(p.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty"))
+    )
+    tot = g.agg(
+        F.sum("qty").alias("total"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        g.join(F.broadcast(tot))
+        .filter(F.col("qty") * F.col("cnt") * 10 > F.col("total") * 11)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("qty", 6).cast("double").alias("blue_qty"),
+        )
+        .orderBy("s_suppkey")
     )
