@@ -65,8 +65,15 @@ def main() -> None:
             timings[name] = -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
+
+    # Full names + 3dp timings go to BENCH_DETAIL.json; the stdout line
+    # must stay well under a 4 KB capture window, so it uses the short
+    # qNN prefix as the key, 2dp values, and compact separators.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
             {
                 "metric": "total_query_wall_sec",
                 "value": total,
@@ -74,7 +81,28 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_queries": len(timings),
-            }
+            },
+            f,
+            indent=2,
+        )
+
+    short: dict[str, float] = {}
+    for name, t in timings.items():
+        key = name.split("_", 1)[0]  # q17_collect_sorted -> q17
+        if key in short:  # defensive: never silently drop a timing
+            key = name
+        short[key] = round(t, 2)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": short,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_queries": len(timings),
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -44,30 +44,40 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 def _load_all() -> None:
-    """Import every query module so registration side effects run."""
+    """Import every query module so registration side effects run.
+
+    Import order IS registry order, and external harnesses sweep the
+    registry in insertion order under a time budget — so cheap,
+    sub-second families register first and the expensive embedding /
+    near-dup suites register last. Keep new modules in cost order.
+    """
     from . import (  # noqa: F401
-        aggregates,
-        analytics,
-        joins_extra,
-        llm_ops,
-        llm_ops2,
-        llm_ops3,
-        llm_ops4,
-        quality_checks,
+        # -- cheap relational core (sub-second each at sf0.01) --
         relational,
-        reshape,
         scalar_funcs,
         scalar_funcs2,
         setops,
-        stats_extra,
-        streaming_batch,
+        windows,
         subqueries,
+        aggregates,
+        reshape,
+        stats_extra,
         timeseries,
+        # -- joins + TPC-H composite shapes (1-2 s each) --
+        joins_extra,
         tpch_extra,
         tpch_extra2,
         tpch_extra3,
         tpch_extra4,
-        windows,
+        analytics,
+        streaming_batch,
+        # -- curation / text ops (moderate) --
+        llm_ops3,
+        llm_ops4,
+        quality_checks,
+        # -- embedding similarity + near-dup (most expensive) --
+        llm_ops2,
+        llm_ops,
     )
 
 

@@ -220,18 +220,38 @@ def q16_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Sorted collect_list — deterministic list aggregation (sort_array makes
 # the order canonical; bare collect_list order is partition-dependent).
+# Emitted as a '|'-joined string: every output cell is scalar so any
+# row-hashing harness can canonicalize it (raw array<string> cells are
+# unhashable in pandas). The raw-array variant stays in q17b (rows-only).
 # ---------------------------------------------------------------------------
 @query(
     "q17_collect_sorted",
     oracle="""
     SELECT n_regionkey,
-           list(n_name ORDER BY n_name) AS nations
+           string_agg(n_name, '|' ORDER BY n_name) AS nations
     FROM nation
     GROUP BY n_regionkey
     ORDER BY n_regionkey
     """,
 )
 def q17_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), "|").alias(
+                "nations"
+            )
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+# Raw-array variant (rows-only): proves the native array<string> output
+# path; value parity is covered by q17's joined-string projection of the
+# identical aggregate.
+@query("q17b_collect_array")
+def q17b_collect_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     return (
         n.groupBy("n_regionkey")

@@ -317,3 +317,76 @@ def q10_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# B3: right outer join — all customers preserved, big orders optional.
+# Semantically c LEFT JOIN o reversed; registered as its own query so the
+# right-outer code path has a dedicated value oracle (SURVEY §2 names all
+# four equi-join variants). The filter on orders is applied pre-join so
+# Catalyst pushes it into the scan.
+# ---------------------------------------------------------------------------
+@query(
+    "q112_join_right_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           COUNT(o.o_orderkey)::BIGINT AS n_big_orders
+    FROM (SELECT * FROM orders WHERE o_totalprice > 150000) o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    ORDER BY c_custkey
+    """,
+)
+def q112_join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_big_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B3: full outer join — two yearly activity snapshots aligned on custkey;
+# unmatched rows survive on BOTH sides (customers active only in one
+# year). coalesce() folds the two key columns into one canonical key.
+# ---------------------------------------------------------------------------
+@query(
+    "q113_join_full_outer",
+    oracle="""
+    WITH a AS (SELECT o_custkey AS ck, COUNT(*)::BIGINT AS n_1995
+               FROM orders WHERE date_part('year', o_orderdate) = 1995
+               GROUP BY o_custkey),
+         b AS (SELECT o_custkey AS ck, COUNT(*)::BIGINT AS n_1996
+               FROM orders WHERE date_part('year', o_orderdate) = 1996
+               GROUP BY o_custkey)
+    SELECT COALESCE(a.ck, b.ck) AS custkey,
+           COALESCE(a.n_1995, 0)::BIGINT AS n_1995,
+           COALESCE(b.n_1996, 0)::BIGINT AS n_1996
+    FROM a FULL OUTER JOIN b ON a.ck = b.ck
+    ORDER BY custkey
+    """,
+)
+def q113_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = (
+        o.filter(F.year("o_orderdate") == 1995)
+        .groupBy(F.col("o_custkey").alias("ck_a"))
+        .agg(F.count(F.lit(1)).alias("n_1995"))
+    )
+    b = (
+        o.filter(F.year("o_orderdate") == 1996)
+        .groupBy(F.col("o_custkey").alias("ck_b"))
+        .agg(F.count(F.lit(1)).alias("n_1996"))
+    )
+    return (
+        a.join(b, a.ck_a == b.ck_b, "full")
+        .select(
+            F.coalesce("ck_a", "ck_b").alias("custkey"),
+            F.coalesce("n_1995", F.lit(0)).alias("n_1995"),
+            F.coalesce("n_1996", F.lit(0)).alias("n_1996"),
+        )
+        .orderBy("custkey")
+    )
