@@ -1,16 +1,28 @@
 """Connected components over an edge list (dedup clustering).
 
 Near-duplicate detection produces PAIRS; deduplication needs CLUSTERS
-(pick one canonical doc per component). This is min-label propagation:
-every node starts labeled with itself; each round it takes the min of
-its own and its neighbors' labels; converged when the global label sum
-stops falling. Rounds needed = graph diameter (tiny for dedup
-clusters; the large-star/small-star variant would cut even that to
-O(log n) if ever needed).
+(pick one canonical doc per component). Default algorithm is the
+alternating large-star / small-star contraction of Kiveris et al.,
+"Connected Components in MapReduce and Beyond" (SoCC'14):
 
-The Spark-specific essential here: each iteration must cut lineage
-(localCheckpoint), or the plan doubles every round and the driver
-dies planning round 15 — the canonical iterative-algorithm pattern.
+- large-star: every node points its strictly-larger neighbors at the
+  minimum of its closed neighborhood;
+- small-star: every node points its not-larger neighbors (and itself)
+  at that minimum.
+
+Each round is two groupBy-join passes; the edge set contracts toward
+a star per component in O(log n) rounds — on a chain graph of length
+L, min-label propagation needs ~L rounds, star contraction ~log L
+(pinned by tests/test_components.py).
+
+Spark-specific essentials for ANY iterative algorithm here:
+- each round must cut lineage or the plan doubles per round and the
+  driver dies planning round 15;
+- `localCheckpoint` (default) stores blocks on executors — fast, but
+  an executor loss kills the cached lineage mid-job. For long cluster
+  runs pass ``reliable=True`` (uses `df.checkpoint()` to the
+  fault-tolerant checkpoint dir, set one via
+  ``spark.sparkContext.setCheckpointDir``).
 """
 
 from __future__ import annotations
@@ -19,53 +31,168 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _cut(df: DataFrame, reliable: bool) -> DataFrame:
+    """Cut lineage: reliable HDFS-style checkpoint or executor-local."""
+    if reliable:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
+def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
+    """Order-insensitive fingerprint of an edge set (count, hash-sum)."""
+    # decimal sum: a long sum of 64-bit hashes overflows under ANSI mode
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+    ).first()
+    return (row["n"], row["h"])
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(v, m) for every neighbor v > u, m = min of u's closed nbhd.
+
+    Operates on the symmetric edge list; emits edges oriented from the
+    larger endpoint to the neighborhood minimum.
+    """
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    nbr_min = sym.groupBy("u").agg(F.min("v").alias("nmin"))
+    return (
+        sym.join(nbr_min, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(
+            F.col("v").alias("u"),
+            F.least(F.col("u"), F.col("nmin")).alias("v"),
+        )
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """(v, m) for every neighbor v <= u plus u itself, m = nbhd min.
+
+    Operates on edges oriented toward the larger endpoint (u >= v).
+    """
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    nbr_min = oriented.groupBy("u").agg(F.min("v").alias("nmin"))
+    with_min = oriented.join(nbr_min, "u")
+    # every small neighbor points at the min, and u itself points at it
+    out = with_min.select(F.col("v").alias("u"), F.col("nmin").alias("v")).unionByName(
+        with_min.select(F.col("u"), F.col("nmin").alias("v"))
+    )
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_iter: int = 20,
+    max_iter: int = 25,
+    algorithm: str = "star",
+    reliable: bool = False,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Label each node with the MIN node id reachable from it.
 
     Returns (node, component). Only nodes present in the edge list are
     labeled (callers union in singletons if they want them).
+
+    algorithm: "star" (large-star/small-star contraction, O(log n)
+    rounds — default) or "propagation" (min-label propagation, rounds =
+    diameter; kept for differential testing). reliable=True switches
+    lineage cuts from localCheckpoint to fault-tolerant checkpoint()
+    (requires a checkpoint dir). stats, if given, receives
+    {"rounds": k} for observability and tests.
     """
-    # materialize the edge list once: it may be an expensive upstream
-    # plan (e.g. the n-gram Jaccard pipeline), and every iteration joins
-    # against it — without this cut each round would recompute it.
-    sym = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+    e0 = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+    )
+    if algorithm == "star":
+        labels = _cc_star(e0, max_iter, reliable, stats)
+    elif algorithm == "propagation":
+        labels = _cc_propagation(e0, max_iter, reliable, stats)
+    else:
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
+    return labels
+
+
+def _cc_star(
+    e0: DataFrame, max_iter: int, reliable: bool, stats: dict | None
+) -> DataFrame:
+    # materialize once: the edge list may be an expensive upstream plan
+    # (e.g. the n-gram Jaccard pipeline) that every round re-joins.
+    edges = _cut(e0, reliable)
+    all_nodes = _cut(
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .distinct(),
+        reliable,
     )
 
-    labels = (
-        sym.select(F.col("s").alias("node")).distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint()
+    prev = _edge_checksum(edges)
+    rounds = 0
+    for _ in range(max_iter):
+        edges = _cut(_small_star(_large_star(edges)), reliable)
+        rounds += 1
+        cur = _edge_checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    if stats is not None:
+        stats["rounds"] = rounds
+
+    # converged edge set is a star per component: every non-root node
+    # has exactly one out-edge to the component min.
+    root_of = edges.groupBy("u").agg(F.min("v").alias("component"))
+    return all_nodes.join(
+        root_of, all_nodes.node == root_of.u, "left"
+    ).select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )
+
+
+def _cc_propagation(
+    e0: DataFrame, max_iter: int, reliable: bool, stats: dict | None
+) -> DataFrame:
+    sym = _cut(
+        e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct(),
+        reliable,
+    )
+    labels = _cut(
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node")),
+        reliable,
     )
     prev_sum = labels.agg(F.sum("component")).first()[0]
-
+    rounds = 0
     for _ in range(max_iter):
         neighbor_min = (
-            sym.join(labels, sym.d == labels.node)
-            .groupBy("s")
+            sym.join(labels, sym.v == labels.node)
+            .groupBy("u")
             .agg(F.min("component").alias("nmin"))
         )
-        labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.s, "left")
+        labels = _cut(
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
             .select(
                 "node",
                 F.least(
                     F.col("component"), F.coalesce("nmin", F.col("component"))
                 ).alias("component"),
-            )
-            .localCheckpoint()  # cut lineage: plans must not grow per round
+            ),
+            reliable,
         )
+        rounds += 1
         cur_sum = labels.agg(F.sum("component")).first()[0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels

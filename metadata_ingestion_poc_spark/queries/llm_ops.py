@@ -96,15 +96,28 @@ def q50_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard near-dup pairs (fully SQL-expressible, so this is
 # the oracle-checked ground truth the LSH variants are tested against).
+#
+# The production path engages the stop-shingle cap (max_shingle_df=20):
+# shingles appearing in more than 20 documents are boilerplate that
+# carries no dedup signal but creates quadratic hot buckets at scale —
+# one "the quick brown" shared by 1M docs would make a single bucket
+# own the whole job. The oracle prunes the identical shingles so the
+# value hash still matches (both sides compute Jaccard over the pruned
+# shingle universe).
 # ---------------------------------------------------------------------------
+MAX_SHINGLE_DF = 20
+
 @query(
     "q51_ngram_jaccard_pairs",
-    oracle="""
+    oracle=f"""
     WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
                FROM documents),
-    sh AS (SELECT DISTINCT doc_id,
-                  toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS s
-           FROM t, unnest(range(greatest(len(toks) - 2, 1))) AS u(i)),
+    sh0 AS (SELECT DISTINCT doc_id,
+                   toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS s
+            FROM t, unnest(range(greatest(len(toks) - 2, 1))) AS u(i)),
+    sh AS (SELECT doc_id, s FROM (
+             SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS sdf FROM sh0)
+           WHERE sdf <= {MAX_SHINGLE_DF}),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -121,7 +134,9 @@ def q50_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q51_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return (
-        ngram_jaccard_pairs(d, id_col="doc_id", n=3, threshold=0.4)
+        ngram_jaccard_pairs(
+            d, id_col="doc_id", n=3, threshold=0.4, max_shingle_df=MAX_SHINGLE_DF
+        )
         .withColumn("jaccard", F.col("jaccard").cast("double"))
         .orderBy("doc_a", "doc_b")
     )
@@ -134,13 +149,16 @@ def q51_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "q54_dedup_clusters",
-    oracle="""
+    oracle=f"""
     WITH RECURSIVE t AS (
       SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
       FROM documents),
-    sh AS (SELECT DISTINCT doc_id,
-                  toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS s
-           FROM t, unnest(range(greatest(len(toks) - 2, 1))) AS u(i)),
+    sh0 AS (SELECT DISTINCT doc_id,
+                   toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS s
+            FROM t, unnest(range(greatest(len(toks) - 2, 1))) AS u(i)),
+    sh AS (SELECT doc_id, s FROM (
+             SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS sdf FROM sh0)
+           WHERE sdf <= {MAX_SHINGLE_DF}),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     fixed_pairs AS (
       SELECT c.doc_a, c.doc_b
@@ -167,7 +185,9 @@ def q54_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import connected_components
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, id_col="doc_id", n=3, threshold=0.4)
+    pairs = ngram_jaccard_pairs(
+        d, id_col="doc_id", n=3, threshold=0.4, max_shingle_df=MAX_SHINGLE_DF
+    )
     comps = connected_components(pairs, src="doc_a", dst="doc_b")
     return comps.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
