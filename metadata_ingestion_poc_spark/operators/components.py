@@ -27,6 +27,8 @@ Spark-specific essentials for ANY iterative algorithm here:
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -36,6 +38,20 @@ def _cut(df: DataFrame, reliable: bool) -> DataFrame:
     if reliable:
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
+
+
+def _cut_lazy(df: DataFrame, reliable: bool) -> DataFrame:
+    """Cut lineage without triggering a job.
+
+    The caller's next action materializes the checkpoint, so per-round
+    loops pay ONE driver action (the convergence probe) instead of two
+    (eager checkpoint + probe). reliable=True stays eager: a lazy
+    reliable checkpoint recomputes the RDD once for the job and once
+    for the checkpoint write, which costs more than the extra action.
+    """
+    if reliable:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=False)
 
 
 def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
@@ -136,15 +152,27 @@ def _cc_star(
 
     prev = _edge_checksum(edges)
     rounds = 0
+    converged = False
     for _ in range(max_iter):
-        edges = _cut(_small_star(_large_star(edges)), reliable)
+        # lazy cut + checksum = one driver action per round: the
+        # fingerprint scan is what materializes the checkpoint blocks.
+        edges = _cut_lazy(_small_star(_large_star(edges)), reliable)
         rounds += 1
         cur = _edge_checksum(edges)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        warnings.warn(
+            f"connected_components(star) hit max_iter={max_iter} before the "
+            "edge set reached a fixed point; labels may be wrong. "
+            "Raise max_iter.",
+            stacklevel=3,
+        )
     if stats is not None:
         stats["rounds"] = rounds
+        stats["converged"] = converged
 
     # converged edge set is a star per component: every non-root node
     # has exactly one out-edge to the component min.
@@ -170,15 +198,21 @@ def _cc_propagation(
         .withColumn("component", F.col("node")),
         reliable,
     )
-    prev_sum = labels.agg(F.sum("component")).first()[0]
+    def _label_sum(df: DataFrame):
+        # decimal sum: a long sum of 64-bit node ids overflows under
+        # ANSI mode (same reason _edge_checksum casts).
+        return df.agg(F.sum(F.col("component").cast("decimal(38,0)"))).first()[0]
+
+    prev_sum = _label_sum(labels)
     rounds = 0
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.v == labels.node)
             .groupBy("u")
             .agg(F.min("component").alias("nmin"))
         )
-        labels = _cut(
+        labels = _cut_lazy(
             labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
             .select(
                 "node",
@@ -189,10 +223,19 @@ def _cc_propagation(
             reliable,
         )
         rounds += 1
-        cur_sum = labels.agg(F.sum("component")).first()[0]
+        cur_sum = _label_sum(labels)
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    else:
+        warnings.warn(
+            f"connected_components(propagation) hit max_iter={max_iter} "
+            "before labels stabilized; labels may be wrong. Raise max_iter "
+            "or use algorithm='star'.",
+            stacklevel=3,
+        )
     if stats is not None:
         stats["rounds"] = rounds
+        stats["converged"] = converged
     return labels

@@ -222,7 +222,8 @@ def q16_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the order canonical; bare collect_list order is partition-dependent).
 # Emitted as a '|'-joined string: every output cell is scalar so any
 # row-hashing harness can canonicalize it (raw array<string> cells are
-# unhashable in pandas). The raw-array variant stays in q17b (rows-only).
+# unhashable in pandas). q17b keeps a native array column in its plan
+# but likewise projects only scalar cells out of it.
 # ---------------------------------------------------------------------------
 @query(
     "q17_collect_sorted",
@@ -247,15 +248,34 @@ def q17_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Raw-array variant (rows-only): proves the native array<string> output
-# path; value parity is covered by q17's joined-string projection of the
-# identical aggregate.
-@query("q17b_collect_array")
+# Native-array variant: builds the real array<string> aggregate, then
+# projects only scalar cells from it (size / first / last) so every
+# output cell is hashable by the harness while the plan still exercises
+# collect_list -> sort_array -> element_at on a true array column.
+@query(
+    "q17b_collect_array",
+    oracle="""
+    SELECT n_regionkey,
+           count(*)    AS n_nations,
+           min(n_name) AS first_nation,
+           max(n_name) AS last_nation
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+)
 def q17b_collect_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
+    arr = F.sort_array(F.collect_list("n_name"))
     return (
         n.groupBy("n_regionkey")
-        .agg(F.sort_array(F.collect_list("n_name")).alias("nations"))
+        .agg(arr.alias("nations"))
+        .select(
+            "n_regionkey",
+            F.size("nations").cast("long").alias("n_nations"),
+            F.element_at("nations", 1).alias("first_nation"),
+            F.element_at("nations", -1).alias("last_nation"),
+        )
         .orderBy("n_regionkey")
     )
 
