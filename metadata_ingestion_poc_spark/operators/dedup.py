@@ -69,11 +69,21 @@ def _spread(df: DataFrame) -> DataFrame:
     signature stages would run on a single core regardless of cluster
     size. Repartitioning a small doc set is cheap; at real scale the
     input already has enough splits and this is a no-op.
+
+    Connect-safe: probes inputFiles() (file count ≈ split count for
+    the small inputs this guard exists for) instead of df.rdd, which
+    does not exist under Spark Connect. Non-file inputs (in-memory
+    relations) report no files and are repartitioned — they are small
+    by construction.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    spark = df.sparkSession
+    try:
+        target = spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect session: no SparkContext handle
+        target = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    if len(df.inputFiles()) >= target:
+        return df
+    return df.repartition(target)
 
 
 def exact_dedup(

@@ -6,10 +6,14 @@ events into it ADDITIVELY — never recompute history. Works because the
 maintained aggregates (count, sum — and avg = sum/count at read time)
 are commutative monoids, so merging partials is exact.
 
-Delivery contract: each raw batch must be folded exactly once
-(Structured Streaming's checkpointed foreachBatch provides this; the
-batch tests fold disjoint halves). Late data is handled naturally —
-it lands in its own window's bucket and merges in.
+Delivery contract: foreachBatch is AT-LEAST-once (a crashed
+micro-batch is replayed with the same batch_id), so the fold must be
+idempotent per batch. Callers pass the foreachBatch ``batch_id``; the
+rollup dir keeps a ``_folded/<batch_id>`` marker per folded batch and
+a replayed batch is a no-op. The markers are written into the staging
+dir BEFORE the swap, so data and fold-log commit atomically together.
+Late data is handled naturally — it lands in its own window's bucket
+and merges in.
 
 At 100 TB the rollup table is orders of magnitude smaller than the
 events; the fold shuffles only the BATCH's partial aggregate (tiny)
@@ -24,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.determinism import DEC
+from ..staging import commit_swap, recover, staging_dir
 
 
 def rollup_batch(events: DataFrame, width: str = "1 hour") -> DataFrame:
@@ -45,42 +50,75 @@ def rollup_batch(events: DataFrame, width: str = "1 hour") -> DataFrame:
     )
 
 
+_FOLDED = "_folded"
+
+
+def folded_batch_ids(path: str) -> set[str]:
+    """Batch ids already folded into the rollup at `path`."""
+    marker_dir = Path(path) / _FOLDED
+    if not marker_dir.exists():
+        return set()
+    return {p.name for p in marker_dir.iterdir()}
+
+
 def fold_into_rollup(
-    spark: SparkSession, batch: DataFrame, path: str, width: str = "1 hour"
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    width: str = "1 hour",
+    batch_id: int | str | None = None,
 ) -> None:
     """Fold a raw-events batch into the rollup table at `path`.
 
     Additive merge: existing ⊎ incoming on (window_start, event_type),
-    summing the partial aggregates. Written via staging-dir swap (same
-    single-writer contract as writer.py; with Delta available this
-    becomes MERGE ... WHEN MATCHED UPDATE SET n = t.n + s.n).
+    summing the partial aggregates. Written via the crash-safe
+    staging-dir swap in staging.py (single-writer contract; with Delta
+    available this becomes MERGE ... WHEN MATCHED UPDATE SET
+    n = t.n + s.n).
+
+    batch_id makes the fold idempotent under at-least-once replay
+    (foreachBatch): a batch id already recorded in the table's
+    ``_folded`` marker dir is skipped, so a retried micro-batch never
+    double-counts. Pass foreachBatch's epoch id here. None (ad-hoc
+    batch folds) skips the bookkeeping.
     """
-    partial = rollup_batch(batch, width)
     target = Path(path)
-    if not target.exists():
-        partial.write.mode("overwrite").parquet(path)
+    recover(target)
+    if batch_id is not None and str(batch_id) in folded_batch_ids(path):
         return
 
-    existing = spark.read.parquet(path)
-    merged = (
-        existing.unionByName(partial)
-        .groupBy("window_start", "event_type")
-        .agg(
-            F.sum("n_events").alias("n_events"),
-            F.sum("sum_value").alias("sum_value"),
+    partial = rollup_batch(batch, width)
+    if not target.exists():
+        merged = partial
+    else:
+        existing = spark.read.parquet(path)
+        merged = (
+            existing.unionByName(partial)
+            .groupBy("window_start", "event_type")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value").alias("sum_value"),
+            )
         )
-    )
-    staging = str(target.with_name(target.name + "__staging"))
-    merged.write.mode("overwrite").parquet(staging)
-    import shutil
+    prior_ids = folded_batch_ids(path)
 
-    shutil.rmtree(path)
-    shutil.move(staging, path)
+    staging = staging_dir(target)
+    merged.write.mode("overwrite").parquet(str(staging))
+    # fold-log travels with the data: markers land in staging before
+    # the swap, so a crash can't commit one without the other.
+    marker_dir = staging / _FOLDED
+    marker_dir.mkdir(exist_ok=True)
+    for bid in prior_ids:
+        (marker_dir / bid).touch()
+    if batch_id is not None:
+        (marker_dir / str(batch_id)).touch()
+    commit_swap(target, staging)
 
 
 def read_rollup(spark: SparkSession, path: str) -> DataFrame:
     """Rollup with derived columns (avg at read time — exact, since
     sum and count merged exactly)."""
+    recover(Path(path))
     r = spark.read.parquet(path)
     return r.select(
         "window_start",

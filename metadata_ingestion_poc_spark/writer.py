@@ -19,11 +19,12 @@ dynamic file pruning) so the merge only rewrites touched files.
 
 from __future__ import annotations
 
-import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .staging import commit_swap, recover, staging_dir
 
 
 def write_raw(df: DataFrame, path: str, partitions: list[str]) -> None:
@@ -85,6 +86,7 @@ def _write_hub_parquet_merge(
     batch semantics reduce first (see streaming.pipeline's order_col).
     """
     target = Path(path)
+    recover(target)
     if not keys:
         mode = "append" if target.exists() else "overwrite"
         df.write.mode(mode).parquet(path)
@@ -99,10 +101,9 @@ def _write_hub_parquet_merge(
     )
     merged = kept.unionByName(df, allowMissingColumns=True)
 
-    staging = str(target.with_name(target.name + "__staging"))
-    merged.write.mode("overwrite").parquet(staging)
-    shutil.rmtree(path)
-    shutil.move(staging, path)
+    staging = staging_dir(target)
+    merged.write.mode("overwrite").parquet(str(staging))
+    commit_swap(target, staging)
 
 
 def write_hub(
@@ -126,4 +127,5 @@ def read_hub(spark: SparkSession, path: str) -> DataFrame:
 
         if DeltaTable.isDeltaTable(spark, path):
             return spark.read.format("delta").load(path)
+    recover(Path(path))
     return spark.read.parquet(path)

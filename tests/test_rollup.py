@@ -45,3 +45,32 @@ def test_rollup_third_fold_adds_new_window_only(spark, sf_dir, tmp_path):
     # folding an empty batch must be a no-op
     fold_into_rollup(spark, ev.filter(F.lit(False)), path)
     assert read_rollup(spark, path).count() == n1
+
+
+def _snapshot(spark, path):
+    return {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in read_rollup(spark, path).collect()
+    }
+
+
+def test_rollup_replayed_batch_is_idempotent(spark, sf_dir, tmp_path):
+    # foreachBatch is at-least-once: the same (batch, batch_id) may be
+    # delivered twice after a crash. The second fold must be a no-op.
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "rollup3")
+    b0 = ev.filter(F.col("event_id") % 2 == 1)
+    b1 = ev.filter(F.col("event_id") % 2 == 0)
+
+    fold_into_rollup(spark, b0, path, batch_id=0)
+    fold_into_rollup(spark, b1, path, batch_id=1)
+    want = _snapshot(spark, path)
+
+    fold_into_rollup(spark, b1, path, batch_id=1)  # replay last batch
+    assert _snapshot(spark, path) == want
+    fold_into_rollup(spark, b0, path, batch_id=0)  # replay older batch
+    assert _snapshot(spark, path) == want
+
+    # a genuinely new batch id still folds
+    fold_into_rollup(spark, b0.limit(10), path, batch_id=2)
+    assert _snapshot(spark, path) != want
