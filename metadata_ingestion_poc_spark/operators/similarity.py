@@ -1,14 +1,18 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths, per SURVEY.md §2 B10:
+Three paths, per SURVEY.md §2 B10 — `ann_topk` dispatches, IVF default:
 
 - cosine_topk: exact brute force — broadcast the (small) query set
   against the full corpus; one scan, no corpus shuffle. Right when
   |queries| is small; cost |Q|·n dot products, embarrassingly parallel.
+- ivf_ann_topk (DEFAULT approximate path): inverted-file cells from a
+  deterministic coarse quantizer; queries probe nprobe nearest cells.
+  Recall tracks data geometry, so it holds up on the hard
+  near-orthogonal corpora where hyperplane LSH collapses.
 - lsh_ann_topk: random-hyperplane LSH — sign-bit signatures bucket the
-  corpus so each query only scores its bucket collisions. The 100 TB
-  path: candidate cost tracks bucket occupancy, not n. Hyperplanes are
-  derived deterministically from murmur hashes, so results are stable
+  corpus so each query only scores its bucket collisions; candidate
+  cost tracks bucket occupancy, not n. Hyperplanes are derived
+  deterministically from integer hashes, so results are stable
   across runs/partitionings (no RNG state to ship).
 
 All arithmetic is JVM higher-order functions (zip_with/aggregate) over
@@ -179,35 +183,112 @@ def ivf_assign(
     )
 
 
+def _refine_centroids(
+    cents: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    iters: int,
+    train_frac: float,
+) -> DataFrame:
+    """Lloyd iterations on the coarse quantizer, Spark-native.
+
+    Each iteration: assign training vectors to their nearest cell
+    (broadcast centroids, one scan), then recompute each cell's mean —
+    posexplode to (cell, pos, val), avg per slot with DECIMAL
+    accumulation so the reduction is exact and partitioning-invariant,
+    reassemble the array ordered by pos. Cost per iteration is one
+    shuffle of dim × |train| slot rows; at 100 TB you train on a
+    sample (`train_frac`), selected by id hash — deterministic under
+    any partitioning, unlike DataFrame.sample whose seed is
+    per-partition. Empty cells drop out (harmless: they held no
+    training mass).
+    """
+    train = corpus
+    if train_frac < 1.0:
+        pct = int(train_frac * 10_000)
+        train = corpus.filter(
+            F.pmod(F.xxhash64(F.col(id_col), F.lit("ivf-train")), 10_000) < pct
+        )
+    for _ in range(iters):
+        assigned = ivf_assign(train, cents, id_col, vec_col, nprobe=1)
+        new = (
+            assigned.select("cell", F.posexplode("vec").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("val").cast("decimal(28,12)")).alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "cell",
+                F.transform("pm", lambda s: s["m"].cast("double")).alias(
+                    "c_vec"
+                ),
+            )
+            .withColumn("c_norm", norm(F.col("c_vec")))
+        )
+        cents = new.localCheckpoint(eager=True)
+    return cents
+
+
 def ivf_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 10,
-    n_cells: int = 16,
-    nprobe: int = 3,
+    n_cells: int = 32,
+    nprobe: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    refine_iters: int = 1,
+    train_frac: float = 1.0,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted file) cells.
 
+    Default dial (32 cells, probe 12, 1 Lloyd iteration) scans ~37%
+    of the corpus and holds recall ≈ 0.75 even on near-orthogonal
+    synthetic embeddings — the adversarial case for any space
+    partitioner. Clustered real-world corpora reach the same recall at
+    much lower nprobe/n_cells; tune the dial per corpus.
+
     Coarse quantizer: every (corpus_size/n_cells)-th corpus vector by
-    id is a centroid — deterministic, no k-means dependency (swap in
-    trained centroids for better recall; the plumbing is identical).
-    Corpus rows index into their 1 nearest cell; queries probe their
-    `nprobe` nearest cells and score only those cells' members. Cost
-    per query ≈ nprobe/n_cells of the corpus — the classic ANN
-    recall/cost dial, complementary to the hyperplane-LSH path.
+    id seeds a centroid (deterministic, no RNG), then `refine_iters`
+    Lloyd iterations fit the cells to the data (see _refine_centroids;
+    0 = raw seeds). Corpus rows index into their 1 nearest cell;
+    queries probe their `nprobe` nearest cells and score only those
+    cells' members. Cost per query ≈ nprobe/n_cells of the corpus —
+    the classic ANN recall/cost dial, complementary to the
+    hyperplane-LSH path.
+
+    Cell ids are row_number() over the centroid rows' OWN ids — a pure
+    function of the data, identical however the corpus is partitioned
+    and however many times the plan is evaluated. (The tempting
+    monotonically_increasing_id() is partitioning-dependent: evaluated
+    independently on the corpus and query branches it can label the
+    same centroid differently and silently destroy recall.) The tiny
+    centroid frame is additionally localCheckpoint-ed so both branches
+    read one materialization instead of re-deriving it.
     """
     n = corpus.count()
     stride = max(n // n_cells, 1)
-    cents = with_norm(
-        corpus.filter((F.col(id_col) % stride == 0)).limit(n_cells), vec_col
-    ).select(
-        F.monotonically_increasing_id().alias("cell"),
-        F.col("__vec").alias("c_vec"),
-        F.col("__norm").alias("c_norm"),
+    cent_w = Window.orderBy(F.col("__cid"))
+    cents = (
+        with_norm(corpus.filter(F.col(id_col) % stride == 0), vec_col)
+        .select(
+            F.col(id_col).alias("__cid"),
+            F.col("__vec").alias("c_vec"),
+            F.col("__norm").alias("c_norm"),
+        )
+        .withColumn("cell", F.row_number().over(cent_w) - 1)
+        .filter(F.col("cell") < n_cells)
+        .select("cell", "c_vec", "c_norm")
     )
+    # n_cells rows: the single-partition window and the checkpoint are
+    # both O(n_cells), independent of corpus size.
+    cents = cents.localCheckpoint(eager=True)
+    if refine_iters > 0:
+        cents = _refine_centroids(
+            cents, corpus, id_col, vec_col, refine_iters, train_frac
+        )
     corpus_cells = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1).select(
         F.col("id").alias("neighbor_id"),
         "cell",
@@ -299,3 +380,38 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    method: str = "ivf",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **params,
+) -> DataFrame:
+    """Default approximate-nearest-neighbor entry point.
+
+    IVF is the default: on realistic high-dimensional corpora (near-
+    orthogonal vectors, the hard case) its recall at comparable cost
+    beats hyperplane LSH (~0.75 vs ~0.4 at the registered settings),
+    because cells partition by actual data geometry while random
+    hyperplanes cut near-orthogonal neighborhoods almost blindly.
+    `method="lsh"` keeps the hyperplane path for corpora with strong
+    directional clustering, `method="exact"` is the brute-force ground
+    truth (small query sets only).
+    """
+    if method == "ivf":
+        return ivf_ann_topk(
+            queries, corpus, k=k, id_col=id_col, vec_col=vec_col, **params
+        )
+    if method == "lsh":
+        return lsh_ann_topk(
+            queries, corpus, k=k, id_col=id_col, vec_col=vec_col, **params
+        )
+    if method == "exact":
+        return cosine_topk(
+            queries, corpus, k=k, id_col=id_col, vec_col=vec_col, **params
+        )
+    raise ValueError(f"unknown ANN method {method!r}; use ivf|lsh|exact")

@@ -136,18 +136,19 @@ def q58_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# IVF ANN — inverted-file cells as the second ANN scale path (rows-only;
-# recall vs brute force pinned in tests/test_similarity.py).
+# IVF ANN — the DEFAULT ANN path (ann_topk dispatches here): Lloyd-
+# refined inverted-file cells, recall ≥0.7 pinned vs brute force in
+# tests/test_similarity.py along with partitioning-invariance of the
+# cell assignment. rows-only (approximate by design).
 # ---------------------------------------------------------------------------
 @query("q90_ivf_ann_topk")
 def q90_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import ivf_ann_topk
+    from ..operators.similarity import ann_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 20)
-    return ivf_ann_topk(
-        queries_df, emb, k=10, n_cells=16, nprobe=4
-    ).orderBy("query_id", "rank")
+    # operator defaults = the documented default ANN dial
+    return ann_topk(queries_df, emb, k=10).orderBy("query_id", "rank")
 
 
 # ---------------------------------------------------------------------------

@@ -48,8 +48,11 @@ def test_cosine_topk_deterministic_across_repartition(spark, emb):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
-def test_ivf_ann_recall_vs_brute_force(spark, emb):
-    from metadata_ingestion_poc_spark.operators.similarity import ivf_ann_topk
+def test_default_ann_path_recall(spark, emb):
+    # ann_topk's DEFAULTS (ivf, 32 cells, nprobe 12, 2 Lloyd iters)
+    # must hold ≥0.7 recall even on this near-orthogonal corpus — the
+    # adversarial case for any space partitioner. Measured ≈0.79.
+    from metadata_ingestion_poc_spark.operators.similarity import ann_topk
 
     queries = emb.filter(F.col("vec_id") < 20)
     exact = {
@@ -58,13 +61,28 @@ def test_ivf_ann_recall_vs_brute_force(spark, emb):
     }
     approx = {
         (r.query_id, r.neighbor_id)
-        for r in ivf_ann_topk(queries, emb, k=10, n_cells=16, nprobe=4).collect()
+        for r in ann_topk(queries, emb, k=10).collect()
     }
     recall = len(exact & approx) / len(exact)
-    # probing 4/16 cells scans ~25% of the corpus; on near-orthogonal
-    # vectors cell assignment carries weak signal, so the bar guards
-    # wiring + the recall/cost dial, not embedding quality
-    assert recall >= 0.25, f"IVF recall too low: {recall}"
+    assert recall >= 0.7, f"default ANN recall too low: {recall}"
+
+
+def test_ivf_invariant_under_repartition_and_reevaluation(spark, emb):
+    # cell labels must be a pure function of the data: same results
+    # whatever the corpus partitioning (monotonically_increasing_id
+    # here was a real bug — labels diverged between the corpus and
+    # query branches on a cluster). Cheap dial: invariance, not recall.
+    from metadata_ingestion_poc_spark.operators.similarity import ivf_ann_topk
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    kwargs = dict(k=5, n_cells=16, nprobe=3, refine_iters=1)
+    a = ivf_ann_topk(queries, emb, **kwargs).collect()
+    b = ivf_ann_topk(queries.repartition(3), emb.repartition(7), **kwargs).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # train_frac sampling is id-hash-based, also partitioning-invariant
+    c = ivf_ann_topk(queries, emb, train_frac=0.5, **kwargs).collect()
+    d = ivf_ann_topk(queries, emb.repartition(11), train_frac=0.5, **kwargs).collect()
+    assert sorted(map(tuple, c)) == sorted(map(tuple, d))
 
 
 def test_lsh_ann_recall_vs_brute_force(spark, emb):
