@@ -202,18 +202,18 @@ def minhash_signature(
 
     Hash family: xxhash64 of the shingle salted with the hash index —
     deterministic across runs and partitionings.
+
+    The fold is a nested higher-order transform (runtime loop over the
+    hash indices), NOT num_hashes unrolled array_min projections: the
+    unrolled form compiles a codegen tree that grows linearly with
+    num_hashes and dominated wall time (JIT + planning) at 16 hashes.
     """
     with_sh = shingles(_spread(docs), n=n)
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("shingles"),
-                    lambda s, k=k: F.xxhash64(s, F.lit(k)),
-                )
-            )
-            for k in range(num_hashes)
-        ]
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda k: F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, k))
+        ),
     )
     return with_sh.withColumn("sig", sig).drop("shingles")
 
@@ -258,12 +258,25 @@ def minhash_lsh_pairs(
     ).select("doc", "bb.band", "bb.bucket")
 
     candidates = _bucket_pairs(banded, ["band", "bucket"], "doc").distinct()
+    candidates = candidates.localCheckpoint(eager=False)
 
     # exact verification: join shingle sets back on, Jaccard via
     # array_intersect (shingle arrays are bounded by doc length).
-    sh = shingles(docs, n=n).select(
-        F.col(id_col).alias("doc"), F.col("shingles")
+    # Shingle ONLY candidate docs (semi join) — candidates are a
+    # vanishing fraction of the corpus, and this frame feeds both join
+    # sides, so re-shingling the full corpus twice would dominate.
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias("__cid"))
+        .unionByName(candidates.select(F.col("doc_b").alias("__cid")))
+        .distinct()
     )
+    sh = shingles(
+        docs.join(
+            cand_ids, F.col(id_col) == F.col("__cid"), "left_semi"
+        ),
+        n=n,
+    ).select(F.col(id_col).alias("doc"), F.col("shingles"))
+    sh = sh.localCheckpoint(eager=False)
     sha = sh.select(F.col("doc").alias("doc_a"), F.col("shingles").alias("sh_a"))
     shb = sh.select(F.col("doc").alias("doc_b"), F.col("shingles").alias("sh_b"))
     return (
@@ -286,6 +299,37 @@ def minhash_lsh_pairs(
     )
 
 
+def _simhash_chunks_udf(bits: int = 64):
+    """Arrow-batched pandas UDF: token-hash array → 16-bit chunk array.
+
+    Per doc: bit-matrix of the int64 hashes, per-bit one-count, majority
+    bit, packed into bits/16 little-endian 16-bit chunks. numpy views
+    the signed hashes as uint64 so >> is a logical shift; bit i extracted
+    by &1 is identical to the JVM's arithmetic shiftright(h, i) & 1.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    n_chunks = bits // 16
+    bit_idx = np.arange(bits, dtype=np.uint64)
+    weights = (1 << np.arange(16, dtype=np.int64))
+
+    def chunks(th):
+        out = np.zeros((len(th), n_chunks), dtype=np.int64)
+        for row, arr in enumerate(th):
+            h = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            if len(h) == 0:
+                continue
+            ones = ((h[:, None] >> bit_idx) & np.uint64(1)).sum(axis=0)
+            maj = (ones * 2 > len(h)).reshape(n_chunks, 16)
+            out[row] = (maj * weights).sum(axis=1)
+        return pd.Series(list(out))
+
+    # registered without annotations (see hyperplane_signatures note)
+    return pandas_udf(chunks, "array<long>")
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", bits: int = 64) -> DataFrame:
     """64-bit SimHash as 4×16-bit chunk columns (`sh0`..`sh3`).
 
@@ -299,35 +343,23 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", bits: int = 64) -> DataFram
     hashed = tokenize(_spread(docs)).withColumn(
         "__th", F.transform("tokens", lambda t: F.xxhash64(t))
     )
-    votes = F.aggregate(
-        F.col("__th"),
-        F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.when(
-                        F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-                    )
-                    .otherwise(F.lit(-1))
-                    .cast("long")
-                    for i in range(bits)
-                ]
-            ),
-            lambda a, b: a + b,
-        ),
+    # The hash family stays JVM-side (xxhash64 — deterministic across
+    # runs/partitionings); the per-bit majority vote is an Arrow-batched
+    # pandas UDF. Both pure-SQL shapes lose badly here: a 64-way
+    # unrolled vote fold compiles a codegen tree whose JIT dominates,
+    # and compact higher-order lambdas are interpreted per element
+    # (~tokens×64 closure calls per doc). One numpy bit-matrix per
+    # batch replaces both. Majority(+1) ⟺ ones*2 > n — identical bits
+    # to the ±1-vote form (ties → 0 in both).
+    chunk_udf = _simhash_chunks_udf(bits)
+    voted = hashed.withColumn("__chunks", chunk_udf(F.col("__th")))
+    return voted.select(
+        F.col(id_col),
+        *[
+            F.element_at("__chunks", c + 1).alias(f"sh{c}")
+            for c in range(bits // 16)
+        ],
     )
-    voted = hashed.withColumn("__votes", votes)
-    chunks = []
-    for c in range(bits // 16):
-        expr = F.lit(0).cast("long")
-        for i in range(16):
-            bit = c * 16 + i
-            expr = expr + F.when(
-                F.element_at("__votes", bit + 1) > 0, F.lit(1 << i)
-            ).otherwise(0)
-        chunks.append(expr.alias(f"sh{c}"))
-    return voted.select(F.col(id_col), *chunks)
 
 
 def simhash_pairs(
@@ -339,7 +371,11 @@ def simhash_pairs(
     identical (pigeonhole) — candidates are generated by joining on
     each chunk, then verified with exact popcount of the XOR.
     """
-    sh = simhash(docs, id_col=id_col)
+    # one materialization: the signature plan feeds THREE branches
+    # (banding + both verification sides); without the cut the whole
+    # tokenize→hash→vote pipeline runs three times. Signatures are
+    # tiny (id + 4 longs) at any corpus size.
+    sh = simhash(docs, id_col=id_col).localCheckpoint(eager=False)
     chunk_cols = [c for c in sh.columns if c.startswith("sh")]
 
     banded = sh.select(
