@@ -86,12 +86,17 @@ def main() -> None:
             indent=2,
         )
 
-    short: dict[str, float] = {}
-    for name, t in timings.items():
-        key = name.split("_", 1)[0]  # q17_collect_sorted -> q17
-        if key in short:  # defensive: never silently drop a timing
-            key = name
-        short[key] = round(t, 2)
+    # short keys (q17_collect_sorted -> q17); on a prefix collision BOTH
+    # queries keep their full names, so colliding entries are keyed
+    # consistently instead of first-short/second-full.
+    prefix_of = {name: name.split("_", 1)[0] for name in timings}
+    counts: dict[str, int] = {}
+    for p in prefix_of.values():
+        counts[p] = counts.get(p, 0) + 1
+    short = {
+        (name if counts[prefix_of[name]] > 1 else prefix_of[name]): round(t, 2)
+        for name, t in timings.items()
+    }
     print(
         json.dumps(
             {

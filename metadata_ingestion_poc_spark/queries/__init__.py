@@ -69,6 +69,7 @@ def _load_all() -> None:
         tpch_extra2,
         tpch_extra3,
         tpch_extra4,
+        curation,
         analytics,
         streaming_batch,
         # -- curation / text ops (moderate) --
@@ -122,6 +123,13 @@ _SWEEP_PRIORITY = [
     "q51_ngram_jaccard_pairs",
     "q54_dedup_clusters",
     "q17b_collect_array",
+    # new in round 3 — never swept.
+    "q114_tpch_q4_order_priority",
+    "q115_curation_pipeline",
+    "q116_length_histogram",
+    "q117_mixture_resample",
+    "q118_sessionize_gaps",
+    "q119_ngram_novelty",
 ]
 
 
