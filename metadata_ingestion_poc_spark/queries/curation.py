@@ -345,19 +345,23 @@ def q118_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q119_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import shingles
+    from ..operators.dedup import _shingle_index, _spread
 
-    d = load_table(spark, sf_dir, "documents")
-    grams = (
-        shingles(d, n=3)
-        .select("doc_id", F.explode("shingles").alias("gram"))
-        .distinct()
+    # _spread: documents arrive as one split; without it the shingle
+    # explode runs on a single core. _shingle_index carries the
+    # explode_outer guard against InferFiltersFromGenerate re-inlining
+    # the O(len²) shingle expression. A window over the gram partition
+    # replaces the grams⋈gram_df self-join, so the explode+distinct
+    # subtree is computed once instead of once per join branch.
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    grams = _shingle_index(d, "doc_id", 3, None).select(
+        F.col("doc").alias("doc_id"), F.col("sh").alias("gram")
     )
-    df_counts = grams.groupBy("gram").agg(
-        F.count(F.lit(1)).alias("gram_df")
+    per_gram = grams.withColumn(
+        "gram_df", F.count(F.lit(1)).over(Window.partitionBy("gram"))
     )
     return (
-        grams.join(df_counts, "gram")
+        per_gram
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

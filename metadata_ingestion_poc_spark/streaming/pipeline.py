@@ -83,3 +83,40 @@ def stream_upsert_to_hub(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_fold_rollup(
+    events: DataFrame,
+    rollup_path: str,
+    checkpoint_dir: str,
+    width: str = "1 hour",
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Stream → incremental rollup via foreachBatch(fold_into_rollup).
+
+    Passes foreachBatch's epoch id through as the fold's ``batch_id``,
+    so the at-least-once replay of a crashed micro-batch is a no-op
+    (the fold keeps a per-batch marker log that commits atomically
+    with the data — see operators/rollup.py). This is the
+    streaming↔batch shared-implementation pattern of
+    stream_upsert_to_hub applied to the additive-aggregate sink.
+    """
+    from ..operators.rollup import fold_into_rollup
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        fold_into_rollup(
+            batch_df.sparkSession,
+            batch_df,
+            rollup_path,
+            width=width,
+            batch_id=batch_id,
+        )
+
+    writer = (
+        events.writeStream.foreachBatch(_fold)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

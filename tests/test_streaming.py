@@ -88,3 +88,39 @@ def test_stream_upsert_foreachbatch(spark, tmp_path, event_dir):
     out = read_hub(spark, hub)
     assert out.count() == out.select("user_id").distinct().count()
     assert out.count() == ev.select("user_id").distinct().count()
+
+def test_stream_fold_rollup_matches_batch(spark, tmp_path, event_dir):
+    # multi-micro-batch stream folded through foreachBatch must equal a
+    # single batch rollup over the same events — proves the additive
+    # fold + per-batch idempotence markers compose under real epoch ids.
+    from metadata_ingestion_poc_spark.operators.rollup import (
+        read_rollup,
+        rollup_batch,
+    )
+    from metadata_ingestion_poc_spark.streaming.pipeline import (
+        stream_fold_rollup,
+    )
+
+    path, schema, ev = event_dir
+    rollup_path = str(tmp_path / "rollup_stream")
+    stream = read_stream(spark, path, schema, max_files_per_trigger=1)
+    q = stream_fold_rollup(
+        stream, rollup_path, checkpoint_dir=str(tmp_path / "ckpt_rollup")
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.window_start, r.event_type): (r.n_events, round(r.total_value, 4))
+        for r in read_rollup(spark, rollup_path).collect()
+    }
+    batch = rollup_batch(ev)
+    want = {
+        (r.window_start, r.event_type): (
+            r.n_events,
+            round(float(r.sum_value), 4),
+        )
+        for r in batch.collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
