@@ -70,20 +70,45 @@ def _spread(df: DataFrame) -> DataFrame:
     size. Repartitioning a small doc set is cheap; at real scale the
     input already has enough splits and this is a no-op.
 
-    Connect-safe: probes inputFiles() (file count ≈ split count for
-    the small inputs this guard exists for) instead of df.rdd, which
-    does not exist under Spark Connect. Non-file inputs (in-memory
-    relations) report no files and are repartitioned — they are small
-    by construction.
+    Gated on the optimizer's size estimate, not on ``inputFiles()``:
+    a frame whose estimated bytes reach ``target × maxPartitionBytes``
+    already scans as ≥ target splits, so repartitioning it would be a
+    pure extra shuffle — and listing input files for a 100 TB manifest
+    of millions of files is itself a driver-side cost. Only frames the
+    stats say are small (where the shuffle moves little data but buys
+    full-core parallelism for the CPU-bound shingle/hash stages) are
+    repartitioned. Stats-unavailable frames are left untouched.
     """
     spark = df.sparkSession
     try:
         target = spark.sparkContext.defaultParallelism
     except Exception:  # Spark Connect session: no SparkContext handle
         target = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    if len(df.inputFiles()) >= target:
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # Connect / non-JVM frame: no stats handle
+        return df
+    if size >= target * _max_partition_bytes(spark):
         return df
     return df.repartition(target)
+
+
+def _max_partition_bytes(spark) -> int:
+    """`spark.sql.files.maxPartitionBytes` as an int (handles the
+    "134217728b" / "128MB" spellings a bytes-conf can come back as)."""
+    raw = str(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    ).strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    mult, digits = 1, raw.removesuffix("b")
+    if digits and digits[-1] in units:
+        mult, digits = units[digits[-1]], digits[:-1]
+    try:
+        return int(digits) * mult
+    except ValueError:
+        return 134217728
 
 
 def exact_dedup(
@@ -200,22 +225,37 @@ def minhash_signature(
 ) -> DataFrame:
     """MinHash signature column `sig` (array of num_hashes int64 minima).
 
-    Hash family: xxhash64 of the shingle salted with the hash index —
-    deterministic across runs and partitionings.
+    One-permutation hashing (Li/Owen/Zhang 2012): each shingle is
+    hashed ONCE with xxhash64, the hash space is split into
+    `num_hashes` bins by `pmod(h, num_hashes)`, and signature slot k
+    is the minimum hash landing in bin k. This replaces the classic
+    k-independent-permutations scheme (k full xxhash64-of-string
+    passes per document — the dominant signature cost, since string
+    hashing is O(bytes) while the bin pass is a long compare).
 
-    The fold is a nested higher-order transform (runtime loop over the
-    hash indices), NOT num_hashes unrolled array_min projections: the
-    unrolled form compiles a codegen tree that grows linearly with
-    num_hashes and dominated wall time (JIT + planning) at 16 hashes.
+    Empty bins are densified deterministically from the global min
+    (`xxhash64(global_min, k)`): identical shingle sets still map to
+    identical signatures under any partitioning, and near-identical
+    sets agree on densified slots whenever they agree on the global
+    minimum — the property banded LSH needs.
     """
     with_sh = shingles(_spread(docs), n=n)
+    hashed = with_sh.withColumn(
+        "__h", F.transform("shingles", lambda s: F.xxhash64(s))
+    ).drop("shingles")
+    gmin = F.array_min(F.col("__h"))
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda k: F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, k))
+        lambda k: F.coalesce(
+            F.array_min(
+                F.filter(
+                    F.col("__h"), lambda h: F.pmod(h, F.lit(num_hashes)) == k
+                )
+            ),
+            F.xxhash64(gmin, k),
         ),
     )
-    return with_sh.withColumn("sig", sig).drop("shingles")
+    return hashed.withColumn("sig", sig).drop("__h")
 
 
 def minhash_lsh_pairs(
@@ -312,18 +352,43 @@ def _simhash_chunks_udf(bits: int = 64):
     from pyspark.sql.pandas.functions import pandas_udf
 
     n_chunks = bits // 16
-    bit_idx = np.arange(bits, dtype=np.uint64)
     weights = (1 << np.arange(16, dtype=np.int64))
+    # bound the unpacked bit matrix (64 B/hash after unpackbits) to
+    # ~64 MB per sub-batch regardless of Arrow batch size / doc length
+    budget = 1 << 20
 
     def chunks(th):
-        out = np.zeros((len(th), n_chunks), dtype=np.int64)
-        for row, arr in enumerate(th):
-            h = np.asarray(arr, dtype=np.int64).view(np.uint64)
-            if len(h) == 0:
+        n = len(th)
+        out = np.zeros((n, n_chunks), dtype=np.int64)
+        arrs = [np.asarray(a, dtype="<i8") for a in th]
+        lens = np.fromiter((a.size for a in arrs), dtype=np.int64, count=n)
+        start = 0
+        while start < n:
+            end, tot = start, 0
+            while end < n and (tot == 0 or tot + lens[end] <= budget):
+                tot += lens[end]
+                end += 1
+            seg_lens = lens[start:end]
+            nz = np.nonzero(seg_lens)[0]
+            if nz.size == 0:
+                start = end
                 continue
-            ones = ((h[:, None] >> bit_idx) & np.uint64(1)).sum(axis=0)
-            maj = (ones * 2 > len(h)).reshape(n_chunks, 16)
-            out[row] = (maj * weights).sum(axis=1)
+            flat = np.concatenate([arrs[start + i] for i in nz])
+            # bit j of column j == (h >> j) & 1: little-endian byte view
+            # + bitorder="little" reproduces the arithmetic-shift bits
+            bits_mat = np.unpackbits(
+                flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            )
+            offsets = np.zeros(nz.size, dtype=np.intp)
+            np.cumsum(seg_lens[nz][:-1], out=offsets[1:])
+            # reduceat is safe: every segment non-empty → offsets strictly
+            # increasing; dtype widens the uint8 columns before summing
+            ones = np.add.reduceat(bits_mat, offsets, axis=0, dtype=np.int64)
+            maj = ones * 2 > seg_lens[nz][:, None]
+            out[start + nz] = (
+                maj.reshape(nz.size, n_chunks, 16) * weights
+            ).sum(axis=2)
+            start = end
         return pd.Series(list(out))
 
     # registered without annotations (see hyperplane_signatures note)

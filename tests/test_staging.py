@@ -8,8 +8,13 @@ missing or half-written one.
 
 from __future__ import annotations
 
+import os
 import shutil
+import subprocess
+import sys
 from pathlib import Path
+
+import pytest
 
 from metadata_ingestion_poc_spark.staging import (
     COMMIT_MARKER,
@@ -113,6 +118,76 @@ def test_recover_is_idempotent(tmp_path):
     recover(live)
     recover(live)
     assert _read_tag(live) == "new"
+
+
+# real-process crash: the child runs commit_swap and SIGKILLs ITSELF
+# (no cleanup handlers, no atexit — the same torn state a machine
+# loss leaves) at a chosen point in the move sequence; the parent
+# then runs recover() and must find a complete table.
+_CRASH_CHILD = """
+import os, shutil, sys
+sys.path.insert(0, {repo!r})
+from pathlib import Path
+from metadata_ingestion_poc_spark import staging as st
+
+target = Path(sys.argv[1])
+crash = sys.argv[2]
+orig_move = shutil.move
+
+def move(src, dst):
+    if crash == "before_aside":
+        os.kill(os.getpid(), 9)
+    orig_move(src, dst)
+    if crash == "after_aside" and str(dst).endswith("__old"):
+        os.kill(os.getpid(), 9)
+    if crash == "after_movein" and str(dst) == str(target):
+        os.kill(os.getpid(), 9)
+
+shutil.move = move
+st.commit_swap(target, st.staging_dir(target))
+"""
+
+
+@pytest.mark.parametrize(
+    "crash,expect",
+    [
+        # killed after the marker but before any move: old copy survives
+        ("before_aside", "old"),
+        # killed between rename-aside and move-in — the window where no
+        # live dir exists; committed staging must complete the swap
+        ("after_aside", "new"),
+        # killed between move-in and old-copy cleanup
+        ("after_movein", "new"),
+    ],
+)
+def test_sigkill_mid_swap_recovers(tmp_path, crash, expect):
+    repo = str(Path(__file__).resolve().parents[1])
+    live = tmp_path / "t"
+    _mk_table(live, "old")
+    stg = staging_dir(live)
+    _mk_table(stg, "new")
+
+    proc = subprocess.run(
+        [sys.executable, "-c", _CRASH_CHILD.format(repo=repo),
+         str(live), crash],
+        capture_output=True,
+        timeout=60,
+    )
+    assert proc.returncode == -9, (
+        f"child should die by SIGKILL, got {proc.returncode}: "
+        f"{proc.stderr.decode()}"
+    )
+    if crash == "after_aside":
+        assert not live.exists(), "precondition: crash left no live dir"
+
+    recover(live)
+    assert live.exists()
+    assert _read_tag(live) == expect
+    assert not staging_dir(live).exists()
+    assert not (tmp_path / "t__old").exists()
+    # a second writer arriving later must see a normal table
+    recover(live)
+    assert _read_tag(live) == expect
 
 
 def test_every_crash_point_leaves_a_recoverable_table(tmp_path):
