@@ -70,6 +70,7 @@ def _load_all() -> None:
         tpch_extra3,
         tpch_extra4,
         curation,
+        curation2,
         analytics,
         streaming_batch,
         # -- curation / text ops (moderate) --
@@ -92,44 +93,81 @@ def _load_all() -> None:
 # must not break import).
 # ---------------------------------------------------------------------------
 _SWEEP_PRIORITY = [
-    # TPC-H composite shapes — never swept through round 2.
-    "q80_tpch_q13_count_distribution",
-    "q81_tpch_q15_top_supplier",
-    "q82_tpch_q19_disjunctive",
-    "q83_tpch_q22_global_sales_opportunity",
-    "q84_nation_trade_matrix",
-    "q85_null_semantics",
-    "q86_tpch_q10_returned_items",
-    "q87_tpch_q14_promo_share",
-    "q88_window_rank_extras",
-    "q89_array_setops",
-    "q96_tpch_q5_local_supplier_volume",
-    "q97_tpch_q8_market_share",
-    "q98_tpch_q9_profit_by_nation_year",
-    "q99_tpch_q11_important_parts",
-    "q100_tpch_q16_supplier_count",
-    "q101_tpch_q17_small_quantity_revenue",
-    "q102_tpch_q21_sole_blame_supplier",
-    "q103_tpch_q2_cheapest_supplier",
-    "q110_tpch_q12_priority_lines",
-    "q111_tpch_q20_heavy_suppliers",
-    # streaming window shapes (batch-equivalent oracles) — never swept.
-    "q70_tumbling_window",
-    "q71_sliding_window",
-    "q72_session_window",
-    # time-series trailing frame — never swept.
-    "q95_trailing_hour_counts",
-    # rewritten since their last sweep — need fresh credit.
+    # -- new in round 4 — never swept.
+    "q120_boilerplate_ngrams",
+    "q121_domain_cap",
+    "q122_shuffle_shard_export",
+    "q123_snapshot_diff",
+    "q124_semantic_dedup",
+    "q125_embedding_quantization",
+    # -- changed in round 4 (dedup.py: one-permutation minhash, numpy
+    # simhash vote, size-gated _spread) — every query that touches that
+    # module needs fresh driver credit.
+    "q50_dedup_exact",
     "q51_ngram_jaccard_pairs",
     "q54_dedup_clusters",
-    "q17b_collect_array",
-    # new in round 3 — never swept.
-    "q114_tpch_q4_order_priority",
     "q115_curation_pipeline",
-    "q116_length_histogram",
-    "q117_mixture_resample",
-    "q118_sessionize_gaps",
     "q119_ngram_novelty",
+    "q52_minhash_lsh_pairs",  # rows-only, but rewritten — re-pin rows
+    "q53_simhash_pairs",  # rows-only, but rewritten — re-pin rows
+    # -- round-1 credit, three rounds stale — refresh all.
+    "q37_map_struct_funcs",
+    "q40_asof_join",
+    "q41_theta_band_join",
+    "q42_cross_join_grid",
+    "q43_self_join_copurchase",
+    "q44_tpch_q3_shipping_priority",
+    "q45_tpch_q6_forecast_revenue",
+    "q46_tpch_q18_large_orders",
+    "q55_cosine_topk",
+    "q57_cosine_near_dup_exact",
+    "q59_salted_agg",
+    "q60_token_stats",
+    "q61_quality_score",
+    "q62_language_id",
+    "q63_tfidf_top_terms",
+    "q66_data_quality",
+    "q67_pattern_redaction",
+    "q68_doc_chunking",
+    "q73_funnel_conversion",
+    "q74_grouped_zscore",
+    "q104_segment_dedup",
+    "q105_contamination_overlap",
+    "q106_repetition_metrics",
+    "q107_domain_mixture_weights",
+    "q108_label_centroids",
+    "q109_embedding_norm_stats",
+    # -- round-2 credit, two rounds stale — as many as fit the window.
+    "q11_rollup",
+    "q12_cube",
+    "q13_grouping_sets",
+    "q14_percentiles",
+    "q15_variance_stats",
+    "q16_argmax_per_group",
+    "q17_collect_sorted",
+    "q19_pivot",
+    "q19b_unpivot",
+    "q20_topk_per_group",
+    "q21_rank_dense_ntile",
+    "q22_lag_lead",
+    "q23_running_sum",
+    "q24_range_frame",
+    "q25_first_last_frame",
+    "q26_union_distinct",
+    "q27_union_all_counts",
+    "q28_intersect",
+    "q29_except",
+    "q35_json_funcs",
+    "q36_explode_tokens",
+    "q47_correlated_scalar_subquery",
+    "q48_exists_subquery",
+    "q49_scalar_in_subquery",
+    "q76_corr_covar",
+    "q78_edit_distance",
+    "q91_string_transforms",
+    "q92_bool_aggregates",
+    "q93_bitwise_ops",
+    "q94_date_spine_gaps",
 ]
 
 
