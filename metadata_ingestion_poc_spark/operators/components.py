@@ -64,6 +64,32 @@ def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
     return (row["n"], row["h"])
 
 
+def _shrinker(edges: DataFrame, n_edges: int):
+    """Partition-count clamp for the iterative loop, sized from the
+    MATERIALIZED edge count (free — the convergence checksum already
+    paid for it).
+
+    Contraction rounds are latency-bound, not throughput-bound: on a
+    small or rapidly-contracting edge set, every round's groupBys
+    schedule `shuffle.partitions` tasks to move a few kilobytes, and
+    the per-round fixed cost dominates the whole computation (the
+    convergence loop cannot pipeline across rounds — each needs its
+    checksum action). Clamping to ~500k edges per partition turns
+    those rounds into one-or-two-task stages. At real scale the clamp
+    computes a partition count ≥ the cluster width and becomes the
+    identity — the normal wide path is untouched.
+    """
+    spark = edges.sparkSession
+    try:
+        width = spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no SparkContext handle
+        return lambda df: df
+    p = max(1, -(-n_edges // 500_000))
+    if p >= width:
+        return lambda df: df
+    return lambda df: df.coalesce(p)
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """(v, m) for every neighbor v > u, m = min of u's closed nbhd.
 
@@ -151,12 +177,13 @@ def _cc_star(
     )
 
     prev = _edge_checksum(edges)
+    shrink = _shrinker(edges, prev[0])
     rounds = 0
     converged = False
     for _ in range(max_iter):
         # lazy cut + checksum = one driver action per round: the
         # fingerprint scan is what materializes the checkpoint blocks.
-        edges = _cut_lazy(_small_star(_large_star(edges)), reliable)
+        edges = _cut_lazy(shrink(_small_star(_large_star(edges))), reliable)
         rounds += 1
         cur = _edge_checksum(edges)
         if cur == prev:
@@ -204,6 +231,7 @@ def _cc_propagation(
         return df.agg(F.sum(F.col("component").cast("decimal(38,0)"))).first()[0]
 
     prev_sum = _label_sum(labels)
+    shrink = _shrinker(sym, sym.count())
     rounds = 0
     converged = False
     for _ in range(max_iter):
@@ -213,12 +241,14 @@ def _cc_propagation(
             .agg(F.min("component").alias("nmin"))
         )
         labels = _cut_lazy(
-            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce("nmin", F.col("component"))
-                ).alias("component"),
+            shrink(
+                labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("component"), F.coalesce("nmin", F.col("component"))
+                    ).alias("component"),
+                )
             ),
             reliable,
         )

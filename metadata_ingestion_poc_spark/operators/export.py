@@ -1,0 +1,75 @@
+"""Training-data shard export: deterministic, resumable corpus writes.
+
+The last stage of a curation pipeline is "write the corpus as N shards
+a trainer can stream" — and it must be REPRODUCIBLE: rerunning the
+export on the same input (on any cluster size, any partition layout,
+after any retry) must produce byte-identical shard membership and
+intra-shard order. rand()-based shuffles and zipWithIndex both break
+that; this writer derives everything from a pure function of the id:
+
+- shard(id)    = first hex nibbles of md5(id), `num_shards` buckets
+- order-in-shard = (md5(id), id) ascending — a stable pseudo-random
+  permutation within each shard
+
+At scale: one shuffle (repartition on shard), sortWithinPartitions
+(no global sort), one file per shard via maxRecordsPerFile-free
+single-partition-per-shard layout. The export is also the write-side
+twin of queries/curation2.q122 (the oracle-checked assignment).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_HEX = "0123456789abcdef"
+
+
+def shard_assignment(
+    df: DataFrame, id_col: str, num_shards: int
+) -> DataFrame:
+    """Add `__shard` + `__ord` columns — a pure function of the id.
+
+    num_shards must be a power of two ≤ 65536 (hex-nibble bucketing:
+    1, 2 or 4 nibbles of the md5 are used, then pmod folds down).
+    """
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    nibbles = 1 if num_shards <= 16 else (2 if num_shards <= 256 else 4)
+    key = F.md5(F.col(id_col).cast("string"))
+    bucket = F.conv(F.substring(key, 1, nibbles), 16, 10).cast("int")
+    return df.withColumn("__ord", key).withColumn(
+        "__shard", F.pmod(bucket, F.lit(num_shards)).cast("int")
+    )
+
+
+def export_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    num_shards: int,
+    fmt: str = "parquet",
+) -> None:
+    """Write `df` as `num_shards` deterministic shards under `path`.
+
+    Layout: ``path/shard=K/part-*.{fmt}`` — one output partition per
+    shard (repartition on the shard column, so each shard's rows are
+    written by exactly one task, pre-sorted by the order key). A
+    trainer reads ``path`` with partition discovery and streams shards
+    in any order; within a shard the row order is the deterministic
+    permutation. The helper columns are dropped before the write (a
+    projection preserves intra-partition order), so files hold exactly
+    the input schema.
+    """
+    assigned = shard_assignment(df, id_col, num_shards).withColumn(
+        "shard", F.col("__shard")
+    )
+    (
+        assigned.repartition(num_shards, "shard")
+        .sortWithinPartitions("shard", "__ord", id_col)
+        .drop("__shard", "__ord")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .format(fmt)
+        .save(path)
+    )
