@@ -129,15 +129,33 @@ def q13_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q14_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rank-based distributed exact percentiles, NOT the built-in
+    # `percentile` object-aggregate: the built-in buffers every value
+    # of a group on one executor (single-threaded merge locally, OOM
+    # on a hot group at scale); the rank form is shuffle-only. Same
+    # percentile_cont interpolation — identical values.
+    from ..operators.percentiles import exact_percentiles
+
     li = load_table(spark, sf_dir, "lineitem")
+    pct = exact_percentiles(
+        li,
+        group_cols=["l_returnflag"],
+        value_col="l_extendedprice",
+        percentiles={"p50": 0.5, "p90": 0.9, "p99": 0.99},
+    )
+    extrema = li.groupBy("l_returnflag").agg(
+        F.round(F.min("l_extendedprice"), 6).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 6).alias("max_price"),
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("p99"),
-            F.round(F.min("l_extendedprice"), 6).alias("min_price"),
-            F.round(F.max("l_extendedprice"), 6).alias("max_price"),
+        pct.join(extrema, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.round("p50", 6).alias("p50"),
+            F.round("p90", 6).alias("p90"),
+            F.round("p99", 6).alias("p99"),
+            "min_price",
+            "max_price",
         )
         .orderBy("l_returnflag")
     )
