@@ -220,6 +220,70 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_against(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Cross-set exact Jaccard: batch docs vs an EXISTING corpus.
+
+    The incremental-ingestion workflow: a new batch arrives and must be
+    deduplicated against everything already accepted — without re-pairing
+    the corpus with itself. Candidate generation is an inverted-index
+    equi-join on the shingle key (batch index ⋈ corpus index), so cost
+    tracks shared-shingle buckets: Σ |b_bucket|·|c_bucket|, never
+    |batch|·|corpus|. ``max_shingle_df`` prunes corpus stop-shingles
+    (df computed on the corpus side — that's where the hot buckets
+    come from as the corpus grows).
+
+    Returns (batch_id, corpus_id, jaccard ≥ threshold). At 100 TB the
+    corpus index is the thing you PERSIST between runs (bucketed by
+    shingle), so each day's batch joins against it without a rebuild.
+    """
+    idx_b = _shingle_index(_spread(batch), id_col, n, None)
+    idx_c = _shingle_index(_spread(corpus), id_col, n, None)
+    if max_shingle_df is not None:
+        # one consistent shingle universe: stop-shingles are decided by
+        # corpus document frequency, then dropped from BOTH indexes
+        # (sizes and intersections all count the same universe).
+        stop = (
+            idx_c.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_shingle_df)
+            .select("sh")
+        )
+        idx_b = idx_b.join(stop, "sh", "left_anti")
+        idx_c = idx_c.join(stop, "sh", "left_anti")
+    sizes_b = idx_b.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes_c = idx_c.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    common = (
+        idx_b.select(F.col("doc").alias("batch_id"), "sh")
+        .join(idx_c.select(F.col("doc").alias("corpus_id"), "sh"), "sh")
+        .groupBy("batch_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sb = sizes_b.select(F.col("doc").alias("batch_id"), F.col("n_sh").alias("n_b"))
+    sc = sizes_c.select(F.col("doc").alias("corpus_id"), F.col("n_sh").alias("n_c"))
+    return (
+        common.join(sb, "batch_id")
+        .join(sc, "corpus_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_b") + F.col("n_c") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("batch_id", "corpus_id", "jaccard")
+    )
+
+
 def minhash_signature(
     docs: DataFrame, num_hashes: int = 16, n: int = 3, id_col: str = "doc_id"
 ) -> DataFrame:

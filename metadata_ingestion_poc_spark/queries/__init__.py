@@ -100,6 +100,8 @@ _SWEEP_PRIORITY = [
     "q123_snapshot_diff",
     "q124_semantic_dedup",
     "q125_embedding_quantization",
+    "q126_incremental_dedup",
+    "q127_sketch_rollup",
     # -- changed in round 4 (dedup.py: one-permutation minhash, numpy
     # simhash vote, size-gated _spread) — every query that touches that
     # module needs fresh driver credit.

@@ -338,6 +338,77 @@ def q124_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the label average is order-independent. 4× storage cut per corpus.
 # ---------------------------------------------------------------------------
 @query(
+    "q126_incremental_dedup",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+      FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS s
+           FROM t, unnest(range(greatest(len(toks) - 2, 1))) AS u(i)),
+    stop AS (SELECT s FROM sh WHERE doc_id % 2 = 0
+             GROUP BY s HAVING count(*) > 20),
+    b AS (SELECT doc_id, s FROM sh WHERE doc_id % 2 = 1
+          AND s NOT IN (SELECT s FROM stop)),
+    c AS (SELECT doc_id, s FROM sh WHERE doc_id % 2 = 0
+          AND s NOT IN (SELECT s FROM stop)),
+    sb AS (SELECT doc_id, count(*) AS n FROM b GROUP BY doc_id),
+    sc2 AS (SELECT doc_id, count(*) AS n FROM c GROUP BY doc_id),
+    common AS (SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+                      count(*) AS nc
+               FROM b JOIN c ON b.s = c.s GROUP BY 1, 2)
+    SELECT batch_id, corpus_id,
+           ROUND(nc / (sb.n + sc2.n - nc), 6)::DOUBLE AS jaccard
+    FROM common
+    JOIN sb ON sb.doc_id = batch_id
+    JOIN sc2 ON sc2.doc_id = corpus_id
+    WHERE nc / (sb.n + sc2.n - nc) >= 0.4
+    ORDER BY batch_id, corpus_id
+    """,
+)
+def q126_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: today's batch vs the accepted corpus.
+
+    Splits `documents` by id parity as the batch/corpus stand-ins; the
+    pairing is cross-set only (no corpus self-pairs — the corpus was
+    already deduplicated when it was admitted).
+    """
+    from ..operators.dedup import ngram_jaccard_pairs_against
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    return ngram_jaccard_pairs_against(
+        batch, corpus, id_col="doc_id", n=3, threshold=0.4, max_shingle_df=20
+    ).orderBy("batch_id", "corpus_id")
+
+
+# ---------------------------------------------------------------------------
+# Mergeable distinct-count sketches: per-(event_type, day) HLL sketches
+# union-merged to per-type totals. THE mergeable-aggregate pattern at
+# 100 TB: daily sketches are tiny, persistable, and re-aggregable to
+# any rollup level without touching raw data again (registers take the
+# max — merge is exact, so merged-estimate == direct-estimate, pinned
+# by test). Estimates are engine-internal (Datasketches) → rows-only;
+# the ±5% error bound and merge-consistency are unit-tested.
+# ---------------------------------------------------------------------------
+@query("q127_sketch_rollup")
+def q127_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "q125_embedding_quantization",
     oracle="""
     WITH q AS (
