@@ -113,3 +113,47 @@ def test_segment_dedup_stays_jvm_side(spark, sf_dir):
         plan = physical_plan(QUERIES[name](spark, sf_dir))
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_shard_export_no_join_bounded_shuffles(spark, sf_dir):
+    """q122: shard+position from md5(id) is one window shuffle plus the
+    presentation sort — never a join, never a global single-partition
+    rank."""
+    df = QUERIES["q122_shuffle_shard_export"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Join" not in plan
+    assert num_shuffles(df) <= 2, physical_plan(df)
+
+
+def test_boilerplate_and_incremental_no_cartesian(spark, sf_dir):
+    """q120/q126: shingle-index joins are equi joins on the shingle key;
+    any cartesian/NLJ here would be quadratic in corpus size."""
+    for name in ("q120_boilerplate_ngrams", "q126_incremental_dedup"):
+        plan = physical_plan(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_snapshot_diff_pushes_date_bounds(spark, sf_dir):
+    """q123: each snapshot's date range must reach the parquet scan."""
+    df = QUERIES["q123_snapshot_diff"](spark, sf_dir)
+    pf = pushed_filters(df)
+    assert "o_orderdate" in pf, pf
+
+
+def test_quantization_stays_jvm_side(spark, sf_dir):
+    """q125: the whole quantize/reconstruct/MSE pipeline is JVM list
+    math — no Python in the row path."""
+    plan = physical_plan(QUERIES["q125_embedding_quantization"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_exact_percentiles_no_object_agg(spark, sf_dir):
+    """q14: the rank-based rewrite must never fall back to the
+    ObjectHashAggregate value-buffering percentile, and the tiny target
+    frame joins in as a broadcast."""
+    df = QUERIES["q14_percentiles"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "ObjectHashAggregate" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
