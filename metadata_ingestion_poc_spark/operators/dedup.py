@@ -243,8 +243,18 @@ def ngram_jaccard_pairs_against(
     corpus index is the thing you PERSIST between runs (bucketed by
     shingle), so each day's batch joins against it without a rebuild.
     """
-    idx_b = _shingle_index(_spread(batch), id_col, n, None)
-    idx_c = _shingle_index(_spread(corpus), id_col, n, None)
+    # one materialization per raw index: each feeds several consumers
+    # (the stop set, the anti-join probe, sizes, the cross join), and
+    # re-expanding the explode+distinct subtree per consumer multiplies
+    # the plan (~30 planned exchanges without the cut). This is also
+    # the operational shape: at scale the corpus index is persisted
+    # between runs, not rebuilt per consumer.
+    idx_b = _shingle_index(_spread(batch), id_col, n, None).localCheckpoint(
+        eager=False
+    )
+    idx_c = _shingle_index(_spread(corpus), id_col, n, None).localCheckpoint(
+        eager=False
+    )
     if max_shingle_df is not None:
         # one consistent shingle universe: stop-shingles are decided by
         # corpus document frequency, then dropped from BOTH indexes
@@ -255,8 +265,8 @@ def ngram_jaccard_pairs_against(
             .filter(F.col("__df") > max_shingle_df)
             .select("sh")
         )
-        idx_b = idx_b.join(stop, "sh", "left_anti")
-        idx_c = idx_c.join(stop, "sh", "left_anti")
+        idx_b = idx_b.join(F.broadcast(stop), "sh", "left_anti")
+        idx_c = idx_c.join(F.broadcast(stop), "sh", "left_anti")
     sizes_b = idx_b.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     sizes_c = idx_c.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
 
