@@ -17,6 +17,16 @@ No state ever exceeds one (group, distinct-value) row; every stage is
 a plain shuffle Catalyst/AQE can plan. Cost: two shuffles of the
 distinct-value table instead of one object-agg — strictly better
 whenever values-per-group is large (the case that matters).
+
+Scale bound, stated honestly: the running-rank window sorts each
+group's DISTINCT (value, count) rows in one task. Raw row count per
+group is irrelevant (the first aggregate collapses duplicates), so
+the limit is distinct-value cardinality per group — fine for priced /
+binned / integer domains at any corpus size, but a truly continuous
+column whose distincts ≈ rows eventually needs iterative selection
+(narrow the candidate interval over 2-3 passes) or
+``approx_percentile``. The object-agg it replaces hits the same wall
+earlier and in memory instead of in a spillable sort.
 """
 
 from __future__ import annotations

@@ -38,6 +38,28 @@ def parquet_reader(spark: SparkSession, options: dict) -> DataFrame:
     return spark.read.options(**opts).parquet(path)
 
 
+def orc_reader(spark: SparkSession, options: dict) -> DataFrame:
+    opts = dict(options)
+    path = opts.pop("path")
+    opts.pop("hub_columns", None)
+    return spark.read.options(**opts).orc(path)
+
+
+def binary_reader(spark: SparkSession, options: dict) -> DataFrame:
+    """Blob ingestion (images/audio/any file) via Spark's binaryFile
+    source: one row per file with (path, modificationTime, length,
+    content). ``pathGlobFilter`` narrows by extension. The multimodal
+    operators (operators/multimodal.py) consume the ``content`` binary
+    column directly.
+    """
+    opts = dict(options)
+    path = opts.pop("path")
+    opts.pop("hub_columns", None)
+    return (
+        spark.read.format("binaryFile").options(**opts).load(path)
+    )
+
+
 def jdbc_reader(spark: SparkSession, options: dict) -> DataFrame:
     """Remote table scan. Requires url + dbtable (+ driver/user/password).
 
@@ -74,6 +96,8 @@ READERS: dict[str, ReaderFn] = {
     "csv": csv_reader,
     "json": json_reader,
     "parquet": parquet_reader,
+    "orc": orc_reader,
+    "binary": binary_reader,
     "jdbc": jdbc_reader,
     "olap": olap_reader,
 }

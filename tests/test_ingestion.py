@@ -154,3 +154,27 @@ def test_schema_evolution_widens_hub(spark, lake):
 def test_unknown_reader_type_fails_fast():
     with pytest.raises(ValueError, match="unknown reader type"):
         get_reader("avro")
+
+
+def test_orc_reader_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "orc_src")
+    spark.range(0, 50).selectExpr("id", "id * 2 AS v").write.orc(path)
+    out = get_reader("orc")(spark, {"path": path})
+    assert sorted(r.id for r in out.select("id").collect()) == list(range(50))
+
+
+def test_binary_reader_blobs_with_glob(spark, tmp_path):
+    import os
+
+    blobs = tmp_path / "blobs"
+    blobs.mkdir()
+    (blobs / "a.bin").write_bytes(b"\x00\x01abc")
+    (blobs / "b.bin").write_bytes(b"hello")
+    (blobs / "skip.txt").write_bytes(b"x")
+    out = get_reader("binary")(
+        spark, {"path": str(blobs), "pathGlobFilter": "*.bin"}
+    )
+    rows = {
+        os.path.basename(r.path): bytes(r.content) for r in out.collect()
+    }
+    assert rows == {"a.bin": b"\x00\x01abc", "b.bin": b"hello"}
