@@ -22,11 +22,12 @@ Scale bound, stated honestly: the running-rank window sorts each
 group's DISTINCT (value, count) rows in one task. Raw row count per
 group is irrelevant (the first aggregate collapses duplicates), so
 the limit is distinct-value cardinality per group — fine for priced /
-binned / integer domains at any corpus size, but a truly continuous
-column whose distincts ≈ rows eventually needs iterative selection
-(narrow the candidate interval over 2-3 passes) or
-``approx_percentile``. The object-agg it replaces hits the same wall
-earlier and in memory instead of in a spillable sort.
+binned / integer domains at any corpus size. For a truly continuous
+column whose distincts ≈ rows, ``exact_percentile_iterative`` below
+is the scale path: histogram-descent selection, O(log_bins n) scan
+aggregates, constant driver memory, no sort anywhere. The object-agg
+both replace hits the same wall earlier and in memory instead of in
+a spillable sort.
 """
 
 from __future__ import annotations
@@ -34,6 +35,102 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+def exact_percentile_iterative(
+    df: DataFrame,
+    value_col: str,
+    p: float,
+    bins: int = 1024,
+    direct_threshold: int = 100_000,
+    max_rounds: int = 8,
+) -> float:
+    """Exact continuous percentile of one column by iterative selection.
+
+    The scale path for the case ``exact_percentiles`` documents as its
+    limit: a continuous column whose per-group distinct count ≈ row
+    count. Classic distributed selection — each round histograms the
+    candidate interval into `bins` equal-width buckets (one
+    distributed aggregate; driver sees only `bins` counts), descends
+    into the bucket(s) containing the target rank(s), and stops when
+    few enough rows remain to select exactly. Rounds are O(log_bins n)
+    — 100 TB of doubles needs ~4 rounds of one scan-agg each, constant
+    driver memory, no sort anywhere.
+
+    Returns the same percentile_cont interpolation as the built-in
+    (verified differentially in tests).
+    """
+    if not 0.0 <= p <= 1.0:
+        raise ValueError(f"p must be in [0,1], got {p}")
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull()).select(v.alias("v"))
+
+    row = base.agg(
+        F.count("v").alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi")
+    ).first()
+    n, lo, hi = row["n"], row["lo"], row["hi"]
+    if n == 0:
+        raise ValueError("no non-null values")
+    pos = p * (n - 1)
+    r_lo, r_hi = int(pos // 1), min(int(pos // 1) + 1, n - 1)
+    frac = pos - (pos // 1)
+
+    def kth(rank: int, lo: float, hi: float, skipped: int) -> float:
+        """Value at 0-indexed `rank` via histogram descent.
+
+        Invariant each round: `skipped` == #{v < lo}; the rank-th value
+        lies in [lo, hi]. One distributed aggregate per round; the
+        driver holds only `bins` counts.
+        """
+        for _ in range(max_rounds):
+            remaining = rank - skipped
+            width = (hi - lo) / bins
+            if width <= 0.0:
+                break
+            bucket = F.least(
+                F.lit(bins - 1),
+                F.floor((F.col("v") - F.lit(lo)) / F.lit(width)).cast("int"),
+            )
+            hist = {
+                r["b"]: r["c"]
+                for r in base.filter(
+                    (F.col("v") >= lo) & (F.col("v") <= hi)
+                )
+                .groupBy(bucket.alias("b"))
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            }
+            if sum(hist.values()) <= direct_threshold:
+                break
+            acc = 0
+            target_bin = bins - 1
+            for b in range(bins):
+                c = hist.get(b, 0)
+                if acc + c > remaining:
+                    target_bin = b
+                    break
+                acc += c
+            skipped += acc
+            new_hi = (
+                lo + (target_bin + 1) * width if target_bin < bins - 1 else hi
+            )
+            # bucket b < target holds only values < its upper edge, so
+            # skipped stays exactly #{v < new lo}; the last bucket is
+            # closed on top (floor clamps), so the rank can't escape.
+            lo, hi = lo + target_bin * width, min(new_hi, hi)
+        # exact finish on the (now small) interval
+        remaining = rank - skipped
+        vals = (
+            base.filter((F.col("v") >= lo) & (F.col("v") <= hi))
+            .orderBy("v")
+            .limit(remaining + 1)
+            .collect()
+        )
+        return vals[remaining]["v"]
+
+    v_lo = kth(r_lo, lo, hi, 0)
+    v_hi = v_lo if r_hi == r_lo or frac == 0.0 else kth(r_hi, lo, hi, 0)
+    return float(v_lo + frac * (v_hi - v_lo))
 
 
 def exact_percentiles(

@@ -75,3 +75,38 @@ def test_rejects_empty_percentiles(spark):
     df = spark.createDataFrame([("a", 1.0)], "g: string, v: double")
     with pytest.raises(ValueError):
         exact_percentiles(df, ["g"], "v", {})
+
+
+def test_iterative_matches_builtin_continuous(spark):
+    from metadata_ingestion_poc_spark.operators.percentiles import (
+        exact_percentile_iterative,
+    )
+
+    # continuous column, distincts == rows: the case the rank-based
+    # form documents as its limit. Deterministic pseudo-random values.
+    df = spark.range(0, 50_000).selectExpr(
+        "CAST(xxhash64(id) AS DOUBLE) / 9.3e18 AS v"
+    )
+    for p in (0.0, 0.25, 0.5, 0.9, 0.99, 1.0):
+        ref = df.agg(F.percentile("v", F.lit(p))).first()[0]
+        # tiny direct_threshold forces real histogram-descent rounds
+        got = exact_percentile_iterative(
+            df, "v", p, bins=64, direct_threshold=500
+        )
+        assert got == pytest.approx(ref, rel=0, abs=1e-12), p
+
+
+def test_iterative_duplicate_heavy_and_bounds(spark):
+    from metadata_ingestion_poc_spark.operators.percentiles import (
+        exact_percentile_iterative,
+    )
+
+    df = spark.range(0, 10_000).selectExpr("CAST(id % 7 AS DOUBLE) AS v")
+    for p in (0.1, 0.5, 0.95):
+        ref = df.agg(F.percentile("v", F.lit(p))).first()[0]
+        got = exact_percentile_iterative(
+            df, "v", p, bins=16, direct_threshold=100
+        )
+        assert got == pytest.approx(ref, abs=1e-12), p
+    with pytest.raises(ValueError):
+        exact_percentile_iterative(df, "v", 1.5)
