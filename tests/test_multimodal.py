@@ -53,3 +53,35 @@ def test_sample_frames_fanout(blobs):
     assert all(r["count"] >= 1 for r in per_blob)
     first = frames.filter("frame_idx = 0").first()
     assert len(bytes(first.frame_bytes)) <= 32
+
+
+def test_binary_reader_to_features_end_to_end(spark, tmp_path):
+    """Blob files on disk -> binary reader -> BLOB_SCHEMA adapter ->
+    feature extraction: the full production ingestion path with the
+    stub encoder."""
+    from pyspark.sql import functions as F
+
+    from metadata_ingestion_poc_spark.operators.multimodal import (
+        extract_features,
+    )
+    from metadata_ingestion_poc_spark.sources import get_reader
+
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "img0.jpg").write_bytes(bytes(range(64)) * 4)
+    (d / "img1.jpg").write_bytes(b"\xff" * 300)
+
+    raw = get_reader("binary")(
+        spark, {"path": str(d), "pathGlobFilter": "*.jpg"}
+    )
+    blobs = raw.select(
+        F.xxhash64("path").alias("blob_id"),
+        F.lit("image").alias("media_type"),
+        F.col("content"),
+        F.col("length").alias("n_bytes"),
+    )
+    feats = extract_features(blobs, dim=8).collect()
+    assert len(feats) == 2
+    for r in feats:
+        assert len(r.features) == 8
+        assert abs(sum(r.features) - 1.0) < 1e-6  # normalized histogram
