@@ -102,6 +102,7 @@ _SWEEP_PRIORITY = [
     "q125_embedding_quantization",
     "q126_incremental_dedup",
     "q127_sketch_rollup",
+    "q128_table_profile",
     # -- changed in round 4 (dedup.py: one-permutation minhash, numpy
     # simhash vote, size-gated _spread) — every query that touches that
     # module needs fresh driver credit.

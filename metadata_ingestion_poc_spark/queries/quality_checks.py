@@ -58,3 +58,94 @@ def q66_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"column": "o_orderkey", "kind": "unique"},
     ]
     return validate(o, rules).orderBy("column", "rule")
+
+
+# ---------------------------------------------------------------------------
+# Table profile: the standard ingestion audit — per column, non-null /
+# null / exact-distinct counts plus min/max rendered to strings. ONE
+# pass over the table (a single aggregate; the distinct counts expand
+# map-side, so at 100 TB this is one shuffle of partial states, never
+# a per-column rescan). A derived NULLIF column exercises the null
+# accounting (the synthetic fixtures are fully dense). Numeric min/max
+# go through DECIMAL(18,2) so both engines render identical strings.
+# ---------------------------------------------------------------------------
+@query(
+    "q128_table_profile",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, o_totalprice, o_orderdate, o_orderpriority,
+             NULLIF(o_orderstatus, 'O') AS status_nullable
+      FROM orders)
+    SELECT * FROM (
+      SELECT 'o_orderkey' AS col_name,
+             COUNT(o_orderkey)::BIGINT AS n_nonnull,
+             (COUNT(*) - COUNT(o_orderkey))::BIGINT AS n_null,
+             COUNT(DISTINCT o_orderkey)::BIGINT AS n_distinct,
+             MIN(o_orderkey)::VARCHAR AS min_s,
+             MAX(o_orderkey)::VARCHAR AS max_s
+      FROM t
+      UNION ALL
+      SELECT 'o_totalprice', COUNT(o_totalprice)::BIGINT,
+             (COUNT(*) - COUNT(o_totalprice))::BIGINT,
+             COUNT(DISTINCT o_totalprice)::BIGINT,
+             MIN(o_totalprice)::DECIMAL(18,2)::VARCHAR,
+             MAX(o_totalprice)::DECIMAL(18,2)::VARCHAR
+      FROM t
+      UNION ALL
+      SELECT 'o_orderdate', COUNT(o_orderdate)::BIGINT,
+             (COUNT(*) - COUNT(o_orderdate))::BIGINT,
+             COUNT(DISTINCT o_orderdate)::BIGINT,
+             MIN(o_orderdate)::VARCHAR, MAX(o_orderdate)::VARCHAR
+      FROM t
+      UNION ALL
+      SELECT 'o_orderpriority', COUNT(o_orderpriority)::BIGINT,
+             (COUNT(*) - COUNT(o_orderpriority))::BIGINT,
+             COUNT(DISTINCT o_orderpriority)::BIGINT,
+             MIN(o_orderpriority), MAX(o_orderpriority)
+      FROM t
+      UNION ALL
+      SELECT 'status_nullable', COUNT(status_nullable)::BIGINT,
+             (COUNT(*) - COUNT(status_nullable))::BIGINT,
+             COUNT(DISTINCT status_nullable)::BIGINT,
+             MIN(status_nullable), MAX(status_nullable)
+      FROM t)
+    ORDER BY col_name
+    """,
+)
+def q128_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "status_nullable", F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    )
+    specs = [
+        ("o_orderkey", "raw"),
+        ("o_totalprice", "dec"),
+        ("o_orderdate", "raw"),
+        ("o_orderpriority", "str"),
+        ("status_nullable", "str"),
+    ]
+    aggs, fields = [], []
+    for c, kind in specs:
+        col = F.col(c)
+        if kind == "dec":
+            mn = F.min(col).cast("decimal(18,2)").cast("string")
+            mx = F.max(col).cast("decimal(18,2)").cast("string")
+        elif kind == "str":
+            mn, mx = F.min(col), F.max(col)
+        else:
+            mn = F.min(col).cast("string")
+            mx = F.max(col).cast("string")
+        aggs += [
+            F.count(col).alias(f"nn_{c}"),
+            (F.count(F.lit(1)) - F.count(col)).alias(f"nu_{c}"),
+            F.count_distinct(col).alias(f"nd_{c}"),
+            mn.alias(f"mn_{c}"),
+            mx.alias(f"mx_{c}"),
+        ]
+        fields.append(f"'{c}', nn_{c}, nu_{c}, nd_{c}, mn_{c}, mx_{c}")
+    one = o.agg(*aggs)
+    return one.selectExpr(
+        f"stack({len(specs)}, {', '.join(fields)}) AS "
+        "(col_name, n_nonnull, n_null, n_distinct, min_s, max_s)"
+    ).orderBy("col_name")
