@@ -1,0 +1,97 @@
+"""Mergeable frequency sketches from pure DataFrame primitives.
+
+Count-min sketch (Cormode & Muthukrishnan 2005) expressed as plain
+groupBys — no UDF, no driver state:
+
+- build: each row contributes to `depth` buckets
+  (``pmod(xxhash64(key, seed_d), width)``), one posexplode + one
+  aggregate → the sketch IS a tiny (depth × width)-row table.
+- merge: element-wise sum of sketch tables — exactly associative, so
+  per-partition / per-day sketches roll up to any level without
+  touching raw data (same operational property as the HLL rollup,
+  q127, but for point frequencies instead of cardinality).
+- query: a key's estimate is the MIN over its depth buckets; always an
+  over-estimate, error ≤ 2N/width with prob ≥ 1 − 2^-depth.
+
+At 100 TB: the raw stream aggregates map-side into ≤ depth×width
+partial states per partition — constant-size state per executor, one
+tiny shuffle. The sketch table then broadcasts into any query join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    width: int = 2048,
+    depth: int = 4,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch table (d, bucket, c) for `key_col` frequencies.
+
+    `weight_col` makes it a weighted sketch (sums weights instead of
+    counting rows). Output has at most depth × width rows.
+    """
+    if width < 1 or depth < 1:
+        raise ValueError(f"width/depth must be >= 1, got {width}/{depth}")
+    key = F.col(key_col)
+    buckets = F.array(
+        *[
+            F.pmod(F.xxhash64(key, F.lit(d)), F.lit(width)).cast("int")
+            for d in range(depth)
+        ]
+    )
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    return (
+        df.filter(key.isNotNull())
+        .select(F.posexplode(buckets).alias("d", "bucket"), w.alias("__w"))
+        .groupBy("d", "bucket")
+        .agg(F.sum("__w").alias("c"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Element-wise sum of sketch tables — exact, associative merge."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("d", "bucket").agg(F.sum("c").alias("c"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    width: int = 2048,
+    depth: int = 4,
+) -> DataFrame:
+    """Point estimates for every row of `keys`: min over depth buckets.
+
+    The sketch side is ≤ depth × width rows — broadcast it; the keys
+    side never shuffles.
+    """
+    key = F.col(key_col)
+    probes = keys.select(
+        key,
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(key, F.lit(d)), F.lit(width)).cast(
+                        "int"
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("d", "bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("est"))
+    )

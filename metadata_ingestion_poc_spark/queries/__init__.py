@@ -103,6 +103,7 @@ _SWEEP_PRIORITY = [
     "q126_incremental_dedup",
     "q127_sketch_rollup",
     "q128_table_profile",
+    "q129_cms_term_frequencies",
     # -- changed in round 4 (dedup.py: one-permutation minhash, numpy
     # simhash vote, size-gated _spread) — every query that touches that
     # module needs fresh driver credit.

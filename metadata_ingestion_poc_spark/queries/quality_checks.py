@@ -149,3 +149,40 @@ def q128_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(specs)}, {', '.join(fields)}) AS "
         "(col_name, n_nonnull, n_null, n_distinct, min_s, max_s)"
     ).orderBy("col_name")
+
+
+# ---------------------------------------------------------------------------
+# Count-min term frequencies: the mergeable point-frequency sketch over
+# corpus tokens, reported against the exact counts of the top-20 terms.
+# Hash-dependent estimates → rows-only; the overestimate/error-bound/
+# exact-merge properties are pinned in tests/test_sketches.py. The
+# estimates are deterministic (xxhash64), so row counts and schema are
+# stable across runs and layouts.
+# ---------------------------------------------------------------------------
+@query("q129_cms_term_frequencies")
+def q129_cms_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.sketches import cms_build, cms_estimate
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "term"
+        )
+    ).filter(F.col("term") != "")
+    sketch = cms_build(toks, "term", width=2048, depth=4)
+    top = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "term")
+        .limit(20)
+    )
+    est = cms_estimate(
+        sketch, top.select("term"), "term", width=2048, depth=4
+    )
+    return (
+        top.join(est, "term")
+        .select("term", "exact_n", F.col("est").alias("cms_est"))
+        .orderBy(F.col("exact_n").desc(), "term")
+    )

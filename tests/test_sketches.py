@@ -1,0 +1,82 @@
+"""Count-min sketch properties: overestimate, error bound, exact merge."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from metadata_ingestion_poc_spark.operators.sketches import (
+    cms_build,
+    cms_estimate,
+    cms_merge,
+)
+
+W, D = 2048, 4
+
+
+def _exact(df, col):
+    return {
+        r[col]: r.n
+        for r in df.groupBy(col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+
+def test_cms_overestimates_within_bound(spark):
+    # zipf-ish: key k appears ~20000/k times
+    df = spark.range(0, 20000).selectExpr(
+        "CAST(1 + CAST(20000 / (id + 1) AS INT) % 97 AS STRING) AS k"
+    )
+    sketch = cms_build(df, "k", width=W, depth=D)
+    exact = _exact(df, "k")
+    keys = df.select("k").distinct()
+    est = {
+        r.k: r.est
+        for r in cms_estimate(sketch, keys, "k", width=W, depth=D).collect()
+    }
+    n = 20000
+    for k, true in exact.items():
+        assert est[k] >= true, (k, est[k], true)
+        # CMS bound: err <= 2N/w with prob >= 1 - 2^-d; generous slack
+        assert est[k] - true <= max(4, 4 * n // W), (k, est[k], true)
+
+
+def test_cms_merge_equals_whole(spark):
+    df = spark.range(0, 10000).selectExpr("CAST(id % 53 AS STRING) AS k")
+    a = df.filter(F.col("id") < 4000)
+    b = df.filter(F.col("id") >= 4000)
+    merged = cms_merge(
+        cms_build(a, "k", width=W, depth=D),
+        cms_build(b, "k", width=W, depth=D),
+    )
+    whole = cms_build(df, "k", width=W, depth=D)
+    m = {(r.d, r.bucket): r.c for r in merged.collect()}
+    w = {(r.d, r.bucket): r.c for r in whole.collect()}
+    assert m == w  # merge is exact, not approximate
+
+
+def test_cms_weighted_and_validation(spark):
+    df = spark.createDataFrame(
+        [("a", 5.0), ("a", 3.0), ("b", 2.0)], "k: string, w: double"
+    )
+    sketch = cms_build(df, "k", width=256, depth=3, weight_col="w")
+    est = {
+        r.k: r.est
+        for r in cms_estimate(
+            sketch, df.select("k").distinct(), "k", width=256, depth=3
+        ).collect()
+    }
+    assert est["a"] >= 8.0 and est["b"] >= 2.0
+    with pytest.raises(ValueError):
+        cms_build(df, "k", width=0)
+    with pytest.raises(ValueError):
+        cms_merge()
+
+
+def test_cms_absent_key_estimates_low(spark):
+    df = spark.range(0, 1000).selectExpr("CAST(id % 10 AS STRING) AS k")
+    sketch = cms_build(df, "k", width=W, depth=D)
+    ghost = spark.createDataFrame([("nope",)], "k: string")
+    est = cms_estimate(sketch, ghost, "k", width=W, depth=D).first().est
+    # collisions can make it nonzero but the min over 4 rows of a
+    # 2048-wide sketch holding 10 keys is almost surely 0
+    assert est == 0
