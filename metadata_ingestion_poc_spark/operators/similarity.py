@@ -230,6 +230,107 @@ def _refine_centroids(
     return cents
 
 
+def ivf_build_index(
+    corpus: DataFrame,
+    n_cells: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 1,
+    train_frac: float = 1.0,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the IVF index: (centroids, corpus cell assignments).
+
+    The EXPENSIVE phase — seeding + Lloyd refinement + a full corpus
+    assignment scan. Both frames are plain DataFrames; persist them
+    with ``save_ivf_index`` so query batches reuse the index instead
+    of rebuilding (the operational shape at scale: build nightly,
+    query all day).
+    """
+    n = corpus.count()
+    stride = max(n // n_cells, 1)
+    cent_w = Window.orderBy(F.col("__cid"))
+    cents = (
+        with_norm(corpus.filter(F.col(id_col) % stride == 0), vec_col)
+        .select(
+            F.col(id_col).alias("__cid"),
+            F.col("__vec").alias("c_vec"),
+            F.col("__norm").alias("c_norm"),
+        )
+        .withColumn("cell", F.row_number().over(cent_w) - 1)
+        .filter(F.col("cell") < n_cells)
+        .select("cell", "c_vec", "c_norm")
+    )
+    # n_cells rows: the single-partition window and the checkpoint are
+    # both O(n_cells), independent of corpus size.
+    cents = cents.localCheckpoint(eager=True)
+    if refine_iters > 0:
+        cents = _refine_centroids(
+            cents, corpus, id_col, vec_col, refine_iters, train_frac
+        )
+    corpus_cells = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1).select(
+        F.col("id").alias("neighbor_id"),
+        "cell",
+        F.col("vec").alias("n_vec"),
+        F.col("nrm").alias("n_norm"),
+    )
+    return cents, corpus_cells
+
+
+def save_ivf_index(cents: DataFrame, corpus_cells: DataFrame, path: str) -> None:
+    """Persist an IVF index (centroids + assignments) as parquet."""
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    corpus_cells.write.mode("overwrite").parquet(f"{path}/assignments")
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Reload a persisted IVF index for querying (no rebuild)."""
+    return (
+        spark.read.parquet(f"{path}/centroids"),
+        spark.read.parquet(f"{path}/assignments"),
+    )
+
+
+def ivf_topk_with_index(
+    queries: DataFrame,
+    cents: DataFrame,
+    corpus_cells: DataFrame,
+    k: int = 10,
+    nprobe: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Top-k against a prebuilt (possibly reloaded) IVF index."""
+    query_cells = ivf_assign(queries, cents, id_col, vec_col, nprobe=nprobe).select(
+        F.col("id").alias("query_id"),
+        "cell",
+        F.col("vec").alias("q_vec"),
+        F.col("nrm").alias("q_norm"),
+    )
+    scored = (
+        query_cells.join(corpus_cells, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("q_vec"), F.col("n_vec"))
+                / (F.col("q_norm") * F.col("n_norm")),
+                round_dp,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def ivf_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -268,58 +369,23 @@ def ivf_ann_topk(
     centroid frame is additionally localCheckpoint-ed so both branches
     read one materialization instead of re-deriving it.
     """
-    n = corpus.count()
-    stride = max(n // n_cells, 1)
-    cent_w = Window.orderBy(F.col("__cid"))
-    cents = (
-        with_norm(corpus.filter(F.col(id_col) % stride == 0), vec_col)
-        .select(
-            F.col(id_col).alias("__cid"),
-            F.col("__vec").alias("c_vec"),
-            F.col("__norm").alias("c_norm"),
-        )
-        .withColumn("cell", F.row_number().over(cent_w) - 1)
-        .filter(F.col("cell") < n_cells)
-        .select("cell", "c_vec", "c_norm")
+    cents, corpus_cells = ivf_build_index(
+        corpus,
+        n_cells=n_cells,
+        id_col=id_col,
+        vec_col=vec_col,
+        refine_iters=refine_iters,
+        train_frac=train_frac,
     )
-    # n_cells rows: the single-partition window and the checkpoint are
-    # both O(n_cells), independent of corpus size.
-    cents = cents.localCheckpoint(eager=True)
-    if refine_iters > 0:
-        cents = _refine_centroids(
-            cents, corpus, id_col, vec_col, refine_iters, train_frac
-        )
-    corpus_cells = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1).select(
-        F.col("id").alias("neighbor_id"),
-        "cell",
-        F.col("vec").alias("n_vec"),
-        F.col("nrm").alias("n_norm"),
-    )
-    query_cells = ivf_assign(queries, cents, id_col, vec_col, nprobe=nprobe).select(
-        F.col("id").alias("query_id"),
-        "cell",
-        F.col("vec").alias("q_vec"),
-        F.col("nrm").alias("q_norm"),
-    )
-    scored = (
-        query_cells.join(corpus_cells, "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                dot(F.col("q_vec"), F.col("n_vec"))
-                / (F.col("q_norm") * F.col("n_norm")),
-                round_dp,
-            ).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+    return ivf_topk_with_index(
+        queries,
+        cents,
+        corpus_cells,
+        k=k,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_dp=round_dp,
     )
 
 

@@ -101,3 +101,36 @@ def test_lsh_ann_recall_vs_brute_force(spark, emb):
     # guards wiring, the parameter/recall trade-off is documented in
     # operators/similarity.py.
     assert recall >= 0.35, f"ANN recall too low: {recall}"
+
+
+def test_ivf_index_save_load_identical_results(spark, sf_dir, tmp_path):
+    """Persisted index → reload → query must equal build-and-query
+    exactly (everything downstream of the index is deterministic)."""
+    from metadata_ingestion_poc_spark.catalog import load_table
+    from metadata_ingestion_poc_spark.operators.similarity import (
+        ivf_ann_topk,
+        ivf_build_index,
+        ivf_topk_with_index,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    direct = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in ivf_ann_topk(queries, emb, k=5, n_cells=8, nprobe=4).collect()
+    }
+
+    cents, cells = ivf_build_index(emb, n_cells=8)
+    path = str(tmp_path / "ivf_index")
+    save_ivf_index(cents, cells, path)
+    cents2, cells2 = load_ivf_index(spark, path)
+    reloaded = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in ivf_topk_with_index(
+            queries, cents2, cells2, k=5, nprobe=4
+        ).collect()
+    }
+    assert reloaded == direct
