@@ -91,6 +91,13 @@ def _load_all() -> None:
 # implementation changed recently, so every oracle-bearing query is
 # eventually verified. Names not present are skipped silently (renames
 # must not break import).
+#
+# Round-5 rotation note: the round-4 window covers the 10 new queries
+# (q120-q129), the dedup/percentile rewrites, all round-1-credit
+# entries, and the first ~8 round-2-credit entries (q11-q19b). The
+# remaining round-2-credit block (q20-q29, q35, q36, q47-q49, q76,
+# q78, q91-q94) will be three rounds stale by round 5 — promote it
+# first next round, after any round-5 code changes.
 # ---------------------------------------------------------------------------
 _SWEEP_PRIORITY = [
     # -- new in round 4 — never swept.
