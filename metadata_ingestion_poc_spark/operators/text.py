@@ -164,3 +164,23 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """
     normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return docs.withColumn("fp", F.xxhash64(normalized))
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4/CCNet-style normalization ahead of dedup/fingerprinting.
+
+    lower → strip every char outside [a-z0-9 ] → collapse whitespace
+    runs → trim. Pure JVM regexp chain (whole-stage codegen, no UDF);
+    adds `norm_text` + `norm_tokens` columns. Normalizing BEFORE
+    shingling is what makes near-dup detection robust to punctuation /
+    casing / spacing noise at corpus scale.
+    """
+    lowered = F.lower(F.col(text_col))
+    stripped = F.regexp_replace(lowered, "[^a-z0-9 ]", " ")
+    collapsed = F.trim(F.regexp_replace(stripped, " +", " "))
+    return docs.withColumn("norm_text", collapsed).withColumn(
+        "norm_tokens",
+        F.when(F.col("norm_text") == "", F.lit(0)).otherwise(
+            F.size(F.split(F.col("norm_text"), " "))
+        ),
+    )

@@ -111,6 +111,7 @@ _SWEEP_PRIORITY = [
     "q127_sketch_rollup",
     "q128_table_profile",
     "q129_cms_term_frequencies",
+    "q130_text_normalize",
     # -- changed in round 4 (dedup.py: one-permutation minhash, numpy
     # simhash vote, size-gated _spread) — every query that touches that
     # module needs fresh driver credit.

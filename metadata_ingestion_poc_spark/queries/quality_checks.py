@@ -186,3 +186,35 @@ def q129_cms_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term", "exact_n", F.col("est").alias("cms_est"))
         .orderBy(F.col("exact_n").desc(), "term")
     )
+
+
+# ---------------------------------------------------------------------------
+# Text normalization: the C4/CCNet pre-dedup pass (lower, strip
+# non-alphanumerics, collapse whitespace) — pure regexp chain in
+# whole-stage codegen. Both engines apply identical regexes, so the
+# normalized text and token recount carry a full value oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "q130_text_normalize",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+                 regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                 ' +', ' ', 'g')) AS norm_text
+      FROM documents)
+    SELECT doc_id, norm_text,
+           CASE WHEN norm_text = '' THEN 0
+                ELSE len(string_split(norm_text, ' ')) END::INT
+             AS norm_tokens
+    FROM n
+    ORDER BY doc_id
+    """,
+)
+def q130_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    return normalize_text(d).select(
+        "doc_id", "norm_text", "norm_tokens"
+    ).orderBy("doc_id")

@@ -76,3 +76,20 @@ def test_minhash_deterministic_across_repartition(spark, docs):
     a = minhash_lsh_pairs(docs, threshold=0.4).collect()
     b = minhash_lsh_pairs(docs.repartition(7), threshold=0.4).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_normalize_text_corners(spark):
+    from metadata_ingestion_poc_spark.operators.text import normalize_text
+
+    rows = [
+        (1, "Hello,   WORLD!!"),
+        (2, "...###..."),
+        (3, ""),
+        (4, "a1 b2\tc3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r.doc_id: (r.norm_text, r.norm_tokens) for r in normalize_text(df).collect()}
+    assert got[1] == ("hello world", 2)
+    assert got[2] == ("", 0)   # all-punctuation collapses to empty
+    assert got[3] == ("", 0)
+    assert got[4] == ("a1 b2 c3", 3)
