@@ -18,12 +18,20 @@ class Config:
     raw_base: str
     hub_base: str
     checkpoint_base: str
+    # malformed-record zone: rows a PERMISSIVE read captured in
+    # `_corrupt_record` land here instead of poisoning RAW/HUB.
+    # Empty string = derive `<raw_base>_quarantine`.
+    quarantine_base: str = ""
 
     @classmethod
     def from_defaults(cls, defaults: dict, env: str = "local") -> "Config":
+        raw = defaults["raw_base"]
         return cls(
             env=env,
-            raw_base=defaults["raw_base"],
+            raw_base=raw,
             hub_base=defaults["hub_base"],
             checkpoint_base=defaults.get("checkpoint_base", ""),
+            quarantine_base=defaults.get(
+                "quarantine_base", f"{raw}_quarantine"
+            ),
         )

@@ -40,6 +40,32 @@ def add_audit_columns(
     )
 
 
+CORRUPT_COL = "_corrupt_record"
+
+
+def quarantine_malformed(
+    df: DataFrame, source: Source, cfg: Config
+) -> DataFrame:
+    """Split off rows a PERMISSIVE read flagged as malformed.
+
+    When the source schema captures parse failures in
+    ``_corrupt_record`` (csv/json `columnNameOfCorruptRecord`), those
+    rows are appended to the quarantine zone — partitioned like RAW,
+    keeping the raw malformed payload for replay after a schema fix —
+    and only clean rows continue to RAW/HUB. Without the column this
+    is a no-op, preserving the reference's permissive behavior.
+    """
+    if CORRUPT_COL not in df.columns:
+        return df
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull())
+    write_raw(
+        bad,
+        f"{cfg.quarantine_base}/{source.domain}/{source.entity}",
+        source.raw_partitions,
+    )
+    return df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+
+
 def run_source(
     spark: SparkSession,
     source: Source,
@@ -49,6 +75,7 @@ def run_source(
     reader = get_reader(source.type)
     df = reader(spark, source.options)
     df = add_audit_columns(df, source, ingest_date)
+    df = quarantine_malformed(df, source, cfg)
 
     # one physical scan feeds both zone writes
     df = df.cache()

@@ -14,7 +14,15 @@ from pathlib import Path
 import yaml
 from pydantic import BaseModel, Field, field_validator
 
-KNOWN_SOURCE_TYPES = ("csv", "json", "parquet", "jdbc", "olap")
+KNOWN_SOURCE_TYPES = (
+    "csv",
+    "json",
+    "parquet",
+    "orc",
+    "binary",
+    "jdbc",
+    "olap",
+)
 
 
 class Source(BaseModel):

@@ -21,14 +21,25 @@ def csv_reader(spark: SparkSession, options: dict) -> DataFrame:
     opts = dict(options)
     path = opts.pop("path")
     opts.pop("hub_columns", None)
-    return spark.read.options(**opts).csv(path)
+    # optional explicit schema (DDL string) — required for PERMISSIVE
+    # corrupt-record capture on csv (the corrupt column must be
+    # declared); metadata-driven like every other option.
+    schema = opts.pop("schema", None)
+    reader = spark.read.options(**opts)
+    if schema:
+        reader = reader.schema(schema)
+    return reader.csv(path)
 
 
 def json_reader(spark: SparkSession, options: dict) -> DataFrame:
     opts = dict(options)
     path = opts.pop("path")
     opts.pop("hub_columns", None)
-    return spark.read.options(**opts).json(path)
+    schema = opts.pop("schema", None)
+    reader = spark.read.options(**opts)
+    if schema:
+        reader = reader.schema(schema)
+    return reader.json(path)
 
 
 def parquet_reader(spark: SparkSession, options: dict) -> DataFrame:

@@ -178,3 +178,64 @@ def test_binary_reader_blobs_with_glob(spark, tmp_path):
         os.path.basename(r.path): bytes(r.content) for r in out.collect()
     }
     assert rows == {"a.bin": b"\x00\x01abc", "b.bin": b"hello"}
+
+
+def test_quarantine_malformed_json_rows(spark, tmp_path):
+    """A PERMISSIVE json read with one malformed line: the bad row is
+    appended to the quarantine zone with its raw payload; only clean
+    rows reach RAW and HUB."""
+    from metadata_ingestion_poc_spark.config import Config
+    from metadata_ingestion_poc_spark.framework import run_source
+    from metadata_ingestion_poc_spark.metadata import Source
+
+    src_file = tmp_path / "in.json"
+    src_file.write_text(
+        '{"pk": 1, "v": "a"}\n'
+        "{this is not json at all\n"
+        '{"pk": 2, "v": "b"}\n'
+    )
+    source = Source(
+        id="json_src",
+        type="json",
+        domain="d",
+        entity="e",
+        options={"path": str(src_file)},
+        hub_primary_keys=["pk"],
+    )
+    cfg = Config.from_defaults(
+        {"raw_base": str(tmp_path / "raw"), "hub_base": str(tmp_path / "hub")}
+    )
+    run_source(spark, source, cfg, ingest_date="2026-01-01")
+
+    hub = spark.read.parquet(str(tmp_path / "hub" / "d" / "e"))
+    assert sorted(r.pk for r in hub.collect()) == [1, 2]
+    assert "_corrupt_record" not in hub.columns
+
+    q = spark.read.parquet(str(tmp_path / "raw_quarantine" / "d" / "e"))
+    rows = q.collect()
+    assert len(rows) == 1
+    assert "not json" in rows[0]["_corrupt_record"]
+    # quarantine keeps the RAW partition layout for replay
+    assert (tmp_path / "raw_quarantine" / "d" / "e"
+            / "ingest_date=2026-01-01").exists()
+
+
+def test_csv_explicit_schema_with_corrupt_capture(spark, tmp_path):
+    from metadata_ingestion_poc_spark.sources import get_reader
+
+    f = tmp_path / "in.csv"
+    f.write_text("1,alpha\ntwo,beta,extra,cols,here\n3,gamma\n")
+    out = get_reader("csv")(
+        spark,
+        {
+            "path": str(f),
+            "schema": "pk INT, v STRING, _corrupt_record STRING",
+            "columnNameOfCorruptRecord": "_corrupt_record",
+            "mode": "PERMISSIVE",
+        },
+    )
+    rows = out.collect()
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    good = sorted(r.pk for r in rows if r["_corrupt_record"] is None)
+    assert good == [1, 3]
+    assert len(bad) == 1 and "two" in bad[0]["_corrupt_record"]
