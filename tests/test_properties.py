@@ -79,3 +79,47 @@ def test_topk_per_group_contained_and_sized(spark, rows, k):
     for g, vs in by_g.items():
         want = set(sorted(vs, reverse=True)[:k])
         assert {v for gg, v in got if gg == g} == want
+
+
+@given(texts=st.lists(st.text(max_size=40), min_size=1, max_size=20))
+@_settings
+def test_normalize_text_idempotent_and_clean(spark, texts):
+    from metadata_ingestion_poc_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+    )
+    once = normalize_text(df).select(
+        "doc_id", F.col("norm_text").alias("text")
+    )
+    twice = {
+        r.doc_id: r.norm_text for r in normalize_text(once).collect()
+    }
+    first = {
+        r.doc_id: (r.norm_text, r.norm_tokens)
+        for r in normalize_text(df).collect()
+    }
+    for i, (norm, ntok) in first.items():
+        assert twice[i] == norm  # idempotent
+        assert set(norm) <= set("abcdefghijklmnopqrstuvwxyz0123456789 ")
+        assert "  " not in norm
+        assert norm == norm.strip()
+        assert ntok == (len(norm.split(" ")) if norm else 0)
+
+
+@given(
+    vals=st.lists(_floats, min_size=1, max_size=80),
+    p=st.sampled_from([0.0, 0.25, 0.5, 0.75, 0.9, 1.0]),
+)
+@_settings
+def test_exact_percentiles_match_builtin_property(spark, vals, p):
+    from metadata_ingestion_poc_spark.operators.percentiles import (
+        exact_percentiles,
+    )
+
+    df = spark.createDataFrame([("g", float(v)) for v in vals], ["g", "v"])
+    mine = (
+        exact_percentiles(df, ["g"], "v", {"q": p}).first().q
+    )
+    ref = df.agg(F.percentile("v", F.lit(p)).alias("q")).first().q
+    assert abs(mine - ref) <= 1e-9 * max(1.0, abs(ref))
