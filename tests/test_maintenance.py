@@ -82,3 +82,34 @@ def test_zorder_files_have_tight_boxes_on_both_columns(spark, tmp_path):
     assert avg_y < 0.6 * full, (avg_y, yr)
     # data preserved
     assert spark.read.parquet(path).count() == 40000
+
+
+def test_compact_preserves_export_shard_layout(spark, tmp_path):
+    """Composition: a shard export compacted per shard keeps the
+    deterministic membership (partition dirs survive compaction of the
+    files inside them — maintenance on a real curation output)."""
+    from metadata_ingestion_poc_spark.catalog import load_table
+    from metadata_ingestion_poc_spark.operators.export import (
+        export_shards,
+        shard_assignment,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "shards")
+    export_shards(docs, path, id_col="doc_id", num_shards=4)
+
+    back = spark.read.parquet(path)
+    expected = {
+        r["doc_id"]: r["__shard"]
+        for r in shard_assignment(docs, "doc_id", 4)
+        .select("doc_id", "__shard")
+        .collect()
+    }
+    got = {r["doc_id"]: r["shard"] for r in back.collect()}
+    assert got == expected
+    # compact each shard dir independently; membership is unchanged
+    for d in (tmp_path / "shards").glob("shard=*"):
+        compact(spark, str(d), target_file_bytes=1 << 30)
+    back2 = spark.read.parquet(path)
+    got2 = {r["doc_id"]: r["shard"] for r in back2.collect()}
+    assert got2 == expected
