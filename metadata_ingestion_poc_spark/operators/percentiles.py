@@ -133,6 +133,185 @@ def exact_percentile_iterative(
     return float(v_lo + frac * (v_hi - v_lo))
 
 
+def exact_percentile_iterative_grouped(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: float,
+    bins: int = 512,
+    direct_threshold: int = 100_000,
+    max_rounds: int = 8,
+    out_col: str = "q",
+) -> DataFrame:
+    """Grouped continuous percentile by simultaneous histogram descent.
+
+    The grouped twin of ``exact_percentile_iterative``: ALL groups
+    descend together — each round is ONE distributed aggregate
+    (`groupBy(task, bucket)`) over the rows still inside any group's
+    candidate interval, driver state is one (lo, hi, skipped) triple
+    per outstanding rank task (≤ 2 × #groups — the same boundedness
+    any grouped report already assumes), and unresolved tasks narrow
+    by ~bins× per round. The exact finish for every resolved task runs
+    as one windowed job over ≤ direct_threshold rows per task — no
+    value collect, no per-group object buffer, no one-task sort over a
+    whole group.
+
+    Returns one row per group: group_cols + `out_col` (percentile_cont
+    interpolation, differentially tested against the built-in).
+    """
+    if not 0.0 <= p <= 1.0:
+        raise ValueError(f"p must be in [0,1], got {p}")
+    if not group_cols:
+        raise ValueError("need at least one group column")
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull()).select(
+        *[F.col(c) for c in group_cols], v.alias("__v")
+    )
+    # unit-separator join + null marker: distinct group tuples must map
+    # to distinct keys ("a","b" vs "ab",""; concat_ws silently SKIPS
+    # nulls, so (x, null) and (null, x) would otherwise collide)
+    gkey = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            for c in group_cols
+        ],
+    )
+    base = base.withColumn("__g", gkey)
+
+    head = base.groupBy("__g").agg(
+        F.count("__v").alias("n"),
+        F.min("__v").alias("lo"),
+        F.max("__v").alias("hi"),
+        *[F.first(c).alias(f"__gc_{c}") for c in group_cols],
+    )
+    meta: dict[str, dict] = {}
+    # task id = group key + which bracketing rank ("L"/"H")
+    state: dict[tuple[str, str], dict] = {}
+    for r in head.collect():  # one row per group — bounded driver data
+        pos = p * (r["n"] - 1)
+        r_lo = int(pos // 1)
+        r_hi = min(r_lo + 1, r["n"] - 1)
+        frac = pos - (pos // 1)
+        meta[r["__g"]] = {
+            "frac": frac,
+            "cols": tuple(r[f"__gc_{c}"] for c in group_cols),
+        }
+        state[(r["__g"], "L")] = {
+            "rank": r_lo, "lo": r["lo"], "hi": r["hi"], "skipped": 0
+        }
+        if r_hi != r_lo and frac != 0.0:
+            state[(r["__g"], "H")] = {
+                "rank": r_hi, "lo": r["lo"], "hi": r["hi"], "skipped": 0
+            }
+
+    spark = df.sparkSession
+
+    def bounds_df(keys):
+        rows = [
+            (g, which, state[(g, which)]["lo"], state[(g, which)]["hi"])
+            for (g, which) in keys
+        ]
+        return spark.createDataFrame(
+            rows, "__g string, __which string, __lo double, __hi double"
+        )
+
+    open_keys = set(state)
+    for _ in range(max_rounds):
+        if not open_keys:
+            break
+        b = F.broadcast(bounds_df(open_keys))
+        width = F.col("__hi") - F.col("__lo")
+        bucket = F.least(
+            F.lit(bins - 1),
+            F.floor((F.col("__v") - F.col("__lo")) / (width / bins)).cast(
+                "int"
+            ),
+        )
+        hist_rows = (
+            base.join(b, "__g")
+            .filter(
+                (F.col("__v") >= F.col("__lo"))
+                & (F.col("__v") <= F.col("__hi"))
+            )
+            .withColumn(
+                "__b",
+                F.when(width > 0.0, bucket).otherwise(F.lit(0)),
+            )
+            .groupBy("__g", "__which", "__b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()  # ≤ tasks × bins rows — bounded driver data
+        )
+        hists: dict[tuple[str, str], dict[int, int]] = {}
+        for r in hist_rows:
+            hists.setdefault((r["__g"], r["__which"]), {})[r["__b"]] = r["c"]
+        next_open = set()
+        for key in open_keys:
+            st = state[key]
+            hist = hists.get(key, {})
+            in_range = sum(hist.values())
+            width_f = (st["hi"] - st["lo"]) / bins
+            if in_range <= direct_threshold or width_f <= 0.0:
+                continue  # resolved: exact finish handles it
+            remaining = st["rank"] - st["skipped"]
+            acc = 0
+            target = bins - 1
+            for bkt in range(bins):
+                c = hist.get(bkt, 0)
+                if acc + c > remaining:
+                    target = bkt
+                    break
+                acc += c
+            st["skipped"] += acc
+            new_hi = (
+                st["lo"] + (target + 1) * width_f
+                if target < bins - 1
+                else st["hi"]
+            )
+            st["lo"] = st["lo"] + target * width_f
+            st["hi"] = min(new_hi, st["hi"])
+            next_open.add(key)
+        open_keys = next_open
+
+    # exact finish: ONE windowed job over all tasks' small intervals
+    fin = F.broadcast(bounds_df(state.keys()))
+    w = Window.partitionBy("__g", "__which").orderBy("__v")
+    ranked = (
+        base.join(fin, "__g")
+        .filter(
+            (F.col("__v") >= F.col("__lo")) & (F.col("__v") <= F.col("__hi"))
+        )
+        .withColumn("__rn", F.row_number().over(w) - 1)
+    )
+    want = spark.createDataFrame(
+        [
+            (g, which, st["rank"] - st["skipped"])
+            for (g, which), st in state.items()
+        ],
+        "__g string, __which string, __want long",
+    )
+    picked = {
+        (r["__g"], r["__which"]): r["__v"]
+        for r in ranked.join(
+            F.broadcast(want),
+            (ranked["__g"] == want["__g"])
+            & (ranked["__which"] == want["__which"])
+            & (F.col("__rn") == F.col("__want")),
+        )
+        .select(ranked["__g"], ranked["__which"], "__v")
+        .collect()  # one row per task — bounded driver data
+    }
+    out_rows = []
+    for g, m in meta.items():
+        v_lo = picked[(g, "L")]
+        v_hi = picked.get((g, "H"), v_lo)
+        out_rows.append(m["cols"] + (float(v_lo + m["frac"] * (v_hi - v_lo)),))
+    schema = df.select(
+        *group_cols, F.lit(0.0).cast("double").alias(out_col)
+    ).schema
+    return spark.createDataFrame(out_rows, schema)
+
+
 def exact_percentiles(
     df: DataFrame,
     group_cols: list[str],

@@ -110,3 +110,76 @@ def test_iterative_duplicate_heavy_and_bounds(spark):
         assert got == pytest.approx(ref, abs=1e-12), p
     with pytest.raises(ValueError):
         exact_percentile_iterative(df, "v", 1.5)
+
+
+def test_iterative_grouped_matches_builtin(spark, sf_dir):
+    from metadata_ingestion_poc_spark.catalog import load_table
+    from metadata_ingestion_poc_spark.operators.percentiles import (
+        exact_percentile_iterative_grouped,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    for p in (0.5, 0.9):
+        got = {
+            r.l_returnflag: r.q
+            for r in exact_percentile_iterative_grouped(
+                li, ["l_returnflag"], "l_extendedprice", p,
+                bins=32, direct_threshold=50,  # force real descent rounds
+            ).collect()
+        }
+        ref = {
+            r.l_returnflag: r.q
+            for r in li.groupBy("l_returnflag")
+            .agg(F.percentile("l_extendedprice", F.lit(p)).alias("q"))
+            .collect()
+        }
+        assert set(got) == set(ref)
+        for k in ref:
+            assert got[k] == pytest.approx(ref[k], abs=1e-9), (p, k)
+
+
+def test_iterative_grouped_multi_column_groups_and_edges(spark):
+    from metadata_ingestion_poc_spark.operators.percentiles import (
+        exact_percentile_iterative_grouped,
+    )
+
+    rows = [
+        ("a", "b", 1.0), ("a", "b", 2.0), ("a", "b", 100.0),
+        ("ab", "", 7.0),            # concat-collision trap vs ("a","b")
+        ("x", None, 3.0), ("x", None, 4.0),   # null group value
+        ("solo", "g", 42.0),                  # n=1 degenerate
+    ]
+    df = spark.createDataFrame(rows, "g1: string, g2: string, v: double")
+    got = {
+        (r.g1, r.g2): r.q
+        for r in exact_percentile_iterative_grouped(
+            df, ["g1", "g2"], "v", 0.5, bins=8, direct_threshold=1
+        ).collect()
+    }
+    ref = {
+        (r.g1, r.g2): r.q
+        for r in df.groupBy("g1", "g2")
+        .agg(F.percentile("v", F.lit(0.5)).alias("q"))
+        .collect()
+    }
+    assert set(got) == set(ref)
+    for k in ref:
+        assert got[k] == pytest.approx(ref[k], abs=1e-12), k
+
+
+def test_iterative_grouped_null_position_groups_distinct(spark):
+    # concat_ws SKIPS nulls, so without the null marker ("x", null) and
+    # (null, "x") would merge into one group
+    from metadata_ingestion_poc_spark.operators.percentiles import (
+        exact_percentile_iterative_grouped,
+    )
+
+    rows = [("x", None, 1.0), ("x", None, 3.0), (None, "x", 100.0)]
+    df = spark.createDataFrame(rows, "g1: string, g2: string, v: double")
+    got = {
+        (r.g1, r.g2): r.q
+        for r in exact_percentile_iterative_grouped(
+            df, ["g1", "g2"], "v", 0.5, bins=8, direct_threshold=1
+        ).collect()
+    }
+    assert got == {("x", None): 2.0, (None, "x"): 100.0}
