@@ -35,6 +35,15 @@ def shard_assignment(
     """
     if num_shards < 1:
         raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    if num_shards > 65536:
+        raise ValueError(
+            f"num_shards must be <= 65536 (4 md5 nibbles), got {num_shards}"
+        )
+    if num_shards & (num_shards - 1):
+        raise ValueError(
+            "num_shards must be a power of two (the pmod fold over "
+            f"hex-nibble buckets is only unbiased then), got {num_shards}"
+        )
     nibbles = 1 if num_shards <= 16 else (2 if num_shards <= 256 else 4)
     key = F.md5(F.col(id_col).cast("string"))
     bucket = F.conv(F.substring(key, 1, nibbles), 16, 10).cast("int")

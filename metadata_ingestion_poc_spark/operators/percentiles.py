@@ -86,7 +86,12 @@ def exact_percentile_iterative(
             remaining = rank - skipped
             width = (hi - lo) / bins
             if width <= 0.0:
-                break
+                # interval collapsed to one double value: every
+                # remaining candidate equals lo, so return it directly
+                # — the duplicate-dominated case (e.g. p99 of a column
+                # that is one value ~everywhere) must not fall through
+                # to a rank+1-row driver collect
+                return lo
             bucket = F.least(
                 F.lit(bins - 1),
                 F.floor((F.col("v") - F.lit(lo)) / F.lit(width)).cast("int"),
@@ -367,9 +372,12 @@ def exact_percentiles(
     # range predicate makes this a broadcast theta join, never a
     # shuffle of the big side.
     def lookup(rank_col: str, out: str) -> DataFrame:
+        # eqNullSafe: a NULL group-key value is a real group (the
+        # built-in grouped aggregate and the DuckDB oracle both keep
+        # it) — plain == would silently drop it here
         cond = F.lit(True)
         for c in group_cols:
-            cond = cond & (F.col(c) == F.col(f"__t_{c}"))
+            cond = cond & F.col(c).eqNullSafe(F.col(f"__t_{c}"))
         cond = (
             cond
             & (F.col(rank_col) >= F.col("__lo"))
@@ -389,12 +397,22 @@ def exact_percentiles(
 
     lo = lookup("__r_lo", "__v_lo")
     hi = lookup("__r_hi", "__v_hi").select(
-        *group_cols, "__pname", F.col("__v_hi")
+        *[F.col(c).alias(f"__h_{c}") for c in group_cols],
+        F.col("__pname").alias("__h_pname"),
+        F.col("__v_hi"),
     )
-    interp = lo.join(hi, [*group_cols, "__pname"]).withColumn(
-        "__val",
-        F.col("__v_lo")
-        + F.col("__frac") * (F.col("__v_hi") - F.col("__v_lo")),
+    # null-safe lo/hi pairing for the same reason as lookup()
+    pair_cond = F.col("__pname") == F.col("__h_pname")
+    for c in group_cols:
+        pair_cond = pair_cond & F.col(c).eqNullSafe(F.col(f"__h_{c}"))
+    interp = (
+        lo.join(hi, pair_cond)
+        .drop("__h_pname", *[f"__h_{c}" for c in group_cols])
+        .withColumn(
+            "__val",
+            F.col("__v_lo")
+            + F.col("__frac") * (F.col("__v_hi") - F.col("__v_lo")),
+        )
     )
 
     # 5. pivot the percentile names back into columns (bounded set)

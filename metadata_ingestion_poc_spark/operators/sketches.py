@@ -51,6 +51,10 @@ def cms_build(
         .select(F.posexplode(buckets).alias("d", "bucket"), w.alias("__w"))
         .groupBy("d", "bucket")
         .agg(F.sum("__w").alias("c"))
+        # the sketch carries its own geometry so probes can never hash
+        # with mismatched parameters (estimate validates against these)
+        .withColumn("width", F.lit(width))
+        .withColumn("depth", F.lit(depth))
     )
 
 
@@ -61,21 +65,50 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.groupBy("d", "bucket").agg(F.sum("c").alias("c"))
+    # width/depth ride along in the group key: merging sketches of
+    # different geometry yields >1 (width, depth) pair, which
+    # cms_estimate rejects instead of silently mixing bucket spaces
+    return out.groupBy("d", "bucket", "width", "depth").agg(
+        F.sum("c").alias("c")
+    )
 
 
 def cms_estimate(
     sketch: DataFrame,
     keys: DataFrame,
     key_col: str,
-    width: int = 2048,
-    depth: int = 4,
+    width: int | None = None,
+    depth: int | None = None,
 ) -> DataFrame:
     """Point estimates for every row of `keys`: min over depth buckets.
+
+    The probe geometry is read from the sketch itself (the width/depth
+    columns cms_build stamps), so probes can never hash into the wrong
+    bucket space. Passing width/depth explicitly is allowed but they
+    must match the sketch — mismatches raise instead of silently
+    returning bogus (often zero) estimates. The geometry read is one
+    bounded collect over a ≤ depth × width-row table that is about to
+    be broadcast anyway.
 
     The sketch side is ≤ depth × width rows — broadcast it; the keys
     side never shuffles.
     """
+    geoms = (
+        sketch.select("width", "depth").distinct().collect()
+    )  # ≤ #merged-geometries rows — bounded driver data
+    if len(geoms) != 1:
+        raise ValueError(
+            "sketch has mixed geometries "
+            f"{sorted((g['width'], g['depth']) for g in geoms)} — "
+            "was it merged from sketches built with different "
+            "width/depth?"
+        )
+    s_width, s_depth = geoms[0]["width"], geoms[0]["depth"]
+    if width is not None and width != s_width:
+        raise ValueError(f"probe width {width} != sketch width {s_width}")
+    if depth is not None and depth != s_depth:
+        raise ValueError(f"probe depth {depth} != sketch depth {s_depth}")
+    width, depth = s_width, s_depth
     key = F.col(key_col)
     probes = keys.select(
         key,

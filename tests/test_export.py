@@ -80,3 +80,12 @@ def test_export_rejects_bad_shard_count(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     with pytest.raises(ValueError):
         export_shards(docs, "/tmp/unused", id_col="doc_id", num_shards=0)
+    # non-power-of-two counts would bias shard sizes up to 2x via the
+    # pmod fold; >65536 would leave shards permanently empty
+    with pytest.raises(ValueError, match="power of two"):
+        shard_assignment(docs, "doc_id", 12)
+    with pytest.raises(ValueError, match="65536"):
+        shard_assignment(docs, "doc_id", 131072)
+    # boundary cases stay legal
+    shard_assignment(docs, "doc_id", 1)
+    shard_assignment(docs, "doc_id", 65536)

@@ -71,6 +71,37 @@ def test_nulls_excluded(spark):
     assert len(out) == 1 and out[0].p50 == pytest.approx(2.0)
 
 
+def test_null_group_key_kept(spark):
+    # a NULL group-key value is a real group for the built-in grouped
+    # percentile (and the DuckDB oracle) — the broadcast lookup and the
+    # lo/hi pairing join must be null-safe or the group vanishes
+    rows = [
+        (None, 1.0), (None, 3.0), (None, 5.0),
+        ("a", 10.0), ("a", 20.0),
+    ]
+    df = spark.createDataFrame(rows, "g: string, v: double")
+    got = {
+        r.g: (r.p50, r.p100)
+        for r in exact_percentiles(
+            df, ["g"], "v", {"p50": 0.5, "p100": 1.0}
+        ).collect()
+    }
+    assert got == {None: (3.0, 5.0), "a": (15.0, 20.0)}
+
+
+def test_null_group_key_kept_multi_column(spark):
+    # (x, null) vs (null, x) stay distinct through both null-safe joins
+    rows = [("x", None, 1.0), ("x", None, 3.0), (None, "x", 100.0)]
+    df = spark.createDataFrame(rows, "g1: string, g2: string, v: double")
+    got = {
+        (r.g1, r.g2): r.p50
+        for r in exact_percentiles(
+            df, ["g1", "g2"], "v", {"p50": 0.5}
+        ).collect()
+    }
+    assert got == {("x", None): 2.0, (None, "x"): 100.0}
+
+
 def test_rejects_empty_percentiles(spark):
     df = spark.createDataFrame([("a", 1.0)], "g: string, v: double")
     with pytest.raises(ValueError):
@@ -110,6 +141,30 @@ def test_iterative_duplicate_heavy_and_bounds(spark):
         assert got == pytest.approx(ref, abs=1e-12), p
     with pytest.raises(ValueError):
         exact_percentile_iterative(df, "v", 1.5)
+
+
+def test_iterative_duplicate_dominated_stays_bounded(spark):
+    from metadata_ingestion_poc_spark.operators.percentiles import (
+        exact_percentile_iterative,
+    )
+
+    # one value dominates: high percentiles land inside a collapsed
+    # (width == 0) interval, which must return directly instead of
+    # collecting ~rank rows on the driver (the old exact-finish path)
+    df = spark.range(0, 50_000).selectExpr(
+        "CASE WHEN id < 49900 THEN 7.0 ELSE CAST(id AS DOUBLE) END AS v"
+    )
+    for p in (0.5, 0.9, 0.99):
+        ref = df.agg(F.percentile("v", F.lit(p))).first()[0]
+        got = exact_percentile_iterative(
+            df, "v", p, bins=16, direct_threshold=50
+        )
+        assert got == pytest.approx(ref, abs=1e-12), p
+    # all-identical column: interval starts collapsed
+    one = spark.range(0, 1000).selectExpr("3.5 AS v")
+    assert exact_percentile_iterative(
+        one, "v", 0.75, bins=16, direct_threshold=10
+    ) == pytest.approx(3.5)
 
 
 def test_iterative_grouped_matches_builtin(spark, sf_dir):

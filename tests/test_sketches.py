@@ -72,6 +72,25 @@ def test_cms_weighted_and_validation(spark):
         cms_merge()
 
 
+def test_cms_estimate_rejects_geometry_mismatch(spark):
+    df = spark.createDataFrame([("a",), ("b",)], "k: string")
+    keys = df.select("k").distinct()
+    sketch = cms_build(df, "k", width=256, depth=3)
+    # probe params that contradict the sketch's stamped geometry raise
+    # instead of silently hashing into the wrong bucket space
+    with pytest.raises(ValueError, match="width"):
+        cms_estimate(sketch, keys, "k", width=2048, depth=3)
+    with pytest.raises(ValueError, match="depth"):
+        cms_estimate(sketch, keys, "k", width=256, depth=4)
+    # omitting the params reads them from the sketch
+    est = {r.k: r.est for r in cms_estimate(sketch, keys, "k").collect()}
+    assert est["a"] >= 1 and est["b"] >= 1
+    # merging sketches of different geometry is detected at probe time
+    mixed = cms_merge(sketch, cms_build(df, "k", width=512, depth=3))
+    with pytest.raises(ValueError, match="mixed geometries"):
+        cms_estimate(mixed, keys, "k")
+
+
 def test_cms_absent_key_estimates_low(spark):
     df = spark.range(0, 1000).selectExpr("CAST(id % 10 AS STRING) AS k")
     sketch = cms_build(df, "k", width=W, depth=D)
