@@ -26,6 +26,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+# Default stop-shingle cap. Finite BY DEFAULT: a shingle shared by more
+# than this many documents carries no dedup signal but costs O(df²)
+# candidate pairs — an unbounded default is the footgun that melts a
+# library caller's first 100 TB run. Pass max_shingle_df=None to opt
+# back in to the exact unpruned index (small/audit corpora only).
+DEFAULT_MAX_SHINGLE_DF = 1000
+
 
 def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Lower-case whitespace tokenization → `tokens` array column."""
@@ -184,7 +191,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.6,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs via inverted shingle index.
 
@@ -192,6 +199,10 @@ def ngram_jaccard_pairs(
     co-occurring shingles per pair — bucket-pair generation on the
     shingle key, then a pair-level aggregate. Returns
     (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded to 6dp.
+
+    Shingles occurring in more than ``max_shingle_df`` docs are pruned
+    from the index (finite by default — see DEFAULT_MAX_SHINGLE_DF;
+    None opts in to the exact unpruned computation).
     """
     docs = _spread(docs)
     idx = _shingle_index(docs, id_col, n, max_shingle_df)
@@ -226,7 +237,7 @@ def ngram_jaccard_pairs_against(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.6,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Cross-set exact Jaccard: batch docs vs an EXISTING corpus.
 

@@ -156,14 +156,26 @@ def tfidf_top_terms(
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit content fingerprint of normalized text (xxhash64).
+    """Content fingerprint of normalized text.
 
     Normalization: lower-case, collapse whitespace — so trivially
-    reformatted duplicates collide. Engine-specific hash → rows-only
-    in the oracle harness; stability is covered by unit tests.
+    reformatted duplicates collide. The whitespace class is written
+    out explicitly (``[ \\t\\n\\r]``) rather than ``\\s`` so every
+    engine (Java regex here, RE2 in DuckDB) collapses the identical
+    character set — that is what makes `fp` cross-engine checkable.
+
+    Adds two columns:
+    - `fp`     — md5 hex of the normalized text: portable (every SQL
+      engine has md5), so it carries a full value oracle.
+    - `fp_xx`  — xxhash64 of the same text: cheaper 8-byte engine hash
+      for in-Spark joins/dedup keys where portability doesn't matter.
     """
-    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    return docs.withColumn("fp", F.xxhash64(normalized))
+    normalized = F.regexp_replace(
+        F.lower(F.trim(F.col(text_col))), "[ \t\n\r]+", " "
+    )
+    return docs.withColumn("fp", F.md5(normalized)).withColumn(
+        "fp_xx", F.xxhash64(normalized)
+    )
 
 
 def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -109,19 +109,51 @@ def q74_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Stratified sampling: per-language fractions with a fixed seed —
-# rows-only (sampling is partitioning-dependent); statistical bounds
-# are asserted in tests.
+# Stratified sampling, deterministic: the per-stratum fraction is a
+# pure function of the stratum key (ascii parity of the language's
+# first letter → 50% or 20%) and the keep decision is a pure function
+# of the doc id (multiplicative hash, q117 pattern with distinct
+# constants) — so the sample is identical on any cluster size, any
+# partition layout, and replays exactly in the DuckDB oracle. The id
+# is folded mod a prime BEFORE the multiply so the product can never
+# overflow int64 even at 100 TB id ranges (ANSI mode would error).
+# No driver enumeration of strata: sampleBy's fractions-dict (and its
+# distinct().collect()) is gone entirely.
 # ---------------------------------------------------------------------------
-@query("q75_stratified_sample")
+@query(
+    "q75_stratified_sample",
+    oracle="""
+    WITH s AS (
+      SELECT lang, doc_id,
+             CASE WHEN ascii(substring(lang, 1, 1)) % 2 = 0
+                  THEN 500 ELSE 200 END AS keep_pm
+      FROM documents)
+    SELECT lang, COUNT(*)::BIGINT AS n_sampled,
+           MIN(doc_id)::BIGINT AS first_doc,
+           MAX(doc_id)::BIGINT AS last_doc
+    FROM s
+    WHERE (doc_id % 1000003) * 2246822507 % 1000 < keep_pm
+    GROUP BY lang ORDER BY lang
+    """,
+)
 def q75_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    langs = [r.lang for r in d.select("lang").distinct().collect()]
-    fractions = {lang: (0.5 if i % 2 == 0 else 0.2)
-                 for i, lang in enumerate(sorted(langs))}
+    keep_pm = F.when(
+        F.ascii(F.substring(F.col("lang"), 1, 1)) % 2 == 0, F.lit(500)
+    ).otherwise(F.lit(200))
+    sampled = d.withColumn("keep_pm", keep_pm).filter(
+        F.pmod(
+            F.pmod(F.col("doc_id"), F.lit(1000003)) * F.lit(2246822507),
+            F.lit(1000),
+        )
+        < F.col("keep_pm")
+    )
     return (
-        d.sampleBy("lang", fractions, seed=42)
-        .groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        sampled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
         .orderBy("lang")
     )

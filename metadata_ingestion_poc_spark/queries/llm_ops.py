@@ -379,9 +379,20 @@ def q63_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Document fingerprints — engine hash → rows-only; determinism in tests.
+# Document fingerprints — md5 of normalized text, so the value carries a
+# full cross-engine oracle (both engines collapse the same explicit
+# whitespace class and md5 the same bytes). The cheaper xxhash64 twin
+# (`fp_xx`) stays engine-internal.
 # ---------------------------------------------------------------------------
-@query("q64_fingerprint")
+@query(
+    "q64_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\r]+', ' ', 'g'))
+             AS fp
+    FROM documents ORDER BY doc_id
+    """,
+)
 def q64_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return fingerprint(d).select("doc_id", "fp").orderBy("doc_id")

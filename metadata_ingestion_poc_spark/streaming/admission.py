@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from ..operators.dedup import DEFAULT_MAX_SHINGLE_DF
 from ..staging import commit_swap, recover, staging_dir
 
 _ADMITTED = "_admitted"
@@ -49,7 +50,7 @@ def admit_batch(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.6,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
     batch_id: int | str | None = None,
 ) -> None:
     """Admit one batch of documents (column ``text`` + `id_col`).
@@ -128,7 +129,7 @@ def stream_corpus_admission(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.6,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
     trigger_available_now: bool = True,
 ) -> StreamingQuery:
     """Document stream → dedup-gated corpus via foreachBatch(admit_batch).

@@ -33,9 +33,17 @@ def test_stratified_sample_fractions(spark, sf_dir):
         r.lang: r.n_sampled
         for r in QUERIES["q75_stratified_sample"](spark, sf_dir).collect()
     }
-    for i, lang in enumerate(sorted(totals)):
-        frac = 0.5 if i % 2 == 0 else 0.2
+    for lang in sorted(totals):
+        frac = 0.5 if ord(lang[0]) % 2 == 0 else 0.2
         expect = totals[lang] * frac
         assert abs(sampled.get(lang, 0) - expect) <= max(10, 0.5 * expect), (
             lang, sampled.get(lang), expect
         )
+
+
+def test_stratified_sample_deterministic(spark, sf_dir):
+    # pure function of the row: identical membership across partition
+    # layouts (the property rand()/sampleBy cannot give)
+    a = QUERIES["q75_stratified_sample"](spark, sf_dir).collect()
+    b = QUERIES["q75_stratified_sample"](spark, sf_dir).collect()
+    assert a == b

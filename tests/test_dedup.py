@@ -72,6 +72,29 @@ def test_simhash_pairs_are_near_duplicates(spark, docs):
     assert len(hits) >= len(pairs) * 0.5
 
 
+def test_default_call_engages_stop_shingle_cap(spark, docs):
+    # the library default must be the 100 TB-safe shape: a finite
+    # stop-shingle cap whose df-filter shows up in the plan without the
+    # caller asking for it; None is the opt-in to the unpruned index
+    from metadata_ingestion_poc_spark.operators.dedup import (
+        DEFAULT_MAX_SHINGLE_DF,
+    )
+
+    assert DEFAULT_MAX_SHINGLE_DF is not None
+    capped = ngram_jaccard_pairs(docs, threshold=0.4)
+    plan = capped._jdf.queryExecution().analyzed().toString()
+    assert "__df" in plan, "default plan must carry the shingle-df filter"
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.4, max_shingle_df=None)
+    assert "__df" not in uncapped._jdf.queryExecution().analyzed().toString()
+    # the test corpus is far below the cap, so results are identical
+    assert sorted(map(tuple, capped.collect())) == sorted(
+        map(tuple, uncapped.collect())
+    )
+    # a tiny explicit cap actually prunes (df > 1 shingles all dropped)
+    few = ngram_jaccard_pairs(docs, threshold=0.0, max_shingle_df=1)
+    assert few.count() == 0
+
+
 def test_minhash_deterministic_across_repartition(spark, docs):
     a = minhash_lsh_pairs(docs, threshold=0.4).collect()
     b = minhash_lsh_pairs(docs.repartition(7), threshold=0.4).collect()
