@@ -336,7 +336,7 @@ def ivf_ann_topk(
     corpus: DataFrame,
     k: int = 10,
     n_cells: int = 32,
-    nprobe: int = 12,
+    nprobe: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
@@ -345,11 +345,12 @@ def ivf_ann_topk(
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted file) cells.
 
-    Default dial (32 cells, probe 12, 1 Lloyd iteration) scans ~37%
-    of the corpus and holds recall ≈ 0.75 even on near-orthogonal
+    Default dial (32 cells, probe 16, 1 Lloyd iteration) scans ~50%
+    of the corpus and holds recall ≥ 0.8 even on near-orthogonal
     synthetic embeddings — the adversarial case for any space
-    partitioner. Clustered real-world corpora reach the same recall at
-    much lower nprobe/n_cells; tune the dial per corpus.
+    partitioner (pinned at sf0.1 in tests/test_ann_recall_sf01.py).
+    Clustered real-world corpora reach the same recall at much lower
+    nprobe/n_cells; tune the dial per corpus.
 
     Coarse quantizer: every (corpus_size/n_cells)-th corpus vector by
     id seeds a centroid (deterministic, no RNG), then `refine_iters`

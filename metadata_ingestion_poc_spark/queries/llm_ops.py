@@ -253,8 +253,11 @@ def q55_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q56_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 20)
+    # 5 planes × 12 tables: recall ≥0.6 vs brute force at sf0.1
+    # (near-orthogonal corpus, the sign-LSH worst case) — pinned in
+    # tests/test_ann_recall_sf01.py
     return lsh_ann_topk(
-        queries_df, emb, k=10, n_planes=6, n_tables=8
+        queries_df, emb, k=10, n_planes=5, n_tables=12
     ).orderBy("query_id", "rank")
 
 

@@ -102,7 +102,9 @@ def q58_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import hyperplane_signatures
 
     emb = load_table(spark, sf_dir, "embeddings")
-    sig_udf = hyperplane_signatures(dim=64, n_planes=6, n_tables=8)
+    # 5 planes × 12 tables: pair recall ≥0.6 vs the q57 exact subset
+    # at sf0.1 (tests/test_ann_recall_sf01.py)
+    sig_udf = hyperplane_signatures(dim=64, n_planes=5, n_tables=12)
     banded = with_norm(emb).select(
         F.col("vec_id"),
         F.col("__vec").alias("e"),

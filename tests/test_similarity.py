@@ -49,9 +49,10 @@ def test_cosine_topk_deterministic_across_repartition(spark, emb):
 
 
 def test_default_ann_path_recall(spark, emb):
-    # ann_topk's DEFAULTS (ivf, 32 cells, nprobe 12, 2 Lloyd iters)
+    # ann_topk's DEFAULTS (ivf, 32 cells, nprobe 16, 1 Lloyd iter)
     # must hold ≥0.7 recall even on this near-orthogonal corpus — the
-    # adversarial case for any space partitioner. Measured ≈0.79.
+    # adversarial case for any space partitioner. The sf0.1 floor
+    # (≥0.8 over 300 queries) lives in tests/test_ann_recall_sf01.py.
     from metadata_ingestion_poc_spark.operators.similarity import ann_topk
 
     queries = emb.filter(F.col("vec_id") < 20)
