@@ -77,6 +77,7 @@ def _load_all() -> None:
         llm_ops3,
         llm_ops4,
         quality_checks,
+        curation3,
         # -- embedding similarity + near-dup (most expensive) --
         llm_ops2,
         llm_ops,
@@ -92,73 +93,42 @@ def _load_all() -> None:
 # eventually verified. Names not present are skipped silently (renames
 # must not break import).
 #
-# Round-5 rotation note: the round-4 window covers the 10 new queries
-# (q120-q129), the dedup/percentile rewrites, all round-1-credit
-# entries, and the first ~8 round-2-credit entries (q11-q19b). The
-# remaining round-2-credit block (q20-q29, q35, q36, q47-q49, q76,
-# q78, q91-q94) will be three rounds stale by round 5 — promote it
-# first next round, after any round-5 code changes.
+# Round-5 rotation (window N=50): (a) the 7 queries new this round
+# (q131-q137, never swept); (b) every query whose implementation
+# changed in round 5 — q64 (md5 fingerprint), q75 (deterministic
+# stratified sample), q14 (percentiles null-safe lookup), q56/q58/q90
+# (ANN dial retune, rows-only re-pin), q129 (sketch geometry columns,
+# rows-only re-pin), plus the dedup.py-touching oracle queries
+# (finite default cap — q51/q126 as representatives); (c) the
+# round-2-credit block (q20-q29, q35, q36, q47-q49, q76, q78,
+# q91-q94), three rounds stale as of this round — per the round-4
+# rotation note.
+#
+# Round-6 rotation note: after round 5 the oldest unrefreshed credit
+# is the round-3 block (q70-q74, q80-q89, q95-q103, q110-q114,
+# q116-q118) — promote it next, after any round-6 code changes. The
+# round-4 block (q120-q130) follows in round 7.
 # ---------------------------------------------------------------------------
 _SWEEP_PRIORITY = [
-    # -- new in round 4 — never swept.
-    "q120_boilerplate_ngrams",
-    "q121_domain_cap",
-    "q122_shuffle_shard_export",
-    "q123_snapshot_diff",
-    "q124_semantic_dedup",
-    "q125_embedding_quantization",
-    "q126_incremental_dedup",
-    "q127_sketch_rollup",
-    "q128_table_profile",
-    "q129_cms_term_frequencies",
-    "q130_text_normalize",
-    # -- changed in round 4 (dedup.py: one-permutation minhash, numpy
-    # simhash vote, size-gated _spread) — every query that touches that
-    # module needs fresh driver credit.
-    "q50_dedup_exact",
-    "q51_ngram_jaccard_pairs",
-    "q54_dedup_clusters",
-    "q115_curation_pipeline",
-    "q119_ngram_novelty",
-    "q52_minhash_lsh_pairs",  # rows-only, but rewritten — re-pin rows
-    "q53_simhash_pairs",  # rows-only, but rewritten — re-pin rows
-    # -- round-1 credit, three rounds stale — refresh all.
-    "q37_map_struct_funcs",
-    "q40_asof_join",
-    "q41_theta_band_join",
-    "q42_cross_join_grid",
-    "q43_self_join_copurchase",
-    "q44_tpch_q3_shipping_priority",
-    "q45_tpch_q6_forecast_revenue",
-    "q46_tpch_q18_large_orders",
-    "q55_cosine_topk",
-    "q57_cosine_near_dup_exact",
-    "q59_salted_agg",
-    "q60_token_stats",
-    "q61_quality_score",
-    "q62_language_id",
-    "q63_tfidf_top_terms",
-    "q66_data_quality",
-    "q67_pattern_redaction",
-    "q68_doc_chunking",
-    "q73_funnel_conversion",
-    "q74_grouped_zscore",
-    "q104_segment_dedup",
-    "q105_contamination_overlap",
-    "q106_repetition_metrics",
-    "q107_domain_mixture_weights",
-    "q108_label_centroids",
-    "q109_embedding_norm_stats",
-    # -- round-2 credit, two rounds stale — as many as fit the window.
-    "q11_rollup",
-    "q12_cube",
-    "q13_grouping_sets",
-    "q14_percentiles",
-    "q15_variance_stats",
-    "q16_argmax_per_group",
-    "q17_collect_sorted",
-    "q19_pivot",
-    "q19b_unpivot",
+    # -- new in round 5 — never swept.
+    "q131_bigram_lm_score",
+    "q132_lexical_diversity",
+    "q133_vocab_growth",
+    "q134_gopher_quality_rules",
+    "q135_source_kl_divergence",
+    "q136_cross_source_contamination",
+    "q137_dataset_split",
+    # -- changed in round 5 — need fresh driver credit.
+    "q64_fingerprint",  # md5 oracle, newly hash-checkable
+    "q75_stratified_sample",  # deterministic keep filter, new oracle
+    "q14_percentiles",  # null-safe lookup rewrite
+    "q56_lsh_ann_topk",  # rows-only, retuned dial — re-pin rows
+    "q58_cosine_near_dup_lsh",  # rows-only, retuned dial — re-pin rows
+    "q90_ivf_ann_topk",  # rows-only, nprobe default — re-pin rows
+    "q129_cms_term_frequencies",  # sketch geometry columns
+    "q51_ngram_jaccard_pairs",  # dedup.py default change
+    "q126_incremental_dedup",  # dedup.py default change
+    # -- round-2 credit, three rounds stale — refresh all.
     "q20_topk_per_group",
     "q21_rank_dense_ntile",
     "q22_lag_lead",
@@ -180,6 +150,20 @@ _SWEEP_PRIORITY = [
     "q92_bool_aggregates",
     "q93_bitwise_ops",
     "q94_date_spine_gaps",
+    # -- round-2 credit continued (first swept in D2 via entry block).
+    "q11_rollup",
+    "q12_cube",
+    "q13_grouping_sets",
+    "q15_variance_stats",
+    "q16_argmax_per_group",
+    "q17_collect_sorted",
+    "q19_pivot",
+    "q19b_unpivot",
+    "q37_map_struct_funcs",
+    "q40_asof_join",
+    "q41_theta_band_join",
+    "q42_cross_join_grid",
+    "q43_self_join_copurchase",
 ]
 
 
