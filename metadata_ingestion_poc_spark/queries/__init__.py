@@ -118,6 +118,7 @@ _SWEEP_PRIORITY = [
     "q135_source_kl_divergence",
     "q136_cross_source_contamination",
     "q137_dataset_split",
+    "q138_event_attribution",
     # -- changed in round 5 — need fresh driver credit.
     "q64_fingerprint",  # md5 oracle, newly hash-checkable
     "q75_stratified_sample",  # deterministic keep filter, new oracle

@@ -80,3 +80,58 @@ def q71_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q72_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return session_stats(ev, "30 minutes").orderBy("user_id", "session_start")
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream attribution join, batch-equivalent: each view matched
+# to the same user's clicks within 10 minutes, aggregated to one row
+# per converted view (earliest click wins, deterministic); the 4-hour
+# window matches the fixture's event density (~2 events/user/day). The
+# IDENTICAL
+# builder (streaming/joins.py event_attribution) runs under readStream
+# with watermarks on both sides — equality pinned in
+# tests/test_streaming_joins.py; this registration gives the join
+# semantics a full DuckDB value oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "q138_event_attribution",
+    oracle="""
+    WITH v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
+               FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, ts AS click_ts FROM events
+          WHERE event_type = 'click')
+    SELECT v.view_id, v.user_id, v.view_ts,
+           MIN(c.click_ts) AS first_click,
+           COUNT(*)::BIGINT AS n_clicks,
+           date_diff('microsecond', v.view_ts, MIN(c.click_ts))::BIGINT
+             AS delay_us
+    FROM v JOIN c ON c.user_id = v.user_id
+     AND c.click_ts >= v.view_ts
+     AND c.click_ts <= v.view_ts + INTERVAL 4 HOUR
+    GROUP BY v.view_id, v.user_id, v.view_ts
+    ORDER BY view_id
+    """,
+)
+def q138_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..streaming.joins import event_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    j = event_attribution(ev, "view", "click", within="4 hours")
+    return (
+        j.groupBy(
+            F.col("first_id").alias("view_id"),
+            "user_id",
+            F.col("first_ts").alias("view_ts"),
+        )
+        .agg(
+            F.min("then_ts").alias("first_click"),
+            F.count(F.lit(1)).alias("n_clicks"),
+        )
+        .withColumn(
+            "delay_us",
+            F.expr("timestampdiff(MICROSECOND, view_ts, first_click)"),
+        )
+        .orderBy("view_id")
+    )
