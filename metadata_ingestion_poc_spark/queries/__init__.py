@@ -78,6 +78,7 @@ def _load_all() -> None:
         llm_ops4,
         quality_checks,
         curation3,
+        curation4,
         # -- embedding similarity + near-dup (most expensive) --
         llm_ops2,
         llm_ops,
@@ -93,8 +94,8 @@ def _load_all() -> None:
 # eventually verified. Names not present are skipped silently (renames
 # must not break import).
 #
-# Round-5 rotation (window N=50): (a) the 7 queries new this round
-# (q131-q137, never swept); (b) every query whose implementation
+# Round-5 rotation (window N=50): (a) the 11 queries new this round
+# (q131-q141, never swept); (b) every query whose implementation
 # changed in round 5 — q64 (md5 fingerprint), q75 (deterministic
 # stratified sample), q14 (percentiles null-safe lookup), q56/q58/q90
 # (ANN dial retune, rows-only re-pin), q129 (sketch geometry columns,
@@ -119,6 +120,9 @@ _SWEEP_PRIORITY = [
     "q136_cross_source_contamination",
     "q137_dataset_split",
     "q138_event_attribution",
+    "q139_duplicated_spans",
+    "q140_fuzzy_name_match",
+    "q141_self_repeated_spans",
     # -- changed in round 5 — need fresh driver credit.
     "q64_fingerprint",  # md5 oracle, newly hash-checkable
     "q75_stratified_sample",  # deterministic keep filter, new oracle

@@ -1,0 +1,184 @@
+"""Fourth curation batch: exact-substring span dedup and fuzzy
+(edit-distance) matching.
+
+- q139: exact-substring span dedup (Lee et al. 2021 semantics —
+  contiguous shared token runs, found EXACTLY via a positional k-gram
+  index + diagonal run-merge, never a suffix array and never an n²
+  pair scan; see operators/spans.py for the scale argument);
+- q140: blocked fuzzy join — deterministic single-character-deletion
+  probes built from part names, matched back to the name catalog at
+  edit distance <= 1 with first∪last-token blocking. The DuckDB oracle
+  is the BRUTE-FORCE cross join, so the driver check differentially
+  proves the blocking loses nothing (it is complete for two-token
+  strings at distance 1 — operators/fuzzy.py docstring has the
+  pigeonhole argument).
+
+- q141: within-document repeated spans (the template / degenerate-
+  generation detector) over a deterministically augmented corpus —
+  every 7th doc gets its first 20 tokens re-appended in BOTH engines,
+  so the detector must find exactly the planted repeats.
+
+All three queries are integer/string-exact — no floating point
+anywhere — so the cross-engine hash has no rounding hazards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.fuzzy import fuzzy_join_blocked
+from ..operators.spans import duplicated_spans, self_repeated_spans
+from . import query
+
+# Span-dedup dials for the synthetic corpus: 8-token grams, report
+# pairs sharing >= 15 contiguous tokens. The df cap is deliberately
+# exercised (the corpus has grams up past this frequency).
+_K, _MIN_SPAN, _MAX_GRAM_DF = 8, 15, 50
+
+# Identical probe-construction SQL for both engines: delete one
+# character of the FIRST token of p_name at deterministic position
+# (p_partkey % len(first)) + 1, keep the rest of the name intact.
+_PROBE_SQL = (
+    "concat("
+    "substr(split_part(p_name, ' ', 1), 1,"
+    "       p_partkey % length(split_part(p_name, ' ', 1))), "
+    "substr(split_part(p_name, ' ', 1),"
+    "       p_partkey % length(split_part(p_name, ' ', 1)) + 2), "
+    "' ', split_part(p_name, ' ', 2))"
+)
+
+
+@query(
+    "q139_duplicated_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
+      FROM documents),
+    grams AS (
+      SELECT doc_id, i AS pos, array_to_string(l[i:i+{_K - 1}], ' ') AS g
+      FROM toks, LATERAL (
+        SELECT unnest(range(1, greatest(len(l) - {_K}, -1) + 2)) AS i)),
+    capped AS (
+      SELECT doc_id, pos, g FROM (
+        SELECT *, count(*) OVER (PARTITION BY g) AS df FROM grams)
+      WHERE df <= {_MAX_GRAM_DF}),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pa, a.pos - b.pos AS d
+      FROM capped a JOIN capped b USING (g)
+      WHERE a.doc_id < b.doc_id),
+    isl AS (
+      SELECT doc_a, doc_b, d, pa,
+             pa - row_number()
+                    OVER (PARTITION BY doc_a, doc_b, d ORDER BY pa)
+               AS island
+      FROM pairs),
+    spans AS (
+      SELECT doc_a, doc_b, d, island, count(*) + {_K - 1} AS span
+      FROM isl GROUP BY doc_a, doc_b, d, island)
+    SELECT doc_a, doc_b,
+           max(span)::BIGINT AS longest_span,
+           count(*) FILTER (WHERE span >= {_MIN_SPAN})::BIGINT AS n_spans
+    FROM spans GROUP BY doc_a, doc_b
+    HAVING max(span) >= {_MIN_SPAN}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q139_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_spans(
+        docs, k=_K, min_span=_MIN_SPAN, max_gram_df=_MAX_GRAM_DF
+    ).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "q140_fuzzy_name_match",
+    oracle=f"""
+    WITH probes AS (
+      SELECT p_partkey AS probe_id, {_PROBE_SQL} AS probe FROM part),
+    names AS (SELECT DISTINCT p_name AS name FROM part)
+    SELECT probe_id, probe, name,
+           CAST(levenshtein(probe, name) AS INT) AS dist
+    FROM probes CROSS JOIN names
+    WHERE abs(length(probe) - length(name)) <= 1
+      AND levenshtein(probe, name) <= 1
+    ORDER BY probe_id, name
+    """,
+)
+def q140_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    probes = part.select(
+        F.col("p_partkey").alias("probe_id"), F.expr(_PROBE_SQL).alias("probe")
+    )
+    names = part.select(F.col("p_name").alias("name")).distinct()
+    return (
+        fuzzy_join_blocked(probes, names, "probe", "name", max_dist=1)
+        .select("probe_id", "probe", "name", F.col("dist").cast("int"))
+        .orderBy("probe_id", "name")
+    )
+
+
+# Deterministic self-repeat test-bed: the synthetic corpus has no
+# natural within-doc repeats (verified by sweep), so every 7th doc is
+# augmented by re-appending its first 20 raw tokens — identical SQL in
+# both engines — and the detector must find EXACTLY the planted
+# repeats (plus nothing else).
+_SPARK_AUG = (
+    "CASE WHEN doc_id % 7 = 0 THEN "
+    "concat(text, ' ', concat_ws(' ', "
+    "  slice(split(trim(text), '\\\\s+'), 1, 20))) "
+    "ELSE text END"
+)
+_DUCK_AUG = (
+    "CASE WHEN doc_id % 7 = 0 THEN "
+    "concat(text, ' ', array_to_string("
+    "  (string_split_regex(trim(text), '\\s+'))[1:20], ' ')) "
+    "ELSE text END"
+)
+
+
+@query(
+    "q141_self_repeated_spans",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, {_DUCK_AUG} AS text FROM documents),
+    toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
+      FROM aug),
+    grams AS (
+      SELECT doc_id, i AS pos, array_to_string(l[i:i+{_K - 1}], ' ') AS g
+      FROM toks, LATERAL (
+        SELECT unnest(range(1, greatest(len(l) - {_K}, -1) + 2)) AS i)),
+    capped AS (
+      SELECT doc_id, pos, g FROM (
+        SELECT *, count(*) OVER (PARTITION BY g) AS df FROM grams)
+      WHERE df <= {_MAX_GRAM_DF}),
+    pairs AS (
+      SELECT a.doc_id AS doc_id, a.pos AS pa, b.pos - a.pos AS d
+      FROM capped a JOIN capped b
+        ON a.doc_id = b.doc_id AND a.g = b.g AND a.pos < b.pos),
+    isl AS (
+      SELECT doc_id, d, pa,
+             pa - row_number() OVER (PARTITION BY doc_id, d ORDER BY pa)
+               AS island
+      FROM pairs),
+    spans AS (
+      SELECT doc_id, d, island, count(*) + {_K - 1} AS span
+      FROM isl GROUP BY doc_id, d, island)
+    SELECT doc_id,
+           max(span)::BIGINT AS longest_span,
+           count(*) FILTER (WHERE span >= {_MIN_SPAN})::BIGINT AS n_spans
+    FROM spans GROUP BY doc_id
+    HAVING max(span) >= {_MIN_SPAN}
+    ORDER BY doc_id
+    """,
+)
+def q141_self_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SPARK_AUG).alias("text")
+    )
+    return self_repeated_spans(
+        docs, k=_K, min_span=_MIN_SPAN, max_gram_df=_MAX_GRAM_DF
+    ).orderBy("doc_id")

@@ -1,0 +1,125 @@
+"""Exact-substring span dedup: hand-built corpora with known shared
+runs, plus invariance properties."""
+
+from __future__ import annotations
+
+import pytest
+
+from metadata_ingestion_poc_spark.operators.spans import (
+    duplicated_spans,
+    positional_grams,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _words(*idxs):
+    return " ".join(f"w{i}" for i in idxs)
+
+
+def test_positional_grams_positions_and_content(spark):
+    df = _docs(spark, [(1, "a b c d"), (2, "a b")])
+    got = {
+        (r.doc, r.pos, r.g)
+        for r in positional_grams(df, k=3).collect()
+    }
+    assert got == {(1, 1, "a b c"), (1, 2, "b c d")}  # doc 2 too short
+
+
+def test_single_shared_span_exact_length(spark):
+    # docs share exactly tokens 10..29 (20 tokens), different offsets
+    shared = _words(*range(100, 120))
+    a = _words(*range(0, 10)) + " " + shared + " " + _words(*range(200, 210))
+    b = _words(*range(300, 305)) + " " + shared + " " + _words(*range(400, 420))
+    out = duplicated_spans(
+        _docs(spark, [(1, a), (2, b)]), k=5, min_span=10, max_gram_df=None
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.longest_span == 20
+    assert r.n_spans == 1
+
+
+def test_two_disjoint_spans_counted(spark):
+    s1 = _words(*range(100, 115))  # 15 tokens
+    s2 = _words(*range(500, 520))  # 20 tokens
+    a = s1 + " " + _words(*range(0, 8)) + " " + s2
+    b = s2 + " " + _words(*range(700, 709)) + " " + s1
+    out = duplicated_spans(
+        _docs(spark, [(1, a), (2, b)]), k=5, min_span=15, max_gram_df=None
+    ).collect()
+    assert len(out) == 1
+    assert out[0].longest_span == 20
+    assert out[0].n_spans == 2
+
+
+def test_below_min_span_not_reported(spark):
+    shared = _words(*range(100, 109))  # 9 tokens < min_span=10
+    a = _words(*range(0, 10)) + " " + shared
+    b = shared + " " + _words(*range(200, 210))
+    out = duplicated_spans(
+        _docs(spark, [(1, a), (2, b)]), k=5, min_span=10, max_gram_df=None
+    ).collect()
+    assert out == []
+
+
+def test_gram_df_cap_prunes_boilerplate(spark):
+    # the same 12-token run in 4 docs -> every gram has df=4;
+    # cap at 3 removes the whole span from the index
+    shared = _words(*range(100, 112))
+    rows = [(i, _words(*range(i * 50, i * 50 + 5)) + " " + shared)
+            for i in range(1, 5)]
+    full = duplicated_spans(
+        _docs(spark, rows), k=5, min_span=10, max_gram_df=None
+    ).collect()
+    assert len(full) == 6  # all C(4,2) pairs
+    capped = duplicated_spans(
+        _docs(spark, rows), k=5, min_span=10, max_gram_df=3
+    ).collect()
+    assert capped == []
+
+
+def test_min_span_below_k_rejected(spark):
+    with pytest.raises(ValueError):
+        duplicated_spans(_docs(spark, [(1, "a b c")]), k=8, min_span=5)
+
+
+def test_repartition_invariance(spark):
+    shared = _words(*range(100, 118))
+    rows = [
+        (1, _words(*range(0, 12)) + " " + shared),
+        (2, shared + " " + _words(*range(200, 220))),
+        (3, _words(*range(300, 340))),
+    ]
+    df = _docs(spark, rows)
+    a = sorted(
+        map(tuple, duplicated_spans(df, k=5, min_span=12).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            duplicated_spans(df.repartition(7), k=5, min_span=12).collect(),
+        )
+    )
+    assert a == b and len(a) == 1
+
+
+def test_self_repeated_spans_planted_repeat(spark):
+    from metadata_ingestion_poc_spark.operators.spans import (
+        self_repeated_spans,
+    )
+
+    body = _words(*range(0, 30))
+    looped = body + " " + _words(*range(10, 22))  # re-appends tokens 11..22
+    clean = _words(*range(100, 140))
+    out = self_repeated_spans(
+        _docs(spark, [(1, looped), (2, clean)]), k=5, min_span=10,
+        max_gram_df=None,
+    ).collect()
+    assert len(out) == 1
+    assert out[0].doc_id == 1
+    assert out[0].longest_span == 12
+    assert out[0].n_spans == 1
