@@ -33,7 +33,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 # A gram occurring more often than this is index-pruned. The default is
 # deliberately finite (see dedup.DEFAULT_MAX_SHINGLE_DF for the
@@ -79,35 +78,31 @@ def positional_grams(
     )
 
 
-def _capped_grams(
-    docs: DataFrame, id_col: str, k: int, max_gram_df: int | None
+def _occurrence_pairs(
+    grams: DataFrame, max_gram_df: int | None
 ) -> DataFrame:
-    grams = positional_grams(docs, id_col=id_col, k=k)
-    if max_gram_df is not None:
-        w = Window.partitionBy("g")
-        grams = (
-            grams.withColumn("__df", F.count(F.lit(1)).over(w))
-            .filter(F.col("__df") <= max_gram_df)
-            .drop("__df")
-        )
-    return grams
-
-
-def _occurrence_pairs(grams: DataFrame) -> DataFrame:
     """All ((doc,pos), (doc,pos)) occurrence pairs per gram bucket via
     ONE shuffle: groupBy(gram) → sorted occurrence array → C(m,2)
     combinations. Rows are unique by (doc, pos), so each occurrence
     pair appears exactly once (its gram is fixed). sort_array orders
-    by (doc, pos): a.doc <= b.doc, and a.pos < b.pos within a doc."""
-    members = (
-        grams.groupBy("g")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("doc"), F.col("pos")))
-            ).alias("ms")
-        )
-        .filter(F.size("ms") >= 2)
+    by (doc, pos): a.doc <= b.doc, and a.pos < b.pos within a doc.
+
+    The stop-gram df cap is applied HERE, as a bucket-size filter: a
+    gram's df is exactly its member count, so pruning inside the one
+    groupBy the pair generation already needs costs nothing — a
+    window-count pre-pass would shuffle (and sort) the whole index on
+    the same key a second time for no extra information."""
+    members = grams.groupBy("g").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("doc"), F.col("pos")))
+        ).alias("ms")
     )
+    cap = (
+        (F.size("ms") <= max_gram_df)
+        if max_gram_df is not None
+        else F.lit(True)
+    )
+    members = members.filter((F.size("ms") >= 2) & cap)
     ms = F.col("ms")
     return members.select(
         F.explode(
@@ -190,9 +185,9 @@ def duplicated_spans(
         raise ValueError(f"min_span ({min_span}) must be >= k ({k})")
     min_run = min_span - k + 1
 
-    grams = _capped_grams(docs, id_col, k, max_gram_df)
+    grams = positional_grams(docs, id_col=id_col, k=k)
     pairs = (
-        _occurrence_pairs(grams)
+        _occurrence_pairs(grams, max_gram_df)
         # sort_array orders by (doc, pos), so a.doc <= b.doc always;
         # cross-doc filter leaves strictly doc_a < doc_b.
         .filter(F.col("p.a.doc") != F.col("p.b.doc"))
@@ -237,9 +232,9 @@ def self_repeated_spans(
         raise ValueError(f"min_span ({min_span}) must be >= k ({k})")
     min_run = min_span - k + 1
 
-    grams = _capped_grams(docs, id_col, k, max_gram_df)
+    grams = positional_grams(docs, id_col=id_col, k=k)
     pairs = (
-        _occurrence_pairs(grams)
+        _occurrence_pairs(grams, max_gram_df)
         .filter(F.col("p.a.doc") == F.col("p.b.doc"))
         .select(
             F.col("p.a.doc").alias("doc"),
