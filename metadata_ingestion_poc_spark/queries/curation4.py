@@ -18,8 +18,13 @@
   every 7th doc gets its first 20 tokens re-appended in BOTH engines,
   so the detector must find exactly the planted repeats.
 
-All three queries are integer/string-exact — no floating point
-anywhere — so the cross-engine hash has no rounding hazards.
+- q142: near-dup graph degree histogram (corpus-entanglement dial:
+  cluster-collapse vs pair-drop decision input), degree-0 mass
+  included.
+
+q139-q141 are integer/string-exact — no floating point anywhere — so
+the cross-engine hash has no rounding hazards; q142's only float is
+the Jaccard threshold comparison, inherited from q51's pinned form.
 """
 
 from __future__ import annotations
@@ -182,3 +187,69 @@ def q141_self_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return self_repeated_spans(
         docs, k=_K, min_span=_MIN_SPAN, max_gram_df=_MAX_GRAM_DF
     ).orderBy("doc_id")
+
+
+# Near-dup graph degree histogram: how entangled is the corpus? The
+# degree distribution of the q51 similarity graph (3-gram Jaccard >=
+# 0.4 over the df-capped shingle universe) is the dial a curation run
+# reads before choosing cluster-collapse vs pair-drop: a long tail of
+# high-degree hubs means transitive clusters, all-degree<=1 means
+# simple pair pruning suffices. Includes degree-0 docs (the healthy
+# mass) via a left join against the full corpus.
+_DEG_THRESHOLD, _DEG_SHINGLE_DF = 0.4, 20
+
+
+@query(
+    "q142_neardup_degree_histogram",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+               FROM documents),
+    sh0 AS (SELECT DISTINCT doc_id,
+                   toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS s
+            FROM t, unnest(range(greatest(len(toks) - 2, 1))) AS u(i)),
+    sh AS (SELECT doc_id, s FROM (
+             SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS sdf FROM sh0)
+           WHERE sdf <= {_DEG_SHINGLE_DF}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      count(*) AS n_common
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+    pairs AS (SELECT doc_a, doc_b FROM common
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE n_common / (sa.n_sh + sb.n_sh - n_common)
+                    >= {_DEG_THRESHOLD}),
+    deg AS (SELECT doc_id, count(*) AS degree FROM (
+              SELECT doc_a AS doc_id FROM pairs
+              UNION ALL SELECT doc_b FROM pairs) GROUP BY doc_id)
+    SELECT coalesce(deg.degree, 0)::BIGINT AS degree,
+           count(*)::BIGINT AS n_docs
+    FROM documents d LEFT JOIN deg USING (doc_id)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q142_neardup_degree_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, id_col="doc_id", n=3, threshold=_DEG_THRESHOLD,
+        max_shingle_df=_DEG_SHINGLE_DF,
+    )
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        d.select("doc_id")
+        .join(deg, "doc_id", "left")
+        .select(F.coalesce(F.col("degree"), F.lit(0)).alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("degree")
+    )

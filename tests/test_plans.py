@@ -157,3 +157,27 @@ def test_exact_percentiles_no_object_agg(spark, sf_dir):
     plan = physical_plan(df)
     assert "ObjectHashAggregate" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_span_dedup_one_index_shuffle_no_cartesian(spark, sf_dir):
+    """q139: the positional-gram index is shuffled ONCE (the fused
+    pair-generation groupBy — the df cap must not add a window
+    pre-pass), and no plan node is a cartesian/BNLJ product."""
+    df = QUERIES["q139_duplicated_spans"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan  # cap fused into the aggregate
+    # index groupBy + diagonal groupBy + pair groupBy + final sort
+    assert num_shuffles(df) <= 4, formatted_plan(df)
+
+
+def test_fuzzy_join_is_equi_not_cartesian(spark, sf_dir):
+    """q140: the blocked fuzzy join must plan as an equi join on the
+    block key (hash or sort-merge — levenshtein only as a post-filter),
+    never a cartesian/nested-loop over probes x names."""
+    df = QUERIES["q140_fuzzy_name_match"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
