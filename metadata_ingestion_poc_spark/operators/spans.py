@@ -252,3 +252,82 @@ def self_repeated_spans(
         .filter(F.col("longest_span") >= min_span)
         .withColumnRenamed("doc", "doc_id")
     )
+
+
+def duplicated_spans_against(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_span: int = 15,
+    max_gram_df: int | None = DEFAULT_MAX_GRAM_DF,
+) -> DataFrame:
+    """Cross-set exact-substring containment: (batch doc, corpus doc)
+    pairs sharing a contiguous run of >= min_span tokens — the
+    eval-set decontamination pass (find training documents that
+    contain benchmark text verbatim), and the span twin of
+    dedup.ngram_jaccard_pairs_against.
+
+    Same diagonal machinery as duplicated_spans, but the gram buckets
+    hold BOTH sides (one groupBy over the tagged union) and pairs are
+    generated strictly across sides — batch×batch and corpus×corpus
+    co-occurrences cost nothing. The df cap applies to a gram's TOTAL
+    occurrence count across both sets, matching the corpus-wide cap
+    semantics of duplicated_spans. Returns (batch_doc, corpus_doc,
+    longest_span, n_spans); ids may coincide across sets (they are
+    different namespaces — callers join back per side).
+    """
+    if min_span < k:
+        raise ValueError(f"min_span ({min_span}) must be >= k ({k})")
+    min_run = min_span - k + 1
+
+    bg = positional_grams(batch, id_col=id_col, k=k).withColumn(
+        "side", F.lit("b")
+    )
+    cg = positional_grams(corpus, id_col=id_col, k=k).withColumn(
+        "side", F.lit("c")
+    )
+    occ = F.struct(F.col("doc"), F.col("pos"))
+    members = (
+        bg.unionAll(cg)
+        .groupBy("g")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.when(F.col("side") == "b", occ))
+            ).alias("mb"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("side") == "c", occ))
+            ).alias("mc"),
+        )
+        .filter((F.size("mb") >= 1) & (F.size("mc") >= 1))
+    )
+    if max_gram_df is not None:
+        members = members.filter(
+            (F.size("mb") + F.size("mc")) <= max_gram_df
+        )
+    pairs = members.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "mb",
+                    lambda x: F.transform(
+                        "mc", lambda y: F.struct(x.alias("a"), y.alias("b"))
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(
+        F.col("p.a.doc").alias("batch_doc"),
+        F.col("p.b.doc").alias("corpus_doc"),
+        F.col("p.a.pos").alias("pa"),
+        (F.col("p.a.pos") - F.col("p.b.pos")).alias("d"),
+    )
+    diag = _diagonal_spans(pairs, ["batch_doc", "corpus_doc"], k, min_run)
+    return (
+        diag.groupBy("batch_doc", "corpus_doc")
+        .agg(
+            F.max("span").cast("long").alias("longest_span"),
+            F.sum("cnt").cast("long").alias("n_spans"),
+        )
+        .filter(F.col("longest_span") >= min_span)
+    )

@@ -22,8 +22,12 @@
   cluster-collapse vs pair-drop decision input), degree-0 mass
   included.
 
-q139-q141 are integer/string-exact — no floating point anywhere — so
-the cross-engine hash has no rounding hazards; q142's only float is
+- q143: eval-set decontamination — cross-set span containment between
+  the q137 deterministic train/eval split (the pass a pretraining
+  pipeline runs against benchmark suites before training).
+
+q139-q141/q143 are integer/string-exact — no floating point anywhere —
+so the cross-engine hash has no rounding hazards; q142's only float is
 the Jaccard threshold comparison, inherited from q51's pinned form.
 """
 
@@ -34,7 +38,12 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.fuzzy import fuzzy_join_blocked
-from ..operators.spans import duplicated_spans, self_repeated_spans
+from ..operators.spans import (
+    duplicated_spans,
+    duplicated_spans_against,
+    self_repeated_spans,
+)
+from . import curation3 as _c3
 from . import query
 
 # Span-dedup dials for the synthetic corpus: 8-token grams, report
@@ -252,4 +261,76 @@ def q142_neardup_degree_histogram(
         .groupBy("degree")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("degree")
+    )
+
+
+# Eval-set decontamination: which TRAIN documents contain >= 15-token
+# verbatim runs of EVAL text? The split is q137's deterministic
+# id-hash (train = per-mille < 800), so both engines carve identical
+# sides; detection is the cross-set span operator. This is the pass a
+# pretraining pipeline runs against benchmark suites before training —
+# whole-document similarity misses a benchmark question pasted into a
+# long page, exact spans do not.
+@query(
+    "q143_eval_decontamination",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, text,
+             (doc_id % {_c3._SPLIT_PRIME}) * {_c3._SPLIT_MULT} % 1000 AS r
+      FROM documents),
+    toks AS (
+      SELECT doc_id, r, string_split_regex(lower(trim(text)), '\\s+') AS l
+      FROM s),
+    grams AS (
+      SELECT doc_id, r, i AS pos, array_to_string(l[i:i+{_K - 1}], ' ') AS g
+      FROM toks, LATERAL (
+        SELECT unnest(range(1, greatest(len(l) - {_K}, -1) + 2)) AS i)),
+    capped AS (
+      SELECT doc_id, r, pos, g FROM (
+        SELECT *, count(*) OVER (PARTITION BY g) AS df FROM grams)
+      WHERE df <= {_MAX_GRAM_DF}),
+    pairs AS (
+      SELECT a.doc_id AS eval_doc, b.doc_id AS train_doc,
+             a.pos AS pa, a.pos - b.pos AS d
+      FROM capped a JOIN capped b USING (g)
+      WHERE a.r >= {_c3._TRAIN_PM} AND b.r < {_c3._TRAIN_PM}),
+    isl AS (
+      SELECT eval_doc, train_doc, d, pa,
+             pa - row_number()
+                    OVER (PARTITION BY eval_doc, train_doc, d ORDER BY pa)
+               AS island
+      FROM pairs),
+    spans AS (
+      SELECT eval_doc, train_doc, d, island, count(*) + {_K - 1} AS span
+      FROM isl GROUP BY eval_doc, train_doc, d, island)
+    SELECT eval_doc, train_doc,
+           max(span)::BIGINT AS longest_span,
+           count(*) FILTER (WHERE span >= {_MIN_SPAN})::BIGINT AS n_spans
+    FROM spans GROUP BY eval_doc, train_doc
+    HAVING max(span) >= {_MIN_SPAN}
+    ORDER BY eval_doc, train_doc
+    """,
+)
+def q143_eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    r = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(_c3._SPLIT_PRIME))
+        * F.lit(_c3._SPLIT_MULT),
+        F.lit(1000),
+    )
+    d = d.withColumn("__r", r)
+    eval_docs = d.filter(F.col("__r") >= _c3._TRAIN_PM).drop("__r")
+    train_docs = d.filter(F.col("__r") < _c3._TRAIN_PM).drop("__r")
+    return (
+        duplicated_spans_against(
+            eval_docs, train_docs,
+            k=_K, min_span=_MIN_SPAN, max_gram_df=_MAX_GRAM_DF,
+        )
+        .select(
+            F.col("batch_doc").alias("eval_doc"),
+            F.col("corpus_doc").alias("train_doc"),
+            "longest_span",
+            "n_spans",
+        )
+        .orderBy("eval_doc", "train_doc")
     )

@@ -123,3 +123,51 @@ def test_self_repeated_spans_planted_repeat(spark):
     assert out[0].doc_id == 1
     assert out[0].longest_span == 12
     assert out[0].n_spans == 1
+
+
+def test_spans_against_cross_set_only(spark):
+    from metadata_ingestion_poc_spark.operators.spans import (
+        duplicated_spans_against,
+    )
+
+    shared = _words(*range(100, 118))  # 18 tokens
+    batch = _docs(spark, [
+        (1, _words(*range(0, 10)) + " " + shared),
+        (2, _words(*range(20, 60))),  # clean
+        (3, shared),                  # the whole doc is the span
+    ])
+    # corpus docs 1 and 2 share the span WITH EACH OTHER too — that
+    # within-corpus pair must NOT be reported
+    corpus = _docs(spark, [
+        (1, shared + " " + _words(*range(200, 220))),
+        (2, _words(*range(300, 310)) + " " + shared),
+        (9, _words(*range(400, 440))),
+    ])
+    out = sorted(
+        (r.batch_doc, r.corpus_doc, r.longest_span, r.n_spans)
+        for r in duplicated_spans_against(
+            batch, corpus, k=5, min_span=15, max_gram_df=None
+        ).collect()
+    )
+    assert out == [
+        (1, 1, 18, 1), (1, 2, 18, 1),
+        (3, 1, 18, 1), (3, 2, 18, 1),
+    ]
+
+
+def test_spans_against_df_cap_counts_both_sides(spark):
+    from metadata_ingestion_poc_spark.operators.spans import (
+        duplicated_spans_against,
+    )
+
+    shared = _words(*range(100, 115))
+    batch = _docs(spark, [(i, shared) for i in range(1, 4)])   # df 3
+    corpus = _docs(spark, [(i, shared) for i in range(10, 13)])  # +3 = 6
+    found = duplicated_spans_against(
+        batch, corpus, k=5, min_span=15, max_gram_df=6
+    ).count()
+    assert found == 9
+    capped = duplicated_spans_against(
+        batch, corpus, k=5, min_span=15, max_gram_df=5
+    ).count()
+    assert capped == 0
