@@ -19,6 +19,7 @@ KNOWN_SOURCE_TYPES = (
     "json",
     "parquet",
     "orc",
+    "xml",
     "binary",
     "jdbc",
     "olap",

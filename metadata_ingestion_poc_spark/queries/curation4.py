@@ -26,6 +26,9 @@
   the q137 deterministic train/eval split (the pass a pretraining
   pipeline runs against benchmark suites before training).
 
+- q144: VARIANT-typed semi-structured analytics (Spark 4 parse_json /
+  try_variant_get) over the events props JSON.
+
 q139-q141/q143 are integer/string-exact — no floating point anywhere —
 so the cross-engine hash has no rounding hazards; q142's only float is
 the Jaccard threshold comparison, inherited from q51's pinned form.
@@ -333,4 +336,43 @@ def q143_eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_spans",
         )
         .orderBy("eval_doc", "train_doc")
+    )
+
+
+# Semi-structured analytics through Spark 4's VARIANT type: ingest the
+# JSON props column AS VARIANT (parse once, binary-encoded, no schema
+# declared), then extract typed paths at query time — the modern
+# replacement for get_json_object string re-parsing (q37 keeps the
+# classic path for comparison). The oracle is DuckDB's JSON extraction
+# over the same strings.
+@query(
+    "q144_variant_json_analytics",
+    oracle="""
+    SELECT event_type,
+           count(*)::BIGINT AS n_events,
+           min(CAST(json_extract_string(props, '$.k') AS INT))::BIGINT
+             AS k_min,
+           max(CAST(json_extract_string(props, '$.k') AS INT))::BIGINT
+             AS k_max,
+           SUM(CAST(json_extract_string(props, '$.k') AS INT))::BIGINT
+             AS k_sum
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q144_variant_json_analytics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("k").cast("long").alias("k_min"),
+            F.max("k").cast("long").alias("k_max"),
+            F.sum("k").cast("long").alias("k_sum"),
+        )
+        .orderBy("event_type")
     )

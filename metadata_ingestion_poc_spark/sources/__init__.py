@@ -71,6 +71,23 @@ def binary_reader(spark: SparkSession, options: dict) -> DataFrame:
     )
 
 
+def xml_reader(spark: SparkSession, options: dict) -> DataFrame:
+    """XML ingestion via Spark 4's built-in xml source. ``rowTag``
+    selects the repeated record element (default "row"); remaining
+    options pass through verbatim (schema, mode, etc.), matching the
+    other readers' contract.
+    """
+    opts = dict(options)
+    path = opts.pop("path")
+    opts.pop("hub_columns", None)
+    opts.setdefault("rowTag", "row")
+    schema = opts.pop("schema", None)
+    reader = spark.read.format("xml").options(**opts)
+    if schema:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
 def jdbc_reader(spark: SparkSession, options: dict) -> DataFrame:
     """Remote table scan. Requires url + dbtable (+ driver/user/password).
 
@@ -108,6 +125,7 @@ READERS: dict[str, ReaderFn] = {
     "json": json_reader,
     "parquet": parquet_reader,
     "orc": orc_reader,
+    "xml": xml_reader,
     "binary": binary_reader,
     "jdbc": jdbc_reader,
     "olap": olap_reader,

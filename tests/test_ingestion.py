@@ -239,3 +239,25 @@ def test_csv_explicit_schema_with_corrupt_capture(spark, tmp_path):
     good = sorted(r.pk for r in rows if r["_corrupt_record"] is None)
     assert good == [1, 3]
     assert len(bad) == 1 and "two" in bad[0]["_corrupt_record"]
+
+
+def test_xml_reader_rowtag_and_options(spark, tmp_path):
+    xdir = tmp_path / "xml_src"
+    xdir.mkdir()
+    (xdir / "t.xml").write_text(
+        "<items><item><id>1</id><name>ring</name></item>"
+        "<item><id>2</id><name>bolt</name></item></items>"
+    )
+    out = get_reader("xml")(spark, {"path": str(xdir), "rowTag": "item"})
+    rows = sorted((r.id, r.name) for r in out.collect())
+    assert rows == [(1, "ring"), (2, "bolt")]
+
+
+def test_xml_source_type_accepted_in_metadata():
+    from metadata_ingestion_poc_spark.metadata import Source
+
+    s = Source(
+        id="x1", type="xml", domain="d", entity="e",
+        options={"path": "/tmp/x", "rowTag": "item"},
+    )
+    assert s.type == "xml"
