@@ -196,3 +196,46 @@ def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.size(F.split(F.col("norm_text"), " "))
         ),
     )
+
+
+def compression_ratio(
+    docs: DataFrame, text_col: str = "text", level: int = 6
+) -> DataFrame:
+    """zlib compressed-size / raw-size per document — the standard
+    repetitiveness screen (Gopher / RefinedWeb style): machine loops
+    and boilerplate compress far below natural text, so a low ratio is
+    a drop signal the n-gram heuristics can miss.
+
+    zlib has no JVM-expression or DuckDB equivalent, so this is the
+    honest pandas_udf case: Arrow-batched, one C-speed compress per
+    document, no per-row Python object churn beyond the codec call.
+    Deterministic for a fixed zlib version+level (pinned by exact-value
+    tests), but NOT SQL-expressible — query registrations are
+    rows-only by design. Adds ``raw_len`` (utf-8 bytes), ``zlib_len``,
+    ``compression_ratio`` (6dp, 0.0 for empty docs).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    def _zlen_batch(s):
+        import zlib
+
+        return s.fillna("").map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), level))
+        )
+
+    # lambda-style registration: the module uses `from __future__ import
+    # annotations`, which turns pd.Series hints into strings pyspark's
+    # hint parser can't resolve here
+    _zlen = pandas_udf(_zlen_batch, "long")
+
+    raw_len = F.length(F.encode(F.coalesce(F.col(text_col), F.lit("")), "utf-8"))
+    return (
+        docs.withColumn("raw_len", raw_len.cast("long"))
+        .withColumn("zlib_len", _zlen(F.col(text_col)))
+        .withColumn(
+            "compression_ratio",
+            F.when(F.col("raw_len") == 0, F.lit(0.0)).otherwise(
+                F.round(F.col("zlib_len") / F.col("raw_len"), 6)
+            ),
+        )
+    )

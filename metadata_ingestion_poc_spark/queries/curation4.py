@@ -376,3 +376,30 @@ def q144_variant_json_analytics(
         )
         .orderBy("event_type")
     )
+
+
+# Compression-ratio repetitiveness screen (rows-only by design: zlib
+# exists in neither DuckDB nor Spark SQL — determinism for the pinned
+# zlib level is proven by exact-value unit tests instead). Per-source
+# aggregate of the per-doc ratio plus the count flagged below the
+# drop threshold.
+_ZLIB_FLAG_BELOW = 0.30
+
+
+@query("q146_compression_screen")
+def q146_compression_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import compression_ratio
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        compression_ratio(d)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("compression_ratio"), 6).alias("mean_ratio"),
+            F.count_if(
+                F.col("compression_ratio") < _ZLIB_FLAG_BELOW
+            ).alias("n_flagged"),
+        )
+        .orderBy("source")
+    )

@@ -91,3 +91,47 @@ def q95_trailing_hour_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.count(F.lit(1)).over(w).alias("n_last_hour"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users grouped by first-activity date, activity
+# counted per whole-week offset from that cohort date. Offsets are
+# pure integer day arithmetic (floor(days/7)) — deliberately NOT
+# date_trunc('week', ...), whose week-start convention is an
+# engine-semantics hazard. Two hash aggregates + one broadcast-able
+# join (cohort table is |users| rows, tiny next to the event log).
+# ---------------------------------------------------------------------------
+@query(
+    "q145_cohort_retention",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+      FROM events GROUP BY user_id),
+    a AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+    SELECT cohort,
+           CAST(floor((d - cohort) / 7.0) AS INT) AS week_offset,
+           count(DISTINCT a.user_id)::BIGINT AS n_users
+    FROM a JOIN u USING (user_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q145_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    cohorts = ev.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    activity = ev.distinct()
+    return (
+        activity.join(F.broadcast(cohorts), "user_id")
+        .select(
+            "cohort",
+            F.floor(F.datediff("d", "cohort") / 7)
+            .cast("int")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort", "week_offset")
+    )

@@ -171,3 +171,27 @@ def test_spans_against_df_cap_counts_both_sides(spark):
         batch, corpus, k=5, min_span=15, max_gram_df=5
     ).count()
     assert capped == 0
+
+
+def test_compression_ratio_exact_values(spark):
+    import zlib
+
+    from metadata_ingestion_poc_spark.operators.text import (
+        compression_ratio,
+    )
+
+    loopy = "spam " * 200        # compresses hard
+    nat = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [(1, loopy), (2, nat), (3, "")], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: (r.raw_len, r.zlib_len, r.compression_ratio)
+        for r in compression_ratio(df).collect()
+    }
+    for i, t in ((1, loopy), (2, nat)):
+        raw = len(t.encode())
+        z = len(zlib.compress(t.encode(), 6))
+        assert got[i] == (raw, z, round(z / raw, 6))
+    assert got[3] == (0, len(zlib.compress(b"", 6)), 0.0)
+    assert got[1][2] < 0.1 < got[2][2]  # the screen separates them
