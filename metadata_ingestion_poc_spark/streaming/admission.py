@@ -52,16 +52,22 @@ def admit_batch(
     threshold: float = 0.6,
     max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
     batch_id: int | str | None = None,
+    span_min: int | None = None,
+    span_k: int = 8,
 ) -> None:
     """Admit one batch of documents (column ``text`` + `id_col`).
 
-    Three gates, then append-via-swap:
+    Three gates (plus an optional fourth), then append-via-swap:
 
     1. exact dedup on the normalized text hash (keep min id);
     2. within-batch near-dup: n-gram Jaccard pairs ≥ threshold, the
        larger id of every pair is dropped (greedy, deterministic);
     3. cross-set near-dup vs the accepted corpus: any batch doc with a
-       Jaccard-≥-threshold match among accepted docs is rejected.
+       Jaccard-≥-threshold match among accepted docs is rejected;
+    4. (``span_min`` set) cross-set span containment: a batch doc that
+       shares a contiguous run of ≥ span_min tokens with ANY accepted
+       doc is rejected, even when its whole-document Jaccard is far
+       below threshold — the pasted-excerpt case gate 3 cannot see.
     """
     target = Path(path)
     recover(target)
@@ -102,6 +108,19 @@ def admit_batch(
             id_col,
             "left_anti",
         )
+        if span_min is not None:
+            from ..operators.spans import duplicated_spans_against
+
+            span_hits = duplicated_spans_against(
+                b, corpus, id_col=id_col, k=span_k, min_span=span_min,
+            )
+            b = b.join(
+                span_hits.select(
+                    F.col("batch_doc").alias(id_col)
+                ).distinct(),
+                id_col,
+                "left_anti",
+            )
 
     survivors = b.select(*cols)
     merged = (
@@ -131,6 +150,8 @@ def stream_corpus_admission(
     threshold: float = 0.6,
     max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
     trigger_available_now: bool = True,
+    span_min: int | None = None,
+    span_k: int = 8,
 ) -> StreamingQuery:
     """Document stream → dedup-gated corpus via foreachBatch(admit_batch).
 
@@ -148,6 +169,8 @@ def stream_corpus_admission(
             threshold=threshold,
             max_shingle_df=max_shingle_df,
             batch_id=batch_id,
+            span_min=span_min,
+            span_k=span_k,
         )
 
     writer = (

@@ -103,3 +103,41 @@ def test_stream_corpus_admission_end_to_end(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(corpus).count() == 3
+
+
+def test_admission_span_gate_catches_pasted_excerpt(spark, tmp_path):
+    path = str(tmp_path / "corpus_span")
+    base = " ".join(f"w{i}" for i in range(40))
+    admit_batch(spark, _docs(spark, [(1, base)]), path, batch_id=0)
+
+    # a long novel doc that embeds a 16-token verbatim excerpt of the
+    # accepted doc: whole-doc Jaccard is far below the 0.6 gate, so
+    # without the span gate it is admitted...
+    excerpt = " ".join(f"w{i}" for i in range(10, 26))
+    pasted = (
+        " ".join(f"x{i}" for i in range(60))
+        + " " + excerpt + " "
+        + " ".join(f"y{i}" for i in range(60))
+    )
+    clean = " ".join(f"z{i}" for i in range(80))
+
+    admit_batch(
+        spark, _docs(spark, [(10, pasted), (11, clean)]), path,
+        threshold=0.6, batch_id=1,
+    )
+    assert {r.doc_id for r in spark.read.parquet(path).collect()} == {
+        1, 10, 11,
+    }
+
+    # ...with the span gate (>= 15 shared tokens) the pasted doc is
+    # rejected and only the clean doc joins. (Fresh corpus dir to keep
+    # the scenario identical.)
+    path2 = str(tmp_path / "corpus_span2")
+    admit_batch(spark, _docs(spark, [(1, base)]), path2, batch_id=0)
+    admit_batch(
+        spark, _docs(spark, [(10, pasted), (11, clean)]), path2,
+        threshold=0.6, batch_id=1, span_min=15, span_k=5,
+    )
+    assert {r.doc_id for r in spark.read.parquet(path2).collect()} == {
+        1, 11,
+    }
