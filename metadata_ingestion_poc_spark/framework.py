@@ -18,6 +18,7 @@ Audit columns (framework.py:27-32 semantics):
 from __future__ import annotations
 
 import datetime as dt
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -71,11 +72,38 @@ def run_source(
     source: Source,
     cfg: Config,
     ingest_date: str | None = None,
-) -> None:
+) -> dict[str, int]:
+    """Ingest one source; returns observed metrics for the run.
+
+    Metrics ride the RAW write through Spark's Observation API — an
+    accumulator attached to the existing action, NOT an extra count()
+    scan (at 100 TB a metrics-only second pass over the source is the
+    observability anti-pattern). ``rows_ingested`` counts clean rows
+    written; ``null_key_rows`` counts rows with any NULL hub primary
+    key — the upsert-identity health signal a metadata-driven pipeline
+    alerts on.
+    """
+    from pyspark.sql import Observation
+
     reader = get_reader(source.type)
     df = reader(spark, source.options)
     df = add_audit_columns(df, source, ingest_date)
     df = quarantine_malformed(df, source, cfg)
+
+    obs = Observation(f"ingest_{source.id}")
+    if source.hub_primary_keys:
+        any_null = reduce(
+            lambda a, b: a | b,
+            [F.col(k).isNull() for k in source.hub_primary_keys],
+        )
+        null_key = F.count_if(any_null)
+    else:
+        null_key = F.lit(0)
+    df = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_ingested"),
+        null_key.cast("long").alias("null_key_rows"),
+    )
 
     # one physical scan feeds both zone writes
     df = df.cache()
@@ -96,6 +124,7 @@ def run_source(
         )
     finally:
         df.unpersist()
+    return {k: int(v) for k, v in obs.get.items()}
 
 
 def run(
@@ -103,14 +132,23 @@ def run(
     sources_yaml: str,
     env: str = "local",
     ingest_date: str | None = None,
+    metrics_sink=None,
 ) -> list[str]:
-    """Ingest every enabled source; returns the ids that ran."""
+    """Ingest every enabled source; returns the ids that ran.
+
+    ``metrics_sink``: optional ``(source_id, metrics_dict) -> None``
+    callback receiving each source's observed counters (see
+    run_source) — the hook a production deployment points at its
+    metrics system.
+    """
     ss: SourceSystem = load_sources(sources_yaml)
     cfg = Config.from_defaults(ss.defaults, env=env)
     ran: list[str] = []
     for source in ss.sources:
         if not source.enabled:
             continue
-        run_source(spark, source, cfg, ingest_date)
+        metrics = run_source(spark, source, cfg, ingest_date)
+        if metrics_sink is not None:
+            metrics_sink(source.id, metrics)
         ran.append(source.id)
     return ran

@@ -261,3 +261,44 @@ def test_xml_source_type_accepted_in_metadata():
         options={"path": "/tmp/x", "rowTag": "item"},
     )
     assert s.type == "xml"
+
+
+def test_run_reports_observed_metrics(spark, lake):
+    tmp, yaml_path = lake
+    seen = {}
+    run(
+        spark, yaml_path, ingest_date="2026-08-13",
+        metrics_sink=lambda sid, m: seen.__setitem__(sid, m),
+    )
+    assert seen["people_csv"]["rows_ingested"] == 3
+    assert seen["people_csv"]["null_key_rows"] == 0
+    assert seen["clicks_json"]["rows_ingested"] == 2
+    assert seen["clicks_json"]["null_key_rows"] == 0  # keyless source
+    assert seen["sales_olap"]["rows_ingested"] == 3
+
+
+def test_run_source_counts_null_keys(spark, tmp_path):
+    from metadata_ingestion_poc_spark.config import Config
+    from metadata_ingestion_poc_spark.framework import run_source
+    from metadata_ingestion_poc_spark.metadata import Source
+
+    (tmp_path / "in").mkdir()
+    (tmp_path / "in" / "k.csv").write_text(
+        "k1,k2,v\n1,a,x\n,b,y\n2,,z\n3,c,w\n"
+    )
+    src = Source(
+        id="nullkeys", type="csv", domain="d", entity="e",
+        options={
+            "path": str(tmp_path / "in" / "k.csv"),
+            "header": True, "inferSchema": True,
+        },
+        hub_primary_keys=["k1", "k2"],
+    )
+    cfg = Config(
+        env="local",
+        raw_base=str(tmp_path / "raw"),
+        hub_base=str(tmp_path / "hub"),
+        checkpoint_base=str(tmp_path / "cp"),
+    )
+    m = run_source(spark, src, cfg, ingest_date="2026-08-13")
+    assert m == {"rows_ingested": 4, "null_key_rows": 2}
