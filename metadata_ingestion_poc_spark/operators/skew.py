@@ -74,3 +74,41 @@ def salted_join(
     )
     out = big_salted.join(small_replicated, [*on, "__salt"], how)
     return out.drop("__salt")
+
+
+def partition_histogram(df: DataFrame) -> DataFrame:
+    """Per-partition row counts — the skew diagnosis primitive.
+
+    One row per non-empty partition: (partition_id, n_rows). Run it on
+    a frame AFTER a repartition/join to see whether a hot key
+    concentrated the data (one partition holding 100x the median is
+    the signal that salting / AQE skew-split is needed). Implemented
+    as groupBy(spark_partition_id()) — a tiny aggregate whose output
+    is at most `numPartitions` rows, safe to collect or join at any
+    scale.
+    """
+    return (
+        df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("partition_id")
+    )
+
+
+def skew_ratio(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Key-frequency skew summary for a prospective shuffle key.
+
+    Returns ONE row: (n_keys, max_rows, p50_rows, skew_ratio =
+    max/median). A ratio far above ~10 predicts stragglers when
+    shuffling on `keys` and argues for salting or a different key.
+    Two small aggregates; the per-key intermediate is the only
+    shuffle, exactly the one being diagnosed.
+    """
+    per_key = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("__n").alias("max_rows"),
+        F.expr("percentile_approx(__n, 0.5)").alias("p50_rows"),
+        F.round(
+            F.max("__n") / F.expr("percentile_approx(__n, 0.5)"), 2
+        ).alias("skew_ratio"),
+    )

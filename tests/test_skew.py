@@ -70,3 +70,29 @@ def test_salted_agg_spreads_hot_key(spark):
     ).first()
     assert out.total == sum(range(10_000))
     assert out.n == 10_000
+
+
+def test_partition_histogram_counts_all_rows(spark):
+    from metadata_ingestion_poc_spark.operators.skew import (
+        partition_histogram,
+    )
+
+    df = spark.range(0, 1000).repartition(8)
+    h = partition_histogram(df).collect()
+    assert sum(r.n_rows for r in h) == 1000
+    assert len(h) <= 8
+    assert all(r.n_rows > 0 for r in h)
+
+
+def test_skew_ratio_flags_hot_key(spark):
+    from pyspark.sql import functions as F
+
+    from metadata_ingestion_poc_spark.operators.skew import skew_ratio
+
+    df = spark.range(0, 1100).withColumn(
+        "k", F.when(F.col("id") < 1000, F.lit(0)).otherwise(F.col("id"))
+    )
+    r = skew_ratio(df, ["k"]).collect()[0]
+    assert r.n_keys == 101
+    assert r.max_rows == 1000
+    assert r.skew_ratio >= 100
