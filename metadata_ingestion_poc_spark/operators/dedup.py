@@ -560,3 +560,52 @@ def simhash_pairs(
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Directed n-gram containment: |A∩B| / |A| per ordered pair.
+
+    Jaccard punishes size mismatch — a 50-token doc quoted verbatim
+    inside a 5000-token doc has near-zero Jaccard but containment ~1.0
+    from the small side. Same inverted-index skeleton and cost model
+    as ngram_jaccard_pairs (ONE bucket shuffle, stop-shingle cap);
+    only the final arithmetic differs. Returns (doc_a, doc_b,
+    containment_a, containment_b, jaccard) with doc_a < doc_b, kept
+    when EITHER direction reaches ``threshold``; all ratios 6dp.
+    """
+    docs = _spread(docs)
+    idx = _shingle_index(docs, id_col, n, max_shingle_df)
+    sizes = idx.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    common = (
+        _bucket_pairs(idx, ["sh"], "doc")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("containment_a", F.round(F.col("n_common") / F.col("n_a"), 6))
+        .withColumn("containment_b", F.round(F.col("n_common") / F.col("n_b"), 6))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(
+            (F.col("containment_a") >= threshold)
+            | (F.col("containment_b") >= threshold)
+        )
+        .select("doc_a", "doc_b", "containment_a", "containment_b", "jaccard")
+    )

@@ -94,8 +94,8 @@ def _load_all() -> None:
 # eventually verified. Names not present are skipped silently (renames
 # must not break import).
 #
-# Round-5 rotation (window N=50): (a) the 16 queries new this round
-# (q131-q146, never swept); (b) every query whose implementation
+# Round-5 rotation (window N=50): (a) the 17 queries new this round
+# (q131-q147, never swept); (b) every query whose implementation
 # changed in round 5 — q64 (md5 fingerprint), q75 (deterministic
 # stratified sample), q14 (percentiles null-safe lookup), q56/q58/q90
 # (ANN dial retune, rows-only re-pin), q129 (sketch geometry columns,
@@ -128,6 +128,7 @@ _SWEEP_PRIORITY = [
     "q144_variant_json_analytics",
     "q145_cohort_retention",
     "q146_compression_screen",  # rows-only by design (zlib)
+    "q147_ngram_containment_pairs",
     # -- changed in round 5 — need fresh driver credit.
     "q64_fingerprint",  # md5 oracle, newly hash-checkable
     "q75_stratified_sample",  # deterministic keep filter, new oracle

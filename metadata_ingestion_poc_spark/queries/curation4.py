@@ -403,3 +403,57 @@ def q146_compression_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Directed containment near-dup: the quoted-excerpt / subset detector.
+# Jaccard punishes size mismatch (small doc inside big doc scores near
+# zero); containment from the small side scores ~1. Same inverted
+# index and df cap as q51 — only the final arithmetic differs.
+_CONT_THRESHOLD, _CONT_SHINGLE_DF = 0.8, 20
+
+
+@query(
+    "q147_ngram_containment_pairs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+               FROM documents),
+    sh0 AS (SELECT DISTINCT doc_id,
+                   toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS s
+            FROM t, unnest(range(greatest(len(toks) - 2, 1))) AS u(i)),
+    sh AS (SELECT doc_id, s FROM (
+             SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS sdf FROM sh0)
+           WHERE sdf <= {_CONT_SHINGLE_DF}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      count(*) AS n_common
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           ROUND(n_common / sa.n_sh, 6)::DOUBLE AS containment_a,
+           ROUND(n_common / sb.n_sh, 6)::DOUBLE AS containment_b,
+           ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6)::DOUBLE
+             AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ROUND(n_common / sa.n_sh, 6) >= {_CONT_THRESHOLD}
+       OR ROUND(n_common / sb.n_sh, 6) >= {_CONT_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q147_ngram_containment_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import ngram_containment_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        ngram_containment_pairs(
+            d, id_col="doc_id", n=3, threshold=_CONT_THRESHOLD,
+            max_shingle_df=_CONT_SHINGLE_DF,
+        )
+        .withColumn("containment_a", F.col("containment_a").cast("double"))
+        .withColumn("containment_b", F.col("containment_b").cast("double"))
+        .withColumn("jaccard", F.col("jaccard").cast("double"))
+        .orderBy("doc_a", "doc_b")
+    )

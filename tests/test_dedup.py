@@ -116,3 +116,29 @@ def test_normalize_text_corners(spark):
     assert got[2] == ("", 0)   # all-punctuation collapses to empty
     assert got[3] == ("", 0)
     assert got[4] == ("a1 b2 c3", 3)
+
+
+def test_containment_catches_quoted_excerpt(spark):
+    from metadata_ingestion_poc_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    small = " ".join(f"w{i}" for i in range(12))
+    big = (
+        " ".join(f"x{i}" for i in range(80))
+        + " " + small + " "
+        + " ".join(f"y{i}" for i in range(80))
+    )
+    other = " ".join(f"z{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, small), (2, big), (3, other)], ["doc_id", "text"]
+    )
+    rows = ngram_containment_pairs(
+        df, n=3, threshold=0.9, max_shingle_df=None
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.containment_a == 1.0   # every small-doc shingle is in big
+    assert r.containment_b < 0.1    # big side barely overlaps
+    assert r.jaccard < 0.1          # jaccard alone would miss this

@@ -123,3 +123,61 @@ def test_exact_percentiles_match_builtin_property(spark, vals, p):
     )
     ref = df.agg(F.percentile("v", F.lit(p)).alias("q")).first().q
     assert abs(mine - ref) <= 1e-9 * max(1.0, abs(ref))
+
+
+def _ref_spans(token_lists, k, min_span):
+    """O(n² · len²) reference for duplicated_spans: maximal equal-token
+    runs per alignment diagonal; runs shorter than k are invisible to
+    a k-gram index."""
+    out = {}
+    ids = sorted(token_lists)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            ta, tb = token_lists[a], token_lists[b]
+            runs = []
+            for off in range(-(len(tb) - 1), len(ta)):
+                run = 0
+                for i in range(max(0, off), min(len(ta), len(tb) + off)):
+                    if ta[i] == tb[i - off]:
+                        run += 1
+                    else:
+                        if run:
+                            runs.append(run)
+                        run = 0
+                if run:
+                    runs.append(run)
+            visible = [r for r in runs if r >= k]
+            if visible and max(visible) >= min_span:
+                out[(a, b)] = (
+                    max(visible),
+                    sum(1 for r in runs if r >= min_span),
+                )
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), max_size=40),
+        min_size=2,
+        max_size=4,
+    )
+)
+@_settings
+def test_duplicated_spans_matches_bruteforce(spark, docs):
+    from metadata_ingestion_poc_spark.operators.spans import (
+        duplicated_spans,
+    )
+
+    token_lists = {i + 1: t for i, t in enumerate(docs)}
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in token_lists.items()],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.longest_span, r.n_spans)
+        for r in duplicated_spans(
+            df, k=3, min_span=4, max_gram_df=None
+        ).collect()
+    }
+    assert got == _ref_spans(token_lists, k=3, min_span=4)
