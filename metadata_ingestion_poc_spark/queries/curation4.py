@@ -251,9 +251,13 @@ def q142_neardup_degree_histogram(
         d, id_col="doc_id", n=3, threshold=_DEG_THRESHOLD,
         max_shingle_df=_DEG_SHINGLE_DF,
     )
+    # explode(array(a,b)), NOT unionAll of two projections: a union
+    # references the pair pipeline twice and Spark re-executes the
+    # whole inverted-index dedup for each branch.
     deg = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        pairs.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+        )
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
