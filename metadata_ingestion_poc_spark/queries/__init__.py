@@ -79,6 +79,7 @@ def _load_all() -> None:
         quality_checks,
         curation3,
         curation4,
+        analytics2,
         # -- embedding similarity + near-dup (most expensive) --
         llm_ops2,
         llm_ops,
@@ -105,10 +106,13 @@ def _load_all() -> None:
 # q91-q94), three rounds stale as of this round — per the round-4
 # rotation note.
 #
-# Round-6 rotation note: after round 5 the oldest unrefreshed credit
-# is the round-3 block (q70-q74, q80-q89, q95-q103, q110-q114,
-# q116-q118) — promote it next, after any round-6 code changes. The
-# round-4 block (q120-q130) follows in round 7.
+# Round-6 rotation note: after round 5 the never-swept tail is
+# q148-q157 (added after the round-5 window was already sized to
+# N=50 — they sit outside it by design, pytest-pinned meanwhile);
+# promote them FIRST in round 6, then the oldest unrefreshed credit —
+# the round-3 block (q70-q74, q80-q89, q95-q103, q110-q114,
+# q116-q118) — after any round-6 code changes. The round-4 block
+# (q120-q130) follows in round 7.
 # ---------------------------------------------------------------------------
 _SWEEP_PRIORITY = [
     # -- new in round 5 — never swept.

@@ -1,0 +1,650 @@
+"""Fifth analytics batch: interval joins, deterministic sampling,
+PII profiling, cross-source vocabulary similarity, grouped
+regression/robust stats, event-sequence mining, token entropy, and
+BFS graph distance.
+
+- q148: per-customer overlapping order service windows via the binned
+  interval-overlap join (operators/interval_join.py) — the DuckDB
+  oracle is the brute-force inequality join, so the driver check
+  differentially proves the binning decomposition is exact;
+- q149: importance-weighted sampling — per-row keep probability
+  proportional to document length, decided by a pure hash of the id
+  (repartition/replay-invariant), with expected-vs-realized
+  diagnostics per source;
+- q150: deterministic per-group reservoir sample (top-k by md5 of
+  the id — order-free, engine-reproducible "random" sample);
+- q151: PII profile — regex counts of emails / IPv4s / phone numbers
+  per source over a corpus with deterministically planted PII (the
+  q141 augment-in-both-engines pattern);
+- q152: pairwise source vocabulary Jaccard via a token inverted
+  index (token equi-join), never a vocabulary cross join;
+- q153: per-group least-squares regression (slope/intercept/r²) from
+  exact decimal moments — one map-side-combinable aggregate pass,
+  not an order-dependent streaming regr_* aggregate;
+- q154: median-absolute-deviation outlier screen per group, medians
+  via the rank-based exact percentile operator (no value buffering);
+- q155: first-order Markov transition matrix over per-user event
+  sequences (lag window + normalized counts);
+- q156: per-document unigram entropy (the q131 rounded-ln decimal-sum
+  discipline keeps the float path cross-engine exact);
+- q157: BFS minimum-hop distance from a seed over the part
+  co-purchase graph (operators/graph.py) — the oracle is a DuckDB
+  recursive CTE, checking the iterative frontier loop end-to-end.
+
+All floats follow the decimal-sum + round-6 convention; everything
+else is integer/string-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.graph import bfs_hops
+from ..operators.interval_join import interval_overlap_join
+from ..operators.percentiles import exact_percentiles
+from . import query
+from ._util import DEC
+
+# ---------------------------------------------------------------------------
+# q148 — interval overlap join. Each order opens a service window of
+# (o_orderkey % 30) days; find every overlapping pair of windows for
+# the same customer. The operator bins intervals (width 32 ≈ max span)
+# so the plan is a hash equi-join on (custkey, bin) — the oracle is
+# the O(n²)-per-customer inequality join, proving the decomposition.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q148_interval_overlap_join",
+    oracle="""
+    WITH iv AS (
+      SELECT o_custkey AS custkey, o_orderkey AS k,
+             date_diff('day', DATE '1970-01-01', o_orderdate::DATE)::BIGINT AS s,
+             (date_diff('day', DATE '1970-01-01', o_orderdate::DATE)
+              + o_orderkey % 30)::BIGINT AS e
+      FROM orders)
+    SELECT a.custkey, a.k AS k1, b.k AS k2,
+           (least(a.e, b.e) - greatest(a.s, b.s) + 1)::BIGINT AS overlap_days
+    FROM iv a JOIN iv b
+      ON a.custkey = b.custkey AND a.k < b.k
+      AND a.s <= b.e AND b.s <= a.e
+    ORDER BY 1, 2, 3
+    """,
+)
+def q148_interval_overlap_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    iv = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        )
+        .cast("long")
+        .alias("s"),
+    ).withColumn(
+        "e", (F.col("s") + F.pmod(F.col("o_orderkey"), F.lit(30))).cast("long")
+    )
+    left = iv.select(
+        "custkey",
+        F.col("o_orderkey").alias("k1"),
+        F.col("s").alias("s1"),
+        F.col("e").alias("e1"),
+    )
+    right = iv.select(
+        "custkey",
+        F.col("o_orderkey").alias("k2"),
+        F.col("s").alias("s2"),
+        F.col("e").alias("e2"),
+    )
+    return (
+        interval_overlap_join(
+            left, right, "s1", "e1", "s2", "e2", bin_width=32, on=["custkey"]
+        )
+        .filter(F.col("k1") < F.col("k2"))
+        .select(
+            "custkey",
+            "k1",
+            "k2",
+            (F.least("e1", "e2") - F.greatest("s1", "s2") + 1)
+            .cast("long")
+            .alias("overlap_days"),
+        )
+        .orderBy("custkey", "k1", "k2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q149 — importance-weighted sampling. Keep probability ∝ document
+# length (capped at 0.5): a doc survives iff hash(id) mod 10⁴ falls
+# under min(n_chars, 5000). Pure function of the row → identical under
+# any partitioning, replay, or engine; expected_keep (Σ pᵢ) against
+# n_kept is the sampler's calibration diagnostic.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q149_importance_weighted_sample",
+    oracle="""
+    SELECT source,
+           COUNT(*)::BIGINT AS n_docs,
+           ROUND(SUM(CAST(least(n_chars, 5000) / 10000.0
+                          AS DECIMAL(28,6))), 6)::DOUBLE AS expected_keep,
+           SUM(CASE WHEN (doc_id * 2654435761) % 10000 < least(n_chars, 5000)
+                    THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           SUM(CASE WHEN (doc_id * 2654435761) % 10000 < least(n_chars, 5000)
+                    THEN n_chars ELSE 0 END)::BIGINT AS kept_chars
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q149_importance_weighted_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    u = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(10000))
+    cap = F.least(F.col("n_chars"), F.lit(5000))
+    kept = u < cap
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum((cap / F.lit(10000.0)).cast(DEC)), 6)
+            .cast("double")
+            .alias("expected_keep"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q150 — deterministic per-group reservoir: the k smallest md5(id)
+# per source. Statistically a uniform k-sample (md5 is uniform on
+# ids), operationally a plain top-k window — rerun-stable across
+# engines, partitionings, and retries, unlike rand()-based reservoirs.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q150_group_reservoir_sample",
+    oracle="""
+    SELECT source, rn::BIGINT AS rn, doc_id, n_chars
+    FROM (SELECT source, doc_id, n_chars,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+          FROM documents)
+    WHERE rn <= 5
+    ORDER BY source, rn
+    """,
+)
+def q150_group_reservoir_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "source", F.col("rn").cast("long").alias("rn"), "doc_id", "n_chars"
+        )
+        .orderBy("source", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q151 — PII profile. The corpus is synthetic word salad, so PII is
+# planted deterministically in BOTH engines (every 7th doc gets an
+# email, an IPv4, and a phone number derived from its id — the q141
+# augment pattern); the profiler must find exactly the plants. All
+# regexes use the Java∩RE2-portable subset (classes, \d, \b, bounded
+# quantifiers — no backrefs or lookaround).
+# ---------------------------------------------------------------------------
+
+_PII_AUG_SQL = """CASE WHEN doc_id % 7 = 0 THEN
+  text || ' contact user' || doc_id::VARCHAR
+       || '@mail.example.com at 10.' || (doc_id % 200)::VARCHAR
+       || '.0.' || (doc_id % 250)::VARCHAR
+       || ' call 555-' || (1000 + doc_id % 9000)::VARCHAR
+  ELSE text END"""
+
+_RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_RE_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_RE_PHONE = r"\b555-\d{4}\b"
+
+
+@query(
+    "q151_pii_profile",
+    oracle=f"""
+    WITH aug AS (
+      SELECT source, {_PII_AUG_SQL} AS text
+      FROM documents),
+    m AS (
+      SELECT source,
+             len(regexp_extract_all(text, '{_RE_EMAIL}'))::BIGINT AS emails,
+             len(regexp_extract_all(text, '{_RE_IPV4}'))::BIGINT AS ips,
+             len(regexp_extract_all(text, '{_RE_PHONE}'))::BIGINT AS phones
+      FROM aug)
+    SELECT source,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(CASE WHEN emails + ips + phones > 0 THEN 1 ELSE 0 END)::BIGINT
+             AS docs_with_pii,
+           SUM(emails)::BIGINT AS emails,
+           SUM(ips)::BIGINT AS ips,
+           SUM(phones)::BIGINT AS phones
+    FROM m
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q151_pii_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    aug = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com at 10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".0."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(" call 555-"),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    m = d.select(
+        "source",
+        F.regexp_count(aug, F.lit(_RE_EMAIL)).cast("long").alias("emails"),
+        F.regexp_count(aug, F.lit(_RE_IPV4)).cast("long").alias("ips"),
+        F.regexp_count(aug, F.lit(_RE_PHONE)).cast("long").alias("phones"),
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("emails") + F.col("ips") + F.col("phones") > 0, 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("docs_with_pii"),
+            F.sum("emails").cast("long").alias("emails"),
+            F.sum("ips").cast("long").alias("ips"),
+            F.sum("phones").cast("long").alias("phones"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q152 — pairwise source vocabulary Jaccard. Shape: distinct (source,
+# token) → self-equi-join ON TOKEN (the inverted-index pattern; cost
+# Σ per-token df², bounded by source count) — never a cross join of
+# materialized vocabulary sets. Zero-overlap pairs drop out of the
+# inner join identically in both engines.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q152_vocab_jaccard",
+    oracle=r"""
+    WITH tok AS (
+      SELECT DISTINCT source, token FROM (
+        SELECT source,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        FROM documents)
+      WHERE token <> ''),
+    sizes AS (SELECT source, COUNT(*)::BIGINT AS n FROM tok GROUP BY source)
+    SELECT a.source AS s1, b.source AS s2,
+           COUNT(*)::BIGINT AS n_common, sa.n AS n1, sb.n AS n2,
+           ROUND(COUNT(*)::DOUBLE / (sa.n + sb.n - COUNT(*)), 6)::DOUBLE
+             AS jaccard
+    FROM tok a
+    JOIN tok b ON a.token = b.token AND a.source < b.source
+    JOIN sizes sa ON sa.source = a.source
+    JOIN sizes sb ON sb.source = b.source
+    GROUP BY a.source, b.source, sa.n, sb.n
+    ORDER BY 1, 2
+    """,
+)
+def q152_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "source",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    sizes = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = tok.select(F.col("source").alias("s1"), "token")
+    b = tok.select(F.col("source").alias("s2"), "token")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(
+                sizes.select(F.col("source").alias("s1"), F.col("n").alias("n1"))
+            ),
+            "s1",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(F.col("source").alias("s2"), F.col("n").alias("n2"))
+            ),
+            "s2",
+        )
+        .select(
+            "s1",
+            "s2",
+            "n_common",
+            "n1",
+            "n2",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("s1", "s2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q153 — per-group least-squares fit from exact decimal moments.
+# ONE map-side-combinable aggregate pass collects (n, Σx, Σy, Σxy,
+# Σx², Σy²) as exact decimals; slope/intercept/r² are then a fixed
+# IEEE double expression over identical inputs — engine-reproducible,
+# unlike streaming regr_* aggregates whose partials combine in
+# engine-specific order.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q153_group_regression",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*)::BIGINT AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6)))
+                  AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6)))
+                  AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                           AS DECIMAL(28,6))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)::DOUBLE
+             AS slope,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+                 6)::DOUBLE AS intercept,
+           ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)::DOUBLE
+             AS r2
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def q153_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(DEC)).cast("double").alias("sx"),
+        F.sum(y.cast(DEC)).cast("double").alias("sy"),
+        F.sum((x * y).cast(DEC)).cast("double").alias("sxy"),
+        F.sum((x * x).cast(DEC)).cast("double").alias("sxx"),
+        F.sum((y * y).cast(DEC)).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    num = n * sxy - sx * sy
+    denx = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(num / denx, 6).alias("slope"),
+        F.round((sy - (num / denx) * sx) / n, 6).alias("intercept"),
+        F.round((num * num) / (denx * deny), 6).alias("r2"),
+    ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# q154 — MAD outlier screen. Median and median-absolute-deviation per
+# group via the rank-based exact percentile operator (shuffle-only; the
+# built-in percentile object-aggregate buffers whole groups on one
+# executor). l_quantity is integer-valued so medians land on exact
+# .0/.5 doubles — the 3×MAD comparison has no float hazard.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q154_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag, median(l_quantity) AS med
+      FROM lineitem GROUP BY 1),
+    dev AS (
+      SELECT l.l_returnflag, abs(l.l_quantity - m.med) AS dev, m.med
+      FROM lineitem l JOIN med m USING (l_returnflag)),
+    mad AS (SELECT l_returnflag, median(dev) AS mad FROM dev GROUP BY 1)
+    SELECT d.l_returnflag,
+           ROUND(MIN(d.med), 6)::DOUBLE AS med,
+           ROUND(MIN(m.mad), 6)::DOUBLE AS mad,
+           COUNT(*)::BIGINT AS n,
+           SUM(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END)::BIGINT
+             AS n_outliers
+    FROM dev d JOIN mad m USING (l_returnflag)
+    GROUP BY d.l_returnflag
+    ORDER BY d.l_returnflag
+    """,
+)
+def q154_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity"
+    )
+    med = exact_percentiles(
+        li, ["l_returnflag"], "l_quantity", {"med": 0.5}
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
+        "dev", F.abs(F.col("l_quantity") - F.col("med"))
+    )
+    mad = exact_percentiles(dev, ["l_returnflag"], "dev", {"mad": 0.5})
+    return (
+        dev.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("med"), 6).alias("med"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("dev") > F.lit(3.0) * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q155 — first-order Markov transition matrix over per-user event
+# sequences: lag window on (ts, event_id) total order, then one count
+# aggregate; row-normalized probabilities via a tiny window over the
+# from-type marginal. Output is |event_types|² rows.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q155_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    c AS (
+      SELECT prev AS from_type, event_type AS to_type, COUNT(*)::BIGINT AS n
+      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY from_type), 6)::DOUBLE AS p
+    FROM c ORDER BY from_type, to_type
+    """,
+)
+def q155_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            F.col("prev").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("from_type")
+    return c.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wt), 6).alias("p"),
+    ).orderBy("from_type", "to_type")
+
+
+# ---------------------------------------------------------------------------
+# q156 — per-document unigram entropy −Σ p·ln p. Each ln is rounded
+# to 6dp before the multiply, each term rounded before the decimal
+# sum (the q131 discipline), so the only float ops are identical
+# IEEE expressions over identical inputs in both engines.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q156_unigram_entropy",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+      FROM documents),
+    cnt AS (
+      SELECT doc_id, token, COUNT(*)::BIGINT AS c
+      FROM tok WHERE token <> '' GROUP BY 1, 2),
+    terms AS (
+      SELECT doc_id, c,
+             SUM(c) OVER (PARTITION BY doc_id) AS t,
+             ROUND((CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY doc_id))
+                   * ROUND(ln(CAST(c AS DOUBLE)
+                              / SUM(c) OVER (PARTITION BY doc_id)), 6),
+                   6) AS term
+      FROM cnt)
+    SELECT doc_id,
+           MIN(t)::BIGINT AS n_tokens,
+           COUNT(*)::BIGINT AS n_unique,
+           ROUND(-SUM(CAST(term AS DECIMAL(28,6))), 6)::DOUBLE AS entropy
+    FROM terms GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q156_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("doc_id")
+    p = F.col("c").cast("double") / F.sum("c").over(w)
+    terms = cnt.select(
+        "doc_id",
+        F.sum("c").over(w).alias("t"),
+        F.round(p * F.round(F.log(p), 6), 6).alias("term"),
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.min("t").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_unique"),
+            F.round(-F.sum(F.col("term").cast(DEC)), 6)
+            .cast("double")
+            .alias("entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q157 — BFS hop distance from the minimum part over the co-purchase
+# graph (parts sharing an order). The Spark side is the iterative
+# frontier loop in operators/graph.py (lineage cut per round); the
+# oracle is a depth-bounded recursive CTE taking min(depth) — exactly
+# BFS minimum-hop semantics within the bound.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q157_bfs_hops",
+    oracle="""
+    WITH RECURSIVE pl AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+    e0 AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM pl a JOIN pl b ON a.ok = b.ok AND a.p < b.p),
+    edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+    r(node, d) AS (
+      SELECT MIN(l_partkey), 0 FROM lineitem
+      UNION ALL
+      SELECT e.v, r.d + 1 FROM r JOIN edges e ON e.u = r.node WHERE r.d < 2
+    )
+    SELECT node, MIN(d)::BIGINT AS hops
+    FROM r GROUP BY node ORDER BY node
+    """,
+)
+def q157_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
+    )
+    seeds = li.select(F.min("l_partkey").alias("node"))
+    return (
+        bfs_hops(edges, seeds, max_hops=2)
+        .select("node", F.col("hops").cast("long").alias("hops"))
+        .orderBy("node")
+    )

@@ -1,0 +1,107 @@
+from __future__ import annotations
+
+import random
+from collections import deque
+
+import pytest
+from pyspark.sql import Row
+
+from metadata_ingestion_poc_spark.operators.graph import bfs_hops
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame([Row(u=u, v=v) for u, v in pairs])
+
+
+def _seeds(spark, nodes):
+    return spark.createDataFrame([Row(node=n) for n in nodes])
+
+
+def _brute_bfs(pairs, seeds, max_hops):
+    adj: dict = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        n = q.popleft()
+        if dist[n] == max_hops:
+            continue
+        for m in adj.get(n, ()):
+            if m not in dist:
+                dist[m] = dist[n] + 1
+                q.append(m)
+    return dist
+
+
+def test_chain_hops(spark):
+    pairs = [(i, i + 1) for i in range(6)]
+    out = {r.node: r.hops for r in bfs_hops(_edges(spark, pairs), _seeds(spark, [0]), 10).collect()}
+    assert out == {i: i for i in range(7)}
+
+
+def test_max_hops_bound_and_unreachable_absent(spark):
+    pairs = [(0, 1), (1, 2), (2, 3), (10, 11)]
+    out = {r.node: r.hops for r in bfs_hops(_edges(spark, pairs), _seeds(spark, [0]), 2).collect()}
+    assert out == {0: 0, 1: 1, 2: 2}  # 3 beyond bound; 10/11 unreachable
+
+
+def test_min_hop_on_diamond(spark):
+    # two paths to node 3: length 2 and length 3 — must report 2
+    pairs = [(0, 1), (1, 3), (0, 2), (2, 4), (4, 3)]
+    out = {r.node: r.hops for r in bfs_hops(_edges(spark, pairs), _seeds(spark, [0]), 5).collect()}
+    assert out[3] == 2
+
+
+def test_multiple_seeds_and_dedup(spark):
+    pairs = [(0, 1), (1, 2), (5, 2)]
+    out = {
+        r.node: r.hops
+        for r in bfs_hops(
+            _edges(spark, pairs), _seeds(spark, [0, 5, 5]), 3
+        ).collect()
+    }
+    assert out == {0: 0, 5: 0, 1: 1, 2: 1}
+
+
+def test_early_stop_on_empty_frontier(spark):
+    # component exhausted after 1 hop; loop must break, not run 50 rounds
+    pairs = [(0, 1)]
+    out = {r.node: r.hops for r in bfs_hops(_edges(spark, pairs), _seeds(spark, [0]), 50).collect()}
+    assert out == {0: 0, 1: 1}
+
+
+def test_zero_max_hops_returns_seeds_only(spark):
+    pairs = [(0, 1)]
+    out = bfs_hops(_edges(spark, pairs), _seeds(spark, [0]), 0).collect()
+    assert [(r.node, r.hops) for r in out] == [(0, 0)]
+
+
+def test_negative_max_hops_raises(spark):
+    with pytest.raises(ValueError):
+        bfs_hops(_edges(spark, [(0, 1)]), _seeds(spark, [0]), -1)
+
+
+def test_matches_brute_force_random_graph(spark):
+    rng = random.Random(13)
+    nodes = list(range(40))
+    pairs = list(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.choice(nodes), rng.choice(nodes)) for _ in range(70)
+            )
+            if a != b
+        }
+    )
+    seeds = [0, 7]
+    for k in (1, 3):
+        expect = _brute_bfs(pairs, seeds, k)
+        got = {
+            r.node: r.hops
+            for r in bfs_hops(
+                _edges(spark, pairs), _seeds(spark, seeds), k
+            ).collect()
+        }
+        assert got == expect, f"max_hops={k}"
