@@ -322,6 +322,7 @@ def exact_percentiles(
     group_cols: list[str],
     value_col: str,
     percentiles: dict[str, float],
+    count_col: str | None = None,
 ) -> DataFrame:
     """One row per group: a column per requested percentile.
 
@@ -330,17 +331,31 @@ def exact_percentiles(
     ``pos = p·(n−1); v = v[⌊pos⌋] + (pos−⌊pos⌋)·(v[⌊pos⌋+1] − v[⌊pos⌋])``
     over the value-sorted rows of the group (SQL percentile_cont).
     NULL values are excluded (same as the built-in aggregate).
+
+    ``count_col``: WEIGHTED mode — ``df`` is already a value histogram
+    ((group, value, count) rows) and ``count_col`` holds the
+    multiplicity of each value. Result is identical to running the
+    unweighted form on the exploded rows. Pre-aggregating to a
+    histogram is the scale move for discrete/low-cardinality value
+    columns: the expensive input is scanned once into a tiny frame
+    (map-side combine), and every internal branch of this operator
+    then re-reads the histogram, not the raw table.
     """
     if not percentiles:
         raise ValueError("need at least one percentile")
     g = [F.col(c) for c in group_cols]
     v = F.col(value_col)
 
-    # 1. distinct-value counts (map-side combine collapses duplicates)
+    # 1. distinct-value counts (map-side combine collapses duplicates);
+    # in weighted mode sum the provided multiplicities instead.
     vals = (
         df.filter(v.isNotNull())
         .groupBy(*group_cols, value_col)
-        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .agg(
+            (
+                F.sum(count_col) if count_col else F.count(F.lit(1))
+            ).alias("__cnt")
+        )
     )
     # 2. per-value covering rank range [lo, hi] (0-indexed)
     w = Window.partitionBy(*group_cols).orderBy(value_col)

@@ -434,11 +434,18 @@ def q153_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q154 — MAD outlier screen. Median and median-absolute-deviation per
-# group via the rank-based exact percentile operator (shuffle-only; the
-# built-in percentile object-aggregate buffers whole groups on one
-# executor). l_quantity is integer-valued so medians land on exact
-# .0/.5 doubles — the 3×MAD comparison has no float hazard.
+# q154 — MAD outlier screen. l_quantity is discrete (50 distinct
+# values), so the scale shape is: collapse lineitem to a per-group
+# VALUE HISTOGRAM once (one scan, map-side combine, ≤ groups×50 rows
+# out), then do both medians — value median and deviation median —
+# and the outlier count entirely on the tiny histogram via the
+# weighted mode of the exact-percentile operator. The raw table is
+# read exactly once; a localCheckpoint pins the histogram so the
+# operator's internal branches don't re-run the scan. Integer values
+# mean medians land on exact .0/.5 doubles — the 3×MAD comparison has
+# no float hazard. (For continuous columns use
+# exact_percentile_iterative_grouped instead — histogram collapse
+# doesn't apply.)
 # ---------------------------------------------------------------------------
 
 
@@ -467,22 +474,34 @@ def q154_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_quantity"
     )
+    hist = (
+        li.groupBy("l_returnflag", "l_quantity")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()  # tiny (≤ groups×50 rows); ends the raw scan
+    )
     med = exact_percentiles(
-        li, ["l_returnflag"], "l_quantity", {"med": 0.5}
+        hist, ["l_returnflag"], "l_quantity", {"med": 0.5}, count_col="cnt"
     )
-    dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
-        "dev", F.abs(F.col("l_quantity") - F.col("med"))
+    devhist = (
+        hist.join(F.broadcast(med), "l_returnflag")
+        .withColumn("dev", F.abs(F.col("l_quantity") - F.col("med")))
+        .groupBy("l_returnflag", "med", "dev")
+        .agg(F.sum("cnt").alias("cnt"))
     )
-    mad = exact_percentiles(dev, ["l_returnflag"], "dev", {"mad": 0.5})
+    mad = exact_percentiles(
+        devhist, ["l_returnflag"], "dev", {"mad": 0.5}, count_col="cnt"
+    )
     return (
-        dev.join(F.broadcast(mad), "l_returnflag")
+        devhist.join(F.broadcast(mad), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
             F.round(F.min("med"), 6).alias("med"),
             F.round(F.min("mad"), 6).alias("mad"),
-            F.count(F.lit(1)).alias("n"),
+            F.sum("cnt").alias("n"),
             F.sum(
-                F.when(F.col("dev") > F.lit(3.0) * F.col("mad"), 1).otherwise(0)
+                F.when(
+                    F.col("dev") > F.lit(3.0) * F.col("mad"), F.col("cnt")
+                ).otherwise(0)
             )
             .cast("long")
             .alias("n_outliers"),

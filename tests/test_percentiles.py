@@ -238,3 +238,48 @@ def test_iterative_grouped_null_position_groups_distinct(spark):
         ).collect()
     }
     assert got == {("x", None): 2.0, (None, "x"): 100.0}
+
+
+def test_weighted_mode_matches_exploded_rows(spark):
+    # exact_percentiles(count_col=...) over a value histogram must
+    # equal the unweighted form over the exploded raw rows
+    import random
+
+    from metadata_ingestion_poc_spark.operators.percentiles import (
+        exact_percentiles,
+    )
+
+    rng = random.Random(3)
+    raw = [
+        (g, float(rng.randint(1, 12)))
+        for g in ("a", "b")
+        for _ in range(rng.randint(30, 60))
+    ]
+    df = spark.createDataFrame(raw, "g: string, v: double")
+    hist = df.groupBy("g", "v").count().withColumnRenamed("count", "w")
+    ps = {"p25": 0.25, "med": 0.5, "p90": 0.9}
+    ref = {r.g: (r.p25, r.med, r.p90) for r in exact_percentiles(df, ["g"], "v", ps).collect()}
+    got = {
+        r.g: (r.p25, r.med, r.p90)
+        for r in exact_percentiles(hist, ["g"], "v", ps, count_col="w").collect()
+    }
+    assert got == ref
+
+
+def test_weighted_mode_null_group_kept(spark):
+    from metadata_ingestion_poc_spark.operators.percentiles import (
+        exact_percentiles,
+    )
+
+    hist = spark.createDataFrame(
+        [(None, 1.0, 3), (None, 5.0, 1), ("g", 2.0, 2)],
+        "g: string, v: double, w: long",
+    )
+    got = {
+        r.g: r.med
+        for r in exact_percentiles(
+            hist, ["g"], "v", {"med": 0.5}, count_col="w"
+        ).collect()
+    }
+    # null group: exploded values [1,1,1,5], median = 1.0
+    assert got == {None: 1.0, "g": 2.0}
