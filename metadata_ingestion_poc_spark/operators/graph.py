@@ -48,11 +48,16 @@ def bfs_hops(
     """
     if max_hops < 0:
         raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    # Symmetrize, dedup, and lay out by source endpoint in ONE
+    # exchange: repartition("u") hash-clusters by u, which also
+    # satisfies the (u, v) clustering the distinct aggregate needs —
+    # Catalyst inserts no second shuffle — and every round's frontier
+    # join then reuses this layout.
     sym = _cut(
         edges.select("u", "v")
         .unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .repartition("u"),
+        .repartition("u")
+        .distinct(),
         reliable,
     )
 
@@ -72,6 +77,8 @@ def bfs_hops(
         )
         if nxt.count() == 0:  # materializes the checkpoint too
             break
-        visited = _cut(visited.unionByName(nxt), reliable)
+        # lazy: the next round's count (or the caller's first action)
+        # materializes it — no dedicated job per round
+        visited = _cut_lazy(visited.unionByName(nxt), reliable)
         frontier = nxt.select("node")
     return visited

@@ -658,9 +658,10 @@ def q157_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v").distinct()
-    )
+    # no distinct here: bfs_hops dedups (u, v) in its own single
+    # symmetrize+distinct exchange — deduping twice would just add a
+    # full shuffle of the pair list
+    edges = a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v")
     seeds = li.select(F.min("l_partkey").alias("node"))
     return (
         bfs_hops(edges, seeds, max_hops=2)
