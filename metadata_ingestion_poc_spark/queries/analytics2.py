@@ -29,7 +29,16 @@ BFS graph distance.
   discipline keeps the float path cross-engine exact);
 - q157: BFS minimum-hop distance from a seed over the part
   co-purchase graph (operators/graph.py) — the oracle is a DuckDB
-  recursive CTE, checking the iterative frontier loop end-to-end.
+  recursive CTE, checking the iterative frontier loop end-to-end;
+- q158: cluster-collapse curation — near-dup pairs → connected
+  components → one keeper per cluster by quality score (the full
+  dedup decision, composed from the q51/q54/q61 operators);
+- q159: hard-negative mining — top-5 most-similar different-label
+  vectors per query (contrastive-training data, q55's broadcast
+  shape + label predicate);
+- q160: near-dup threshold sweep — Jaccard pair-count histogram in
+  one pass of the inverted-index pipeline (the threshold-calibration
+  curve).
 
 All floats follow the decimal-sum + round-6 convention; everything
 else is integer/string-exact.
@@ -667,4 +676,249 @@ def q157_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         bfs_hops(edges, seeds, max_hops=2)
         .select("node", F.col("hops").cast("long").alias("hops"))
         .orderBy("node")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q158 — cluster-collapse curation: near-dup pairs → connected
+# components → keep ONE doc per cluster, chosen by quality score
+# (ties by min id). The full dedup decision a pretraining pipeline
+# makes, composed from three proven operators (q51 pairs, q54
+# components, q61 quality); singleton docs are their own clusters.
+# Oracle: recursive-CTE closure + the q61 quality formula + a
+# row_number keeper pick — every stage mirrored exactly.
+# ---------------------------------------------------------------------------
+
+_CC_THRESHOLD, _CC_DF = 0.4, 20
+
+
+@query(
+    "q158_cluster_collapse",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+      FROM documents),
+    sh0 AS (SELECT DISTINCT doc_id,
+                   toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS s
+            FROM t, unnest(range(greatest(len(toks) - 2, 1))) AS u(i)),
+    sh AS (SELECT doc_id, s FROM (
+             SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS sdf FROM sh0)
+           WHERE sdf <= {_CC_DF}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    fixed_pairs AS (
+      SELECT c.doc_a, c.doc_b
+      FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2) c
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      WHERE c.n_common / (sa.n_sh + sb.n_sh - c.n_common) >= {_CC_THRESHOLD}
+    ),
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM fixed_pairs
+              UNION SELECT doc_b, doc_a FROM fixed_pairs),
+    reach AS (
+      SELECT s AS n, s AS m FROM edges
+      UNION
+      SELECT e.s, r.m FROM edges e JOIN reach r ON e.d = r.n
+    ),
+    comp AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n),
+    q AS (
+      SELECT doc_id,
+             ROUND(least(len(toks) / 100.0, 1.0)
+                   * (1.0 - (1.0 - len(list_distinct(toks))
+                             / len(toks))), 6) AS quality
+      FROM t),
+    member AS (
+      SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+             q.quality
+      FROM documents d
+      LEFT JOIN comp c ON c.doc_id = d.doc_id
+      JOIN q ON q.doc_id = d.doc_id),
+    ranked AS (
+      SELECT cluster_id, doc_id, quality,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY quality DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY cluster_id) AS n_members
+      FROM member)
+    SELECT cluster_id, n_members::BIGINT AS n_members,
+           doc_id AS keeper_doc, quality::DOUBLE AS keeper_quality
+    FROM ranked WHERE rn = 1
+    ORDER BY cluster_id
+    """,
+)
+def q158_cluster_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+    from ..operators.dedup import ngram_jaccard_pairs
+    from ..operators.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, id_col="doc_id", n=3, threshold=_CC_THRESHOLD, max_shingle_df=_CC_DF
+    )
+    comps = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    member = (
+        d.select("doc_id")
+        .join(comps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+        .join(quality_score(d).select("doc_id", "quality"), "doc_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    wr = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        member.withColumn("rn", F.row_number().over(wr))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("doc_id").alias("keeper_doc"),
+            F.col("quality").cast("double").alias("keeper_quality"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q159 — hard-negative mining for contrastive training: for each
+# query vector, the top-5 most-similar vectors with a DIFFERENT
+# label. Same broadcast-query/corpus-never-shuffles shape as q55
+# (exact cosine, JVM zip/aggregate expressions) plus the label
+# predicate in the pair filter.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q159_hard_negative_mining",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e
+               FROM embeddings),
+    q AS (SELECT * FROM v WHERE vec_id < 20),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             c.label AS neighbor_label,
+             ROUND(list_dot_product(q.e, c.e)
+                   / (sqrt(list_dot_product(q.e, q.e))
+                      * sqrt(list_dot_product(c.e, c.e))), 6) AS cosine
+      FROM q JOIN v c ON c.vec_id <> q.vec_id AND c.label <> q.label
+    )
+    SELECT query_id, neighbor_id, neighbor_label,
+           cosine::DOUBLE AS cosine, rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id)
+                    AS rank
+          FROM scored)
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def q159_hard_negative_mining(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.similarity import dot, with_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = with_norm(emb.filter(F.col("vec_id") < 20)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("__vec").alias("q_vec"),
+        F.col("__norm").alias("q_norm"),
+    )
+    c = with_norm(emb).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("__vec").alias("c_vec"),
+        F.col("__norm").alias("c_norm"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("neighbor_label") != F.col("q_label"))
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "neighbor_label", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q160 — near-dup threshold sweep: the pair-count histogram over
+# Jaccard buckets, computed in ONE pass of the inverted-index pair
+# pipeline (threshold at the floor, bucket by floor(j·10)). This is
+# the calibration curve an operator reads to pick the dedup
+# threshold — running the pipeline once per candidate threshold
+# would repeat the expensive shuffle per point. The 0.02 floor keeps
+# the casual-overlap mass visible (bucket 0) next to the true-dup
+# spike (bucket 9) — the valley between them is the threshold call.
+# ---------------------------------------------------------------------------
+
+_SWEEP_FLOOR, _SWEEP_DF = 0.02, 20
+
+
+@query(
+    "q160_threshold_sweep",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+               FROM documents),
+    sh0 AS (SELECT DISTINCT doc_id,
+                   toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS s
+            FROM t, unnest(range(greatest(len(toks) - 2, 1))) AS u(i)),
+    sh AS (SELECT doc_id, s FROM (
+             SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS sdf FROM sh0)
+           WHERE sdf <= {_SWEEP_DF}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    jac AS (
+      SELECT ROUND(c.n_common / (sa.n_sh + sb.n_sh - c.n_common), 6) AS j
+      FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2) c
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      WHERE c.n_common / (sa.n_sh + sb.n_sh - c.n_common) >= {_SWEEP_FLOOR}
+    )
+    SELECT least(floor(j * 10), 9)::BIGINT AS bucket,
+           ROUND(least(floor(j * 10), 9) / 10.0, 6)::DOUBLE AS bucket_lo,
+           COUNT(*)::BIGINT AS n_pairs
+    FROM jac GROUP BY 1, 2 ORDER BY bucket
+    """,
+)
+def q160_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, id_col="doc_id", n=3, threshold=_SWEEP_FLOOR, max_shingle_df=_SWEEP_DF
+    )
+    bucket = F.least(F.floor(F.col("jaccard") * 10), F.lit(9)).cast("long")
+    return (
+        pairs.select(
+            bucket.alias("bucket"),
+            F.round(bucket / F.lit(10.0), 6).alias("bucket_lo"),
+        )
+        .groupBy("bucket", "bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("bucket")
     )
