@@ -922,3 +922,75 @@ def q160_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# q161 — the same BFS reachability as q157, expressed as a Spark 4
+# RECURSIVE CTE (spark.sql WITH RECURSIVE) instead of the iterative
+# DataFrame loop. Three-way differential: q157 (operator) and q161
+# (declarative recursion) both match the identical DuckDB oracle.
+#
+# Scale note: Spark's recursive CTE supports UNION ALL only
+# (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE as of 4.1), i.e. path
+# enumeration, not fixpoint iteration — cost grows with the number of
+# bounded-depth PATHS (exponential in depth on dense graphs), while
+# operators/graph.py's frontier loop with its visited-set anti-join
+# does O(E+V) total work at any depth. The declarative form is for
+# modest fan-out / small depth; the operator is the scale path.
+# ---------------------------------------------------------------------------
+
+_BFS_SQL = """
+    WITH RECURSIVE pl AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+    e0 AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM pl a JOIN pl b ON a.ok = b.ok AND a.p < b.p),
+    edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+    r(node, d) AS (
+      SELECT MIN(l_partkey), 0 FROM lineitem
+      UNION ALL
+      SELECT e.v, r.d + 1 FROM r JOIN edges e ON e.u = r.node WHERE r.d < 2
+    )
+    SELECT node, CAST(MIN(d) AS BIGINT) AS hops
+    FROM r GROUP BY node ORDER BY node
+"""
+
+
+@query("q161_recursive_cte_bfs", oracle=_BFS_SQL)
+def q161_recursive_cte_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Materialize the symmetric edge list ONCE before the recursion:
+    # a non-recursive CTE referenced from the recursive member is
+    # re-evaluated on every step, so leaving the pair self-join inline
+    # re-runs the expensive derivation per depth (measured at
+    # sf0.1: 9.5s inline vs 6.1s materialized). The oracle keeps the
+    # inline form — DuckDB CTEs materialize.
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    e0 = a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v")
+    sym = (
+        e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition("u")
+        .distinct()
+        .localCheckpoint()
+    )
+    sym.createOrReplaceTempView("bfs_edges")
+    li.select(F.min("l_partkey").alias("node")).createOrReplaceTempView(
+        "bfs_seed"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE r(node, d) AS (
+          SELECT node, 0 FROM bfs_seed
+          UNION ALL
+          SELECT e.v, r.d + 1 FROM r JOIN bfs_edges e ON e.u = r.node
+          WHERE r.d < 2
+        )
+        SELECT node, CAST(MIN(d) AS BIGINT) AS hops
+        FROM r GROUP BY node ORDER BY node
+        """
+    )
