@@ -994,3 +994,98 @@ def q161_recursive_cte_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM r GROUP BY node ORDER BY node
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q162 — crawl-domain statistics: extract the URL each document cites,
+# parse host / path / query-param, aggregate per (host, ref). URLs
+# are planted deterministically in every 3rd doc (the q151 pattern),
+# so the parser must recover exactly the plants. Spark side uses the
+# real JVM url parser (parse_url); the oracle re-derives the same
+# fields with anchored regexps — equality holds because the planted
+# format is controlled, which is precisely what makes the parser
+# differentially checkable.
+# ---------------------------------------------------------------------------
+
+_URL_SQL = """CASE WHEN doc_id % 3 = 0 THEN
+  'https://cdn' || (doc_id % 5)::VARCHAR || '.example.org/p/'
+    || doc_id::VARCHAR || '?ref=src' || (doc_id % 4)::VARCHAR || '&x=1'
+  ELSE NULL END"""
+
+
+@query(
+    "q162_url_host_stats",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+    p AS (
+      SELECT doc_id,
+             regexp_extract(url, 'https://([^/]+)', 1) AS host,
+             regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+             regexp_extract(url, '[?&]ref=([^&]+)', 1) AS ref
+      FROM u WHERE url IS NOT NULL)
+    SELECT host, ref,
+           COUNT(*)::BIGINT AS n_urls,
+           COUNT(DISTINCT path)::BIGINT AS n_paths,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM p
+    GROUP BY host, ref
+    ORDER BY host, ref
+    """,
+)
+def q162_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    url = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit("https://cdn"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example.org/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?ref=src"),
+            (F.col("doc_id") % 4).cast("string"),
+            F.lit("&x=1"),
+        ),
+    )
+    p = d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("ref"),
+    ).filter(F.col("host").isNotNull())
+    return (
+        p.groupBy("host", "ref")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("path").alias("n_paths"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("host", "ref")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q163 — LATERAL correlated subquery (SQL:1999 lateral join, Spark 4
+# syntax): top-2 customers by balance per nation, the "for each row,
+# run this parameterized subquery" surface. The identical SQL text
+# runs on both engines. Catalyst decorrelates the lateral into a
+# ranked window under the hood — same physical shape as q20's
+# DataFrame top-k-per-group, no per-row re-execution.
+# ---------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n,
+    LATERAL (SELECT c_name, c_acctbal FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+    ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+"""
+
+
+@query("q163_lateral_topk", oracle=_LATERAL_SQL)
+def q163_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_LATERAL_SQL)
