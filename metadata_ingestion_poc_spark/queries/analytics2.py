@@ -1089,3 +1089,70 @@ def q163_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_LATERAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q164 — forward as-of attribution with tolerance: for each click, the
+# FIRST purchase by the same user at-or-after it, but only within 2
+# hours (else unattributed). operators/asof.py direction="forward" —
+# one shuffle on user_id, never a range join. Equal-timestamp purchase
+# ties resolve to max value (the operator's max-tiebreak rule), which
+# the oracle mirrors with MAX() over the argmin-ts join.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q164_asof_forward_attribution",
+    oracle="""
+    WITH c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts, value FROM events
+          WHERE event_type = 'purchase'),
+    m AS (
+      SELECT c.event_id, c.user_id, c.ts,
+             (SELECT min(p.ts) FROM p
+              WHERE p.user_id = c.user_id AND p.ts >= c.ts
+                AND p.ts <= c.ts + INTERVAL 7200 SECOND) AS purchase_ts
+      FROM c)
+    SELECT m.event_id, m.user_id, m.ts, m.purchase_ts,
+           MAX(pp.value)::DOUBLE AS purchase_value
+    FROM m LEFT JOIN p pp
+      ON pp.user_id = m.user_id AND pp.ts = m.purchase_ts
+    GROUP BY m.event_id, m.user_id, m.ts, m.purchase_ts
+    ORDER BY m.event_id
+    """,
+)
+def q164_asof_forward_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return (
+        asof_join(
+            clicks,
+            purchases,
+            on=["user_id"],
+            left_ts="ts",
+            right_ts="ts",
+            right_payload=["value"],
+            tiebreak=["value"],
+            prefix="purchase_",
+            direction="forward",
+            tolerance=7200,
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("purchase_ts").alias("purchase_ts"),
+            F.col("purchase_value").cast("double").alias("purchase_value"),
+        )
+        .orderBy("event_id")
+    )
