@@ -1156,3 +1156,52 @@ def q164_asof_forward_attribution(
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q165 — per-source length percentiles via the WEIGHTED exact
+# percentile operator: collapse documents to a (source, n_chars,
+# count) histogram first (one scan, map-side combine), then rank-
+# interpolate on the tiny frame. The oracle runs quantile_cont over
+# the raw rows — the driver check therefore proves
+# histogram-weighted ≡ raw-row percentile_cont end-to-end.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q165_weighted_percentiles",
+    oracle="""
+    SELECT source,
+           COUNT(*)::BIGINT AS n_docs,
+           ROUND(quantile_cont(n_chars, 0.25), 6)::DOUBLE AS p25,
+           ROUND(quantile_cont(n_chars, 0.5), 6)::DOUBLE AS med,
+           ROUND(quantile_cont(n_chars, 0.9), 6)::DOUBLE AS p90
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q165_weighted_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    hist = d.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    pct = exact_percentiles(
+        hist,
+        ["source"],
+        "n_chars",
+        {"p25": 0.25, "med": 0.5, "p90": 0.9},
+        count_col="cnt",
+    )
+    totals = hist.groupBy("source").agg(F.sum("cnt").alias("n_docs"))
+    return (
+        pct.join(totals, "source")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round("p25", 6).alias("p25"),
+            F.round("med", 6).alias("med"),
+            F.round("p90", 6).alias("p90"),
+        )
+        .orderBy("source")
+    )
