@@ -73,6 +73,21 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     )
 
 
+def _geometry(sketch: DataFrame) -> tuple[int, int]:
+    """(width, depth) stamped on the sketch — one bounded collect over
+    a ≤ depth × width-row table that is about to be broadcast anyway;
+    raises on mixed geometries (a merge of incompatible sketches)."""
+    geoms = sketch.select("width", "depth").distinct().collect()
+    if len(geoms) != 1:
+        raise ValueError(
+            "sketch has mixed geometries "
+            f"{sorted((g['width'], g['depth']) for g in geoms)} — "
+            "was it merged from sketches built with different "
+            "width/depth?"
+        )
+    return geoms[0]["width"], geoms[0]["depth"]
+
+
 def cms_estimate(
     sketch: DataFrame,
     keys: DataFrame,
@@ -93,17 +108,7 @@ def cms_estimate(
     The sketch side is ≤ depth × width rows — broadcast it; the keys
     side never shuffles.
     """
-    geoms = (
-        sketch.select("width", "depth").distinct().collect()
-    )  # ≤ #merged-geometries rows — bounded driver data
-    if len(geoms) != 1:
-        raise ValueError(
-            "sketch has mixed geometries "
-            f"{sorted((g['width'], g['depth']) for g in geoms)} — "
-            "was it merged from sketches built with different "
-            "width/depth?"
-        )
-    s_width, s_depth = geoms[0]["width"], geoms[0]["depth"]
+    s_width, s_depth = _geometry(sketch)
     if width is not None and width != s_width:
         raise ValueError(f"probe width {width} != sketch width {s_width}")
     if depth is not None and depth != s_depth:
@@ -127,4 +132,42 @@ def cms_estimate(
         probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
         .groupBy(key_col)
         .agg(F.min(F.coalesce("c", F.lit(0))).alias("est"))
+    )
+
+
+def cms_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Join-size / inner-product estimate from two CMS sketches:
+    ``Σ_k f_a(k)·f_b(k)`` ≈ min over rows d of ``Σ_bucket c_a·c_b``
+    (Cormode & Muthukrishnan 2005, §4.2). For an equi-join this IS the
+    estimated row count of ``A ⋈ B`` on the sketched key — plan-time
+    cardinality estimation from constant-size state, no raw data.
+
+    Always an over-estimate; excess ≤ 2·N_a·N_b/width with probability
+    ≥ 1 − 2^-depth (N = total sketched rows). Both sketches must share
+    geometry AND seeds (cms_build uses fixed per-row seeds, so any two
+    cms_build/cms_merge outputs of equal width/depth are compatible);
+    mixed geometry raises.
+
+    Returns a single-row DataFrame ``(estimate: long)``. The multiply
+    join runs on the ≤ depth×width-row sketch tables — broadcast-sized
+    by construction.
+    """
+    ga, gb = _geometry(a), _geometry(b)
+    if ga != gb:
+        raise ValueError(f"sketch geometries differ: {ga} vs {gb}")
+    _, depth = ga
+    prod = (
+        a.select("d", "bucket", F.col("c").alias("ca"))
+        .join(b.select("d", "bucket", F.col("c").alias("cb")), ["d", "bucket"])
+        .groupBy("d")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
+    )
+    # a depth row with NO shared buckets contributes inner product 0
+    # and must participate in the min — spine over all d
+    spine = (
+        a.sparkSession.range(depth).select(F.col("id").cast("int").alias("d"))
+    )
+    return (
+        spine.join(prod, "d", "left")
+        .agg(F.min(F.coalesce("ip", F.lit(0))).cast("long").alias("estimate"))
     )

@@ -99,3 +99,69 @@ def test_cms_absent_key_estimates_low(spark):
     # collisions can make it nonzero but the min over 4 rows of a
     # 2048-wide sketch holding 10 keys is almost surely 0
     assert est == 0
+
+
+def test_inner_product_exact_when_collision_free(spark):
+    from pyspark.sql import Row
+
+    from metadata_ingestion_poc_spark.operators.sketches import (
+        cms_build,
+        cms_inner_product,
+    )
+
+    # few distinct keys, huge width → collisions vanishingly unlikely →
+    # the estimate equals the exact inner product Σ f_a(k)·f_b(k)
+    a_rows = [Row(k=f"k{i % 5}") for i in range(40)]     # f_a = 8 each
+    b_rows = [Row(k=f"k{i % 4}") for i in range(20)]     # f_b = 5 for k0-k3
+    a = cms_build(spark.createDataFrame(a_rows), "k", width=65536, depth=4)
+    b = cms_build(spark.createDataFrame(b_rows), "k", width=65536, depth=4)
+    est = cms_inner_product(a, b).collect()[0]["estimate"]
+    assert est == 4 * 8 * 5  # k0..k3 shared, k4 only in a
+
+
+def test_inner_product_is_join_size_overestimate_within_bound(spark):
+    from pyspark.sql import Row
+
+    from metadata_ingestion_poc_spark.operators.sketches import (
+        cms_build,
+        cms_inner_product,
+    )
+
+    import random
+
+    rng = random.Random(5)
+    a_rows = [Row(k=f"u{rng.randint(0, 200)}") for _ in range(3000)]
+    b_rows = [Row(k=f"u{rng.randint(0, 300)}") for _ in range(2000)]
+    adf, bdf = spark.createDataFrame(a_rows), spark.createDataFrame(b_rows)
+    exact = adf.join(bdf, "k").count()
+    width, depth = 512, 4
+    est = cms_inner_product(
+        cms_build(adf, "k", width=width, depth=depth),
+        cms_build(bdf, "k", width=width, depth=depth),
+    ).collect()[0]["estimate"]
+    assert est >= exact  # CMS inner product never underestimates
+    assert est <= exact + 2 * len(a_rows) * len(b_rows) / width
+
+
+def test_inner_product_zero_overlap_and_geometry_mismatch(spark):
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from metadata_ingestion_poc_spark.operators.sketches import (
+        cms_build,
+        cms_inner_product,
+    )
+
+    a = cms_build(
+        spark.createDataFrame([Row(k="x")]), "k", width=1024, depth=4
+    )
+    b = cms_build(
+        spark.createDataFrame([Row(k="y")]), "k", width=1024, depth=4
+    )
+    # distinct keys can still collide in SOME rows; the min over depth
+    # rows keeps the estimate at (or near) 0 — assert the bound form
+    est = cms_inner_product(a, b).collect()[0]["estimate"]
+    assert 0 <= est <= 1
+    c = cms_build(spark.createDataFrame([Row(k="y")]), "k", width=512, depth=4)
+    with _pytest.raises(ValueError, match="geometries differ"):
+        cms_inner_product(a, c)
