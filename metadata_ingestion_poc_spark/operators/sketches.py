@@ -171,3 +171,50 @@ def cms_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
         spine.join(prod, "d", "left")
         .agg(F.min(F.coalesce("ip", F.lit(0))).cast("long").alias("estimate"))
     )
+
+
+def hll_overlap_estimate(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    lgk: int = 12,
+) -> DataFrame:
+    """Pairwise distinct-overlap estimates between groups via HLL
+    inclusion-exclusion: |A∩B| ≈ |A| + |B| − |A∪B|, where every term
+    comes from the SAME per-group sketches (one scan builds them; the
+    pairwise stage merges sketch pairs, never re-reads data).
+
+    The cross-source / cross-snapshot audit at 100 TB: per-group HLL
+    state is ~2^lgk bytes regardless of cardinality, so pair math runs
+    on a #groups²-row broadcast-scale frame. Inclusion-exclusion
+    compounds the ±~1.6%·√3 relative HLL error and can go slightly
+    negative on disjoint sets — estimates are floored at 0; exactness
+    is not the point, ranking and order-of-magnitude are.
+
+    Returns (g_a, g_b, est_a, est_b, est_union, est_overlap) for every
+    unordered group pair (g_a < g_b).
+    """
+    sk = (
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(F.col(group_col).alias("g"))
+        .agg(F.hll_sketch_agg(F.col(key_col), F.lit(lgk)).alias("sk"))
+        .withColumn("est", F.hll_sketch_estimate("sk"))
+    )
+    a = sk.select(
+        F.col("g").alias("g_a"), F.col("sk").alias("sk_a"), F.col("est").alias("est_a")
+    )
+    b = sk.select(
+        F.col("g").alias("g_b"), F.col("sk").alias("sk_b"), F.col("est").alias("est_b")
+    )
+    pairs = a.join(F.broadcast(b), F.col("g_a") < F.col("g_b"))
+    est_union = F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+    return pairs.select(
+        "g_a",
+        "g_b",
+        "est_a",
+        "est_b",
+        est_union.alias("est_union"),
+        F.greatest(
+            F.col("est_a") + F.col("est_b") - est_union, F.lit(0)
+        ).alias("est_overlap"),
+    )

@@ -165,3 +165,29 @@ def test_inner_product_zero_overlap_and_geometry_mismatch(spark):
     c = cms_build(spark.createDataFrame([Row(k="y")]), "k", width=512, depth=4)
     with _pytest.raises(ValueError, match="geometries differ"):
         cms_inner_product(a, c)
+
+
+def test_hll_overlap_estimate_accuracy_and_disjoint_floor(spark):
+    from pyspark.sql import Row
+
+    from metadata_ingestion_poc_spark.operators.sketches import (
+        hll_overlap_estimate,
+    )
+
+    rows = (
+        [Row(g="a", k=f"k{i}") for i in range(2000)]          # a: 0..1999
+        + [Row(g="b", k=f"k{i}") for i in range(1000, 3000)]  # b: 1000..2999
+        + [Row(g="c", k=f"x{i}") for i in range(500)]         # c: disjoint
+    )
+    out = {
+        (r.g_a, r.g_b): r
+        for r in hll_overlap_estimate(
+            spark.createDataFrame(rows), "g", "k"
+        ).collect()
+    }
+    ab = out[("a", "b")]
+    assert abs(ab.est_overlap - 1000) / 1000 < 0.10  # true overlap 1000
+    assert abs(ab.est_union - 3000) / 3000 < 0.05
+    for pair in (("a", "c"), ("b", "c")):
+        assert out[pair].est_overlap < 100  # disjoint ≈ 0, floored at >= 0
+        assert out[pair].est_overlap >= 0
