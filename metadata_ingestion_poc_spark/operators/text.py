@@ -239,3 +239,32 @@ def compression_ratio(
             ),
         )
     )
+
+
+# GPT-2-style pre-tokenizer, restricted to the Java∩RE2-portable
+# subset: the original pattern's `\s+(?!\S)` lookahead (RE2 has no
+# lookaround) is dropped, so a token-preceding space attaches to the
+# token and remaining whitespace runs count as one token — a
+# deterministic, documented approximation. Contractions, letter runs,
+# digit runs, punctuation runs, whitespace runs.
+BPE_ISH_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?\p{L}+"
+    r"| ?\p{N}+"
+    r"| ?[^\s\p{L}\p{N}]+"
+    r"|\s+"
+)
+
+
+def bpe_ish_token_count(
+    docs: DataFrame, text_col: str = "text", out_col: str = "bpe_tokens"
+) -> DataFrame:
+    """Subword-ish token count from the BPE pre-tokenizer regex — the
+    LLM-cost estimator's unit (whitespace words under-count by ~1.3×
+    on punctuated text). Pure JVM regexp (codegen), and the identical
+    pattern runs on RE2 engines for cross-engine checking.
+    """
+    return docs.withColumn(
+        out_col,
+        F.regexp_count(F.col(text_col), F.lit(BPE_ISH_PATTERN)).cast("long"),
+    )

@@ -1205,3 +1205,60 @@ def q165_weighted_percentiles(
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q166 — LLM-cost token accounting: BPE-ish pre-tokenizer counts
+# (operators/text.py BPE_ISH_PATTERN — portable Java∩RE2 subset of the
+# GPT-2 pattern) next to whitespace word counts, per source. The
+# chars-per-token ratio is the dial for converting corpus bytes to
+# training-token budgets.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q166_bpe_token_accounting",
+    oracle=r"""
+    WITH m AS (
+      SELECT source,
+             len(regexp_extract_all(text,
+                 '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))::BIGINT
+               AS bpe,
+             len(string_split_regex(trim(text), '\s+'))::BIGINT AS words,
+             length(text)::BIGINT AS chars
+      FROM documents)
+    SELECT source,
+           SUM(bpe)::BIGINT AS bpe_tokens,
+           SUM(words)::BIGINT AS word_tokens,
+           SUM(chars)::BIGINT AS chars,
+           ROUND(CAST(SUM(chars) AS DOUBLE) / SUM(bpe), 6)::DOUBLE
+             AS chars_per_token
+    FROM m GROUP BY source ORDER BY source
+    """,
+)
+def q166_bpe_token_accounting(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.text import bpe_ish_token_count
+
+    d = bpe_ish_token_count(load_table(spark, sf_dir, "documents"))
+    m = d.select(
+        "source",
+        F.col("bpe_tokens").alias("bpe"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias(
+            "words"
+        ),
+        F.length("text").cast("long").alias("chars"),
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.sum("bpe").alias("bpe_tokens"),
+            F.sum("words").alias("word_tokens"),
+            F.sum("chars").alias("chars"),
+            F.round(
+                F.sum("chars").cast("double") / F.sum("bpe"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("source")
+    )

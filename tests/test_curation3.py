@@ -104,3 +104,28 @@ def test_dataset_split_partitions_corpus(spark, sf_dir):
     # membership is a pure function of the id: repartition-invariant
     again = QUERIES["q137_dataset_split"](spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_bpe_ish_token_count_pinned_cases(spark):
+    from pyspark.sql import Row
+
+    from metadata_ingestion_poc_spark.operators.text import (
+        bpe_ish_token_count,
+    )
+
+    cases = [
+        # (text, expected tokens per the pattern's alternation order)
+        ("hello world", 2),          # " world" attaches its space
+        ("it's fine", 3),            # it / 's / " fine"
+        ("a1b2", 4),                 # a / 1 / b / 2
+        ("wait... what?!", 4),       # wait / ... / " what" / ?!
+        ("price: 42 dollars", 4),    # price / : / " 42" / " dollars"
+        ("", 0),
+    ]
+    rows = [Row(doc_id=i, text=t) for i, (t, _) in enumerate(cases)]
+    out = {
+        r.doc_id: r.bpe_tokens
+        for r in bpe_ish_token_count(spark.createDataFrame(rows)).collect()
+    }
+    for i, (t, exp) in enumerate(cases):
+        assert out[i] == exp, f"{t!r}: got {out[i]}, want {exp}"
