@@ -93,3 +93,78 @@ def running_user_totals(events: DataFrame, timeout_ms: int = 0) -> DataFrame:
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+def tws_capability_error() -> None:
+    """Raise a clear error when transformWithStateInPandas cannot run
+    here (python protobuf missing), instead of a worker crash deep in
+    the stream."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "transformWithStateInPandas needs the python 'protobuf' "
+            "package (state-server protocol); not installed in this "
+            "environment"
+        ) from e
+
+def running_user_totals_tws(
+    events: DataFrame, ttl_ms: int = 0
+) -> DataFrame:
+    """``running_user_totals`` on the Spark 4 ``transformWithStateInPandas``
+    API (the successor to applyInPandasWithState): typed per-key
+    ValueState instead of a bare tuple, state TTL instead of manual
+    timeout timers, and a StatefulProcessor object whose lifecycle
+    (init/handleInputRows/close) the engine manages.
+
+    Semantics are identical to the classic twin (same output schema,
+    same running totals) so the two operators form a migration pair:
+    ttl_ms > 0 evicts keys idle past the horizon, like timeout_ms
+    there.
+
+    ENVIRONMENT NOTE: executing transformWithStateInPandas requires
+    the python ``protobuf`` package (the state-server protocol);
+    this sandbox has no ``google.protobuf`` and no network to install
+    it (checked 2026-08-14 — the query fails at runner init with
+    ``ImportError: cannot import name 'descriptor'``). The test
+    skips with a capability probe; the classic applyInPandasWithState
+    twin (above) carries the executable coverage of the semantics.
+    """
+    tws_capability_error()
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            if ttl_ms > 0:
+                self._totals = handle.getValueState(
+                    "totals", STATE_SCHEMA, ttl_duration_ms=ttl_ms
+                )
+            else:
+                self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            prev = self._totals.get()
+            n, total = prev if prev is not None else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            total = round(total, 6)
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningTotals(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

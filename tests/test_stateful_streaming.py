@@ -146,3 +146,54 @@ def test_stateful_with_timeout_conf_runs_end_to_end(spark, sf_dir, tmp_path):
         "SELECT COUNT(DISTINCT user_id) n FROM state_timeout_test"
     ).first().n
     assert n_users == ev.select("user_id").distinct().count()
+
+
+def test_tws_twin_matches_batch_or_skips_without_protobuf(
+    spark, sf_dir, tmp_path
+):
+    """transformWithStateInPandas twin ≡ batch aggregate — executable
+    only where python protobuf exists (capability probe; this sandbox
+    lacks it, see running_user_totals_tws docstring)."""
+    from metadata_ingestion_poc_spark.streaming.stateful import (
+        running_user_totals_tws,
+        tws_capability_error,
+    )
+
+    try:
+        tws_capability_error()
+    except RuntimeError as e:
+        # the gate itself must fire fast and clearly
+        assert "protobuf" in str(e)
+        pytest.skip("python protobuf missing — tws path environment-blocked")
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_tws")
+    ev.repartition(6).write.parquet(path)
+    stream = read_stream(spark, path, ev.schema, max_files_per_trigger=2)
+    totals = running_user_totals_tws(stream.select("user_id", "value"))
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("tws_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = spark.sql(
+        """
+        SELECT user_id, n_events, total_value FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY n_events DESC) AS rn
+          FROM tws_test
+        ) WHERE rn = 1
+        """
+    )
+    got = {r.user_id: (r.n_events, round(r.total_value, 4)) for r in final.collect()}
+    want = {
+        r.user_id: (r.n, round(r.s, 4))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
