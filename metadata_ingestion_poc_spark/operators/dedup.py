@@ -259,13 +259,25 @@ def ngram_jaccard_pairs_against(
     # re-expanding the explode+distinct subtree per consumer multiplies
     # the plan (~30 planned exchanges without the cut). This is also
     # the operational shape: at scale the corpus index is persisted
-    # between runs, not rebuilt per consumer.
+    # between runs, not rebuilt per consumer — see save_shingle_index /
+    # ngram_jaccard_pairs_against_index.
     idx_b = _shingle_index(_spread(batch), id_col, n, None).localCheckpoint(
         eager=False
     )
     idx_c = _shingle_index(_spread(corpus), id_col, n, None).localCheckpoint(
         eager=False
     )
+    return _cross_index_pairs(idx_b, idx_c, threshold, max_shingle_df)
+
+
+def _cross_index_pairs(
+    idx_b: DataFrame,
+    idx_c: DataFrame,
+    threshold: float,
+    max_shingle_df: int | None,
+) -> DataFrame:
+    """Batch-index × corpus-index Jaccard pairs (shared tail of the
+    build-both and load-corpus-index paths)."""
     if max_shingle_df is not None:
         # one consistent shingle universe: stop-shingles are decided by
         # corpus document frequency, then dropped from BOTH indexes
@@ -303,6 +315,59 @@ def ngram_jaccard_pairs_against(
         .filter(F.col("jaccard") >= threshold)
         .select("batch_id", "corpus_id", "jaccard")
     )
+
+
+def save_shingle_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> None:
+    """Materialize the corpus shingle index (doc, sh) to parquet —
+    build nightly, dedup batches against it all day without re-reading
+    the corpus (the q126 workflow with the rebuild amortized away).
+
+    Laid out clustered by the join key: repartition(sh) +
+    sortWithinPartitions(sh) so each parquet file covers a narrow
+    shingle range (footer min/max enable skipping) and a batch-side
+    join shuffles only the batch. The index grows with corpus token
+    count — parquet+zstd column of repeated short strings compresses
+    heavily.
+    """
+    idx = _shingle_index(_spread(docs), id_col, n, None)
+    (
+        idx.repartition("sh")
+        .sortWithinPartitions("sh")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def load_shingle_index(spark, path: str) -> DataFrame:
+    """Reload a saved corpus shingle index for cross-set dedup."""
+    return spark.read.parquet(path)
+
+
+def ngram_jaccard_pairs_against_index(
+    batch: DataFrame,
+    corpus_index: DataFrame,
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+) -> DataFrame:
+    """``ngram_jaccard_pairs_against`` with a PRE-BUILT corpus index
+    (from save_shingle_index/load_shingle_index): only the incoming
+    batch is shingled; the corpus side is a parquet scan. ``n`` must
+    match the index's build-time shingle width (the index stores
+    n-token shingles — a mismatch silently yields no candidates, so
+    pass the same n; load path validates nothing else).
+    """
+    idx_b = _shingle_index(_spread(batch), id_col, n, None).localCheckpoint(
+        eager=False
+    )
+    idx_c = corpus_index.localCheckpoint(eager=False)
+    return _cross_index_pairs(idx_b, idx_c, threshold, max_shingle_df)
 
 
 def minhash_signature(

@@ -142,3 +142,40 @@ def test_containment_catches_quoted_excerpt(spark):
     assert r.containment_a == 1.0   # every small-doc shingle is in big
     assert r.containment_b < 0.1    # big side barely overlaps
     assert r.jaccard < 0.1          # jaccard alone would miss this
+
+
+def test_saved_shingle_index_reload_equals_rebuild(spark, sf_dir, tmp_path):
+    # the nightly-build/all-day-probe workflow: pairs computed against
+    # the RELOADED parquet index must equal the build-both path
+    from metadata_ingestion_poc_spark.catalog import load_table
+    from metadata_ingestion_poc_spark.operators.dedup import (
+        load_shingle_index,
+        ngram_jaccard_pairs_against,
+        ngram_jaccard_pairs_against_index,
+        save_shingle_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 5 != 0")
+    batch = docs.filter("doc_id % 5 = 0")
+    path = str(tmp_path / "shingle_idx")
+    save_shingle_index(corpus, path, n=3)
+
+    direct = {
+        (r.batch_id, r.corpus_id, r.jaccard)
+        for r in ngram_jaccard_pairs_against(
+            batch, corpus, n=3, threshold=0.3, max_shingle_df=20
+        ).collect()
+    }
+    via_index = {
+        (r.batch_id, r.corpus_id, r.jaccard)
+        for r in ngram_jaccard_pairs_against_index(
+            batch,
+            load_shingle_index(spark, path),
+            n=3,
+            threshold=0.3,
+            max_shingle_df=20,
+        ).collect()
+    }
+    assert via_index == direct
+    assert direct  # non-vacuous: the synthetic corpus has cross dups
