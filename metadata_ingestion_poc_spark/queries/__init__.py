@@ -80,6 +80,7 @@ def _load_all() -> None:
         curation3,
         curation4,
         analytics2,
+        analytics3,
         # -- embedding similarity + near-dup (most expensive) --
         llm_ops2,
         llm_ops,
