@@ -1,0 +1,173 @@
+"""Snapshot table format (snapshots.py): versioned parquet with
+atomic manifest commits.
+
+Contract under test:
+- append/overwrite produce monotonically-versioned snapshots; time
+  travel returns each version's exact contents forever after;
+- rollback is a new commit with the old file list (history preserved);
+- a reader pinned to a version is unaffected by later commits AND by
+  a later compaction (file immutability);
+- a crash BEFORE manifest publish leaves the previous version fully
+  readable and strands only orphan data files, which vacuum removes;
+- vacuum never breaks a kept version, expires old ones, and its
+  deletion order (manifests first) is verified by interrupting it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from metadata_ingestion_poc_spark import snapshots as S
+
+
+def _df(spark, lo, hi, tag):
+    return spark.range(lo, hi).select(
+        F.col("id"), F.lit(tag).alias("tag")
+    )
+
+
+def _rows(df):
+    return sorted((r["id"], r["tag"]) for r in df.collect())
+
+
+def test_append_overwrite_time_travel(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    v1 = S.snapshot_write(_df(spark, 0, 10, "a"), t)
+    v2 = S.snapshot_write(_df(spark, 10, 15, "b"), t)
+    v3 = S.snapshot_write(_df(spark, 100, 103, "c"), t, mode="overwrite")
+    assert (v1, v2, v3) == (1, 2, 3)
+    assert S.snapshot_versions(t) == [1, 2, 3]
+    assert _rows(S.snapshot_read(spark, t, 1)) == _rows(_df(spark, 0, 10, "a"))
+    assert _rows(S.snapshot_read(spark, t, 2)) == _rows(
+        _df(spark, 0, 10, "a").union(_df(spark, 10, 15, "b"))
+    )
+    assert _rows(S.snapshot_read(spark, t)) == _rows(_df(spark, 100, 103, "c"))
+    assert S.snapshot_manifest(t, 2)["total_rows"] == 15
+
+
+def test_rollback_preserves_history(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    S.snapshot_write(_df(spark, 0, 5, "a"), t)
+    S.snapshot_write(_df(spark, 0, 3, "b"), t, mode="overwrite")
+    v3 = S.snapshot_rollback(t, 1)
+    assert v3 == 3 and S.snapshot_versions(t) == [1, 2, 3]
+    assert _rows(S.snapshot_read(spark, t)) == _rows(_df(spark, 0, 5, "a"))
+    # the overwritten version is still reachable
+    assert _rows(S.snapshot_read(spark, t, 2)) == _rows(_df(spark, 0, 3, "b"))
+
+
+def test_pinned_reader_survives_commit_and_compaction(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    S.snapshot_write(_df(spark, 0, 8, "a"), t)
+    pinned = S.snapshot_read(spark, t, 1)
+    S.snapshot_write(_df(spark, 8, 20, "b"), t)
+    S.snapshot_compact(spark, t)
+    assert _rows(pinned) == _rows(_df(spark, 0, 8, "a"))
+    # compaction is itself a version; pre-compaction history intact
+    assert _rows(S.snapshot_read(spark, t, 2)) == _rows(
+        S.snapshot_read(spark, t)
+    )
+
+
+def test_crash_before_publish_leaves_prior_version_intact(
+    spark, tmp_path, monkeypatch
+):
+    t = str(tmp_path / "tbl")
+    S.snapshot_write(_df(spark, 0, 10, "a"), t)
+
+    # crash at the atomic-publish boundary: data files moved, manifest
+    # never lands
+    real_replace = os.replace
+
+    def boom(src, dst):
+        raise OSError("injected crash before manifest publish")
+
+    monkeypatch.setattr(S.os, "replace", boom)
+    with pytest.raises(OSError, match="injected"):
+        S.snapshot_write(_df(spark, 10, 20, "b"), t)
+    monkeypatch.setattr(S.os, "replace", real_replace)
+
+    # table state: still version 1, fully readable
+    assert S.snapshot_versions(t) == [1]
+    assert _rows(S.snapshot_read(spark, t)) == _rows(_df(spark, 0, 10, "a"))
+    # orphans from the crashed commit exist, then vacuum removes them
+    data = Path(t) / "data"
+    orphans = [p for p in data.glob("v00002-*.parquet")]
+    assert orphans
+    report = S.snapshot_vacuum(t, keep_last=1)
+    assert all(f"data/{p.name}" in report["removed_files"] for p in orphans)
+    assert _rows(S.snapshot_read(spark, t)) == _rows(_df(spark, 0, 10, "a"))
+    # the next commit does not reuse the crashed version's identity
+    # ambiguously: it becomes version 2 with only its own files
+    v = S.snapshot_write(_df(spark, 30, 32, "c"), t)
+    assert v == 2
+    assert _rows(S.snapshot_read(spark, t, 2)) == _rows(
+        _df(spark, 0, 10, "a").union(_df(spark, 30, 32, "c"))
+    )
+
+
+def test_vacuum_expires_old_versions_keeps_new(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    S.snapshot_write(_df(spark, 0, 5, "a"), t)
+    S.snapshot_write(_df(spark, 0, 2, "b"), t, mode="overwrite")
+    S.snapshot_write(_df(spark, 2, 4, "b"), t)
+    report = S.snapshot_vacuum(t, keep_last=2)
+    assert report["expired_versions"] == [1]
+    assert S.snapshot_versions(t) == [2, 3]
+    # v1's files (unreferenced by v2/v3) are gone; v2 and v3 read fine
+    assert report["removed_files"]
+    assert _rows(S.snapshot_read(spark, t, 2)) == _rows(_df(spark, 0, 2, "b"))
+    assert _rows(S.snapshot_read(spark, t, 3)) == _rows(
+        _df(spark, 0, 2, "b").union(_df(spark, 2, 4, "b"))
+    )
+    with pytest.raises(FileNotFoundError):
+        S.snapshot_read(spark, t, 1)
+
+
+def test_vacuum_deletes_manifests_before_data(spark, tmp_path, monkeypatch):
+    """Interrupt vacuum after the manifest-expiry phase: every version
+    that still HAS a manifest must still read — the deletion order is
+    what guarantees it."""
+    t = str(tmp_path / "tbl")
+    S.snapshot_write(_df(spark, 0, 5, "a"), t)
+    S.snapshot_write(_df(spark, 0, 2, "b"), t, mode="overwrite")
+
+    real_remove = os.remove
+    removed_so_far = []
+
+    def remove_then_boom(path):
+        # let manifest removals through, crash on the first data file
+        if str(path).endswith(".json"):
+            removed_so_far.append(path)
+            return real_remove(path)
+        raise OSError("injected crash mid-vacuum")
+
+    monkeypatch.setattr(S.os, "remove", remove_then_boom)
+    with pytest.raises(OSError, match="injected"):
+        S.snapshot_vacuum(t, keep_last=1)
+    monkeypatch.setattr(S.os, "remove", real_remove)
+
+    assert removed_so_far  # the v1 manifest went first
+    assert S.snapshot_versions(t) == [2]
+    assert _rows(S.snapshot_read(spark, t)) == _rows(_df(spark, 0, 2, "b"))
+    # rerunning vacuum finishes the job
+    S.snapshot_vacuum(t, keep_last=1)
+    assert _rows(S.snapshot_read(spark, t)) == _rows(_df(spark, 0, 2, "b"))
+
+
+def test_bad_arguments(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    with pytest.raises(FileNotFoundError):
+        S.snapshot_manifest(t)
+    S.snapshot_write(_df(spark, 0, 3, "a"), t)
+    with pytest.raises(ValueError, match="append|overwrite"):
+        S.snapshot_write(_df(spark, 0, 3, "a"), t, mode="merge")
+    with pytest.raises(FileNotFoundError):
+        S.snapshot_read(spark, t, 99)
+    with pytest.raises(ValueError, match="keep_last"):
+        S.snapshot_vacuum(t, keep_last=0)
