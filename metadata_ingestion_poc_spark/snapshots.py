@@ -183,6 +183,53 @@ def snapshot_read(
     return spark.read.parquet(*[str(table / f["path"]) for f in m["files"]])
 
 
+def snapshot_changes(
+    spark: SparkSession,
+    table_path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Rows in files ADDED after `from_version` up to `to_version`
+    (default latest) — incremental reads from file-level lineage.
+
+    For append-only commits this is exactly the new data, so a
+    downstream job processes only the delta instead of rescanning the
+    table (the 100 TB incremental-ETL contract; same idea as Delta's
+    CDF restricted to appends). If any commit in the range rewrote
+    files (overwrite/rollback/compact), added files don't mean added
+    rows — that range raises instead of silently double-counting.
+    """
+    table = Path(table_path)
+    versions = snapshot_versions(table_path)
+    to_v = versions[-1] if to_version is None else to_version
+    for v in (from_version, to_v):
+        if v not in versions:
+            raise FileNotFoundError(
+                f"version {v} not in {versions} at {table_path}"
+            )
+    if to_v < from_version:
+        raise ValueError(f"to_version {to_v} < from_version {from_version}")
+    for v in versions:
+        if from_version < v <= to_v:
+            mode = _read_manifest(table, v)["mode"]
+            if mode != "append":
+                raise ValueError(
+                    f"version {v} is mode={mode}; snapshot_changes only "
+                    "supports append-only ranges (read the snapshots and "
+                    "diff by key instead)"
+                )
+    base = {f["path"] for f in _read_manifest(table, from_version)["files"]}
+    added = [
+        f["path"]
+        for f in _read_manifest(table, to_v)["files"]
+        if f["path"] not in base
+    ]
+    if not added:
+        # empty-but-typed frame with the table's schema
+        return snapshot_read(spark, table_path, to_v).limit(0)
+    return spark.read.parquet(*[str(table / p) for p in added])
+
+
 def snapshot_rollback(table_path: str, version: int) -> int:
     """Publish a NEW version with `version`'s exact file list.
 

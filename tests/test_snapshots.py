@@ -171,3 +171,33 @@ def test_bad_arguments(spark, tmp_path):
         S.snapshot_read(spark, t, 99)
     with pytest.raises(ValueError, match="keep_last"):
         S.snapshot_vacuum(t, keep_last=0)
+
+
+def test_snapshot_changes_incremental_read(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    S.snapshot_write(_df(spark, 0, 5, "a"), t)
+    S.snapshot_write(_df(spark, 5, 9, "b"), t)
+    S.snapshot_write(_df(spark, 9, 12, "c"), t)
+    # delta between v1 and v3 is exactly the b+c batches
+    assert _rows(S.snapshot_changes(spark, t, 1)) == _rows(
+        _df(spark, 5, 9, "b").union(_df(spark, 9, 12, "c"))
+    )
+    assert _rows(S.snapshot_changes(spark, t, 2, 3)) == _rows(
+        _df(spark, 9, 12, "c")
+    )
+    # no-change range: empty but typed
+    empty = S.snapshot_changes(spark, t, 3, 3)
+    assert empty.count() == 0 and empty.columns == ["id", "tag"]
+
+
+def test_snapshot_changes_rejects_rewrite_ranges(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    S.snapshot_write(_df(spark, 0, 5, "a"), t)
+    S.snapshot_write(_df(spark, 0, 2, "b"), t, mode="overwrite")
+    S.snapshot_write(_df(spark, 2, 4, "b"), t)
+    with pytest.raises(ValueError, match="append-only"):
+        S.snapshot_changes(spark, t, 1)
+    # a range that starts after the rewrite is fine
+    assert _rows(S.snapshot_changes(spark, t, 2)) == _rows(
+        _df(spark, 2, 4, "b")
+    )
