@@ -86,23 +86,30 @@ def bloom_build(
         .groupBy("word")
         .agg(F.bit_or("mask").alias("bits"))
     )
-    # densify the ≤ nwords-row sparse table into one array<bigint> row;
-    # absent words are zero. collect_list here is executor-side inside
-    # a single-row aggregate, not a driver collect.
-    return sparse.agg(
-        F.map_from_arrays(
-            F.collect_list("word"), F.collect_list("bits")
-        ).alias("__m")
-    ).select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(nwords - 1)),
-            lambda w: F.coalesce(
-                F.element_at(F.col("__m"), w.cast("long")),
-                F.lit(0).cast("long"),
-            ),
-        ).alias("words"),
-        F.lit(num_bits).alias("num_bits"),
-        F.lit(num_hashes).alias("num_hashes"),
+    # densify the ≤ nwords-row sparse table into one array<bigint> row
+    # (absent words zero): spine ⟕ sparse, then ONE sorted collect —
+    # O(nwords log nwords). (A map_from_arrays + per-slot element_at
+    # formulation is O(nwords × entries): MapType lookups are linear
+    # scans — measured 7 s vs 0.3 s at 2^20 bits.) collect_list here
+    # is executor-side inside a single-row aggregate, not a driver
+    # collect.
+    spine = df.sparkSession.range(nwords).select(F.col("id").alias("word"))
+    return (
+        spine.join(F.broadcast(sparse), "word", "left")
+        .select(
+            "word", F.coalesce("bits", F.lit(0).cast("long")).alias("bits")
+        )
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("word", "bits"))),
+                lambda s: s["bits"],
+            ).alias("words")
+        )
+        .select(
+            "words",
+            F.lit(num_bits).alias("num_bits"),
+            F.lit(num_hashes).alias("num_hashes"),
+        )
     )
 
 
@@ -133,13 +140,6 @@ def bloom_merge(*blooms: DataFrame) -> DataFrame:
     return merged.select("words", "num_bits", "num_hashes")
 
 
-def _geometry(bloom: DataFrame) -> tuple[int, int]:
-    rows = bloom.select("num_bits", "num_hashes").collect()
-    if len(rows) != 1:
-        raise ValueError(f"bloom filter must be a single row, got {len(rows)}")
-    return rows[0]["num_bits"], rows[0]["num_hashes"]
-
-
 def bloom_prune(probe: DataFrame, bloom: DataFrame, key_col: str) -> DataFrame:
     """Rows of `probe` whose `key_col` MIGHT be in the filter.
 
@@ -150,8 +150,17 @@ def bloom_prune(probe: DataFrame, bloom: DataFrame, key_col: str) -> DataFrame:
 
     Plan shape: the single-row filter broadcasts; the membership test
     is a pure expression — no shuffle, no explode on the probe side.
+    The filter plan executes exactly once: its single row (bounded:
+    num_bits/8 bytes + 2 ints) is collected and re-literalized, so
+    the geometry read and the broadcast share one materialization.
     """
-    num_bits, num_hashes = _geometry(bloom)
+    rows = bloom.select("words", "num_bits", "num_hashes").collect()
+    if len(rows) != 1:
+        raise ValueError(f"bloom filter must be a single row, got {len(rows)}")
+    num_bits, num_hashes = rows[0]["num_bits"], rows[0]["num_hashes"]
+    bloom = probe.sparkSession.createDataFrame(
+        rows, "words array<bigint>, num_bits int, num_hashes int"
+    )
     key = F.col(key_col)
     cond = key.isNotNull()
     for i, pos in enumerate(_positions(key, num_bits, num_hashes)):

@@ -31,6 +31,11 @@ from pyspark.sql import functions as F
 
 from .components import _cut, _cut_lazy
 
+# decimal type for order-independent rank-contribution sums: values
+# are < 1, so 10 integer digits is ample, and 18 fractional digits
+# out-resolve the 12-dp rank rounding by a wide margin
+_CONTRIB_DEC = "decimal(28,18)"
+
 
 def bfs_hops(
     edges: DataFrame,
@@ -82,3 +87,78 @@ def bfs_hops(
         visited = _cut_lazy(visited.unionByName(nxt), reliable)
         frontier = nxt.select("node")
     return visited
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 4,
+    damping: float = 0.85,
+    reliable: bool = False,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an UNDIRECTED edge list.
+
+    edges: columns ``u``, ``v`` (symmetrized + deduped internally, so
+    every node has degree >= 1 and there are no dangling nodes).
+    Returns (node, rank) after `iterations` power-iteration rounds:
+
+        rank'(v) = (1-damping)/N + damping * sum_{u~v} rank(u)/deg(u)
+
+    Cross-engine-deterministic by the repo's decimal-sum discipline:
+    per-edge contributions are doubles cast to DECIMAL(28,18) so the
+    per-node sum is exact and order/partitioning-independent, and the
+    rank is rounded to 12 dp each round — a SQL engine replaying the
+    same float expression tree reproduces every iteration bit-for-bit
+    (q168's DuckDB oracle unrolls the rounds and does exactly that).
+
+    Scale shape: each round is one join of the edge list (laid out by
+    ``u`` once up front, reused every round) with the N-row rank
+    table plus one groupBy — O(E) per round, lineage cut per round,
+    no driver data beyond the single node count N.
+    """
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0, got {iterations}")
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    sym = _cut(
+        edges.select("u", "v")
+        .unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition("u")
+        .distinct(),
+        reliable,
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    n = deg.count()  # one driver scalar — the only collected value
+    if n == 0:
+        return sym.select(
+            F.col("u").alias("node"), F.lit(0.0).alias("rank")
+        )
+    # both constants follow IEEE double arithmetic an oracle can
+    # replay exactly: (1.0 - damping) and /n in double
+    teleport = (1.0 - damping) / n
+    ranks = deg.select(
+        F.col("u").alias("node"),
+        F.round(F.lit(1.0) / F.lit(float(n)), 12).alias("rank"),
+    )
+    for _ in range(iterations):
+        contrib = (
+            sym.join(ranks, sym["u"] == ranks["node"])
+            .join(deg, "u")
+            .select(
+                F.col("v").alias("node"),
+                (F.col("rank") / F.col("d")).alias("c"),
+            )
+        )
+        ranks = _cut(
+            contrib.groupBy("node")
+            .agg(F.sum(F.col("c").cast(_CONTRIB_DEC)).alias("s"))
+            .select(
+                "node",
+                F.round(
+                    F.lit(teleport)
+                    + F.lit(damping) * F.col("s").cast("double"),
+                    12,
+                ).alias("rank"),
+            ),
+            reliable,
+        )
+    return ranks

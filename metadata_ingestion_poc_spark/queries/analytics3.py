@@ -1,4 +1,4 @@
-"""Sixth analytics batch: Bloom-filter semi-join reduction.
+"""Sixth analytics batch: Bloom-filter semi-join reduction, PageRank.
 
 - q167: selective star join with an explicit Bloom-filter prune on
   the fact side (operators/bloom.py) — the filter is built on the
@@ -6,6 +6,12 @@
   and drops non-joining lineitem rows BEFORE the join. The DuckDB
   oracle is the plain join, so the driver hash-check differentially
   proves the prune's no-false-negative guarantee end-to-end.
+- q168: fixed-iteration PageRank over the part co-purchase graph
+  (operators/graph.py pagerank) — the oracle UNROLLS the power
+  iteration into chained CTEs, replaying the identical IEEE float
+  expression tree with exact decimal contribution sums, so every
+  iteration matches bit-for-bit (the q131 rounded-float discipline
+  applied to an iterative algorithm).
 """
 
 from __future__ import annotations
@@ -62,4 +68,66 @@ def q167_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("rev", "revenue"),
         )
         .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q168 — PageRank on the part co-purchase graph (same edge derivation
+# as q157/q161, restricted to small part keys to bound the graph).
+# The oracle unrolls the fixed iteration count into chained CTEs; both
+# engines compute rank'(v) = t + 0.85 * sum(rank(u)/deg(u)) with the
+# contribution sum exact in DECIMAL(28,18) and the rank rounded to
+# 12 dp per round, so the float paths are replayed identically.
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 4
+_PR_KEY_CAP = 400
+
+def _pagerank_oracle(iters: int) -> str:
+    base = f"""
+    WITH pl AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                FROM lineitem WHERE l_partkey < {_PR_KEY_CAP}),
+    e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+           FROM pl a JOIN pl b ON a.ok = b.ok AND a.p < b.p),
+    edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+    deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY u),
+    n AS (SELECT COUNT(*) AS c FROM deg),
+    r0 AS (SELECT u AS node,
+                  ROUND(CAST(1 AS DOUBLE) / (SELECT c FROM n), 12) AS pr
+           FROM deg)"""
+    step = """,
+    r{next} AS (
+      SELECT e.v AS node,
+             ROUND((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                     / (SELECT c FROM n)
+                   + CAST(0.85 AS DOUBLE)
+                     * CAST(SUM(CAST(r.pr / d.d AS DECIMAL(28,18)))
+                            AS DOUBLE), 12) AS pr
+      FROM edges e JOIN r{cur} r ON r.node = e.u JOIN deg d ON d.u = e.u
+      GROUP BY e.v)"""
+    sql = base + "".join(
+        step.format(cur=i, next=i + 1) for i in range(iters)
+    )
+    return sql + f"""
+    SELECT node, pr FROM r{iters} ORDER BY node
+    """
+
+
+@query("q168_pagerank", oracle=_pagerank_oracle(_PR_ITERS))
+def q168_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < _PR_KEY_CAP)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    e0 = a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v")
+    return (
+        pagerank(e0, iterations=_PR_ITERS, damping=0.85)
+        .select("node", F.col("rank").alias("pr"))
+        .orderBy("node")
     )

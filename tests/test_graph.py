@@ -105,3 +105,108 @@ def test_matches_brute_force_random_graph(spark):
             ).collect()
         }
         assert got == expect, f"max_hops={k}"
+
+
+# ---------------------------------------------------------------------------
+# pagerank
+# ---------------------------------------------------------------------------
+
+from metadata_ingestion_poc_spark.operators.graph import pagerank  # noqa: E402
+
+
+def _numpy_pagerank(pairs, iterations, damping=0.85):
+    """Driver-side reference model replaying the operator's exact
+    float discipline: per-edge contribution in double, quantized to
+    decimal(·,18), summed exactly, then t + d*s rounded to 12 dp.
+    """
+    from decimal import Decimal, ROUND_HALF_UP
+
+    sym = {}
+    for a, b in pairs:
+        sym.setdefault(a, set()).add(b)
+        sym.setdefault(b, set()).add(a)
+    n = len(sym)
+    t = (1.0 - damping) / n
+    r = {v: round(1.0 / float(n), 12) for v in sym}
+    q18 = Decimal(1).scaleb(-18)
+    for _ in range(iterations):
+        nxt = {}
+        for v in sym:
+            s = sum(
+                (
+                    Decimal(r[u] / len(sym[u])).quantize(
+                        q18, rounding=ROUND_HALF_UP
+                    )
+                    for u in sym[v]
+                ),
+                Decimal(0),
+            )
+            nxt[v] = round(t + damping * float(s), 12)
+        r = nxt
+    return r
+
+
+def test_pagerank_star_graph(spark):
+    # star: center 0, leaves 1..5 — center outranks identical leaves
+    pairs = [(0, i) for i in range(1, 6)]
+    out = {r.node: r["rank"] for r in pagerank(_edges(spark, pairs), 5).collect()}
+    assert set(out) == set(range(6))
+    leaf_ranks = {out[i] for i in range(1, 6)}
+    assert len(leaf_ranks) == 1
+    assert out[0] > out[1]
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_matches_reference_model(spark):
+    rng = random.Random(7)
+    nodes = list(range(25))
+    pairs = list(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.choice(nodes), rng.choice(nodes)) for _ in range(60)
+            )
+            if a != b
+        }
+    )
+    expect = _numpy_pagerank(pairs, iterations=3)
+    got = {
+        r.node: r["rank"]
+        for r in pagerank(_edges(spark, pairs), iterations=3).collect()
+    }
+    assert set(got) == set(expect)
+    for v in expect:
+        assert abs(got[v] - expect[v]) < 1e-11, v
+
+
+def test_pagerank_zero_iterations_uniform(spark):
+    pairs = [(0, 1), (1, 2)]
+    out = {r.node: r["rank"] for r in pagerank(_edges(spark, pairs), 0).collect()}
+    assert out == {0: round(1 / 3, 12), 1: round(1 / 3, 12), 2: round(1 / 3, 12)}
+
+
+def test_pagerank_repartition_invariant(spark):
+    rng = random.Random(3)
+    pairs = list(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randrange(30), rng.randrange(30)) for _ in range(80)
+            )
+            if a != b
+        }
+    )
+    e = _edges(spark, pairs)
+    r1 = sorted((r.node, r["rank"]) for r in pagerank(e, 3).collect())
+    r2 = sorted(
+        (r.node, r["rank"]) for r in pagerank(e.repartition(13), 3).collect()
+    )
+    assert r1 == r2  # bit-exact, not approximate
+
+
+def test_pagerank_bad_args(spark):
+    e = _edges(spark, [(0, 1)])
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank(e, -1)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(e, 1, damping=1.5)
