@@ -218,3 +218,65 @@ def hll_overlap_estimate(
             F.col("est_a") + F.col("est_b") - est_union, F.lit(0)
         ).alias("est_overlap"),
     )
+
+
+def cms_screen(
+    df: DataFrame,
+    key_col: str,
+    sketch: DataFrame,
+    min_count: int,
+) -> DataFrame:
+    """Rows of `df` whose key's CMS estimate is >= min_count — the
+    sketch-screen half of two-pass heavy hitters.
+
+    CMS never underestimates, so the screen keeps EVERY row of every
+    truly-frequent key (no false negatives); a bounded overestimate
+    tail also survives and is removed by the exact second pass:
+
+        screened = cms_screen(rows, "token", sketch, T)
+        exact    = screened.groupBy("token").count().filter(count >= T)
+
+    ``exact`` equals the full groupBy-HAVING result, but only the
+    screened rows — Σ freq of near-heavy keys, not N — reach the
+    shuffle. That is the 100 TB win: the first pass is the CMS build
+    (map-side-combinable, constant state), the estimate here is pure
+    codegen (the <= depth x width sketch is collected once — bounded
+    — and inlined as literal arrays, one element_at per depth row, no
+    join, no shuffle), and only candidates pay the exact aggregation.
+
+    Null keys never match (estimate of nothing), mirroring
+    cms_build's null filter.
+    """
+    rows = sketch.collect()  # bounded: <= depth * width rows
+    if not rows:
+        return df.filter(F.lit(False))
+    geoms = {(r["width"], r["depth"]) for r in rows}
+    if len(geoms) != 1:
+        raise ValueError(
+            f"sketch has mixed geometries {sorted(geoms)} — was it "
+            "merged from sketches built with different width/depth?"
+        )
+    (width, depth), = geoms
+    dense = [[0] * width for _ in range(depth)]
+    for r in rows:
+        dense[r["d"]][r["bucket"]] = r["c"]
+    key = F.col(key_col)
+    # one F.expr per depth row: a single parsed array(...) of literals
+    # that ConstantFolding collapses to one constant. (F.lit(list)
+    # builds the same array through width python Column objects —
+    # measured 7.6 s of driver time at width 4096.)
+    arrays = [
+        F.expr("array(" + ",".join(f"{c}L" for c in dense[d]) + ")")
+        for d in range(depth)
+    ]
+    probes = [
+        F.element_at(
+            arrays[d],
+            (F.pmod(F.xxhash64(key, F.lit(d)), F.lit(width)) + 1).cast(
+                "int"
+            ),
+        )
+        for d in range(depth)
+    ]
+    est = F.least(*probes) if depth > 1 else probes[0]
+    return df.filter(key.isNotNull() & (est >= F.lit(min_count)))

@@ -131,3 +131,75 @@ def q168_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("rank").alias("pr"))
         .orderBy("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# q169 — two-pass heavy hitters: CMS screen + exact verify, over the
+# bigram stream (916 distinct bigrams at sf0.01, 2-25% above the
+# threshold across SFs — a real screen, unlike the ~40-word unigram vocab). The
+# CMS estimate never undercounts, so the screen passes a superset of
+# the truly-frequent bigrams and the exact second pass trims it to
+# precisely the plain groupBy-HAVING result — which is the oracle, so
+# the driver differentially proves the superset property end-to-end
+# (the q167 transparent-prune pattern, for aggregation instead of
+# joins). The threshold is relative (1/800 of the stream) so the
+# screen's selectivity is SF-invariant.
+# ---------------------------------------------------------------------------
+
+_HH_FRACTION = 800  # heavy = more frequent than 1/800 of the stream
+
+
+@query(
+    "q169_cms_heavy_hitters",
+    oracle=f"""
+    WITH t AS (SELECT string_split(lower(trim(text)), ' ') AS toks
+               FROM documents),
+    sh AS (SELECT toks[i+1] || ' ' || toks[i+2] AS s
+           FROM t, unnest(range(greatest(len(toks) - 1, 1))) AS u(i)),
+    b AS (SELECT s FROM sh WHERE s IS NOT NULL),
+    thr AS (SELECT CAST(CEIL(COUNT(*) / {_HH_FRACTION}.0) AS BIGINT) AS t
+            FROM b)
+    SELECT s AS bigram, COUNT(*)::BIGINT AS n
+    FROM b
+    GROUP BY s HAVING COUNT(*) >= (SELECT t FROM thr)
+    ORDER BY n DESC, bigram
+    """,
+)
+def q169_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from ..operators.sketches import cms_build, cms_screen
+
+    toks = F.col("__toks")
+    grams = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn(
+            "__toks", F.split(F.lower(F.trim(F.col("text"))), " ")
+        )
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.greatest(F.size(toks) - 2, F.lit(0)),
+                    ),
+                    lambda i: F.concat(
+                        F.element_at(toks, (i + 1).cast("int")),
+                        F.lit(" "),
+                        F.element_at(toks, (i + 2).cast("int")),
+                    ),
+                )
+            ).alias("bigram")
+        )
+        .filter(F.col("bigram").isNotNull())
+    )
+    total = grams.count()  # one driver scalar (the relative threshold)
+    min_count = math.ceil(total / float(_HH_FRACTION))
+    sketch = cms_build(grams, "bigram", width=4096, depth=4)
+    return (
+        cms_screen(grams, "bigram", sketch, min_count)
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .orderBy(F.desc("n"), "bigram")
+    )

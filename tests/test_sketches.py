@@ -191,3 +191,88 @@ def test_hll_overlap_estimate_accuracy_and_disjoint_floor(spark):
     for pair in (("a", "c"), ("b", "c")):
         assert out[pair].est_overlap < 100  # disjoint ≈ 0, floored at >= 0
         assert out[pair].est_overlap >= 0
+
+
+# ---------------------------------------------------------------------------
+# cms_screen — sketch-screened two-pass heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def _hh_corpus(spark):
+    # keys 0..9 appear (k+1)*20 times: frequencies 20,40,...,200
+    rows = [(k,) for k in range(10) for _ in range((k + 1) * 20)]
+    return spark.createDataFrame(rows, "k: bigint")
+
+
+def test_cms_screen_no_false_negatives(spark):
+    from metadata_ingestion_poc_spark.operators.sketches import (
+        cms_build,
+        cms_screen,
+    )
+
+    df = _hh_corpus(spark)
+    sk = cms_build(df, "k", width=1024, depth=4)
+    screened = cms_screen(df, "k", sk, min_count=100)
+    # exact pass over screened rows == plain groupBy-HAVING: the
+    # overestimate property guarantees every truly-heavy key survives
+    exact = sorted(
+        (r["k"], r["n"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 100)
+        .collect()
+    )
+    two_pass = sorted(
+        (r["k"], r["n"])
+        for r in screened.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 100)
+        .collect()
+    )
+    assert two_pass == exact
+    assert exact == [(4, 100), (5, 120), (6, 140), (7, 160), (8, 180), (9, 200)]
+
+
+def test_cms_screen_is_selective_when_sized(spark):
+    from metadata_ingestion_poc_spark.operators.sketches import (
+        cms_build,
+        cms_screen,
+    )
+
+    df = _hh_corpus(spark)  # 1100 rows total
+    sk = cms_build(df, "k", width=1024, depth=4)
+    # collision-free regime: the screen keeps exactly the rows of
+    # truly-heavy keys (sum of their frequencies), nothing else
+    kept = cms_screen(df, "k", sk, min_count=100).count()
+    assert kept == 100 + 120 + 140 + 160 + 180 + 200
+
+
+def test_cms_screen_null_keys_and_empty_sketch(spark):
+    from metadata_ingestion_poc_spark.operators.sketches import (
+        cms_build,
+        cms_screen,
+    )
+
+    df = spark.createDataFrame([(1,), (None,), (1,)], "k: bigint")
+    sk = cms_build(df, "k", width=64, depth=2)
+    kept = [r["k"] for r in cms_screen(df, "k", sk, 2).collect()]
+    assert kept == [1, 1]
+    empty_sk = cms_build(
+        spark.createDataFrame([], "k: bigint"), "k", width=64, depth=2
+    )
+    assert cms_screen(df, "k", empty_sk, 1).count() == 0
+
+
+def test_cms_screen_rejects_mixed_geometry(spark):
+    from metadata_ingestion_poc_spark.operators.sketches import (
+        cms_build,
+        cms_merge,
+        cms_screen,
+    )
+
+    df = _hh_corpus(spark)
+    mixed = cms_build(df, "k", width=64, depth=2).unionByName(
+        cms_build(df, "k", width=128, depth=2)
+    )
+    with pytest.raises(ValueError, match="mixed geometries"):
+        cms_screen(df, "k", mixed, 10)
