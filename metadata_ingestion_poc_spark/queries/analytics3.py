@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from . import query
 from ..catalog import load_table
-from ._util import sql_dsum, dsum
+from ._util import davg, dsum, sql_davg, sql_dsum
 
 
 @query(
@@ -202,4 +202,86 @@ def q169_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_count)
         .orderBy(F.desc("n"), "bigram")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q170 — retrieval-quality metrics for the exact cosine search path:
+# per-label precision@10 and MRR@10 over a 100-query evaluation set
+# (the eval loop every embedding-pipeline change is judged by). The
+# ranking is total-ordered (rounded cosine desc, neighbor id), so the
+# DuckDB oracle reproduces the exact neighbor lists; metric floats
+# (k/10, 1/rank) follow the decimal-average discipline.
+# ---------------------------------------------------------------------------
+
+_RM_QUERIES = 100
+_RM_K = 10
+
+
+@query(
+    "q170_retrieval_metrics",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, label
+               FROM embeddings),
+    q AS (SELECT * FROM v WHERE vec_id < {_RM_QUERIES}),
+    rk AS (
+      SELECT q.vec_id AS qid, q.label AS qlab, c.label AS clab,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ROUND(list_dot_product(q.e, c.e)
+                        / (sqrt(list_dot_product(q.e, q.e))
+                           * sqrt(list_dot_product(c.e, c.e))), 6) DESC,
+                        c.vec_id) AS rn
+      FROM q JOIN v c ON c.vec_id <> q.vec_id),
+    per_q AS (
+      SELECT qid, qlab,
+             CAST(SUM(CASE WHEN clab = qlab THEN 1 ELSE 0 END) AS DOUBLE)
+               / {_RM_K} AS prec_at_k,
+             MAX(CASE WHEN clab = qlab
+                      THEN CAST(1 AS DOUBLE) / rn ELSE 0 END) AS mrr
+      FROM rk WHERE rn <= {_RM_K}
+      GROUP BY qid, qlab)
+    SELECT qlab AS label, COUNT(*)::BIGINT AS n_queries,
+           {sql_davg("prec_at_k", "avg_precision_at_10")},
+           {sql_davg("mrr", "avg_mrr")}
+    FROM per_q GROUP BY qlab ORDER BY label
+    """,
+)
+def q170_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", "label")
+    q = emb.filter(F.col("vec_id") < _RM_QUERIES)
+    top = cosine_topk(q, emb, k=_RM_K)
+    scored = (
+        top.join(
+            F.broadcast(labels.withColumnRenamed("label", "qlab")),
+            top.query_id == F.col("vec_id"),
+        )
+        .drop("vec_id")
+        .join(
+            F.broadcast(labels.withColumnRenamed("label", "clab")),
+            F.col("neighbor_id") == F.col("vec_id"),
+        )
+        .drop("vec_id")
+    )
+    match = F.when(F.col("clab") == F.col("qlab"), 1).otherwise(0)
+    per_q = scored.groupBy("query_id", "qlab").agg(
+        (F.sum(match).cast("double") / F.lit(_RM_K)).alias("prec_at_k"),
+        F.max(
+            F.when(
+                F.col("clab") == F.col("qlab"),
+                F.lit(1).cast("double") / F.col("rank"),
+            ).otherwise(F.lit(0.0))
+        ).alias("mrr"),
+    )
+    return (
+        per_q.groupBy(F.col("qlab").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            davg("prec_at_k", "avg_precision_at_10"),
+            davg("mrr", "avg_mrr"),
+        )
+        .orderBy("label")
     )
