@@ -98,7 +98,10 @@ def snapshot_manifest(table_path: str, version: int | None = None) -> dict:
 
 
 def snapshot_write(
-    df: DataFrame, table_path: str, mode: str = "append"
+    df: DataFrame,
+    table_path: str,
+    mode: str = "append",
+    batch_id: int | str | None = None,
 ) -> int:
     """Commit `df` as a new snapshot; returns the new version.
 
@@ -106,6 +109,15 @@ def snapshot_write(
     starts the file list fresh (parent files stay on disk, readable
     via time travel, until vacuum). The commit is atomic at the
     manifest-publish step.
+
+    `batch_id` makes the commit idempotent for at-least-once
+    replayers (foreachBatch): if any manifest already records this
+    batch_id, the write is a no-op returning that version. Combined
+    with the atomic publish this gives exactly-once table contents —
+    a replay after a crash BEFORE publish rewrites the same data
+    files and publishes once; a replay after publish is skipped. The
+    id is only meaningful within one checkpoint lineage (same
+    contract as streaming/admission.py's markers).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode}")
@@ -114,6 +126,11 @@ def snapshot_write(
     _data_dir(table).mkdir(parents=True, exist_ok=True)
 
     versions = snapshot_versions(table_path)
+    if batch_id is not None:
+        for v in versions:
+            m = _read_manifest(table, v)
+            if m.get("batch_id") == str(batch_id):
+                return v
     parent = versions[-1] if versions else None
     new_version = (parent or 0) + 1
 
@@ -154,6 +171,8 @@ def snapshot_write(
         "files": files,
         "total_rows": sum(f["rows"] for f in files),
     }
+    if batch_id is not None:
+        manifest["batch_id"] = str(batch_id)
     tmp = _manifest_dir(table) / f"_tmp-{uuid.uuid4().hex}.json"
     with open(tmp, "w") as f:
         json.dump(manifest, f)

@@ -201,3 +201,90 @@ def test_snapshot_changes_rejects_rewrite_ranges(spark, tmp_path):
     assert _rows(S.snapshot_changes(spark, t, 2)) == _rows(
         _df(spark, 2, 4, "b")
     )
+
+
+# ---------------------------------------------------------------------------
+# batch-id idempotence + the exactly-once streaming sink
+# ---------------------------------------------------------------------------
+
+
+def test_batch_id_replay_is_noop(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    v1 = S.snapshot_write(_df(spark, 0, 5, "a"), t, batch_id=0)
+    v_replay = S.snapshot_write(_df(spark, 0, 5, "a"), t, batch_id=0)
+    assert v1 == v_replay == 1
+    assert S.snapshot_read(spark, t).count() == 5
+    v2 = S.snapshot_write(_df(spark, 5, 8, "b"), t, batch_id=1)
+    assert v2 == 2
+    # replaying batch 0 after batch 1 landed is still a no-op
+    assert S.snapshot_write(_df(spark, 0, 5, "a"), t, batch_id=0) == 1
+    assert S.snapshot_read(spark, t).count() == 8
+
+
+def test_batch_id_replay_after_publish_crash(spark, tmp_path, monkeypatch):
+    """Crash before publish, then replay: the retry rewrites the same
+    files and commits once — exactly-once table contents."""
+    t = str(tmp_path / "tbl")
+    S.snapshot_write(_df(spark, 0, 5, "a"), t, batch_id=0)
+
+    real_replace = os.replace
+
+    def boom(src, dst):
+        raise OSError("injected crash before manifest publish")
+
+    monkeypatch.setattr(S.os, "replace", boom)
+    with pytest.raises(OSError, match="injected"):
+        S.snapshot_write(_df(spark, 5, 9, "b"), t, batch_id=1)
+    monkeypatch.setattr(S.os, "replace", real_replace)
+
+    v = S.snapshot_write(_df(spark, 5, 9, "b"), t, batch_id=1)
+    assert v == 2
+    assert _rows(S.snapshot_read(spark, t)) == _rows(
+        _df(spark, 0, 5, "a").union(_df(spark, 5, 9, "b"))
+    )
+
+
+def test_streaming_snapshot_sink_exactly_once(spark, tmp_path):
+    """availableNow stream → snapshot sink; restart with the same
+    checkpoint picks up only new files; every micro-batch is one
+    version and no row is ever duplicated."""
+    from metadata_ingestion_poc_spark.streaming.snapshot_sink import (
+        snapshot_sink,
+    )
+
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    table = str(tmp_path / "tbl")
+    _df(spark, 0, 10, "a").write.parquet(str(src / "f1"))
+
+    schema = _df(spark, 0, 1, "x").schema
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(snapshot_sink(table))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert S.snapshot_read(spark, table).count() == 10
+    first_versions = S.snapshot_versions(table)
+
+    # new file, same checkpoint: only the delta lands
+    _df(spark, 10, 14, "b").write.parquet(str(src / "f2"))
+    run()
+    assert _rows(S.snapshot_read(spark, table)) == _rows(
+        _df(spark, 0, 10, "a").union(_df(spark, 10, 14, "b"))
+    )
+    assert len(S.snapshot_versions(table)) > len(first_versions)
+    # the incremental read between stream positions is exactly batch b
+    assert _rows(
+        S.snapshot_changes(spark, table, first_versions[-1])
+    ) == _rows(_df(spark, 10, 14, "b"))
