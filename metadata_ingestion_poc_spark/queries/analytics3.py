@@ -16,7 +16,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import query
@@ -285,3 +285,107 @@ def q170_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# q171 — moving median (windowed percentile): rolling 5-row median of
+# order totals per customer. Spark has no percentile-over-frame
+# window, so the operator shape is collect_list over the frame →
+# array_sort → middle interpolation, all JVM expressions; DuckDB runs
+# its native median window aggregate over the identical frame — the
+# differential proves the hand-rolled frame median IS median
+# semantics (even counts interpolate the two middle values).
+# Scale note: the frame list is bounded (5 rows) per output row, so
+# memory is O(frame), not O(partition) — the safe way to get moving
+# percentiles without a custom UDAF.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q171_moving_median",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(median(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS med5
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q171_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-4, 0)
+    )
+    vals = F.array_sort(F.collect_list("o_totalprice").over(w))
+    m = F.size(vals)
+    lo = F.element_at(vals, ((m + 1) / 2).cast("int"))
+    hi = F.element_at(vals, (m / 2 + 1).cast("int"))
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round((lo + hi) / 2, 6).alias("med5"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q172 — new vs returning users per day + cumulative distinct users:
+# first-seen flag via a per-user min-date, then one date rollup with a
+# running sum. The classic growth-accounting query — and the exact
+# way to get a cumulative distinct count without re-aggregating
+# history (the running sum of first-seen days equals count(distinct)
+# up to each day).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q172_new_vs_returning",
+    oracle="""
+    WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+               FROM events),
+    fs AS (SELECT user_id, MIN(day) AS first_day FROM d GROUP BY user_id),
+    per AS (
+      SELECT d.day,
+             SUM(CASE WHEN d.day = fs.first_day THEN 1 ELSE 0 END) AS new_users,
+             SUM(CASE WHEN d.day > fs.first_day THEN 1 ELSE 0 END) AS returning_users
+      FROM d JOIN fs ON d.user_id = fs.user_id
+      GROUP BY d.day)
+    SELECT day, new_users::BIGINT AS new_users,
+           returning_users::BIGINT AS returning_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cumulative_users
+    FROM per ORDER BY day
+    """,
+)
+def q172_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    fs = d.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    per = (
+        d.join(fs, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(
+                F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+            ).alias("new_users"),
+            F.sum(
+                F.when(F.col("day") > F.col("first_day"), 1).otherwise(0)
+            ).alias("returning_users"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per.select(
+        "day",
+        "new_users",
+        "returning_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    ).orderBy("day")
