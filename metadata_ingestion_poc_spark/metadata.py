@@ -21,6 +21,7 @@ KNOWN_SOURCE_TYPES = (
     "orc",
     "xml",
     "binary",
+    "snapshot",
     "jdbc",
     "olap",
 )

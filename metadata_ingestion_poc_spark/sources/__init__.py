@@ -120,6 +120,21 @@ def olap_reader(spark: SparkSession, options: dict) -> DataFrame:
         ).csv(fallback)
 
 
+def snapshot_reader(spark: SparkSession, options: dict) -> DataFrame:
+    """Versioned snapshot-table ingestion (snapshots.py format) via
+    the format("snapshot") Python Data Source — `version` option
+    time-travels; default latest."""
+    from .snapshot_source import register_snapshot_source
+
+    register_snapshot_source(spark)
+    opts = dict(options)
+    path = opts.pop("path")
+    opts.pop("hub_columns", None)
+    return (
+        spark.read.format("snapshot").options(**opts).option("path", path).load()
+    )
+
+
 READERS: dict[str, ReaderFn] = {
     "csv": csv_reader,
     "json": json_reader,
@@ -127,6 +142,7 @@ READERS: dict[str, ReaderFn] = {
     "orc": orc_reader,
     "xml": xml_reader,
     "binary": binary_reader,
+    "snapshot": snapshot_reader,
     "jdbc": jdbc_reader,
     "olap": olap_reader,
 }

@@ -302,3 +302,23 @@ def test_run_source_counts_null_keys(spark, tmp_path):
     )
     m = run_source(spark, src, cfg, ingest_date="2026-08-13")
     assert m == {"rows_ingested": 4, "null_key_rows": 2}
+
+
+def test_snapshot_reader_registered(spark, tmp_path):
+    """The 'snapshot' source type ingests versioned snapshot tables
+    through the same registry as every other reader, with the
+    `version` option time-traveling."""
+    import pyspark.sql.functions as F
+
+    from metadata_ingestion_poc_spark import snapshots as S
+
+    t = str(tmp_path / "snap_tbl")
+    S.snapshot_write(
+        spark.range(7).select(F.col("id"), F.lit("a").alias("tag")), t
+    )
+    S.snapshot_write(
+        spark.range(7, 9).select(F.col("id"), F.lit("b").alias("tag")), t
+    )
+    assert get_reader("snapshot")(spark, {"path": t}).count() == 9
+    v1 = get_reader("snapshot")(spark, {"path": t, "version": "1"})
+    assert sorted(r["id"] for r in v1.collect()) == list(range(7))
