@@ -181,3 +181,69 @@ def test_duplicated_spans_matches_bruteforce(spark, docs):
         ).collect()
     }
     assert got == _ref_spans(token_lists, k=3, min_span=4)
+
+
+@given(
+    a=st.lists(st.integers(0, 500), min_size=0, max_size=40),
+    b=st.lists(st.integers(0, 500), min_size=0, max_size=40),
+    probe=st.lists(st.integers(0, 500), min_size=1, max_size=20),
+)
+@_settings
+def test_bloom_merge_union_and_no_false_negatives(spark, a, b, probe):
+    """bloom(a ∪ b) == merge(bloom(a), bloom(b)) bit-for-bit, and a
+    probe of any built key always survives the prune."""
+    from metadata_ingestion_poc_spark.operators.bloom import (
+        bloom_build,
+        bloom_merge,
+        bloom_prune,
+    )
+
+    da = spark.createDataFrame([(int(v),) for v in a] or [(None,)], "k: bigint")
+    db = spark.createDataFrame([(int(v),) for v in b] or [(None,)], "k: bigint")
+    kw = dict(num_bits=1 << 10, num_hashes=3)
+    whole = bloom_build(da.union(db), "k", **kw).collect()[0]["words"]
+    merged = bloom_merge(
+        bloom_build(da, "k", **kw), bloom_build(db, "k", **kw)
+    ).collect()[0]["words"]
+    assert list(whole) == list(merged)
+
+    built = set(a) | set(b)
+    dp = spark.createDataFrame([(int(v),) for v in probe], "k: bigint")
+    kept = {
+        r["k"]
+        for r in bloom_prune(
+            dp, bloom_build(da.union(db), "k", **kw), "k"
+        ).collect()
+    }
+    assert (set(probe) & built) <= kept
+
+
+@given(
+    vals=st.lists(st.integers(0, 50), min_size=1, max_size=60),
+    threshold=st.integers(1, 6),
+)
+@_settings
+def test_cms_screen_two_pass_equals_exact(spark, vals, threshold):
+    """Screen + exact == plain groupBy-HAVING, for any data and any
+    threshold (the no-false-negative superset property)."""
+    from collections import Counter
+
+    from metadata_ingestion_poc_spark.operators.sketches import (
+        cms_build,
+        cms_screen,
+    )
+
+    df = spark.createDataFrame([(int(v),) for v in vals], "k: bigint")
+    sk = cms_build(df, "k", width=256, depth=3)
+    got = sorted(
+        (r["k"], r["n"])
+        for r in cms_screen(df, "k", sk, threshold)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= threshold)
+        .collect()
+    )
+    want = sorted(
+        (k, n) for k, n in Counter(vals).items() if n >= threshold
+    )
+    assert got == want
