@@ -102,6 +102,7 @@ def snapshot_write(
     table_path: str,
     mode: str = "append",
     batch_id: int | str | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Commit `df` as a new snapshot; returns the new version.
 
@@ -118,9 +119,17 @@ def snapshot_write(
     files and publishes once; a replay after publish is skipped. The
     id is only meaningful within one checkpoint lineage (same
     contract as streaming/admission.py's markers).
+
+    `partition_by` hive-partitions the data files (data/col=val/...);
+    snapshot_read reconstructs the partition columns via basePath and
+    filters on them prune at file-listing time — the 100 TB layout
+    lever. Append commits must keep the parent's partitioning
+    (changing it silently would poison pruning); overwrite may change
+    it.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode}")
+    partition_by = list(partition_by) if partition_by else []
     table = Path(table_path)
     _manifest_dir(table).mkdir(parents=True, exist_ok=True)
     _data_dir(table).mkdir(parents=True, exist_ok=True)
@@ -133,27 +142,48 @@ def snapshot_write(
                 return v
     parent = versions[-1] if versions else None
     new_version = (parent or 0) + 1
+    if mode == "append" and parent is not None:
+        parent_parts = _read_manifest(table, parent).get("partition_by", [])
+        if partition_by != parent_parts:
+            raise ValueError(
+                f"append with partition_by={partition_by} onto a table "
+                f"partitioned by {parent_parts}; match the parent or "
+                "overwrite"
+            )
 
     # 1. write data files into a scratch dir (unique name: a crashed
     #    commit's scratch can never collide with a later retry)
     scratch = table / f"_scratch-{uuid.uuid4().hex}"
-    df.write.mode("overwrite").parquet(str(scratch))
-    produced = sorted(scratch.glob("part-*.parquet"))
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(str(scratch))
+    produced = sorted(
+        p for p in scratch.rglob("part-*.parquet") if p.is_file()
+    )
 
-    # 2. move them under the data dir with version-prefixed names —
-    #    no manifest references these yet, so a crash here only
-    #    strands orphans (vacuum's job). Row counts come from the
-    #    parquet footers — no Spark job.
+    # 2. move them under the data dir with version-prefixed names,
+    #    preserving partition subdirs — no manifest references these
+    #    yet, so a crash here only strands orphans (vacuum's job).
+    #    Row counts come from the parquet footers — no Spark job.
     import pyarrow.parquet as pq
 
     files = []
     for i, src in enumerate(produced):
+        rel_dir = src.parent.relative_to(scratch)
         name = f"v{new_version:05d}-{i:03d}.parquet"
-        dst = _data_dir(table) / name
+        dst_dir = _data_dir(table) / rel_dir
+        dst_dir.mkdir(parents=True, exist_ok=True)
+        dst = dst_dir / name
         shutil.move(str(src), str(dst))
+        rel = (
+            f"{_DATA_DIR}/{rel_dir}/{name}"
+            if str(rel_dir) != "."
+            else f"{_DATA_DIR}/{name}"
+        )
         files.append(
             {
-                "path": f"{_DATA_DIR}/{name}",
+                "path": rel,
                 "rows": pq.ParquetFile(dst).metadata.num_rows,
             }
         )
@@ -171,6 +201,8 @@ def snapshot_write(
         "files": files,
         "total_rows": sum(f["rows"] for f in files),
     }
+    if partition_by:
+        manifest["partition_by"] = partition_by
     if batch_id is not None:
         manifest["batch_id"] = str(batch_id)
     tmp = _manifest_dir(table) / f"_tmp-{uuid.uuid4().hex}.json"
@@ -199,7 +231,12 @@ def snapshot_read(
         raise ValueError(
             f"version {m['version']} of {table_path} lists no files"
         )
-    return spark.read.parquet(*[str(table / f["path"]) for f in m["files"]])
+    reader = spark.read
+    if m.get("partition_by"):
+        # basePath reconstructs the hive partition columns from the
+        # dir names; filters on them prune at file-listing time
+        reader = reader.option("basePath", str(table / _DATA_DIR))
+    return reader.parquet(*[str(table / f["path"]) for f in m["files"]])
 
 
 def snapshot_changes(
@@ -281,8 +318,14 @@ def snapshot_compact(
     """Rewrite the latest snapshot into `target_files` files as a new
     version (mode=overwrite). Time travel to pre-compaction versions
     still works — their files are untouched until vacuum."""
+    m = snapshot_manifest(table_path)
     df = snapshot_read(spark, table_path).coalesce(target_files)
-    return snapshot_write(df, table_path, mode="overwrite")
+    return snapshot_write(
+        df,
+        table_path,
+        mode="overwrite",
+        partition_by=m.get("partition_by"),
+    )
 
 
 def snapshot_vacuum(table_path: str, keep_last: int = 1) -> dict:
@@ -308,11 +351,19 @@ def snapshot_vacuum(table_path: str, keep_last: int = 1) -> dict:
     for v in kept:
         referenced.update(f["path"] for f in _read_manifest(table, v)["files"])
     removed = []
-    for p in sorted(_data_dir(table).glob("*.parquet")):
-        rel = f"{_DATA_DIR}/{p.name}"
+    for p in sorted(_data_dir(table).rglob("*.parquet")):
+        rel = f"{_DATA_DIR}/{p.relative_to(_data_dir(table))}"
         if rel not in referenced:
             os.remove(p)
             removed.append(rel)
+    # empty partition dirs left behind by removals
+    for d in sorted(
+        (p for p in _data_dir(table).rglob("*") if p.is_dir()),
+        key=lambda p: len(p.parts),
+        reverse=True,
+    ):
+        if not any(d.iterdir()):
+            d.rmdir()
     for scratch in table.glob("_scratch-*"):
         shutil.rmtree(scratch)
     return {

@@ -56,12 +56,25 @@ def _read_file(partition: _FilePartition):
     yield from pq.ParquetFile(partition.path).iter_batches()
 
 
+def _reject_partitioned(m: dict, table_path: str) -> None:
+    """Hive-partitioned snapshots carry column values in dir names,
+    which a footer-driven Python DS reader cannot reconstruct — read
+    those through snapshots.snapshot_read (basePath handling)."""
+    if m.get("partition_by"):
+        raise ValueError(
+            f"{table_path} is partitioned by {m['partition_by']}; "
+            "format('snapshot') reads unpartitioned tables — use "
+            "snapshots.snapshot_read for partitioned ones"
+        )
+
+
 def _added_files(table_path: str, start_v: int, end_v: int) -> list[str]:
     """Data-file paths added in (start_v, end_v]; append-only ranges
     only (a rewrite commit raises — changed files ≠ changed rows)."""
     table = Path(table_path)
     for v in range(start_v + 1, end_v + 1):
         m = snapshot_manifest(table_path, v)
+        _reject_partitioned(m, table_path)
         if m["mode"] != "append":
             raise ValueError(
                 f"version {v} of {table_path} is mode={m['mode']}; the "
@@ -89,6 +102,7 @@ class _SnapshotBatchReader(DataSourceReader):
 
     def partitions(self):
         m = snapshot_manifest(self.table_path, self.version)
+        _reject_partitioned(m, self.table_path)
         table = Path(self.table_path)
         return [_FilePartition(str(table / f["path"])) for f in m["files"]]
 

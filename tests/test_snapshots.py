@@ -288,3 +288,67 @@ def test_streaming_snapshot_sink_exactly_once(spark, tmp_path):
     assert _rows(
         S.snapshot_changes(spark, table, first_versions[-1])
     ) == _rows(_df(spark, 10, 14, "b"))
+
+
+# ---------------------------------------------------------------------------
+# hive-partitioned snapshots
+# ---------------------------------------------------------------------------
+
+
+def test_partitioned_write_read_and_pruning(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    S.snapshot_write(_df(spark, 0, 10, "a"), t, partition_by=["tag"])
+    S.snapshot_write(_df(spark, 10, 14, "b"), t, partition_by=["tag"])
+    got = S.snapshot_read(spark, t)
+    # partition columns reconstructed from dir names
+    assert set(got.columns) == {"id", "tag"}
+    assert _rows(got) == _rows(
+        _df(spark, 0, 10, "a").union(_df(spark, 10, 14, "b"))
+    )
+    # a filter on the partition column prunes at file-listing time
+    plan = (
+        got.filter(F.col("tag") == "a")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [" in plan and "tag" in plan.split(
+        "PartitionFilters"
+    )[1][:120]
+    assert got.filter(F.col("tag") == "a").count() == 10
+
+
+def test_partitioned_append_must_match_parent(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    S.snapshot_write(_df(spark, 0, 5, "a"), t, partition_by=["tag"])
+    with pytest.raises(ValueError, match="partition_by"):
+        S.snapshot_write(_df(spark, 5, 8, "b"), t)  # unpartitioned append
+    # overwrite may change the layout
+    S.snapshot_write(_df(spark, 5, 8, "b"), t, mode="overwrite")
+    assert _rows(S.snapshot_read(spark, t)) == _rows(_df(spark, 5, 8, "b"))
+    # ...and time travel to the partitioned version still works
+    assert _rows(S.snapshot_read(spark, t, 1)) == _rows(_df(spark, 0, 5, "a"))
+
+
+def test_partitioned_compact_and_vacuum(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    S.snapshot_write(_df(spark, 0, 6, "a"), t, partition_by=["tag"])
+    S.snapshot_write(_df(spark, 6, 9, "b"), t, partition_by=["tag"])
+    S.snapshot_compact(spark, t)  # keeps the partition layout
+    assert S.snapshot_manifest(t)["partition_by"] == ["tag"]
+    before = _rows(S.snapshot_read(spark, t))
+    report = S.snapshot_vacuum(t, keep_last=1)
+    assert report["removed_files"]  # pre-compaction files, nested dirs
+    assert _rows(S.snapshot_read(spark, t)) == before
+
+
+def test_datasource_rejects_partitioned(spark, tmp_path):
+    from metadata_ingestion_poc_spark.sources.snapshot_source import (
+        register_snapshot_source,
+    )
+
+    t = str(tmp_path / "tbl")
+    S.snapshot_write(_df(spark, 0, 5, "a"), t, partition_by=["tag"])
+    register_snapshot_source(spark)
+    with pytest.raises(Exception, match="partitioned"):
+        spark.read.format("snapshot").option("path", t).load().collect()
