@@ -268,3 +268,102 @@ def bpe_ish_token_count(
         out_col,
         F.regexp_count(F.col(text_col), F.lit(BPE_ISH_PATTERN)).cast("long"),
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken
+    2003 — the MOSS algorithm): hash every word k-gram, slide a
+    window of `w` consecutive hashes, and keep the minimum of each
+    window (rightmost on ties).
+
+    Output: one row per selected fingerprint — (id, pos, fp) where
+    `pos` is the 1-based k-gram position and `fp` the 16-hex-char
+    md5 prefix of the k-gram. Selection guarantee: any verbatim match
+    of at least w+k-1 tokens between two documents shares at least
+    one fingerprint, at ~2/(w+1) of the full k-gram index size — the
+    storage/recall dial between exact span dedup (operators/spans.py,
+    every k-gram) and whole-doc hashing (fingerprint above, 1 row).
+
+    Engine-portable by construction: hashes are md5 hex prefixes
+    compared LEXICOGRAPHICALLY (fixed-length lowercase hex — total
+    order identical in every engine, no base-16 parsing), so a SQL
+    oracle reproduces the selection exactly (q173).
+
+    Scale shape: everything is per-document array math inside
+    codegen — no explode until the final fingerprint set, no shuffle
+    at all; the output feeds an equi-join on `fp` for candidate
+    pairing, never an all-pairs comparison.
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k}, w={w}")
+    toks_df = docs.withColumn(
+        "__toks", F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    )
+    toks = F.col("__toks")
+    n_grams = F.size(toks) - (k - 1)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, (i + d).cast("int")) for d in range(k)]
+    )
+    # staged columns, each referencing the previous ONCE per lambda
+    # body: inlining a computed array into nested higher-order
+    # lambdas multiplies the expression tree per reference (the
+    # shingles() lesson squared) — the one-shot formulation hung the
+    # analyzer even on 50 docs
+    hashes_df = toks_df.withColumn(
+        "__h",
+        F.when(
+            n_grams >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+                lambda i: F.substring(F.md5(gram(i)), 1, 16),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    ).localCheckpoint(eager=False)
+    h = F.col("__h")
+    n_windows = F.size(h) - (w - 1)
+    mins_df = hashes_df.withColumn(
+        "__mins",
+        F.when(
+            n_windows >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))),
+                lambda j: F.array_min(F.slice(h, j, w)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    ).localCheckpoint(eager=False)
+    mins = F.col("__mins")
+    sel = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(mins), F.lit(1))),
+            lambda j: F.struct(
+                F.array_max(
+                    F.filter(
+                        F.sequence(j, j + (w - 1)),
+                        lambda p: F.element_at(h, p.cast("int"))
+                        == F.element_at(mins, j.cast("int")),
+                    )
+                ).alias("pos"),
+                F.element_at(mins, j.cast("int")).alias("fp"),
+            ),
+        )
+    )
+    return (
+        mins_df.withColumn(
+            "__sel",
+            F.when(F.size(mins) >= 1, sel).otherwise(
+                F.array().cast("array<struct<pos:long,fp:string>>")
+            ),
+        )
+        .select(F.col(id_col), F.explode("__sel").alias("__s"))
+        .select(
+            id_col,
+            F.col("__s.pos").alias("pos"),
+            F.col("__s.fp").alias("fp"),
+        )
+    )

@@ -389,3 +389,47 @@ def q172_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "returning_users",
         F.sum("new_users").over(w).alias("cumulative_users"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# q173 — winnowing fingerprints (MOSS): hash every word trigram, keep
+# the minimum of each 4-hash window (rightmost on ties). Hashes are
+# 16-char md5 hex prefixes ordered LEXICOGRAPHICALLY, so the DuckDB
+# oracle replays the exact selection — window mins via a forward
+# ROWS frame, rightmost-tie via a bounded self-join. Any verbatim
+# match of >= w+k-1 = 6 tokens is guaranteed to share a fingerprint
+# at ~2/(w+1) of the full k-gram index size.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q173_winnow_fingerprints",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+               FROM documents),
+    g AS (SELECT doc_id, i+1 AS pos,
+                 substr(md5(toks[i+1] || ' ' || toks[i+2] || ' '
+                            || toks[i+3]), 1, 16) AS h,
+                 len(toks) - 2 AS n_grams
+          FROM t, unnest(range(greatest(len(toks) - 2, 0))) AS u(i)),
+    fmin AS (SELECT doc_id, pos AS j, n_grams,
+                    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN CURRENT ROW
+                                 AND 3 FOLLOWING) AS mh
+             FROM g),
+    wins AS (SELECT * FROM fmin WHERE j <= n_grams - 3),
+    sel AS (SELECT w.doc_id, MAX(x.pos) AS pos, w.mh AS fp
+            FROM wins w JOIN g x ON x.doc_id = w.doc_id
+                             AND x.pos BETWEEN w.j AND w.j + 3
+                             AND x.h = w.mh
+            GROUP BY w.doc_id, w.j, w.mh)
+    SELECT DISTINCT doc_id, pos, fp FROM sel
+    ORDER BY doc_id, pos, fp
+    """,
+)
+def q173_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import winnow_fingerprints
+
+    return winnow_fingerprints(
+        load_table(spark, sf_dir, "documents"), k=3, w=4
+    ).orderBy("doc_id", "pos", "fp")

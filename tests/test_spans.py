@@ -195,3 +195,93 @@ def test_compression_ratio_exact_values(spark):
         assert got[i] == (raw, z, round(z / raw, 6))
     assert got[3] == (0, len(zlib.compress(b"", 6)), 0.0)
     assert got[1][2] < 0.1 < got[2][2]  # the screen separates them
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (operators/text.py winnow_fingerprints)
+# ---------------------------------------------------------------------------
+
+
+def _brute_winnow(text, k, w):
+    import hashlib
+
+    toks = text.lower().strip().split()
+    grams = [
+        " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+    ]
+    hs = [hashlib.md5(g.encode()).hexdigest()[:16] for g in grams]
+    out = set()
+    for j in range(len(hs) - w + 1):
+        win = hs[j : j + w]
+        m = min(win)
+        # rightmost occurrence of the minimum
+        pos = j + max(i for i, v in enumerate(win) if v == m)
+        out.add((pos + 1, m))
+    return out
+
+
+def test_winnow_matches_reference_model(spark):
+    from metadata_ingestion_poc_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "a b c d e f g h i j",
+        "x y z",  # too short for any window (k=3, w=4 needs 6 grams? 3+4-1 tokens)
+        "repeat repeat repeat repeat repeat repeat repeat",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {}
+    for r in winnow_fingerprints(df, k=3, w=4).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for i, t in enumerate(texts):
+        assert got.get(i, set()) == _brute_winnow(t, 3, 4), f"doc {i}"
+
+
+def test_winnow_shared_span_guarantee(spark):
+    """Any verbatim match of >= w+k-1 tokens shares a fingerprint."""
+    from metadata_ingestion_poc_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    span = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w+k-1
+    df = spark.createDataFrame(
+        [
+            (0, f"one two three {span} four five six"),
+            (1, f"seven eight {span} nine ten eleven twelve"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = winnow_fingerprints(df, k=3, w=4)
+    a = {r["fp"] for r in fps.filter("doc_id = 0").collect()}
+    b = {r["fp"] for r in fps.filter("doc_id = 1").collect()}
+    assert a & b
+
+
+def test_winnow_repartition_invariant(spark, sf_dir):
+    from metadata_ingestion_poc_spark.catalog import load_table
+    from metadata_ingestion_poc_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    d = load_table(spark, sf_dir, "documents").limit(40)
+    r1 = sorted(map(tuple, winnow_fingerprints(d).collect()))
+    r2 = sorted(
+        map(tuple, winnow_fingerprints(d.repartition(7)).collect())
+    )
+    assert r1 == r2
+
+
+def test_winnow_bad_args(spark):
+    import pytest as _pytest
+
+    from metadata_ingestion_poc_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="k and w"):
+        winnow_fingerprints(df, k=0)
