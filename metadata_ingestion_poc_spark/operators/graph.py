@@ -162,3 +162,59 @@ def pagerank(
             reliable,
         )
     return ranks
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count over an UNDIRECTED edge list (columns
+    ``u``, ``v``; orientation/duplicates/self-loops normalized away).
+
+    The compact-forward / degree-ordered algorithm: orient every edge
+    from its lower-(degree, id) endpoint to the higher one, then count
+    wedges (a→b, a→c) that close with an oriented edge b→c. Ordering
+    by degree bounds every vertex's out-degree by O(sqrt(E)), so wedge
+    generation — the join that explodes on skewed graphs if oriented
+    naively — does O(E^1.5) total work even when one hub touches
+    everything (the reason plain u<v orientation is not enough at
+    100 TB: a hub with degree d contributes d² wedges unless the
+    ordering pushes its edges inward). Two shuffles: wedge build,
+    close check.
+
+    Returns a single row (triangles: long).
+    """
+    e = (
+        edges.select("u", "v")
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .distinct()
+    )
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    # orient low → high in (degree, id) order
+    ranked = (
+        sym.join(deg.withColumnRenamed("a", "u_"), F.col("a") == F.col("u_"))
+        .drop("u_")
+        .withColumnRenamed("d", "da")
+        .join(
+            deg.selectExpr("a as v_", "d as db"), F.col("b") == F.col("v_")
+        )
+        .drop("v_")
+    )
+    fwd = ranked.filter(
+        (F.col("da") < F.col("db"))
+        | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    w1 = fwd.select(F.col("src"), F.col("dst").alias("x"))
+    w2 = fwd.select(F.col("src"), F.col("dst").alias("y"))
+    wedges = w1.join(w2, "src").filter(F.col("x") < F.col("y"))
+    closed = wedges.join(
+        fwd.selectExpr("src as x", "dst as y"), ["x", "y"], "left_semi"
+    ).unionByName(
+        wedges.join(
+            fwd.selectExpr("src as y", "dst as x"), ["x", "y"], "left_semi"
+        )
+    )
+    return closed.agg(F.count(F.lit(1)).cast("long").alias("triangles"))

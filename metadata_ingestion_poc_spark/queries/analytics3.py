@@ -433,3 +433,41 @@ def q173_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(
         load_table(spark, sf_dir, "documents"), k=3, w=4
     ).orderBy("doc_id", "pos", "fp")
+
+
+# ---------------------------------------------------------------------------
+# q174 — triangle count over the (capped) part co-purchase graph.
+# Spark runs the degree-ordered compact-forward algorithm
+# (operators/graph.py triangle_count — O(E^1.5) wedge work even on
+# hub-skewed graphs); the oracle counts canonical a<b<c triples with
+# a plain three-way join. Equal counts prove the orientation +
+# closure logic exactly.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q174_triangle_count",
+    oracle=f"""
+    WITH pl AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                FROM lineitem WHERE l_partkey < {_PR_KEY_CAP}),
+    e AS (SELECT DISTINCT a.p AS u, b.p AS v
+          FROM pl a JOIN pl b ON a.ok = b.ok AND a.p < b.p)
+    SELECT COUNT(*)::BIGINT AS triangles
+    FROM e e1
+    JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+    JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+    """,
+)
+def q174_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_count
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") < _PR_KEY_CAP)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    e0 = a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v")
+    return triangle_count(e0)

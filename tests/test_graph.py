@@ -210,3 +210,68 @@ def test_pagerank_bad_args(spark):
         pagerank(e, -1)
     with pytest.raises(ValueError, match="damping"):
         pagerank(e, 1, damping=1.5)
+
+
+# ---------------------------------------------------------------------------
+# triangle_count
+# ---------------------------------------------------------------------------
+
+from metadata_ingestion_poc_spark.operators.graph import triangle_count  # noqa: E402
+
+
+def _brute_triangles(pairs):
+    from itertools import combinations
+
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return sum(
+        1
+        for a, b, c in combinations(sorted(adj), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+
+
+def test_triangle_count_known_graphs(spark):
+    # K4 has 4 triangles; adding an isolated edge changes nothing
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    assert triangle_count(_edges(spark, k4)).collect()[0]["triangles"] == 4
+    assert (
+        triangle_count(_edges(spark, k4 + [(10, 11)])).collect()[0][
+            "triangles"
+        ]
+        == 4
+    )
+    # a path has none
+    assert (
+        triangle_count(_edges(spark, [(0, 1), (1, 2), (2, 3)])).collect()[0][
+            "triangles"
+        ]
+        == 0
+    )
+
+
+def test_triangle_count_random_matches_brute_force(spark):
+    rng = random.Random(11)
+    pairs = list(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randrange(25), rng.randrange(25)) for _ in range(120)
+            )
+            if a != b
+        }
+    )
+    got = triangle_count(_edges(spark, pairs)).collect()[0]["triangles"]
+    assert got == _brute_triangles(pairs)
+
+
+def test_triangle_count_hub_graph_and_dup_edges(spark):
+    # hub 0 connected to 1..10, plus edge (1,2): exactly 1 triangle;
+    # duplicate/reversed/self edges must not change the count
+    pairs = [(0, i) for i in range(1, 11)] + [(1, 2), (2, 1), (5, 5), (0, 3)]
+    got = triangle_count(_edges(spark, pairs)).collect()[0]["triangles"]
+    assert got == 1
