@@ -471,3 +471,67 @@ def q174_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
     e0 = a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v")
     return triangle_count(e0)
+
+
+# ---------------------------------------------------------------------------
+# q175 — winsorized statistics per group: clamp order totals at the
+# group's exact [p05, p95] (rank-based distributed percentiles, no
+# value buffering), then the decimal-exact mean before/after plus the
+# clamped-row count — the robust-stats preprocessing step, proving
+# the percentile operator composes as a clamp bound, not just as a
+# reporting output.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q175_winsorized_stats",
+    oracle=f"""
+    WITH b AS (SELECT o_orderpriority,
+                      quantile_cont(o_totalprice, 0.05) AS lo,
+                      quantile_cont(o_totalprice, 0.95) AS hi
+               FROM orders GROUP BY o_orderpriority),
+    w AS (SELECT o.o_orderpriority,
+                 o.o_totalprice AS raw,
+                 LEAST(GREATEST(o.o_totalprice, b.lo), b.hi) AS cl,
+                 CASE WHEN o.o_totalprice < b.lo
+                       OR o.o_totalprice > b.hi THEN 1 ELSE 0 END AS clamped
+          FROM orders o JOIN b ON o.o_orderpriority = b.o_orderpriority)
+    SELECT o_orderpriority,
+           {sql_davg("raw", "mean_raw")},
+           {sql_davg("cl", "mean_winsorized")},
+           SUM(clamped)::BIGINT AS n_clamped
+    FROM w GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q175_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.percentiles import exact_percentiles
+
+    o = load_table(spark, sf_dir, "orders")
+    bounds = exact_percentiles(
+        o,
+        group_cols=["o_orderpriority"],
+        value_col="o_totalprice",
+        percentiles={"lo": 0.05, "hi": 0.95},
+    )
+    cl = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+    clamped = F.when(
+        (F.col("o_totalprice") < F.col("lo"))
+        | (F.col("o_totalprice") > F.col("hi")),
+        1,
+    ).otherwise(0)
+    return (
+        o.join(F.broadcast(bounds), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.col("o_totalprice").alias("raw"),
+            cl.alias("cl"),
+            clamped.alias("clamped"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            davg("raw", "mean_raw"),
+            davg("cl", "mean_winsorized"),
+            F.sum("clamped").cast("long").alias("n_clamped"),
+        )
+        .orderBy("o_orderpriority")
+    )
