@@ -535,3 +535,175 @@ def q175_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q176 — two-sample Kolmogorov–Smirnov drift between sources'
+# document-length distributions: per source-pair, the max |ECDF
+# difference| evaluated on the shared length spine (ECDFs forward-
+# filled via a cumulative window). Pure counts-and-division floats —
+# no float reductions — so both engines agree exactly; the standard
+# ingestion drift monitor between corpus slices.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q176_ks_drift",
+    oracle="""
+    WITH l AS (SELECT source, length(text) AS n FROM documents),
+    src AS (SELECT source, COUNT(*) AS total FROM l GROUP BY source),
+    spine AS (SELECT DISTINCT n FROM l),
+    grid AS (SELECT s.source, s.total, v.n FROM src s CROSS JOIN spine v),
+    cnt AS (SELECT source, n, COUNT(*) AS c FROM l GROUP BY source, n),
+    ecdf AS (
+      SELECT g.source, g.n,
+             CAST(SUM(COALESCE(c.c, 0)) OVER (
+               PARTITION BY g.source ORDER BY g.n
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS DOUBLE) / g.total AS f
+      FROM grid g LEFT JOIN cnt c ON c.source = g.source AND c.n = g.n)
+    SELECT a.source AS source_a, b.source AS source_b,
+           ROUND(MAX(ABS(a.f - b.f)), 6) AS ks_distance
+    FROM ecdf a JOIN ecdf b ON a.n = b.n AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY source_a, source_b
+    """,
+)
+def q176_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.length("text").alias("n")
+    )
+    src = d.groupBy("source").agg(F.count(F.lit(1)).alias("total"))
+    spine = d.select("n").distinct()
+    grid = src.crossJoin(F.broadcast(spine))
+    cnt = d.groupBy("source", "n").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("n")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ecdf = (
+        grid.join(cnt, ["source", "n"], "left")
+        .select(
+            "source",
+            "n",
+            (
+                F.sum(F.coalesce("c", F.lit(0))).over(w).cast("double")
+                / F.col("total")
+            ).alias("f"),
+        )
+    )
+    a = ecdf.select(
+        F.col("source").alias("source_a"), "n", F.col("f").alias("fa")
+    )
+    b = ecdf.select(
+        F.col("source").alias("source_b"),
+        F.col("n").alias("nb"),
+        F.col("f").alias("fb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("n") == F.col("nb"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias(
+                "ks_distance"
+            )
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q177 — PMI collocations: top adjacent token pairs by pointwise
+# mutual information ln(p(u,v) / (p(u)p(v))) with a minimum pair
+# count. The probability ratio is pure integer-count division with a
+# mirrored parenthesization, and the single ln is rounded to 6 dp
+# (the q131/q156 rounded-ln discipline) — no float reductions at all.
+# Collocation mining is the classic first step of tokenizer/phrase
+# vocabulary induction.
+# ---------------------------------------------------------------------------
+
+_PMI_MIN = 25
+_PMI_TOPK = 40
+
+
+@query(
+    "q177_pmi_collocations",
+    oracle=f"""
+    WITH t AS (SELECT string_split(lower(trim(text)), ' ') AS toks
+               FROM documents),
+    bg AS (SELECT toks[i+1] AS u, toks[i+2] AS v
+           FROM t, unnest(range(greatest(len(toks) - 1, 1))) AS u_(i)
+           WHERE toks[i+2] IS NOT NULL),
+    uni AS (SELECT tok, COUNT(*) AS c FROM (
+              SELECT unnest(toks) AS tok FROM t) WHERE tok <> ''
+            GROUP BY tok),
+    tot AS (SELECT (SELECT COUNT(*) FROM bg) AS tb,
+                   (SELECT SUM(c) FROM uni) AS tu),
+    pairs AS (SELECT u, v, COUNT(*) AS cuv FROM bg GROUP BY u, v
+              HAVING COUNT(*) >= {_PMI_MIN})
+    SELECT p.u, p.v, p.cuv AS pair_count,
+           ROUND(LN((CAST(p.cuv AS DOUBLE) / t.tb)
+                    / ((CAST(cu.c AS DOUBLE) / t.tu)
+                       * (CAST(cv.c AS DOUBLE) / t.tu))), 6) AS pmi
+    FROM pairs p, tot t
+    JOIN uni cu ON cu.tok = p.u
+    JOIN uni cv ON cv.tok = p.v
+    ORDER BY pmi DESC, u, v
+    LIMIT {_PMI_TOPK}
+    """,
+)
+def q177_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.col("__toks")
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__toks", F.split(F.lower(F.trim(F.col("text"))), " ")
+    )
+    bg = docs.select(
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0))
+                ),
+                lambda i: F.struct(
+                    F.element_at(toks, (i + 1).cast("int")).alias("u"),
+                    F.element_at(toks, (i + 2).cast("int")).alias("v"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.u", "p.v").filter(F.col("v").isNotNull())
+    uni = (
+        docs.select(F.explode(toks).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tb = bg.count()  # two driver scalars — the normalization constants
+    tu = uni.agg(F.sum("c")).collect()[0][0]
+    pairs = (
+        bg.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("cuv"))
+        .filter(F.col("cuv") >= _PMI_MIN)
+    )
+    cu = uni.selectExpr("tok as u", "c as cu")
+    cv = uni.selectExpr("tok as v", "c as cv")
+    pmi = F.round(
+        F.log(
+            (F.col("cuv").cast("double") / F.lit(float(tb)))
+            / (
+                (F.col("cu").cast("double") / F.lit(float(tu)))
+                * (F.col("cv").cast("double") / F.lit(float(tu)))
+            )
+        ),
+        6,
+    )
+    return (
+        pairs.join(F.broadcast(cu), "u")
+        .join(F.broadcast(cv), "v")
+        .select("u", "v", F.col("cuv").alias("pair_count"), pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "u", "v")
+        .limit(_PMI_TOPK)
+    )
