@@ -1,0 +1,74 @@
+"""Contiguous global row numbering without a single-partition sort.
+
+``row_number() OVER (ORDER BY ...)`` — no PARTITION BY — forces every
+row through ONE task; at 100 TB that is the canonical scale cliff
+(monotonically_increasing_id avoids it but is non-contiguous and
+partitioning-dependent). The distributed equivalent:
+
+1. range-repartition + sort within partitions on the order key —
+   partitions now hold disjoint, internally-sorted key ranges;
+2. one bounded driver collect of per-partition row counts (#partitions
+   rows, never data);
+3. global index = partition offset (exclusive prefix sum, broadcast)
+   + intra-partition row_number (a window WITH partitioning, so it
+   runs parallel).
+
+The order key must be a TOTAL order (include a unique tiebreaker):
+with ties, rows at a range boundary can land in either partition and
+the numbering of tied rows would depend on sampling. With a total
+order the result is exactly ``row_number() OVER (ORDER BY ...)``
+regardless of where the sampled boundaries fall (q178's oracle checks
+precisely that).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    out_col: str = "row_num",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """`df` plus a contiguous 1-based `out_col` in `order_cols` order.
+
+    order_cols must totally order the rows (add a unique id as the
+    last key); ascending order only — wrap columns with F.desc-style
+    expressions by pre-computing a negated sort column instead.
+    """
+    if not order_cols:
+        raise ValueError("need at least one order column")
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    parted = (
+        df.repartitionByRange(num_partitions, *cols)
+        if num_partitions
+        else df.repartitionByRange(*cols)
+    ).sortWithinPartitions(*cols)
+    with_pid = parted.withColumn("__pid", F.spark_partition_id())
+
+    # bounded: one row per partition
+    counts = {
+        r["__pid"]: r["c"]
+        for r in with_pid.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_df = F.broadcast(
+        with_pid.sparkSession.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()],
+            "__pid int, __offset long",
+        )
+    )
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    return (
+        with_pid.join(offset_df, "__pid")
+        .withColumn(
+            out_col, (F.col("__offset") + F.row_number().over(w)).cast("long")
+        )
+        .drop("__pid", "__offset")
+    )

@@ -707,3 +707,33 @@ def q177_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "u", "v")
         .limit(_PMI_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# q178 — contiguous global row numbering at scale: range-partition +
+# per-partition offsets + parallel intra-partition window
+# (operators/indexing.py), vs the oracle's single-sequence
+# row_number() OVER (ORDER BY ...). Equality proves the distributed
+# decomposition exactly reproduces the one-task global sort that
+# would be the bottleneck at 100 TB.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q178_global_row_number",
+    oracle="""
+    SELECT o_orderkey, o_orderdate,
+           ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS row_num
+    FROM orders
+    ORDER BY row_num
+    """,
+)
+def q178_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.indexing import global_row_number
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    return global_row_number(
+        o, ["o_orderdate", "o_orderkey"], out_col="row_num"
+    ).orderBy("row_num")
