@@ -737,3 +737,101 @@ def q178_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_row_number(
         o, ["o_orderdate", "o_orderkey"], out_col="row_num"
     ).orderBy("row_num")
+
+
+# ---------------------------------------------------------------------------
+# q179 — time-series gap fill with linear interpolation: per user,
+# the daily value series re-sampled onto a complete day spine
+# (min..max observed) with missing days linearly interpolated
+# between the bracketing observations — pandas
+# asfreq('D').interpolate() at cluster scale, from two
+# ignore-nulls window carries + one exact date-fraction blend.
+# Interpolation floats are single expressions over decimal-exact
+# daily sums and integer day distances — both engines replay them
+# identically.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q179_gap_fill_interpolate",
+    oracle=f"""
+    WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                      {sql_dsum("value", "v")}
+               FROM events GROUP BY user_id, CAST(ts AS DATE)),
+    spine AS (SELECT user_id,
+                     UNNEST(generate_series(MIN(day), MAX(day),
+                                            INTERVAL 1 DAY))::DATE AS day
+              FROM d GROUP BY user_id),
+    j AS (SELECT s.user_id, s.day, d.v FROM spine s
+          LEFT JOIN d ON d.user_id = s.user_id AND d.day = s.day),
+    c AS (SELECT user_id, day, v,
+            LAST_VALUE(v IGNORE NULLS) OVER w_back AS pv,
+            LAST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+              OVER w_back AS pd,
+            FIRST_VALUE(v IGNORE NULLS) OVER w_fwd AS nv,
+            FIRST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+              OVER w_fwd AS nd
+          FROM j
+          WINDOW w_back AS (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 w_fwd AS (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, day,
+           (v IS NULL) AS interpolated,
+           ROUND(CASE WHEN v IS NOT NULL THEN v
+                 ELSE pv + (nv - pv)
+                      * (CAST(day - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE))
+                 END, 6) AS value_filled
+    FROM c ORDER BY user_id, day
+    """,
+)
+def q179_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select("user_id", F.col("ts").cast("date").alias("day"), "value")
+        .groupBy("user_id", "day")
+        .agg(dsum("value", "v"))
+    )
+    spine = (
+        d.groupBy("user_id")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi")).alias("day"),
+        )
+    )
+    j = spine.join(d, ["user_id", "day"], "left")
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    c = j.select(
+        "user_id",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(w_back).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(w_back).alias("pd"),
+        F.first("v", ignorenulls=True).over(w_fwd).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(w_fwd).alias("nd"),
+    )
+    frac = F.datediff("day", "pd").cast("double") / F.datediff(
+        "nd", "pd"
+    ).cast("double")
+    return c.select(
+        "user_id",
+        "day",
+        F.col("v").isNull().alias("interpolated"),
+        F.round(
+            F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+                F.col("pv") + (F.col("nv") - F.col("pv")) * frac
+            ),
+            6,
+        ).alias("value_filled"),
+    ).orderBy("user_id", "day")

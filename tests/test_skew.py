@@ -96,3 +96,51 @@ def test_skew_ratio_flags_hot_key(spark):
     assert r.n_keys == 101
     assert r.max_rows == 1000
     assert r.skew_ratio >= 100
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Runtime skew handling: with AQE skew-join on, a join against a
+    hot key is split at execution time — the final adaptive plan
+    carries the skew=true marker instead of one straggler partition.
+    (Static salting in operators/skew.py is the planned-ahead lever;
+    this pins the runtime fallback actually engaging.)"""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        # 200k rows, ~95% on key 0 → one hot shuffle partition
+        big = spark.range(200_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("pad"),
+        )
+        small = spark.range(2_000).select(F.col("id").alias("k"))
+        joined = big.join(small, "k")
+        # execute THIS DataFrame's QueryExecution (count() would spawn
+        # a separate one and the inspected plan would never have run)
+        assert len(joined.collect()) > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
