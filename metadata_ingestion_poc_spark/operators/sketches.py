@@ -280,3 +280,75 @@ def cms_screen(
     ]
     est = F.least(*probes) if depth > 1 else probes[0]
     return df.filter(key.isNotNull() & (est >= F.lit(min_count)))
+
+
+def advise_join(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str,
+    width: int = 2048,
+    depth: int = 4,
+    broadcast_threshold_rows: int = 1_000_000,
+    skew_factor: float = 5.0,
+) -> dict:
+    """Plan-time join advice from constant-size sketch state — the
+    executable form of SCALING.md's "CMS inner product is the input
+    to broadcast-vs-shuffle and salting decisions".
+
+    Builds one CMS per side (one aggregate pass each), then derives:
+
+    - ``est_join_rows``: the CMS inner product (never underestimates);
+    - ``max_freq_bound_{a,b}``: min over depth rows of the largest
+      bucket — a valid upper bound on the hottest key's frequency
+      (every occurrence of a key lands in one bucket per row, so no
+      key can exceed any row's max bucket);
+    - ``skew_bound_{a,b}``: that bound over the mean per-distinct-key
+      frequency — when it is large AND the join must shuffle, salting
+      (operators/skew.py) or AQE skew-join is indicated;
+    - ``recommendation``: 'broadcast_a'/'broadcast_b' when a side is
+      under `broadcast_threshold_rows`, else 'shuffle' or
+      'shuffle_salted' by the skew bound.
+
+    Driver state: two sketch collects (≤ depth×width rows each) and
+    two counts — nothing proportional to data size.
+    """
+    rows_a, rows_b = a.count(), b.count()
+    sk_a = cms_build(a, key_col, width=width, depth=depth)
+    sk_b = cms_build(b, key_col, width=width, depth=depth)
+    est_join = cms_inner_product(sk_a, sk_b).collect()[0]["estimate"]
+
+    def _stats(sk: DataFrame, total: int) -> tuple[int, float]:
+        rows = sk.collect()
+        if not rows:
+            return 0, 0.0
+        max_per_d: dict[int, int] = {}
+        nonzero: dict[int, int] = {}
+        for r in rows:
+            max_per_d[r["d"]] = max(max_per_d.get(r["d"], 0), r["c"])
+            nonzero[r["d"]] = nonzero.get(r["d"], 0) + 1
+        bound = min(max_per_d.values())
+        # distinct keys >= max nonzero buckets over rows; mean freq
+        # uses that (over-)lower bound, making skew_bound conservative
+        distinct_lb = max(nonzero.values())
+        mean = total / distinct_lb if distinct_lb else 0.0
+        return bound, (bound / mean if mean else 0.0)
+
+    max_a, skew_a = _stats(sk_a, rows_a)
+    max_b, skew_b = _stats(sk_b, rows_b)
+
+    if rows_a <= broadcast_threshold_rows or rows_b <= broadcast_threshold_rows:
+        rec = "broadcast_a" if rows_a <= rows_b else "broadcast_b"
+    elif max(skew_a, skew_b) >= skew_factor:
+        rec = "shuffle_salted"
+    else:
+        rec = "shuffle"
+    return {
+        "rows_a": rows_a,
+        "rows_b": rows_b,
+        "est_join_rows": est_join,
+        "max_freq_bound_a": max_a,
+        "max_freq_bound_b": max_b,
+        "skew_bound_a": round(skew_a, 2),
+        "skew_bound_b": round(skew_b, 2),
+        "recommendation": rec,
+    }

@@ -276,3 +276,26 @@ def test_cms_screen_rejects_mixed_geometry(spark):
     )
     with pytest.raises(ValueError, match="mixed geometries"):
         cms_screen(df, "k", mixed, 10)
+
+
+def test_advise_join_estimates_and_recommendations(spark):
+    from metadata_ingestion_poc_spark.operators.sketches import advise_join
+
+    big = spark.range(30_000).select((F.col("id") % 3000).alias("k"))
+    dim = spark.range(500).select(F.col("id").alias("k"))
+    adv = advise_join(big, dim, "k", broadcast_threshold_rows=1000)
+    exact = big.join(dim, "k").count()
+    assert adv["est_join_rows"] >= exact  # CMS never underestimates
+    assert adv["est_join_rows"] <= exact * 2 + 2 * 30_000 * 500 // 2048
+    assert adv["recommendation"] == "broadcast_b"
+    # hottest-key bound really bounds the hottest key
+    assert adv["max_freq_bound_a"] >= 10  # every key appears 10x
+
+    # hub-skewed big-big join → salted shuffle
+    hot = spark.range(50_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(0)).otherwise(F.col("id")).alias("k")
+    )
+    other = spark.range(40_000).select((F.col("id") % 4000).alias("k"))
+    adv2 = advise_join(hot, other, "k", broadcast_threshold_rows=100)
+    assert adv2["recommendation"] == "shuffle_salted"
+    assert adv2["max_freq_bound_a"] >= 45_000  # the hub key's true count
