@@ -835,3 +835,79 @@ def q179_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("value_filled"),
     ).orderBy("user_id", "day")
+
+
+# ---------------------------------------------------------------------------
+# q180 — decile lift table: rank orders by total price into deciles
+# (total-ordered ntile) and report each decile's share of revenue and
+# cumulative gains vs the uniform baseline — the standard model-eval
+# / targeting analytics shape (here: how concentrated revenue is in
+# the top order deciles).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q180_decile_lift",
+    oracle=f"""
+    WITH r AS (SELECT o_totalprice,
+                      NTILE(10) OVER (ORDER BY o_totalprice DESC,
+                                      o_orderkey) AS decile
+               FROM orders),
+    d AS (SELECT decile, COUNT(*) AS n_orders,
+                 {sql_dsum("o_totalprice", "revenue")}
+          FROM r GROUP BY decile),
+    t AS (SELECT SUM(revenue) AS total FROM d)
+    SELECT decile, n_orders::BIGINT AS n_orders, revenue,
+           ROUND(revenue / t.total, 6) AS revenue_share,
+           ROUND(SUM(revenue) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / t.total, 6) AS cum_gain,
+           ROUND(revenue / t.total * 10, 6) AS lift
+    FROM d, t ORDER BY decile
+    """,
+)
+def q180_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.indexing import global_row_number
+
+    o = load_table(spark, sf_dir, "orders")
+    # NTILE over a global ORDER BY is the one-task sort cliff q178's
+    # operator exists to avoid: derive the decile from a distributed
+    # contiguous rank + NTILE's exact size rule (first n%k buckets get
+    # ceil(n/k) rows) — identical output, parallel plan.
+    n = o.count()
+    small, rem = n // 10, n % 10
+    big = small + 1
+    ranked = global_row_number(
+        o.select(
+            "o_totalprice",
+            (-F.col("o_totalprice")).alias("__neg"),
+            "o_orderkey",
+        ),
+        ["__neg", "o_orderkey"],
+        out_col="__rn",
+    )
+    rn = F.col("__rn")
+    decile = F.when(
+        rn <= rem * big, ((rn - 1) / big).cast("int") + 1
+    ).otherwise(
+        F.lit(rem)
+        + ((rn - rem * big - 1) / F.lit(max(small, 1))).cast("int")
+        + 1
+    )
+    r = ranked.select("o_totalprice", decile.alias("decile"))
+    d = r.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "revenue"),
+    )
+    total = d.agg(F.sum("revenue")).collect()[0][0]
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return d.select(
+        "decile",
+        "n_orders",
+        "revenue",
+        F.round(F.col("revenue") / F.lit(total), 6).alias("revenue_share"),
+        F.round(F.sum("revenue").over(w) / F.lit(total), 6).alias(
+            "cum_gain"
+        ),
+        F.round(F.col("revenue") / F.lit(total) * 10, 6).alias("lift"),
+    ).orderBy("decile")
