@@ -82,3 +82,73 @@ def export_shards(
         .format(fmt)
         .save(path)
     )
+
+
+def zorder_key(
+    xcol: F.Column | str, ycol: F.Column | str, bits: int = 16
+) -> F.Column:
+    """Morton (Z-order) interleave of two non-negative ints → one long.
+
+    Bit i of x lands at position 2i, bit i of y at 2i+1, for i in
+    [0, bits). Sorting / range-partitioning on this key clusters rows
+    that are close in BOTH dimensions, so after a z-ordered write the
+    parquet min/max zone maps prune selective predicates on EITHER
+    column — the layout trick behind multi-column data skipping at
+    100 TB (a plain sort only prunes its leading column).
+
+    Pure integer shift/mask arithmetic (2·bits terms, all inside
+    whole-stage codegen), exactly replayable in any engine — see
+    zorder_key_sql for the DuckDB twin.
+
+    Sibling of maintenance.zorder_value, which handles N columns of
+    any type via min/max linear bucketing (float arithmetic, the
+    compaction-layout workhorse); THIS variant is the exact-integer
+    2-column form whose key is bit-for-bit reproducible in SQL — use
+    it when the key itself must be portable (oracle checks, external
+    readers re-deriving file assignment).
+    """
+    if not 1 <= bits <= 32:
+        raise ValueError(f"bits must be in [1, 32], got {bits}")
+    x = F.col(xcol) if isinstance(xcol, str) else xcol
+    y = F.col(ycol) if isinstance(ycol, str) else ycol
+    x = x.cast("long")
+    y = y.cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z.bitwiseOR(F.shiftleft(x.bitwiseAND(F.lit(1 << i)), i))
+            .bitwiseOR(F.shiftleft(y.bitwiseAND(F.lit(1 << i)), i + 1))
+        )
+    return z
+
+
+def zorder_key_sql(xexpr: str, yexpr: str, bits: int = 16) -> str:
+    """DuckDB SQL twin of zorder_key — identical arithmetic."""
+    if not 1 <= bits <= 32:
+        raise ValueError(f"bits must be in [1, 32], got {bits}")
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xexpr}) & {1 << i}) << {i})")
+        terms.append(f"((({yexpr}) & {1 << i}) << {i + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def zorder_layout(
+    df: DataFrame,
+    xcol: str,
+    ycol: str,
+    num_files: int,
+    bits: int = 16,
+) -> DataFrame:
+    """Range-partition + sort a table by its Morton key for writing.
+
+    repartitionByRange samples the z-key to cut balanced ranges (one
+    exchange), then each partition sorts locally — no global sort.
+    Writing the result produces `num_files` files whose per-file
+    min/max stats are tight on BOTH xcol and ycol.
+    """
+    zdf = df.withColumn("__z", zorder_key(xcol, ycol, bits=bits))
+    return (
+        zdf.repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+    )

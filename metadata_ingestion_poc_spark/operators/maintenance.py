@@ -36,6 +36,11 @@ def zorder_value(
     (computed in ONE aggregate, broadcast back as a literal-free
     cross-join of a single row — no collect of data rows), then
     interleaves the bucket bits. NULLs map to bucket 0.
+
+    Sibling of export.zorder_key: that one is the exact-integer
+    2-column form with a SQL twin (portable, oracle-checkable keys);
+    this one trades portability for generality (N columns, any
+    numeric type, null handling) — the right default inside compact().
     """
     if not cols:
         raise ValueError("zorder needs at least one column")

@@ -20,6 +20,8 @@ tiny shuffle. The sketch table then broadcasts into any query join.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -352,3 +354,107 @@ def advise_join(
         "skew_bound_b": round(skew_b, 2),
         "recommendation": rec,
     }
+
+
+# ---------------------------------------------------------------------------
+# DDSketch-style mergeable quantile sketch (Masson, Rim & Lee, VLDB
+# 2019: "DDSketch: a fast and fully-mergeable quantile sketch with
+# relative-error guarantees"). Log-spaced buckets give a RELATIVE
+# error bound: the estimate for any quantile is within alpha of the
+# true value multiplicatively, independent of the data range — the
+# right guarantee for long-tailed size/latency/price columns where
+# absolute-error sketches waste resolution on the tail.
+#
+# The sketch IS a tiny (group, bucket, n) table: build is one groupBy
+# (map-side combined — constant state per executor at 100 TB), merge
+# is a re-groupBy (exactly associative, so per-partition / per-day
+# sketches roll up to any level), probe is a cumulative-count window
+# over ≤ a few hundred bucket rows. Everything is deterministic
+# integer/closed-form arithmetic, so a SQL oracle replays it exactly —
+# unlike approx_percentile, whose KLL compaction is engine-internal
+# (q18's rows-only precedent). Positive values only (the paper's
+# two-store extension handles negatives; out of scope here).
+# ---------------------------------------------------------------------------
+
+
+def qsketch_gamma(alpha: float) -> float:
+    """Bucket base for a target relative accuracy alpha."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    return (1.0 + alpha) / (1.0 - alpha)
+
+
+def qsketch_build(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    alpha: float = 0.01,
+) -> DataFrame:
+    """Build per-group DDSketch tables: (group_cols..., bucket, n).
+
+    bucket = ceil(ln(v) / ln(gamma)) for v > 0; every value in bucket j
+    lies in (gamma^(j-1), gamma^j], and the bucket's midpoint estimate
+    2·gamma^j/(gamma+1) is within alpha of any of them. Non-positive
+    values are dropped (count them separately if they matter).
+    """
+    gamma = qsketch_gamma(alpha)
+    v = F.col(value_col).cast("double")
+    bucket = F.ceil(F.log(v) / F.lit(math.log(gamma)))
+    keys = list(group_cols or [])
+    return (
+        df.filter(v > 0)
+        .withColumn("bucket", bucket.cast("long"))
+        .groupBy(*keys, "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def qsketch_merge(*sketches: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Union + re-sum: exact associative merge of sketch tables."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    keys = list(group_cols or [])
+    return u.groupBy(*keys, "bucket").agg(F.sum("n").alias("n"))
+
+
+def qsketch_quantiles(
+    sketch: DataFrame,
+    qs: list[float],
+    group_cols: list[str] | None = None,
+    alpha: float = 0.01,
+) -> DataFrame:
+    """Quantile estimates from a sketch: one row per (group, q).
+
+    Picks the first bucket whose cumulative count reaches
+    ceil(q·N) (nearest-rank), then returns the bucket midpoint
+    2·gamma^bucket/(gamma+1) — within alpha (relative) of the exact
+    nearest-rank value. The window runs over bucket rows (hundreds),
+    not data rows.
+    """
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    gamma = qsketch_gamma(alpha)
+    keys = list(group_cols or [])
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(*keys).orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sketch.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "total", F.sum("n").over(Window.partitionBy(*keys))
+    )
+    qdf = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    hit = (
+        cum.select(*keys, "bucket", "cum", "total", qdf)
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("total")))
+        .groupBy(*keys, "q")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    est = F.round(
+        F.lit(2.0) * F.pow(F.lit(gamma), F.col("bucket")) / F.lit(gamma + 1.0), 4
+    )
+    return hit.withColumn("est", est).select(*keys, "q", "est")

@@ -367,3 +367,82 @@ def winnow_fingerprints(
             F.col("__s.fp").alias("fp"),
         )
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 score of every document against a bag of query terms.
+
+    score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1−b+b·|d|/avgdl))
+    idf(t)   = ln(1 + (N − df(t) + 0.5)/(df(t) + 0.5))   (Lucene variant)
+
+    Scale shape (100 TB): the token stream is filtered to the query's
+    terms BEFORE any shuffle — the per-(doc,term) aggregate then runs
+    over only matching tokens, so its exchange carries O(hits), not
+    O(corpus tokens). Corpus stats (N, avgdl) are two scalars from one
+    aggregate over per-doc lengths (no explode); the per-term df table
+    is |query| rows, joined via broadcast. The result keeps every
+    matching doc; callers compose `top_k` with an orderBy/limit
+    (TakeOrderedAndProject — no global sort materialization).
+
+    Returns: doc_id, score (rounded to 6 for cross-engine checkability),
+    n_terms_hit.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks_all = tokenize(docs, text_col=text_col).select(
+        "doc_id", F.size("tokens").alias("dl"), "tokens"
+    )
+    # One pass: corpus size and average doc length. Both aggregates are
+    # exact integers (token counts), so avgdl is ONE double division —
+    # bit-identical in any engine — rather than an order-dependent
+    # double avg().
+    stats = toks_all.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total_dl")
+    ).collect()[0]
+    n_docs = float(stats["n"])
+    avgdl = float(stats["total_dl"]) / n_docs
+
+    qset = F.array(*[F.lit(t) for t in query_terms])
+    # tf per (doc, term): count matches inside the token array — no
+    # corpus-wide explode; the only exploded axis is the |query| terms.
+    tf = (
+        toks_all.select(
+            "doc_id",
+            "dl",
+            F.explode(qset).alias("term"),
+            F.size(
+                F.filter("tokens", lambda x: x == F.col("term"))
+            ).alias("tf"),
+        )
+        .filter(F.col("tf") > 0)
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
+    )
+    # Per-term contribution is a pure double expression over identical
+    # operands in every engine; rounding it at 6 absorbs cross-engine
+    # ln() ULP noise, and the decimal sum (functions.determinism) makes
+    # the per-doc reduction order-independent.
+    contrib = F.round(idf * F.col("tf") * F.lit(k1 + 1.0) / denom, 6)
+    from ..functions.determinism import dsum
+
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .withColumn("__c", contrib)
+        .groupBy("doc_id")
+        .agg(
+            dsum("__c", "score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )

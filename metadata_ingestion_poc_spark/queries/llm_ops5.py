@@ -1,0 +1,218 @@
+"""Training-data curation operators, batch 5: BM25 retrieval scoring
+and Z-order (Morton) layout clustering.
+
+- q181: Okapi BM25 over the documents corpus for a fixed bag of query
+  terms (operators/text.py bm25_scores). Float discipline: avgdl is an
+  exact integer/integer division, per-term contributions are rounded
+  doubles over identical operands, and the per-doc reduction is the
+  decimal sum from functions.determinism — so the DuckDB oracle
+  replays the identical expression tree value-exactly.
+- q182: Z-order curve bucketing (operators/export.py zorder_key) —
+  bit-interleaving is pure integer arithmetic, so the oracle replays
+  it exactly; the query reports per-bucket ranges that demonstrate the
+  locality the layout buys (both key ranges narrow within a bucket,
+  which is what makes min/max zone maps prune on BOTH columns after a
+  z-ordered write).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import query
+
+# Fixed retrieval query for q181: common corpus terms with differing
+# document frequencies; deterministic fixture, not a tuned example.
+BM25_QUERY_TERMS = ["hash", "join", "window", "stream"]
+_K1, _B = 1.2, 0.75
+
+_SQL_TERMS = "[" + ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS) + "]"
+
+
+@query(
+    "q181_bm25_topk",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+      FROM documents
+    ),
+    stats AS (
+      SELECT count(*)::DOUBLE AS n,
+             CAST(sum(len(toks)) AS DOUBLE) / count(*)::DOUBLE AS avgdl
+      FROM d
+    ),
+    tf AS (
+      SELECT doc_id, len(toks)::BIGINT AS dl, q.term,
+             len(list_filter(toks, x -> x = q.term))::BIGINT AS tf
+      FROM d, (SELECT unnest({_SQL_TERMS}) AS term) q
+    ),
+    hit AS (SELECT * FROM tf WHERE tf > 0),
+    df AS (SELECT term, count(*)::DOUBLE AS df FROM hit GROUP BY term),
+    contrib AS (
+      SELECT h.doc_id,
+             ROUND(
+               ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+               * h.tf * ({_K1} + 1.0)
+               / (h.tf + {_K1} * (1.0 - {_B} + {_B} * h.dl / s.avgdl)),
+             6) AS c
+      FROM hit h JOIN df USING (term), stats s
+    )
+    SELECT doc_id,
+           ROUND(SUM(CAST(c AS DECIMAL(28,6))), 6)::DOUBLE AS score,
+           COUNT(*)::BIGINT AS n_terms_hit
+    FROM contrib
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 25
+    """,
+)
+def q181_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 documents by BM25 relevance to a fixed term bag.
+
+    The orderBy+limit compiles to TakeOrderedAndProject, so the global
+    "sort" ships only 25 rows per partition to the driver-side heap —
+    no full sort materialization at 100 TB.
+    """
+    from ..operators.text import bm25_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        bm25_scores(d, BM25_QUERY_TERMS, k1=_K1, b=_B)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(25)
+    )
+
+
+def _zorder_oracle() -> str:
+    from ..operators.export import zorder_key_sql
+
+    z = zorder_key_sql("nx", "ny", bits=16)
+    return f"""
+    WITH mx AS (
+      SELECT max(l_partkey) + 1 AS mp, max(l_suppkey) + 1 AS ms
+      FROM lineitem
+    ),
+    norm AS (
+      SELECT l_partkey, l_suppkey,
+             (l_partkey * 65536) // mx.mp AS nx,
+             (l_suppkey * 65536) // mx.ms AS ny
+      FROM lineitem, mx
+    ),
+    z AS (
+      SELECT (({z}) >> 26)::BIGINT AS z_bucket, l_partkey, l_suppkey
+      FROM norm
+    )
+    SELECT z_bucket,
+           COUNT(*)::BIGINT AS n_rows,
+           MIN(l_partkey)::BIGINT AS part_lo, MAX(l_partkey)::BIGINT AS part_hi,
+           MIN(l_suppkey)::BIGINT AS supp_lo, MAX(l_suppkey)::BIGINT AS supp_hi
+    FROM z
+    GROUP BY z_bucket
+    ORDER BY z_bucket
+    """
+
+
+@query("q182_zorder_buckets", oracle=_zorder_oracle())
+def q182_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-key bucket profile of lineitem over (partkey, suppkey).
+
+    The per-bucket min/max ranges are the zone-map stats a z-ordered
+    write would give each file: BOTH key ranges are narrow, which is
+    why the layout prunes selective predicates on either column. Keys
+    are first normalized onto the 16-bit grid with exact integer
+    arithmetic ((k·65536) div (max+1)) so the bucketing is
+    scale-invariant — the same 64 buckets at sf0.001 and at 100 TB —
+    at the cost of one two-scalar max() pre-pass (what
+    repartitionByRange's sampler estimates, computed exactly here so
+    the oracle can replay it). Bucket id = top 6 bits of the 32-bit
+    interleave.
+    """
+    from ..operators.export import zorder_key
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    mx = li.agg(
+        (F.max("l_partkey") + 1).alias("mp"), (F.max("l_suppkey") + 1).alias("ms")
+    ).collect()[0]
+    norm = li.withColumn(
+        "nx", F.expr(f"(l_partkey * 65536) div {int(mx['mp'])}")
+    ).withColumn("ny", F.expr(f"(l_suppkey * 65536) div {int(mx['ms'])}"))
+    z = zorder_key("nx", "ny", bits=16)
+    return (
+        norm.withColumn("z_bucket", F.shiftright(z, 26).cast("long"))
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").cast("long").alias("part_lo"),
+            F.max("l_partkey").cast("long").alias("part_hi"),
+            F.min("l_suppkey").cast("long").alias("supp_lo"),
+            F.max("l_suppkey").cast("long").alias("supp_hi"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
+def _qsketch_oracle() -> str:
+    import math
+
+    from ..operators.sketches import qsketch_gamma
+
+    gamma = qsketch_gamma(0.01)
+    lng = repr(math.log(gamma))
+    g = repr(gamma)
+    return f"""
+    WITH b AS (
+      SELECT o_orderpriority AS grp,
+             CAST(ceil(ln(o_totalprice) / {lng}) AS BIGINT) AS bucket
+      FROM orders WHERE o_totalprice > 0
+    ),
+    sk AS (SELECT grp, bucket, count(*)::BIGINT AS n FROM b GROUP BY 1, 2),
+    merged AS (SELECT 'ALL' AS grp, bucket, sum(n)::BIGINT AS n
+               FROM sk GROUP BY bucket),
+    u AS (SELECT * FROM sk UNION ALL SELECT * FROM merged),
+    cum AS (
+      SELECT grp, bucket,
+             SUM(n) OVER (PARTITION BY grp ORDER BY bucket) AS cum,
+             SUM(n) OVER (PARTITION BY grp) AS total
+      FROM u
+    ),
+    hit AS (
+      SELECT grp, qq.q, MIN(bucket) AS bucket
+      FROM cum, (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE, 0.99::DOUBLE]) AS q) qq
+      WHERE cum >= ceil(qq.q * total)
+      GROUP BY 1, 2
+    )
+    SELECT grp, q,
+           ROUND(2.0 * pow({g}, bucket) / ({g} + 1.0), 4)::DOUBLE AS est
+    FROM hit ORDER BY grp, q
+    """
+
+
+@query("q183_quantile_sketch", oracle=_qsketch_oracle())
+def q183_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable DDSketch quantiles of o_totalprice per order priority,
+    plus the global sketch obtained by MERGING the per-priority ones
+    (never re-reading the raw rows) — the rollup property that lets
+    per-day/per-partition sketches answer any-granularity quantile
+    queries at 100 TB. The oracle replays bucket arithmetic, merge,
+    and probe exactly (closed-form log buckets, unlike
+    approx_percentile's engine-internal KLL state).
+    """
+    from ..operators.sketches import (
+        qsketch_build,
+        qsketch_merge,
+        qsketch_quantiles,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"), "o_totalprice"
+    )
+    per_grp = qsketch_build(o, "o_totalprice", ["grp"], alpha=0.01)
+    merged = qsketch_merge(
+        per_grp.withColumn("grp", F.lit("ALL")), group_cols=["grp"]
+    )
+    both = per_grp.unionByName(merged)
+    return qsketch_quantiles(
+        both, [0.5, 0.95, 0.99], group_cols=["grp"], alpha=0.01
+    ).orderBy("grp", "q")

@@ -1,0 +1,157 @@
+"""DDSketch quantile sketch: relative-error bound, exact merge, and
+BM25 / z-order operator properties (round-5 batch)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from metadata_ingestion_poc_spark.operators.sketches import (
+    qsketch_build,
+    qsketch_gamma,
+    qsketch_merge,
+    qsketch_quantiles,
+)
+
+ALPHA = 0.01
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_qsketch_relative_error_bound(spark):
+    # long-tailed positive values: exp-distributed via -ln(uniform)
+    df = spark.range(1, 20001).selectExpr(
+        "exp(CAST(id % 1000 AS DOUBLE) / 100.0) AS v"
+    )
+    sk = qsketch_build(df, "v", alpha=ALPHA)
+    est = {
+        r.q: r.est
+        for r in qsketch_quantiles(sk, [0.5, 0.95, 0.99], alpha=ALPHA).collect()
+    }
+    vals = sorted(r.v for r in df.collect())
+    n = len(vals)
+    for q in (0.5, 0.95, 0.99):
+        exact = vals[max(0, math.ceil(q * n) - 1)]  # nearest-rank
+        rel = abs(est[q] - exact) / exact
+        assert rel <= ALPHA + 1e-6, (q, est[q], exact, rel)
+
+
+def test_qsketch_merge_equals_whole(spark):
+    df = spark.range(1, 5001).selectExpr("CAST(id AS DOUBLE) AS v", "id")
+    a = df.filter(F.col("id") <= 2500)
+    b = df.filter(F.col("id") > 2500)
+    merged = qsketch_merge(
+        qsketch_build(a, "v", alpha=ALPHA),
+        qsketch_build(b, "v", alpha=ALPHA),
+    )
+    whole = qsketch_build(df, "v", alpha=ALPHA)
+    assert sorted(_rows(merged)) == sorted(_rows(whole))
+
+
+def test_qsketch_drops_nonpositive_and_validates(spark):
+    df = spark.createDataFrame(
+        [(-1.0,), (0.0,), (1.0,), (2.0,)], ["v"]
+    )
+    sk = qsketch_build(df, "v", alpha=ALPHA)
+    assert sk.agg(F.sum("n")).collect()[0][0] == 2
+    with pytest.raises(ValueError):
+        qsketch_gamma(0.0)
+    with pytest.raises(ValueError):
+        qsketch_quantiles(sk, [], alpha=ALPHA)
+
+
+def test_bm25_matches_reference_formula(spark):
+    from metadata_ingestion_poc_spark.operators.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (0, "hash join hash hash"),
+            (1, "join window"),
+            (2, "scan filter sort"),
+            (3, "hash"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in bm25_scores(docs, ["hash", "join"]).collect()}
+    # reference recompute in python
+    toks = {0: ["hash", "join", "hash", "hash"], 1: ["join", "window"],
+            2: ["scan", "filter", "sort"], 3: ["hash"]}
+    n, avgdl = 4.0, sum(len(t) for t in toks.values()) / 4.0
+    df = {"hash": 2.0, "join": 2.0}
+    k1, b = 1.2, 0.75
+
+    def score(d):
+        s = 0.0
+        for t in ("hash", "join"):
+            tf = toks[d].count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += round(idf * tf * (k1 + 1.0)
+                       / (tf + k1 * (1.0 - b + b * len(toks[d]) / avgdl)), 6)
+        return round(s, 6)
+
+    assert set(out) == {0, 1, 3}  # doc 2 hits no term
+    for d in (0, 1, 3):
+        assert out[d].score == pytest.approx(score(d), abs=2e-6)
+    assert out[0].n_terms_hit == 2 and out[3].n_terms_hit == 1
+    with pytest.raises(ValueError):
+        bm25_scores(docs, [])
+
+
+def test_zorder_key_locality_and_sql_twin(spark):
+    import duckdb
+
+    from metadata_ingestion_poc_spark.operators.export import (
+        zorder_key,
+        zorder_key_sql,
+        zorder_layout,
+    )
+
+    df = spark.range(0, 1024).selectExpr(
+        "CAST(id % 32 AS LONG) AS x", "CAST(id / 32 AS LONG) AS y"
+    )
+    got = {
+        (r.x, r.y): r.z
+        for r in df.withColumn("z", zorder_key("x", "y", bits=5)).collect()
+    }
+
+    def interleave(x, y, bits=5):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (x, y), z in got.items():
+        assert z == interleave(x, y), (x, y, z)
+
+    # SQL twin produces identical keys in DuckDB
+    sql = zorder_key_sql("x", "y", bits=5)
+    rows = duckdb.sql(
+        "SELECT x, y, " + sql + " AS z FROM "
+        "(SELECT range % 32 AS x, range // 32 AS y FROM range(0, 1024))"
+    ).fetchall()
+    for x, y, z in rows:
+        assert z == interleave(x, y), (x, y, z)
+
+    # range layout: every output partition holds a contiguous z range
+    parts = (
+        zorder_layout(df, "x", "y", num_files=4, bits=5)
+        .withColumn("pid", F.spark_partition_id())
+        .select("pid", "__z")
+        .collect()
+    )
+    by_pid = {}
+    for r in parts:
+        by_pid.setdefault(r.pid, []).append(r["__z"])
+    spans = sorted((min(v), max(v)) for v in by_pid.values())
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, spans
+
+    with pytest.raises(ValueError):
+        zorder_key("x", "y", bits=0)
