@@ -482,3 +482,86 @@ def ann_topk(
             queries, corpus, k=k, id_col=id_col, vec_col=vec_col, **params
         )
     raise ValueError(f"unknown ANN method {method!r}; use ivf|lsh|exact")
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection: distance-preserving dim
+# reduction (Johnson & Lindenstrauss 1984; dense Gaussian-free variant
+# per Achlioptas 2003 — any zero-mean bounded i.i.d. matrix works).
+# Projecting D→k multiplies every downstream distance computation's
+# cost by k/D; with k = O(ln n / eps²) pairwise distances survive
+# within (1±eps). The scale use: project once (one narrow map stage,
+# no shuffle), then run the existing exact/IVF/LSH machinery on the
+# short vectors.
+# ---------------------------------------------------------------------------
+
+
+def rp_matrix(dim: int, out_dim: int):
+    """Deterministic (out_dim, dim) projection matrix.
+
+    Entries are _planes() splitmix64 components (uniform [-1,1),
+    variance 1/3) — same no-RNG-state property: bit-identical on every
+    executor/run. Scaled by sqrt(3/out_dim) so each entry has variance
+    1/out_dim, which is what makes the projection norm-preserving in
+    expectation (E[‖Mx‖²] = ‖x‖²)."""
+    import numpy as np
+
+    return _planes(dim, out_dim, 1)[0] * np.sqrt(3.0 / float(out_dim))
+
+
+def rp_project(
+    df: DataFrame,
+    dim: int = 64,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+) -> DataFrame:
+    """Add `out_col`: the vector projected to out_dim dims (array<double>).
+
+    Arrow-batched pandas UDF — one numpy matmul per batch (the
+    hyperplane_signatures precedent: built-ins can't express a matrix
+    multiply; per-component aggregate() expressions would be
+    out_dim × dim scalar ops per row and blow past codegen limits).
+    Narrow map stage: no shuffle, composes with any downstream ANN path.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    flat = rp_matrix(dim, out_dim).T  # (D, K)
+
+    def proj(emb):
+        mat = np.stack(emb.to_numpy()).astype(np.float64)  # (N, D)
+        return pd.Series(list(mat @ flat))
+
+    udf = pandas_udf(proj, "array<double>")
+    return df.withColumn(out_col, udf(F.col(vec_col)))
+
+
+def rp_project_sql(
+    dim: int = 64,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> list[str]:
+    """DuckDB SQL twins: one expression per projected component.
+
+    Expression j is the literal dot product Σ_i vec[i+1]·M[j][i] with
+    the identical matrix constants (repr round-trips doubles exactly).
+    The SQL sum folds left-to-right while numpy's matmul sums
+    pairwise/SIMD — both are within ~1e-13 of the true value, so
+    rounding BOTH sides at `round_to` (≥1e-6 grid) makes them equal.
+    Used by the q184 oracle to value-check the pandas-UDF matmul.
+    """
+    m = rp_matrix(dim, out_dim)
+    exprs = []
+    for j in range(out_dim):
+        # explicit ::DOUBLE on both operands: the float4 column and the
+        # decimal-parsed literal would otherwise drag the whole fold to
+        # float32 precision and the ROUND would land off the 1e-6 grid.
+        dot_terms = " + ".join(
+            f"({vec_col}[{i + 1}]::DOUBLE * {m[j][i]!r}::DOUBLE)"
+            for i in range(dim)
+        )
+        exprs.append(f"ROUND({dot_terms}, {round_to})")
+    return exprs

@@ -1,5 +1,6 @@
-"""Training-data curation operators, batch 5: BM25 retrieval scoring
-and Z-order (Morton) layout clustering.
+"""Training-data curation operators, batch 5: BM25 retrieval scoring,
+Z-order (Morton) layout clustering, DDSketch mergeable quantiles, and
+Johnson–Lindenstrauss random projection.
 
 - q181: Okapi BM25 over the documents corpus for a fixed bag of query
   terms (operators/text.py bm25_scores). Float discipline: avgdl is an
@@ -13,6 +14,12 @@ and Z-order (Morton) layout clustering.
   locality the layout buys (both key ranges narrow within a bucket,
   which is what makes min/max zone maps prune on BOTH columns after a
   z-ordered write).
+- q183: DDSketch quantile estimates per group plus the merged-global
+  sketch (operators/sketches.py qsketch_*) — closed-form log buckets
+  carry a full value oracle.
+- q184: JL random projection (operators/similarity.py rp_project) —
+  the pandas-UDF numpy matmul value-checked against literal dot
+  products in SQL.
 """
 
 from __future__ import annotations
@@ -216,3 +223,49 @@ def q183_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qsketch_quantiles(
         both, [0.5, 0.95, 0.99], group_cols=["grp"], alpha=0.01
     ).orderBy("grp", "q")
+
+
+def _rp_oracle() -> str:
+    from ..operators.similarity import rp_project_sql
+
+    exprs = rp_project_sql(dim=64, out_dim=16, vec_col="embedding")
+    structs = ", ".join(
+        f"struct_pack(j := {j}, comp := {e})" for j, e in enumerate(exprs)
+    )
+    return f"""
+    SELECT vec_id, s.j AS j, (s.comp)::DOUBLE AS comp
+    FROM (
+      SELECT vec_id, unnest([{structs}]) AS s
+      FROM embeddings WHERE vec_id < 10
+    )
+    ORDER BY vec_id, j
+    """
+
+
+@query("q184_random_projection", oracle=_rp_oracle())
+def q184_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection 64→16 of the embedding table; the first 10
+    vectors' projected components, value-checked against a DuckDB
+    oracle that re-derives every component as a literal dot product
+    with the identical splitmix64 matrix — a full cross-engine
+    differential over the pandas-UDF matmul path (numpy pairwise/SIMD
+    summation vs SQL left fold, both inside the 1e-6 rounding grid).
+
+    The filter runs BEFORE the UDF (narrow pushdown: project only the
+    rows you keep); at scale the same operator projects the whole
+    corpus in one map stage and the existing ANN machinery runs on
+    vectors 4x shorter.
+    """
+    from ..operators.similarity import rp_project
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    p = rp_project(e, dim=64, out_dim=16)
+    return (
+        p.select(
+            "vec_id",
+            F.posexplode(F.transform("proj", lambda c: F.round(c, 6))).alias(
+                "j", "comp"
+            ),
+        )
+        .orderBy("vec_id", "j")
+    )

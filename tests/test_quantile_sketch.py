@@ -155,3 +155,53 @@ def test_zorder_key_locality_and_sql_twin(spark):
 
     with pytest.raises(ValueError):
         zorder_key("x", "y", bits=0)
+
+
+def test_random_projection_preserves_distances(spark, sf_dir):
+    """JL property: pairwise distances survive 64->16 within a bounded
+    distortion for the deterministic splitmix64 matrix."""
+    import itertools
+    import math as m
+
+    from metadata_ingestion_poc_spark.catalog import load_table
+    from metadata_ingestion_poc_spark.operators.similarity import rp_project
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 30)
+    rows = rp_project(e, dim=64, out_dim=16).select(
+        "vec_id", "embedding", "proj"
+    ).collect()
+
+    def dist(a, b):
+        return m.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    distortions = []
+    for r1, r2 in itertools.combinations(rows, 2):
+        d0 = dist(r1.embedding, r2.embedding)
+        d1 = dist(r1.proj, r2.proj)
+        if d0 > 1e-9:
+            distortions.append(d1 / d0)
+    # k=16 gives eps ~ sqrt(8 ln n / k) in theory; the deterministic
+    # matrix is fixed, so pin a measured-generous envelope rather than
+    # the asymptotic constant.
+    assert distortions and all(0.4 <= r <= 1.6 for r in distortions), (
+        min(distortions), max(distortions)
+    )
+
+
+def test_rp_project_sql_matches_matrix(spark):
+    from metadata_ingestion_poc_spark.operators.similarity import (
+        rp_matrix,
+        rp_project_sql,
+    )
+
+    exprs = rp_project_sql(dim=4, out_dim=2)
+    m = rp_matrix(4, 2)
+    import duckdb
+
+    got = duckdb.sql(
+        "SELECT " + ", ".join(f"{e} AS c{j}" for j, e in enumerate(exprs))
+        + " FROM (SELECT [1.0, 2.0, 3.0, 4.0]::FLOAT[] AS embedding)"
+    ).fetchone()
+    for j in range(2):
+        want = round(sum((i + 1) * m[j][i] for i in range(4)), 6)
+        assert got[j] == want, (j, got[j], want)
