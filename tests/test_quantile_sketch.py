@@ -205,3 +205,34 @@ def test_rp_project_sql_matches_matrix(spark):
     for j in range(2):
         want = round(sum((i + 1) * m[j][i] for i in range(4)), 6)
         assert got[j] == want, (j, got[j], want)
+
+
+def test_zorder_write_locality(spark, sf_dir, tmp_path):
+    """After a z-ordered write, rows matching a 2-D-selective predicate
+    live in FEW files (tight per-file bounding boxes on both columns);
+    after a layout-agnostic write they smear across most files. This is
+    the observable behind zone-map/row-group skipping."""
+    from metadata_ingestion_poc_spark.catalog import load_table
+    from metadata_ingestion_poc_spark.operators.export import zorder_layout
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    zpath, rpath = str(tmp_path / "zorder"), str(tmp_path / "plain")
+    zorder_layout(li, "l_partkey", "l_suppkey", num_files=16, bits=8).drop(
+        "__z"
+    ).write.parquet(zpath)
+    li.repartition(16).write.parquet(rpath)
+
+    pred = (F.col("l_partkey") <= 20) & (F.col("l_suppkey") <= 2)
+
+    def files_hit(path):
+        return (
+            spark.read.parquet(path)
+            .filter(pred)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    z_files, plain_files = files_hit(zpath), files_hit(rpath)
+    assert z_files <= 4, z_files
+    assert plain_files >= 8, plain_files
