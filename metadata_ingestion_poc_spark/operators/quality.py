@@ -72,3 +72,56 @@ def validate(df: DataFrame, rules: list[dict]) -> DataFrame:
         report, ["column", "rule", "n_violations", "n_rows"]
     )
     return out.withColumn("passed", F.col("n_violations") == 0)
+
+
+def referential_integrity(
+    edges: list[tuple[DataFrame, str, DataFrame, str, str]],
+) -> DataFrame:
+    """Orphan audit over foreign-key edges: one row per edge with
+    (edge, n_child_keys, n_orphan_keys, n_orphan_rows).
+
+    Scale shape, per edge: the child is reduced to its DISTINCT key
+    set WITH per-key row counts first (one map-side-combined groupBy
+    over a single column — the exchange carries keys, never rows),
+    then left-joined to the parent's distinct keys; one final
+    aggregate folds the orphan flags. The heavy fact table is never
+    joined row-wise, and AQE picks broadcast for small parents. NULL
+    child keys are excluded (a null FK is "absent", not "dangling" —
+    q66's not_null rule owns nulls).
+    """
+    if not edges:
+        raise ValueError("need at least one FK edge")
+    outs = []
+    for child, child_key, parent, parent_key, name in edges:
+        ck = (
+            child.filter(F.col(child_key).isNotNull())
+            .groupBy(F.col(child_key).alias("__k"))
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+        )
+        pk = parent.select(F.col(parent_key).alias("__p")).distinct()
+        flagged = ck.join(pk, ck["__k"] == pk["__p"], "left").select(
+            "__cnt", F.col("__p").isNull().cast("int").alias("__orphan")
+        )
+        outs.append(
+            flagged.agg(
+                F.count(F.lit(1)).alias("n_child_keys"),
+                F.coalesce(F.sum("__orphan"), F.lit(0))
+                .cast("long")
+                .alias("n_orphan_keys"),
+                F.coalesce(
+                    F.sum(F.when(F.col("__orphan") == 1, F.col("__cnt"))),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("n_orphan_rows"),
+            ).select(
+                F.lit(name).alias("edge"),
+                "n_child_keys",
+                "n_orphan_keys",
+                "n_orphan_rows",
+            )
+        )
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionByName(o)
+    return u

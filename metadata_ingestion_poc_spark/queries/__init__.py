@@ -109,14 +109,14 @@ def _load_all() -> None:
 # rotation note.
 #
 # Round-6 rotation note: after round 5 the never-swept tail is
-# q148-q184 (added after the round-5 window was already sized to
+# q148-q185 (added after the round-5 window was already sized to
 # N=50 — they sit outside it by design, pytest-pinned meanwhile;
 # q148-q166 from the round-5 early sessions, q167-q178 — bloom
 # prune, pagerank, CMS heavy hitters, retrieval metrics, moving
 # median, growth accounting, winnowing, triangles, winsorized
 # stats, KS drift, PMI, global row numbering, gap-fill
 # interpolation, decile lift — from the late
-# session; q181-q184 — BM25, z-order buckets, DDSketch quantiles, JL random projection —
+# session; q181-q185 — BM25, z-order buckets, DDSketch quantiles, JL random projection, FK orphan audit —
 # from the final session); promote them FIRST in round 6, then the oldest unrefreshed credit — the
 # round-3 block (q70-q74, q80-q89, q95-q103, q110-q114, q116-q118)
 # — after any round-6 code changes. The round-4 block (q120-q130)

@@ -218,3 +218,53 @@ def q130_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(d).select(
         "doc_id", "norm_text", "norm_tokens"
     ).orderBy("doc_id")
+
+
+_FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _ri_oracle() -> str:
+    parts = []
+    for child, ck, parent, pk in _FK_EDGES:
+        parts.append(f"""
+    SELECT '{child}.{ck}->{parent}' AS edge,
+           COUNT(*)::BIGINT AS n_child_keys,
+           COALESCE(SUM(CASE WHEN p.__p IS NULL THEN 1 END), 0)::BIGINT
+             AS n_orphan_keys,
+           COALESCE(SUM(CASE WHEN p.__p IS NULL THEN c.__cnt END), 0)::BIGINT
+             AS n_orphan_rows
+    FROM (SELECT {ck} AS __k, COUNT(*) AS __cnt FROM {child}
+          WHERE {ck} IS NOT NULL GROUP BY 1) c
+    LEFT JOIN (SELECT DISTINCT {pk} AS __p FROM {parent}) p
+      ON c.__k = p.__p""")
+    return " UNION ALL ".join(parts) + " ORDER BY edge"
+
+
+@query("q185_referential_integrity", oracle=_ri_oracle())
+def q185_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan audit over the full TPC-H foreign-key graph — the
+    ingestion-gate companion to q66's row rules: every FK edge's
+    dangling-key and dangling-row counts in one report.
+
+    Per edge the fact side collapses to (distinct key, row count)
+    before any join (operators/quality.py referential_integrity), so
+    at 100 TB each edge costs one single-column map-combined exchange
+    plus a key-set join — never a row-wise join of the fact table.
+    """
+    from ..operators.quality import referential_integrity
+
+    tables = {t: load_table(spark, sf_dir, t) for t in
+              {e[0] for e in _FK_EDGES} | {e[2] for e in _FK_EDGES}}
+    edges = [
+        (tables[child], ck, tables[parent], pk, f"{child}.{ck}->{parent}")
+        for child, ck, parent, pk in _FK_EDGES
+    ]
+    return referential_integrity(edges).orderBy("edge")

@@ -236,3 +236,23 @@ def test_zorder_write_locality(spark, sf_dir, tmp_path):
     z_files, plain_files = files_hit(zpath), files_hit(rpath)
     assert z_files <= 4, z_files
     assert plain_files >= 8, plain_files
+
+
+def test_referential_integrity_counts_planted_orphans(spark):
+    from metadata_ingestion_poc_spark.operators.quality import (
+        referential_integrity,
+    )
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (99,), (99,), (99,), (None,)], ["fk"]
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], ["pk"])
+    out = referential_integrity([(child, "fk", parent, "pk", "c->p")]).collect()
+    assert len(out) == 1
+    r = out[0]
+    # null FK excluded; keys {1,2,99}; orphan key 99 carries 3 rows
+    assert (r.edge, r.n_child_keys, r.n_orphan_keys, r.n_orphan_rows) == (
+        "c->p", 3, 1, 3,
+    )
+    with pytest.raises(ValueError):
+        referential_integrity([])
