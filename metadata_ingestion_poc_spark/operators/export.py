@@ -107,8 +107,12 @@ def zorder_key(
     it when the key itself must be portable (oracle checks, external
     readers re-deriving file assignment).
     """
-    if not 1 <= bits <= 32:
-        raise ValueError(f"bits must be in [1, 32], got {bits}")
+    # 31, not 32: at bits=32 y's bit 31 would land at interleaved
+    # position 63 — the SIGN bit of the long — flipping the key
+    # negative for the upper half of the grid and breaking the sort
+    # order the whole layout depends on.
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
     x = F.col(xcol) if isinstance(xcol, str) else xcol
     y = F.col(ycol) if isinstance(ycol, str) else ycol
     x = x.cast("long")
@@ -124,8 +128,8 @@ def zorder_key(
 
 def zorder_key_sql(xexpr: str, yexpr: str, bits: int = 16) -> str:
     """DuckDB SQL twin of zorder_key — identical arithmetic."""
-    if not 1 <= bits <= 32:
-        raise ValueError(f"bits must be in [1, 32], got {bits}")
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
     terms = []
     for i in range(bits):
         terms.append(f"((({xexpr}) & {1 << i}) << {i})")

@@ -189,6 +189,14 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         )
         .distinct()
     )
+    # Lineage cut: `e` feeds sym (twice), deg, ranked, and — through
+    # `fwd` below — the wedge build and both closure semi-joins. The
+    # canonicalized subtrees differ enough that AQE exchange reuse
+    # never fires, so without a cut the (possibly expensive) edge
+    # derivation re-executes ~16× (q174 showed 177 Exchanges / 16
+    # SortMergeJoins). Edges are the collapsed distinct pair set —
+    # materialize once.
+    e = e.localCheckpoint(eager=False)
     sym = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
@@ -207,6 +215,9 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         (F.col("da") < F.col("db"))
         | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
     ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    # Same cut for the oriented list: it feeds both wedge arms and
+    # both closure semi-joins (4 consumers).
+    fwd = fwd.localCheckpoint(eager=False)
     w1 = fwd.select(F.col("src"), F.col("dst").alias("x"))
     w2 = fwd.select(F.col("src"), F.col("dst").alias("y"))
     wedges = w1.join(w2, "src").filter(F.col("x") < F.col("y"))
@@ -218,3 +229,61 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         )
     )
     return closed.agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+
+
+def kcore(
+    edges: DataFrame, k: int, rounds: int, reliable: bool = False
+) -> DataFrame:
+    """R-round k-core peeling over an UNDIRECTED edge list (columns
+    ``u``, ``v``; orientation/duplicates/self-loops normalized away).
+
+    Each round drops every vertex whose degree in the CURRENT
+    subgraph is < k, then restricts the edge set to surviving
+    endpoints. With `rounds` large enough this converges to the
+    k-core (the maximal subgraph of minimum degree >= k); the
+    FIXED-round form is the deliberate contract here — the identical
+    deterministic computation is replayable in plain SQL by unrolling
+    the rounds (the q168 pagerank discipline for iterative
+    algorithms), and at 100 TB a bounded round count is the
+    schedulable unit anyway (each round is one degree aggregation +
+    two semi-joins; lineage is cut per round so plan size stays
+    constant).
+
+    Returns (node, deg) for surviving vertices with their degree in
+    the surviving subgraph.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    e = (
+        edges.select("u", "v")
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .distinct()
+    )
+    e = _cut(e, reliable)
+    for _ in range(rounds):
+        sym = e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        keep = (
+            sym.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= k)
+            .select(F.col("a").alias("node"))
+        )
+        e = _cut_lazy(
+            e.join(
+                keep.withColumnRenamed("node", "a"), "a", "left_semi"
+            ).join(keep.withColumnRenamed("node", "b"), "b", "left_semi"),
+            reliable,
+        )
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    return sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )

@@ -357,6 +357,13 @@ def exact_percentiles(
             ).alias("__cnt")
         )
     )
+    # Lineage cut: every internal branch below (ranked, totals, one
+    # targets arm per percentile, both rank lookups) re-derives this
+    # frame — without a cut the physical plan re-scans the RAW input
+    # once per branch (q14 showed 9 FileScans of lineitem). The
+    # collapsed histogram is small (distinct (group,value) pairs), so
+    # materialize it once and let all branches read the checkpoint.
+    vals = vals.localCheckpoint(eager=False)
     # 2. per-value covering rank range [lo, hi] (0-indexed)
     w = Window.partitionBy(*group_cols).orderBy(value_col)
     ranked = vals.withColumn("__hi", F.sum("__cnt").over(w) - 1).withColumn(

@@ -91,13 +91,52 @@ def referential_integrity(
     """
     if not edges:
         raise ValueError("need at least one FK edge")
-    outs = []
-    for child, child_key, parent, parent_key, name in edges:
-        ck = (
-            child.filter(F.col(child_key).isNotNull())
-            .groupBy(F.col(child_key).alias("__k"))
-            .agg(F.count(F.lit(1)).alias("__cnt"))
+    names = [e[4] for e in edges]
+    if len(set(names)) != len(names):
+        raise ValueError("edge names must be unique")
+    # Share the fact-side scan: a child table that appears in several
+    # edges (lineitem has 3+ FK columns) would otherwise be re-scanned
+    # once per edge. Melt all of a child's same-typed FK columns into
+    # one (edge, key) stream with stack() — a generator, no shuffle —
+    # so ONE FileScan feeds one combined groupBy; the collapsed
+    # per-edge key counts are tiny, so cut lineage there and let each
+    # edge filter its slice.
+    by_child: dict[tuple[int, str], list[int]] = {}
+    for i, (child, child_key, _p, _pk, _n) in enumerate(edges):
+        dt = dict(child.dtypes)[child_key]
+        by_child.setdefault((id(child), dt), []).append(i)
+    ck_by_edge: dict[int, DataFrame] = {}
+    for (_cid, _dt), idxs in by_child.items():
+        child = edges[idxs[0]][0]
+        if len(idxs) == 1:
+            i = idxs[0]
+            child_key = edges[i][1]
+            ck_by_edge[i] = (
+                child.filter(F.col(child_key).isNotNull())
+                .groupBy(F.col(child_key).alias("__k"))
+                .agg(F.count(F.lit(1)).alias("__cnt"))
+            )
+            continue
+        pairs = ", ".join(
+            "'{}', `{}`".format(edges[i][4].replace("'", "''"), edges[i][1])
+            for i in idxs
         )
+        grouped = (
+            child.selectExpr(
+                f"stack({len(idxs)}, {pairs}) as (__edge, __k)"
+            )
+            .filter(F.col("__k").isNotNull())
+            .groupBy("__edge", "__k")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .localCheckpoint(eager=False)
+        )
+        for i in idxs:
+            ck_by_edge[i] = grouped.filter(
+                F.col("__edge") == edges[i][4]
+            ).select("__k", "__cnt")
+    outs = []
+    for i, (child, child_key, parent, parent_key, name) in enumerate(edges):
+        ck = ck_by_edge[i]
         pk = parent.select(F.col(parent_key).alias("__p")).distinct()
         flagged = ck.join(pk, ck["__k"] == pk["__p"], "left").select(
             "__cnt", F.col("__p").isNull().cast("int").alias("__orphan")

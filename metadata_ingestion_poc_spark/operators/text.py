@@ -395,6 +395,12 @@ def bm25_scores(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    # Dedupe, keeping order: a duplicated term would produce a second
+    # identical tf row per hit, silently double-counting df AND adding
+    # a duplicate per-term contribution to every score. BM25 has no
+    # standard duplicate-term weighting; callers who want one should
+    # weight explicitly.
+    query_terms = list(dict.fromkeys(query_terms))
     toks_all = tokenize(docs, text_col=text_col).select(
         "doc_id", F.size("tokens").alias("dl"), "tokens"
     )
@@ -445,4 +451,91 @@ def bm25_scores(
             dsum("__c", "score"),
             F.count(F.lit(1)).alias("n_terms_hit"),
         )
+    )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    max_df: int = 200,
+    text_col: str = "text",
+) -> DataFrame:
+    """All document pairs with TF-IDF cosine similarity >= threshold,
+    via an inverted term index (one shuffle on term) — never all
+    pairs.
+
+    Semantics: terms with df > max_df are dropped from EVERY vector
+    (weights AND norms), so the result is the exact cosine on the
+    df-capped vocabulary. The cap is the 100 TB lever — candidate
+    pair generation is Σ_term df², and ubiquitous terms contribute
+    pure noise to the metric while dominating that sum (the
+    stop-shingle rule from operators/dedup.py applied to weighted
+    similarity). max_df=None keeps every term (small/audit corpora).
+
+    Cross-engine determinism: idf is rounded at 6 dp (absorbs ln()
+    ULP noise), weights/products/squares are rounded at 6 and summed
+    as DECIMAL(28,6) so dot products and norms are order-independent;
+    sqrt and the final division are IEEE correctly-rounded, so a SQL
+    oracle replaying the same expression tree matches bit-for-bit.
+
+    Returns (doc_a, doc_b, cosine), doc_a < doc_b.
+    """
+    from ..functions.determinism import DEC
+
+    toks = tokenize(docs, text_col=text_col).select(
+        "doc_id", F.explode("tokens").alias("term")
+    )
+    n_docs = docs.count()  # scalar → literal in the idf expression
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is not None:
+        df_ = df_.filter(F.col("df") <= max_df)
+    idf6 = F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+    # one broadcast of the df-capped vocabulary; weights stay with
+    # the (doc, term) rows — no second pass over the corpus
+    w = (
+        tf.join(F.broadcast(df_), "term")
+        .withColumn("w", F.round(F.col("tf") * idf6, 6))
+        .select("doc_id", "term", "w")
+    )
+    # Lineage cut: `w` feeds the norm aggregate and BOTH sides of the
+    # pair join — without a cut the tokenize/explode/count chain runs
+    # three times (the round-5 exact_percentiles lesson).
+    w = w.localCheckpoint(eager=False)
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(
+            F.round(F.sum(F.round(F.col("w") * F.col("w"), 6).cast(DEC)), 6)
+            .cast("double")
+        ).alias("norm")
+    )
+    a = w.select(
+        F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa")
+    )
+    b = w.select(
+        F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("wa") * F.col("wb"), 6).cast(DEC)), 6
+            )
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("norm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("norm").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .withColumn(
+            "cosine", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", "cosine")
     )

@@ -97,102 +97,75 @@ def _load_all() -> None:
 # eventually verified. Names not present are skipped silently (renames
 # must not break import).
 #
-# Round-5 rotation (window N=50): (a) the 17 queries new this round
-# (q131-q147, never swept); (b) every query whose implementation
-# changed in round 5 — q64 (md5 fingerprint), q75 (deterministic
-# stratified sample), q14 (percentiles null-safe lookup), q56/q58/q90
-# (ANN dial retune, rows-only re-pin), q129 (sketch geometry columns,
-# rows-only re-pin), plus the dedup.py-touching oracle queries
-# (finite default cap — q51/q126 as representatives); (c) the
-# round-2-credit block (q20-q29, q35, q36, q47-q49, q76, q78,
-# q91-q94), three rounds stale as of this round — per the round-4
-# rotation note.
+# Round-6 rotation (window N=50): (a) the 38 never-swept q148-q185
+# (added after the round-5 window filled; the round-5 judge verified
+# all 38 green via tools/check.py — driver credit is what's missing);
+# (b) q14 (exact_percentiles lineage-cut rewrite this round — q165/
+# q175/q174/q185/q181/q182, also touched this round, are already in
+# the never-swept block); (c) the first 11 entries of the round-3
+# credit block (q70-q74, q80-q85) to fill the 50.
 #
-# Round-6 rotation note: after round 5 the never-swept tail is
-# q148-q185 (added after the round-5 window was already sized to
-# N=50 — they sit outside it by design, pytest-pinned meanwhile;
-# q148-q166 from the round-5 early sessions, q167-q178 — bloom
-# prune, pagerank, CMS heavy hitters, retrieval metrics, moving
-# median, growth accounting, winnowing, triangles, winsorized
-# stats, KS drift, PMI, global row numbering, gap-fill
-# interpolation, decile lift — from the late
-# session; q181-q185 — BM25, z-order buckets, DDSketch quantiles, JL random projection, FK orphan audit —
-# from the final session); promote them FIRST in round 6, then the oldest unrefreshed credit — the
-# round-3 block (q70-q74, q80-q89, q95-q103, q110-q114, q116-q118)
-# — after any round-6 code changes. The round-4 block (q120-q130)
-# follows in round 7.
+# Round-7 rotation note: promote any round-6-new queries first, then
+# the REMAINDER of the round-3 credit block (q86-q89, q95-q103,
+# q110-q114, q116-q118 — last swept in D3), then the round-4 block
+# (q120-q130). Round 8 takes whatever round-7 code changes touch plus
+# the round-5 block (q131-q147).
 # ---------------------------------------------------------------------------
 _SWEEP_PRIORITY = [
-    # -- new in round 5 — never swept.
-    "q131_bigram_lm_score",
-    "q132_lexical_diversity",
-    "q133_vocab_growth",
-    "q134_gopher_quality_rules",
-    "q135_source_kl_divergence",
-    "q136_cross_source_contamination",
-    "q137_dataset_split",
-    "q138_event_attribution",
-    "q139_duplicated_spans",
-    "q140_fuzzy_name_match",
-    "q141_self_repeated_spans",
-    "q142_neardup_degree_histogram",
-    "q143_eval_decontamination",
-    "q144_variant_json_analytics",
-    "q145_cohort_retention",
-    "q146_compression_screen",  # rows-only by design (zlib)
-    "q147_ngram_containment_pairs",
-    # -- changed in round 5 — need fresh driver credit.
-    "q64_fingerprint",  # md5 oracle, newly hash-checkable
-    "q75_stratified_sample",  # deterministic keep filter, new oracle
-    "q14_percentiles",  # null-safe lookup rewrite
-    "q40_asof_join",  # asof.py direction/tolerance rewrite — backward
-    # path refactored into the carried-window helper; needs fresh
-    # oracle credit (q56 moved below the fold to keep the window at
-    # 50: rows-only there, and its dial is recall-floor-pinned at
-    # sf0.1 by tests/test_ann_recall_sf01.py)
-    "q58_cosine_near_dup_lsh",  # rows-only, retuned dial — re-pin rows
-    "q90_ivf_ann_topk",  # rows-only, nprobe default — re-pin rows
-    "q129_cms_term_frequencies",  # sketch geometry columns
-    "q51_ngram_jaccard_pairs",  # dedup.py default change
-    "q126_incremental_dedup",  # dedup.py default change
-    # -- round-2 credit, three rounds stale — refresh all.
-    "q20_topk_per_group",
-    "q21_rank_dense_ntile",
-    "q22_lag_lead",
-    "q23_running_sum",
-    "q24_range_frame",
-    "q25_first_last_frame",
-    "q26_union_distinct",
-    "q27_union_all_counts",
-    "q28_intersect",
-    "q29_except",
-    "q35_json_funcs",
-    "q36_explode_tokens",
-    "q47_correlated_scalar_subquery",
-    "q48_exists_subquery",
-    "q49_scalar_in_subquery",
-    "q76_corr_covar",
-    "q78_edit_distance",
-    "q91_string_transforms",
-    "q92_bool_aggregates",
-    "q93_bitwise_ops",
-    "q94_date_spine_gaps",
-    # -- round-2 credit continued (first swept in D2 via entry block).
-    "q11_rollup",
-    "q12_cube",
-    "q13_grouping_sets",
-    "q15_variance_stats",
-    "q16_argmax_per_group",
-    "q17_collect_sorted",
-    "q19_pivot",
-    "q19b_unpivot",
-    "q37_map_struct_funcs",
-    "q40_asof_join",
-    "q41_theta_band_join",
-    "q42_cross_join_grid",
-    "q43_self_join_copurchase",
-    # rows-only, displaced from the 50-window by q40 (see note there)
-    "q56_lsh_ann_topk",
+    # -- never swept (added late in round 5); includes this round's
+    # -- changed q165/q174/q175/q181/q182/q185.
+    "q148_interval_overlap_join",
+    "q149_importance_weighted_sample",
+    "q150_group_reservoir_sample",
+    "q151_pii_profile",
+    "q152_vocab_jaccard",
+    "q153_group_regression",
+    "q154_mad_outliers",
+    "q155_markov_transitions",
+    "q156_unigram_entropy",
+    "q157_bfs_hops",
+    "q158_cluster_collapse",
+    "q159_hard_negative_mining",
+    "q160_threshold_sweep",
+    "q161_recursive_cte_bfs",
+    "q162_url_host_stats",
+    "q163_lateral_topk",
+    "q164_asof_forward_attribution",
+    "q165_weighted_percentiles",
+    "q166_bpe_token_accounting",
+    "q167_bloom_prune_join",
+    "q168_pagerank",
+    "q169_cms_heavy_hitters",
+    "q170_retrieval_metrics",
+    "q171_moving_median",
+    "q172_new_vs_returning",
+    "q173_winnow_fingerprints",
+    "q174_triangle_count",
+    "q175_winsorized_stats",
+    "q176_ks_drift",
+    "q177_pmi_collocations",
+    "q178_global_row_number",
+    "q179_gap_fill_interpolate",
+    "q180_decile_lift",
+    "q181_bm25_topk",
+    "q182_zorder_buckets",
+    "q183_quantile_sketch",
+    "q184_random_projection",
+    "q185_referential_integrity",
+    # -- changed in round 6 (lineage-cut rewrite).
+    "q14_percentiles",
+    # -- round-3 credit, three rounds stale - first 11 (rest in round 7).
+    "q70_tumbling_window",
+    "q71_sliding_window",
+    "q72_session_window",
+    "q73_funnel_conversion",
+    "q74_grouped_zscore",
+    "q80_tpch_q13_count_distribution",
+    "q81_tpch_q15_top_supplier",
+    "q82_tpch_q19_disjunctive",
+    "q83_tpch_q22_global_sales_opportunity",
+    "q84_nation_trade_matrix",
+    "q85_null_semantics",
 ]
 
 

@@ -63,6 +63,24 @@ def _manifest_path(table: Path, version: int) -> Path:
     return _manifest_dir(table) / f"v{version:05d}.json"
 
 
+def _batch_marker_path(table: Path) -> Path:
+    # Retained batch_id ledger (batch_id → version). Manifests are the
+    # primary idempotency record, but vacuum deletes expired manifests
+    # — without this file a foreachBatch replay of a batch OLDER than
+    # the retention window would re-commit and silently duplicate
+    # table contents. Vacuum folds expired manifests' batch_ids in
+    # here BEFORE deleting them and never drops the file.
+    return _manifest_dir(table) / "_batch_ids.json"
+
+
+def _read_batch_markers(table: Path) -> dict:
+    p = _batch_marker_path(table)
+    if p.exists():
+        with open(p) as f:
+            return json.load(f)
+    return {}
+
+
 def snapshot_versions(table_path: str) -> list[int]:
     """All committed versions, ascending. Empty for a fresh path."""
     mdir = _manifest_dir(Path(table_path))
@@ -140,6 +158,13 @@ def snapshot_write(
             m = _read_manifest(table, v)
             if m.get("batch_id") == str(batch_id):
                 return v
+        # batch committed in a version vacuum has since expired: the
+        # retained ledger still remembers it — replay stays a no-op
+        # even past the retention window (the returned version may no
+        # longer be readable; only the idempotency contract matters).
+        marker = _read_batch_markers(table).get(str(batch_id))
+        if marker is not None:
+            return marker
     parent = versions[-1] if versions else None
     new_version = (parent or 0) + 1
     if mode == "append" and parent is not None:
@@ -258,8 +283,10 @@ def snapshot_changes(
     table = Path(table_path)
     versions = snapshot_versions(table_path)
     to_v = versions[-1] if to_version is None else to_version
+    # from_version=0 means "since before the first commit" — the same
+    # convention the streaming source's startingVersion uses.
     for v in (from_version, to_v):
-        if v not in versions:
+        if v != 0 and v not in versions:
             raise FileNotFoundError(
                 f"version {v} not in {versions} at {table_path}"
             )
@@ -267,14 +294,22 @@ def snapshot_changes(
         raise ValueError(f"to_version {to_v} < from_version {from_version}")
     for v in versions:
         if from_version < v <= to_v:
-            mode = _read_manifest(table, v)["mode"]
-            if mode != "append":
+            m = _read_manifest(table, v)
+            mode = m["mode"]
+            # A parent-less commit (first version, even if written
+            # with mode='overwrite') rewrote nothing — every file it
+            # lists is added data, so it is append-equivalent here.
+            if mode != "append" and m.get("parent") is not None:
                 raise ValueError(
                     f"version {v} is mode={mode}; snapshot_changes only "
                     "supports append-only ranges (read the snapshots and "
                     "diff by key instead)"
                 )
-    base = {f["path"] for f in _read_manifest(table, from_version)["files"]}
+    base = (
+        {f["path"] for f in _read_manifest(table, from_version)["files"]}
+        if from_version != 0
+        else set()
+    )
     added = [
         f["path"]
         for f in _read_manifest(table, to_v)["files"]
@@ -343,6 +378,25 @@ def snapshot_vacuum(table_path: str, keep_last: int = 1) -> dict:
     table = Path(table_path)
     versions = snapshot_versions(table_path)
     kept, expired = versions[-keep_last:], versions[:-keep_last]
+
+    # Fold expiring batch_ids into the retained ledger FIRST, fsync,
+    # then delete manifests — a crash in between leaves both records
+    # (harmless); the reverse order could lose the idempotency marker.
+    markers = _read_batch_markers(table)
+    dirty = False
+    for v in expired:
+        m = _read_manifest(table, v)
+        bid = m.get("batch_id")
+        if bid is not None and bid not in markers:
+            markers[bid] = v
+            dirty = True
+    if dirty:
+        tmp = _manifest_dir(table) / f"_tmp-{uuid.uuid4().hex}.json"
+        with open(tmp, "w") as f:
+            json.dump(markers, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, _batch_marker_path(table))
 
     for v in expired:
         os.remove(_manifest_path(table, v))

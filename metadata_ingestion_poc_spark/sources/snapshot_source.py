@@ -75,7 +75,11 @@ def _added_files(table_path: str, start_v: int, end_v: int) -> list[str]:
     for v in range(start_v + 1, end_v + 1):
         m = snapshot_manifest(table_path, v)
         _reject_partitioned(m, table_path)
-        if m["mode"] != "append":
+        # A parent-less commit (version 1, even with mode='overwrite')
+        # rewrote nothing — it is append-equivalent, so a table whose
+        # first version was an overwrite can still stream from
+        # startingVersion 0.
+        if m["mode"] != "append" and m.get("parent") is not None:
             raise ValueError(
                 f"version {v} of {table_path} is mode={m['mode']}; the "
                 "snapshot stream source reads append-only ranges — "

@@ -155,6 +155,18 @@ def test_zorder_key_locality_and_sql_twin(spark):
 
     with pytest.raises(ValueError):
         zorder_key("x", "y", bits=0)
+    # bits=32 would put y's top bit in the long's SIGN bit, flipping
+    # the sort order for the upper half of the grid (round-5 advisor)
+    with pytest.raises(ValueError):
+        zorder_key("x", "y", bits=32)
+    from metadata_ingestion_poc_spark.operators.export import zorder_key_sql
+    with pytest.raises(ValueError):
+        zorder_key_sql("x", "y", bits=32)
+    # bits=31 (the documented max) stays non-negative at the extreme
+    big = (1 << 31) - 1
+    df31 = spark.createDataFrame([(big, big)], ["x", "y"])
+    z31 = df31.select(zorder_key("x", "y", bits=31).alias("z")).collect()[0].z
+    assert z31 == (1 << 62) - 1 > 0
 
 
 def test_random_projection_preserves_distances(spark, sf_dir):
@@ -256,3 +268,57 @@ def test_referential_integrity_counts_planted_orphans(spark):
     )
     with pytest.raises(ValueError):
         referential_integrity([])
+
+
+def test_bm25_duplicate_query_terms_deduped(spark):
+    """Round-5 advisor: duplicate query terms double-counted df and
+    per-term contributions. Duplicates must score identically to the
+    deduped query."""
+    from metadata_ingestion_poc_spark.operators.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(0, "hash join hash"), (1, "join window"), (2, "scan sort")],
+        ["doc_id", "text"],
+    )
+    a = {r.doc_id: (r.score, r.n_terms_hit)
+         for r in bm25_scores(docs, ["hash", "join"]).collect()}
+    b = {r.doc_id: (r.score, r.n_terms_hit)
+         for r in bm25_scores(docs, ["hash", "join", "hash", "hash"]).collect()}
+    assert a == b
+
+
+def test_referential_integrity_shared_child_one_scan(spark, sf_dir):
+    """A child table with several FK columns must be scanned ONCE
+    (melted stack), not once per edge — and the counts must match the
+    per-edge formulation exactly."""
+    from metadata_ingestion_poc_spark.catalog import load_table
+    from metadata_ingestion_poc_spark.operators.quality import (
+        referential_integrity,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    edges = [
+        (li, "l_orderkey", orders, "o_orderkey", "li->orders"),
+        (li, "l_partkey", part, "p_partkey", "li->part"),
+        (li, "l_suppkey", supplier, "s_suppkey", "li->supplier"),
+    ]
+    out = referential_integrity(edges)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # 1 melted lineitem scan (or 0 after checkpoint materialization)
+    # + 3 parent scans
+    assert plan.count("Scan parquet") <= 4, plan
+    rows = {r.edge: r for r in out.collect()}
+    # same numbers as three single-edge audits (separate frames →
+    # no sharing path)
+    for child, ck, parent, pk, name in edges:
+        solo = referential_integrity([(child, ck, parent, pk, name)]).collect()[0]
+        r = rows[name]
+        assert (r.n_child_keys, r.n_orphan_keys, r.n_orphan_rows) == (
+            solo.n_child_keys, solo.n_orphan_keys, solo.n_orphan_rows,
+        ), name
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        referential_integrity(edges + [edges[0]])  # duplicate edge name

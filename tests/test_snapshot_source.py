@@ -138,3 +138,21 @@ def test_source_to_sink_round_trip_exactly_once(spark, table, tmp_path):
     assert _rows(S.snapshot_read(spark, dst)) == _rows(
         S.snapshot_read(spark, table)
     )
+
+
+def test_stream_from_initial_overwrite_version(spark, tmp_path):
+    """Round-5 advisor: a table whose FIRST version was written with
+    mode='overwrite' (parent=None — it rewrote nothing) could never be
+    streamed from startingVersion 0. Parent-less commits are
+    append-equivalent."""
+    t = str(tmp_path / "tbl_ow")
+    S.snapshot_write(_df(spark, 0, 5, "a"), t, mode="overwrite")
+    S.snapshot_write(_df(spark, 5, 8, "b"), t)
+    register_snapshot_source(spark)
+    got = []
+
+    def sink(df, _bid):
+        got.extend(_rows(df))
+
+    _run_stream(spark, t, str(tmp_path / "ckpt_ow"), sink)
+    assert sorted(got) == _rows(S.snapshot_read(spark, t))
