@@ -492,6 +492,10 @@ def tfidf_cosine_pairs(
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if max_df is not None:
         df_ = df_.filter(F.col("df") <= max_df)
+    # a term in EVERY doc has idf = ln(1) = 0 — zero weight in every
+    # vector, so dropping it is exact AND keeps the most ubiquitous
+    # (worst Σdf²) terms out of the pair join unconditionally
+    df_ = df_.filter(F.col("df") < n_docs)
     idf6 = F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6)
     # one broadcast of the df-capped vocabulary; weights stay with
     # the (doc, term) rows — no second pass over the corpus
@@ -539,3 +543,42 @@ def tfidf_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("doc_a", "doc_b", "cosine")
     )
+
+
+# Java∩RE2-portable PII patterns (classes, \d, \b, bounded quantifiers
+# — no backrefs/lookaround), shared with the q151 profiler.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\b555-\d{4}\b", "[PHONE]"),
+]
+
+
+def pii_redact(
+    docs: DataFrame,
+    text_col: str = "text",
+    patterns: list[tuple[str, str, str]] | None = None,
+) -> DataFrame:
+    """Redact PII spans in-place and count them per document.
+
+    patterns: (name, regex, replacement) triples applied IN ORDER —
+    order matters when patterns could overlap (an earlier replacement
+    removes text later patterns would have matched), so the order is
+    part of the contract and must be replayed identically by any
+    oracle. Counts are taken against the text state each pattern
+    actually saw. Adds `redacted` plus one `n_<name>` column per
+    pattern. Pure regexp_count/regexp_replace chain — whole-stage
+    codegen, no UDF, embarrassingly parallel (the 100 TB shape:
+    per-row work, zero shuffle).
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+    if not pats:
+        raise ValueError("need at least one pattern")
+    out = docs
+    cur = F.col(text_col)
+    for name, regex, repl in pats:
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(cur, F.lit(regex)).cast("long")
+        )
+        cur = F.regexp_replace(cur, regex, repl)
+    return out.withColumn("redacted", cur)

@@ -81,6 +81,7 @@ def _load_all() -> None:
         curation4,
         analytics2,
         analytics3,
+        analytics4,
         llm_ops5,
         # -- embedding similarity + near-dup (most expensive) --
         llm_ops2,
@@ -105,11 +106,12 @@ def _load_all() -> None:
 # the never-swept block); (c) the first 11 entries of the round-3
 # credit block (q70-q74, q80-q85) to fill the 50.
 #
-# Round-7 rotation note: promote any round-6-new queries first, then
-# the REMAINDER of the round-3 credit block (q86-q89, q95-q103,
-# q110-q114, q116-q118 — last swept in D3), then the round-4 block
-# (q120-q130). Round 8 takes whatever round-7 code changes touch plus
-# the round-5 block (q131-q147).
+# Round-7 rotation note: promote any round-7-new queries first, then
+# the REMAINDER of the round-3 credit block (q72-q74, q80-q89,
+# q95-q103, q110-q114, q116-q118 — last swept in D3; q72-q74/q80-q85
+# were pushed out of the round-6 window by the new q186-q194), then
+# the round-4 block (q120-q130). Round 8 takes whatever round-7 code
+# changes touch plus the round-5 block (q131-q147).
 # ---------------------------------------------------------------------------
 _SWEEP_PRIORITY = [
     # -- never swept (added late in round 5); includes this round's
@@ -154,18 +156,19 @@ _SWEEP_PRIORITY = [
     "q185_referential_integrity",
     # -- changed in round 6 (lineage-cut rewrite).
     "q14_percentiles",
-    # -- round-3 credit, three rounds stale - first 11 (rest in round 7).
+    # -- new in round 6 — never swept.
+    "q186_activity_streaks",
+    "q187_mixture_temperature",
+    "q188_decayed_user_value",
+    "q189_kcore_decomposition",
+    "q190_tfidf_cosine_pairs",
+    "q191_price_histogram",
+    "q192_sessionize_events",
+    "q193_pii_redaction",
+    "q194_rolling_iqr_outliers",
+    # -- round-3 credit, three rounds stale - first 2 (rest in round 7).
     "q70_tumbling_window",
     "q71_sliding_window",
-    "q72_session_window",
-    "q73_funnel_conversion",
-    "q74_grouped_zscore",
-    "q80_tpch_q13_count_distribution",
-    "q81_tpch_q15_top_supplier",
-    "q82_tpch_q19_disjunctive",
-    "q83_tpch_q22_global_sales_opportunity",
-    "q84_nation_trade_matrix",
-    "q85_null_semantics",
 ]
 
 

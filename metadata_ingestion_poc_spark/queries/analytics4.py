@@ -1,0 +1,656 @@
+"""Seventh analytics batch (round 6): gaps-and-islands streaks,
+mixture temperature sampling, exponential-decay recency features,
+fixed-round k-core decomposition, TF-IDF cosine pair mining, and
+equal-width histograms.
+
+Cross-engine discipline notes specific to this batch:
+
+- q187/q188 avoid libm pow() entirely: temperature alpha=0.5 is
+  sqrt() (IEEE correctly rounded, bit-identical everywhere) and decay
+  weights are 1/2^d (exact powers of two via integer shift) — so the
+  only rounding needed is the standard decimal-sum order-independence
+  treatment.
+- q189 applies the q168 pagerank discipline to a SECOND iterative
+  algorithm family: the FIXED-round form is the contract, and the
+  DuckDB oracle unrolls the identical rounds as materialized CTEs
+  (non-materialized CTE unrolling re-evaluates the whole prefix per
+  round — exponential; MATERIALIZED mirrors what the Spark side's
+  per-round localCheckpoint does).
+- q190's dot products / norms round every product at 6 dp before a
+  DECIMAL(28,6) sum, and round idf at 6 dp to absorb ln() ULP noise
+  (the q63 pattern); sqrt and division are IEEE-exact so the final
+  cosine matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import query
+from ..catalog import load_table
+from ..functions.determinism import DEC
+from ._util import davg, dsum, sql_davg, sql_dsum
+
+# ---------------------------------------------------------------------------
+# q186 — gaps-and-islands: per-user streaks of consecutive ACTIVE DAYS.
+# The classic sessionize-without-a-join trick: within a user, the
+# anchor date (active_day - dense day rank) is constant exactly along
+# a run of consecutive days, so one window + one groupBy finds every
+# island — no self-join, no iteration. Scale shape: the window and
+# both groupBys partition by user_id, so AQE plans a single exchange
+# on user_id for the whole query.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q186_activity_streaks",
+    oracle="""
+    WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    r AS (SELECT user_id, d,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS rn
+          FROM d),
+    i AS (SELECT user_id, d - CAST(rn AS INTEGER) AS anchor FROM r),
+    g AS (SELECT user_id, anchor, COUNT(*) AS len
+          FROM i GROUP BY user_id, anchor)
+    SELECT user_id,
+           COUNT(*)::BIGINT AS n_streaks,
+           MAX(len)::BIGINT AS max_streak,
+           SUM(len)::BIGINT AS active_days
+    FROM g GROUP BY user_id
+    ORDER BY max_streak DESC, user_id
+    """,
+)
+def q186_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (plus streak
+    count and total active days) over the events table."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = d.withColumn(
+        "anchor",
+        F.date_sub(F.col("d"), F.row_number().over(w)),
+    )
+    lens = islands.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return (
+        lens.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_streaks"),
+            F.max("len").cast("long").alias("max_streak"),
+            F.sum("len").cast("long").alias("active_days"),
+        )
+        .orderBy(F.desc("max_streak"), "user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q187 — temperature-based mixture reweighting (the alpha-sampling rule
+# from public multilingual-LM data work: p_i ∝ size_i^alpha flattens a
+# skewed source mix). alpha = 0.5 on per-source character mass;
+# boost = p_temp / p_raw is the resampling factor a curation pipeline
+# applies per source. sqrt() instead of pow(x, 0.5) keeps every
+# arithmetic step IEEE-correctly-rounded — no libm variance to absorb.
+# Scale shape: one map-side-combined groupBy to ~|sources| rows, one
+# broadcast of the 1-row totals frame.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q187_mixture_temperature",
+    oracle="""
+    WITH s AS (SELECT source, COUNT(*)::BIGINT AS n_docs,
+                      SUM(n_chars)::BIGINT AS n_chars
+               FROM documents GROUP BY source),
+    tot AS (SELECT SUM(n_chars)::BIGINT AS tot_chars,
+                   ROUND(SUM(CAST(ROUND(sqrt(n_chars::DOUBLE), 6)
+                                  AS DECIMAL(28,6))), 6)::DOUBLE AS tot_sq
+            FROM s)
+    SELECT source, n_docs, n_chars,
+           ROUND(n_chars::DOUBLE / tot_chars::DOUBLE, 6) AS p_raw,
+           ROUND(ROUND(sqrt(n_chars::DOUBLE), 6) / tot_sq, 6) AS p_temp,
+           ROUND(ROUND(ROUND(sqrt(n_chars::DOUBLE), 6) / tot_sq, 6)
+                 / ROUND(n_chars::DOUBLE / tot_chars::DOUBLE, 6), 6)
+               AS boost
+    FROM s, tot
+    ORDER BY source
+    """,
+)
+def q187_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights at temperature alpha=0.5: raw share
+    of character mass, temperature-flattened share, and the resampling
+    boost factor between them."""
+    s = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+    sq6 = F.round(F.sqrt(F.col("n_chars").cast("double")), 6)
+    tot = s.agg(
+        F.sum("n_chars").cast("long").alias("tot_chars"),
+        F.round(F.sum(sq6.cast(DEC)), 6).cast("double").alias("tot_sq"),
+    )
+    p_raw = F.round(
+        F.col("n_chars").cast("double") / F.col("tot_chars").cast("double"), 6
+    )
+    p_temp = F.round(sq6 / F.col("tot_sq"), 6)
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            p_raw.alias("p_raw"),
+            p_temp.alias("p_temp"),
+            F.round(p_temp / p_raw, 6).alias("boost"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q188 — exponentially-decayed recency-weighted user value: over each
+# user's 20 most recent events, value_j weighted by 1/2^j (j = 0 at
+# the newest). The weights are applied as the INTEGER 2^(19-j) (same
+# ratio — numerator and denominator both scale by 2^19): multiplying
+# a value by 1/2^j creates decimal digits ending in ...5 exactly at
+# the 1e-6 rounding boundary (a 2-dp value / 32 ends in ...75e-6),
+# where Spark's shortest-string ROUND and DuckDB's scaled-binary
+# ROUND disagree by 1 ulp — integer weights create no new decimal
+# digits, so no boundary cases exist. No pow() anywhere. The
+# (ts, event_id) sort key is total (event_id unique), so rank ties
+# cannot differ between engines. Scale shape: one window rank + one
+# groupBy, both partitioned by user_id — a single exchange.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q188_decayed_user_value",
+    oracle="""
+    WITH r AS (SELECT user_id, value,
+                      ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY ts DESC, event_id DESC)
+                        - 1 AS rn
+               FROM events),
+    k AS (SELECT user_id, value, rn FROM r WHERE rn < 20),
+    g AS (SELECT user_id,
+                 COUNT(*)::BIGINT AS n_recent,
+                 ROUND(SUM(CAST(ROUND(value * (1::BIGINT << (19 - rn)), 6)
+                                AS DECIMAL(28,6))), 6)::DOUBLE AS csum,
+                 SUM(1::BIGINT << (19 - rn))::BIGINT AS wsum
+          FROM k GROUP BY user_id)
+    SELECT user_id, n_recent,
+           ROUND(csum / wsum::DOUBLE, 6) AS decayed_value
+    FROM g ORDER BY user_id
+    """,
+)
+def q188_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed mean event value per user (half-life = one
+    event): newest event weight 1, next 1/2, then 1/4, ... over the
+    last 20 events."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = ev.withColumn("rn", F.row_number().over(w) - 1).filter(
+        F.col("rn") < 20
+    )
+    # 2^(19-rn) as an exact integer (python F.shiftleft only takes a
+    # literal shift count, so the column-shift form goes through expr)
+    weight = F.expr("shiftleft(1L, cast(19 - rn as int))")
+    g = ranked.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_recent"),
+        F.round(F.sum(F.round(F.col("value") * weight, 6).cast(DEC)), 6)
+        .cast("double")
+        .alias("csum"),
+        F.sum(weight).cast("long").alias("wsum"),
+    )
+    return g.select(
+        "user_id",
+        "n_recent",
+        F.round(F.col("csum") / F.col("wsum").cast("double"), 6).alias(
+            "decayed_value"
+        ),
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# q189 — fixed-round k-core peeling (operators/graph.py kcore) on the
+# UNCAPPED part co-purchase graph. The graph's mean degree is
+# SF-invariant (~115: lines-per-order and lines-per-part are both
+# constants of the generator), so k=85 peels a real cascade at every
+# SF — sf0.01: 2000 → 1844 → 1759 → 1681 → 1606 → 1519 → 1388 nodes;
+# sf0.1: 20000 → ... → 17303 — unlike a fixed l_partkey cap, whose
+# partner-in-cap probability (and hence degree) collapses as the key
+# space grows with SF. Fixed-round is the deliberate contract (see
+# kcore docstring); the oracle unrolls the same 6 rounds as
+# MATERIALIZED CTEs.
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 85
+_KCORE_ROUNDS = 6
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    sql = f"""
+    WITH li AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        FROM lineitem),
+    e0 AS MATERIALIZED (
+        SELECT DISTINCT a.p AS a, b.p AS b
+        FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p)"""
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        sql += f""",
+    s{r} AS MATERIALIZED (SELECT a, b FROM {prev}
+                          UNION ALL SELECT b, a FROM {prev}),
+    n{r} AS MATERIALIZED (SELECT a AS node FROM s{r}
+                          GROUP BY a HAVING COUNT(*) >= {k}),
+    e{r} AS MATERIALIZED (SELECT t.a, t.b FROM {prev} t
+        WHERE t.a IN (SELECT node FROM n{r})
+          AND t.b IN (SELECT node FROM n{r}))"""
+        prev = f"e{r}"
+    return (
+        sql
+        + f""",
+    sym AS (SELECT a, b FROM {prev} UNION ALL SELECT b, a FROM {prev})
+    SELECT a AS node, COUNT(*)::BIGINT AS deg
+    FROM sym GROUP BY a ORDER BY node"""
+    )
+
+
+@query(
+    "q189_kcore_decomposition",
+    oracle=_kcore_oracle(_KCORE_K, _KCORE_ROUNDS),
+)
+def q189_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import kcore
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
+    )
+    e0 = a.join(b, "ok").filter(F.col("u") < F.col("v")).select("u", "v")
+    return kcore(e0, k=_KCORE_K, rounds=_KCORE_ROUNDS).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# q190 — TF-IDF cosine similar-pair mining (operators/text.py
+# tfidf_cosine_pairs) on a 10% doc_id slice. The synthetic corpus has
+# a 31-word vocabulary where every term appears in most docs, so the
+# df CAP is disabled here (max_df=None — on this corpus it would empty
+# the vectors; the cap's behavior is pinned by unit tests instead) and
+# the operator's unconditional idf=0 pruning is what trims the index.
+# The oracle is the SAME inverted-index computation in SQL — brute
+# force over shared terms — so the driver differentially proves the
+# banding/rounding pipeline end-to-end.
+# ---------------------------------------------------------------------------
+
+_COS_THRESHOLD = 0.8
+
+
+@query(
+    "q190_tfidf_cosine_pairs",
+    oracle=f"""
+    WITH d AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+    t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+          FROM d),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+    tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+           FROM tok GROUP BY doc_id, term),
+    n AS (SELECT COUNT(*) AS n FROM d),
+    dfq AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf
+            GROUP BY term HAVING COUNT(*) < (SELECT n FROM n)),
+    w AS (SELECT doc_id, tf.term,
+                 ROUND(tf * ROUND(ln((SELECT n FROM n)::DOUBLE / df), 6), 6)
+                     AS w
+          FROM tf JOIN dfq USING (term)),
+    norms AS (SELECT doc_id,
+                     sqrt(ROUND(SUM(CAST(ROUND(w * w, 6)
+                                         AS DECIMAL(28,6))), 6)::DOUBLE)
+                         AS norm
+              FROM w GROUP BY doc_id),
+    dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    ROUND(SUM(CAST(ROUND(a.w * b.w, 6)
+                                   AS DECIMAL(28,6))), 6)::DOUBLE AS dot
+             FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+             GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b,
+           ROUND(dot / (na.norm * nb.norm), 6) AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = doc_a
+    JOIN norms nb ON nb.doc_id = doc_b
+    WHERE ROUND(dot / (na.norm * nb.norm), 6) >= {_COS_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q190_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tfidf_cosine_pairs
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    return tfidf_cosine_pairs(
+        d, threshold=_COS_THRESHOLD, max_df=None
+    ).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# q191 — equal-width histogram (16 bins) over order totals: bin edges
+# from the global min/max, top value clamped into the last bin. The
+# 1-row min/max frame is broadcast; binning is pure arithmetic inside
+# codegen; ONE exchange for the bin aggregate. (Equal-FREQUENCY
+# binning is q180's ntile decile lift — this is the equal-width
+# sibling, the one that needs no sort.)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q191_price_histogram",
+    oracle=f"""
+    WITH mm AS (SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+                FROM orders),
+    b AS (SELECT LEAST(CAST(FLOOR((o_totalprice - mn)
+                                  / ((mx - mn) / 16.0)) AS BIGINT),
+                       15) AS bin,
+                 ROUND(mn + LEAST(CAST(FLOOR((o_totalprice - mn)
+                                             / ((mx - mn) / 16.0)) AS BIGINT),
+                                  15) * ((mx - mn) / 16.0), 6) AS bin_lo,
+                 o_totalprice
+          FROM orders, mm)
+    SELECT bin, bin_lo, COUNT(*)::BIGINT AS n,
+           {sql_davg("o_totalprice", "avg_price")}
+    FROM b GROUP BY bin, bin_lo ORDER BY bin
+    """,
+)
+def q191_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    mm = o.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(16.0)
+    bin_ = F.least(
+        F.floor((F.col("o_totalprice") - F.col("mn")) / width).cast("long"),
+        F.lit(15),
+    )
+    b = o.crossJoin(F.broadcast(mm)).select(
+        bin_.alias("bin"),
+        F.round(F.col("mn") + bin_ * width, 6).alias("bin_lo"),
+        "o_totalprice",
+    )
+    return (
+        b.groupBy("bin", "bin_lo")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            davg("o_totalprice", "avg_price"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q192 — batch sessionization (30-minute inactivity gap): lag + flag +
+# running sum assigns session ids in two windows over ONE user_id
+# exchange, then a groupBy (same key, no extra shuffle) emits
+# per-session stats. The batch twin of q72's streaming session_window
+# — this is what you run over the historical corpus while the stream
+# handles the live edge. Timestamps are compared in whole epoch
+# seconds computed timezone-free (timestampdiff from the epoch — a
+# TIMESTAMP_NTZ cannot cast to long), floor semantics in both engines.
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_SEC = 1800
+
+
+@query(
+    "q192_sessionize_events",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, event_id, value, ts,
+             date_diff('second', TIMESTAMP '1970-01-01', ts) AS sec
+      FROM events),
+    l AS (
+      SELECT *, LAG(sec) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_sec
+      FROM r),
+    f AS (
+      SELECT *, CASE WHEN prev_sec IS NULL
+                       OR sec - prev_sec > {_SESSION_GAP_SEC}
+                     THEN 1 ELSE 0 END AS new_sess
+      FROM l),
+    s AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING)::BIGINT
+                  AS sess_id
+      FROM f)
+    SELECT user_id, sess_id,
+           COUNT(*)::BIGINT AS n_events,
+           (MAX(sec) - MIN(sec))::BIGINT AS duration_sec,
+           {sql_dsum("value", "value_sum")}
+    FROM s GROUP BY user_id, sess_id
+    ORDER BY user_id, sess_id
+    """,
+)
+def q192_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        "ts",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        ).alias("sec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("sec").over(w).isNull()
+            | (F.col("sec") - F.lag("sec").over(w) > _SESSION_GAP_SEC),
+            1,
+        ).otherwise(0),
+    )
+    sessed = flagged.withColumn(
+        "sess_id",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    return (
+        sessed.groupBy("user_id", "sess_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (F.max("sec") - F.min("sec")).cast("long").alias("duration_sec"),
+            dsum("value", "value_sum"),
+        )
+        .orderBy("user_id", "sess_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q193 — PII redaction (operators/text.py pii_redact) over the q151
+# deterministic plants: counts per pattern + md5 of the redacted text
+# per affected doc. The md5 column is the strong part of the oracle —
+# it proves the redacted BYTES match across engines, not just the
+# counts (a wrong replacement order or a half-applied pattern changes
+# the hash). Zero-shuffle row-local work.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q193_pii_redaction",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 7 = 0 THEN
+               text || ' contact user' || doc_id::VARCHAR
+                    || '@mail.example.com at 10.' || (doc_id % 200)::VARCHAR
+                    || '.0.' || (doc_id % 250)::VARCHAR
+                    || ' call 555-' || (1000 + doc_id % 9000)::VARCHAR
+               ELSE text END AS text
+      FROM documents),
+    red AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT
+               AS n_email,
+             regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                 '[EMAIL]', 'g') AS t1
+      FROM aug),
+    red2 AS (
+      SELECT doc_id, source, n_email,
+             len(regexp_extract_all(t1,
+                 '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::BIGINT
+               AS n_ip,
+             regexp_replace(t1,
+                 '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                 '[IP]', 'g') AS t2
+      FROM red),
+    red3 AS (
+      SELECT doc_id, source, n_email, n_ip,
+             len(regexp_extract_all(t2, '\\b555-\\d{4}\\b'))::BIGINT
+               AS n_phone,
+             regexp_replace(t2, '\\b555-\\d{4}\\b', '[PHONE]', 'g') AS t3
+      FROM red2)
+    SELECT doc_id, source, n_email, n_ip, n_phone, md5(t3) AS redacted_md5
+    FROM red3
+    WHERE n_email + n_ip + n_phone > 0
+    ORDER BY doc_id
+    """,
+)
+def q193_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import pii_redact
+
+    d = load_table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com at 10."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".0."),
+                (F.col("doc_id") % 250).cast("string"),
+                F.lit(" call 555-"),
+                (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return (
+        pii_redact(aug)
+        .filter(F.col("n_email") + F.col("n_ip") + F.col("n_phone") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "n_email",
+            "n_ip",
+            "n_phone",
+            F.md5("redacted").alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q194 — rolling-IQR outlier detection (trailing 10-order frame per
+# customer): flag an order whose total exceeds q3 + 1.5·IQR of its own
+# trailing window — the robust streaming-anomaly rule that, unlike a
+# z-score, one extreme past value cannot poison. Spark has no
+# percentile-over-frame, so q1/q3 come from the q171 moving-median
+# recipe (bounded collect_list + array_sort + percentile_cont
+# interpolation, all JVM); the oracle replays the IDENTICAL
+# interpolation arithmetic on DuckDB's list window (its own
+# quantile_cont might associate differently — replaying the exact
+# expression tree is the contract). The unrounded threshold compare
+# is deterministic because both engines evaluate the same IEEE tree.
+# ---------------------------------------------------------------------------
+
+
+def _iqr_sql(p: str) -> str:
+    lo = f"s[CAST(FLOOR({p}) AS INT) + 1]"
+    hi = f"s[LEAST(CAST(FLOOR({p}) AS INT) + 2, m)]"
+    return f"({lo} + ({p} - FLOOR({p})) * ({hi} - {lo}))"
+
+
+@query(
+    "q194_rolling_iqr_outliers",
+    oracle=f"""
+    WITH r AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             list(o_totalprice) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey
+                                      ROWS BETWEEN 9 PRECEDING
+                                        AND CURRENT ROW) AS arr
+      FROM orders),
+    q AS (SELECT o_custkey, o_orderkey, o_totalprice,
+                 list_sort(arr) AS s, len(arr) AS m
+          FROM r),
+    x AS (SELECT *, 0.25::DOUBLE * (m - 1) AS p1,
+                    0.75::DOUBLE * (m - 1) AS p3
+          FROM q),
+    y AS (SELECT o_custkey, o_orderkey, o_totalprice,
+                 {_iqr_sql('p1')} AS q1, {_iqr_sql('p3')} AS q3
+          FROM x)
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROUND(q3 + 1.5::DOUBLE * (q3 - q1), 6) AS threshold
+    FROM y
+    WHERE o_totalprice > q3 + 1.5::DOUBLE * (q3 - q1)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q194_rolling_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-9, 0)
+    )
+    s = F.array_sort(F.collect_list("o_totalprice").over(w))
+    m = F.size(s)
+
+    def q_at(p: float):
+        pos = F.lit(p) * (m - F.lit(1)).cast("double")
+        lo_i = F.floor(pos).cast("int") + F.lit(1)
+        frac = pos - F.floor(pos)
+        lo = F.element_at(s, lo_i)
+        hi = F.element_at(s, F.least(lo_i + F.lit(1), m))
+        return lo + frac * (hi - lo)
+
+    q1, q3 = q_at(0.25), q_at(0.75)
+    thr = q3 + F.lit(1.5) * (q3 - q1)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.round(thr, 6).alias("threshold"),
+            (F.col("o_totalprice") > thr).alias("__flag"),
+        )
+        .filter(F.col("__flag"))
+        .drop("__flag")
+        .orderBy("o_custkey", "o_orderkey")
+    )

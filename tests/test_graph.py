@@ -285,3 +285,47 @@ def test_triangle_plan_exchange_cap(spark):
     out = triangle_count(edges)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") < 20, plan
+
+
+# ---------------------------------------------------------------------------
+# kcore
+# ---------------------------------------------------------------------------
+
+from metadata_ingestion_poc_spark.operators.graph import kcore  # noqa: E402
+
+
+def test_kcore_clique_plus_tail(spark):
+    # K5 (each node degree 4) with a pendant chain: the chain peels
+    # away round by round, the clique survives any k <= 4
+    k5 = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    chain = [(4, 10), (10, 11), (11, 12)]
+    out = {
+        r.node: r.deg
+        for r in kcore(_edges(spark, k5 + chain), k=2, rounds=5).collect()
+    }
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert out[0] == 4 and out[4] == 4  # degrees within the surviving core
+
+
+def test_kcore_fixed_rounds_intermediate_state(spark):
+    # chain of 5: after ONE round only interior nodes remain (the
+    # fixed-round contract exposes the intermediate state); after
+    # enough rounds everything is gone for k=2
+    chain = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    one = {r.node for r in kcore(_edges(spark, chain), k=2, rounds=1).collect()}
+    assert one == {1, 2, 3}
+    out = kcore(_edges(spark, chain), k=2, rounds=4).collect()
+    assert out == []
+
+
+def test_kcore_validation_and_dedup(spark):
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        kcore(_edges(spark, [(0, 1)]), k=0, rounds=1)
+    with _pt.raises(ValueError):
+        kcore(_edges(spark, [(0, 1)]), k=1, rounds=0)
+    # duplicate / reversed / self-loop edges normalize away
+    messy = [(0, 1), (1, 0), (0, 1), (2, 2), (1, 2), (0, 2)]
+    out = {r.node: r.deg for r in kcore(_edges(spark, messy), k=2, rounds=3).collect()}
+    assert out == {0: 2, 1: 2, 2: 2}

@@ -322,3 +322,62 @@ def test_referential_integrity_shared_child_one_scan(spark, sf_dir):
     import pytest as _pt
     with _pt.raises(ValueError):
         referential_integrity(edges + [edges[0]])  # duplicate edge name
+
+
+def test_tfidf_cosine_pairs_semantics(spark):
+    from metadata_ingestion_poc_spark.operators.text import (
+        tfidf_cosine_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma"),
+            (1, "alpha beta gamma"),      # identical to 0 → cosine 1
+            (2, "alpha delta delta"),
+            (3, "epsilon zeta eta"),      # shares no non-ubiquitous term
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in tfidf_cosine_pairs(docs, threshold=0.0).collect()
+    }
+    assert out[(0, 1)] == 1.0
+    assert (0, 3) not in out and (1, 3) not in out
+    # df cap: alpha (df=3) dropped at max_df=2 → docs 0/1 still
+    # identical on the remaining vocab, 0-2 lose their only shared term
+    capped = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in tfidf_cosine_pairs(docs, threshold=0.0, max_df=2).collect()
+    }
+    assert capped[(0, 1)] == 1.0
+    assert (0, 2) not in capped
+
+
+def test_pii_redact_counts_and_order(spark):
+    from metadata_ingestion_poc_spark.operators.text import pii_redact
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail a@b.com and c@d.org here"),
+            (1, "server at 10.0.0.1 call 555-1234"),
+            (2, "clean text"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in pii_redact(docs).collect()}
+    assert (out[0].n_email, out[0].n_ip, out[0].n_phone) == (2, 0, 0)
+    assert out[0].redacted == "mail [EMAIL] and [EMAIL] here"
+    assert (out[1].n_email, out[1].n_ip, out[1].n_phone) == (0, 1, 1)
+    assert out[1].redacted == "server at [IP] call [PHONE]"
+    assert out[2].redacted == "clean text"
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        pii_redact(docs, patterns=[])
+    # custom pattern order is honored: a catch-all first consumes
+    # everything the second would have matched
+    both = pii_redact(
+        docs.filter(F.col("doc_id") == 1),
+        patterns=[("num", r"\d+", "#"), ("ip", r"\b\d{1,3}\.\d{1,3}\b", "[IP]")],
+    ).collect()[0]
+    assert both.n_num > 0 and both.n_ip == 0
