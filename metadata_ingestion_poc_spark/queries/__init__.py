@@ -106,12 +106,15 @@ def _load_all() -> None:
 # the never-swept block); (c) the first 11 entries of the round-3
 # credit block (q70-q74, q80-q85) to fill the 50.
 #
-# Round-7 rotation note: promote any round-7-new queries first, then
-# the REMAINDER of the round-3 credit block (q72-q74, q80-q89,
-# q95-q103, q110-q114, q116-q118 — last swept in D3; q72-q74/q80-q85
-# were pushed out of the round-6 window by the new q186-q194), then
-# the round-4 block (q120-q130). Round 8 takes whatever round-7 code
-# changes touch plus the round-5 block (q131-q147).
+# Round-7 rotation note: promote q197-q200 (round-6-late, outside the
+# full round-6 window: rolling distinct, length bands, budget
+# waterfall, n-gram novelty — all locally oracle-verified at 3 SFs)
+# and any round-7-new queries first, then the FULL round-3 credit
+# block (q70-q74, q80-q89, q95-q103,
+# q110-q114, q116-q118 — last swept in D3; its refresh was pushed out
+# of the round-6 window by the 11 new q186-q196), then the round-4
+# block (q120-q130). Round 8 takes whatever round-7 code changes
+# touch plus the round-5 block (q131-q147).
 # ---------------------------------------------------------------------------
 _SWEEP_PRIORITY = [
     # -- never swept (added late in round 5); includes this round's
@@ -166,9 +169,10 @@ _SWEEP_PRIORITY = [
     "q192_sessionize_events",
     "q193_pii_redaction",
     "q194_rolling_iqr_outliers",
-    # -- round-3 credit, three rounds stale - first 2 (rest in round 7).
-    "q70_tumbling_window",
-    "q71_sliding_window",
+    "q195_user_burstiness",
+    "q196_zipf_fit",
+    # (round-3 refresh pushed wholly to round 7: the 11 round-6-new
+    # queries above fill the window to exactly 50)
 ]
 
 

@@ -654,3 +654,435 @@ def q194_rolling_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__flag")
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q195 — burstiness (Fano factor: variance/mean of per-active-day
+# event counts) per user. Overdispersion separates steady users
+# (fano≈1, Poisson-like) from bursty ones — the bot/scraper signal in
+# corpus telemetry. Every moment is an integer sum (counts, squared
+# counts), so the only floats are exact divisions — no decimal-sum
+# machinery needed at all. Two map-combined groupBys, one exchange.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q195_user_burstiness",
+    oracle="""
+    WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                      COUNT(*)::BIGINT AS c
+               FROM events GROUP BY user_id, day),
+    g AS (SELECT user_id, COUNT(*)::BIGINT AS n_days,
+                 SUM(c)::BIGINT AS n_events,
+                 SUM(c * c)::BIGINT AS sum_sq
+          FROM d GROUP BY user_id)
+    SELECT user_id, n_days, n_events,
+           ROUND(n_events::DOUBLE / n_days, 6) AS mean_per_day,
+           ROUND((sum_sq::DOUBLE / n_days
+                  - (n_events::DOUBLE / n_days)
+                    * (n_events::DOUBLE / n_days))
+                 / (n_events::DOUBLE / n_days), 6) AS fano
+    FROM g ORDER BY user_id
+    """,
+)
+def q195_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    g = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("n_events"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_sq"),
+    )
+    mean = F.col("n_events").cast("double") / F.col("n_days")
+    var = F.col("sum_sq").cast("double") / F.col("n_days") - mean * mean
+    return g.select(
+        "user_id",
+        "n_days",
+        "n_events",
+        F.round(mean, 6).alias("mean_per_day"),
+        F.round(var / mean, 6).alias("fano"),
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# q196 — Zipf exponent per language: OLS of ln(freq) on ln(rank) over
+# the token frequency distribution (power-law fit — the standard
+# sanity probe on a corpus' token statistics; a healthy natural-
+# language corpus sits near slope -1). ln values and products are
+# rounded at 6 then decimal-summed (the q63/q168 ln discipline), and
+# slope/intercept come from the closed form on those exact sums.
+# Composes the q153 grouped-regression shape onto the q63 frequency
+# table — one explode, two aggregates, one window.
+# ---------------------------------------------------------------------------
+
+_ZIPF_SLOPE = (
+    "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+)
+
+
+@query(
+    "q196_zipf_fit",
+    oracle=f"""
+    WITH t AS (SELECT lang,
+                      unnest(string_split(lower(trim(text)), ' ')) AS term
+               FROM documents),
+    f AS (SELECT lang, term, COUNT(*)::BIGINT AS freq
+          FROM t GROUP BY lang, term),
+    r AS (SELECT lang, freq,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY freq DESC, term) AS rank
+          FROM f),
+    xy AS (SELECT lang,
+                  ROUND(ln(rank::DOUBLE), 6) AS x,
+                  ROUND(ln(freq::DOUBLE), 6) AS y
+           FROM r),
+    s AS (SELECT lang, COUNT(*)::BIGINT AS n,
+                 ROUND(SUM(CAST(x AS DECIMAL(28,6))), 6)::DOUBLE AS sx,
+                 ROUND(SUM(CAST(y AS DECIMAL(28,6))), 6)::DOUBLE AS sy,
+                 ROUND(SUM(CAST(ROUND(x * y, 6) AS DECIMAL(28,6))), 6)::DOUBLE
+                   AS sxy,
+                 ROUND(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(28,6))), 6)::DOUBLE
+                   AS sxx
+          FROM xy GROUP BY lang)
+    SELECT lang, n,
+           ROUND({_ZIPF_SLOPE}, 6) AS slope,
+           ROUND((sy - ({_ZIPF_SLOPE}) * sx) / n, 6) AS intercept
+    FROM s ORDER BY lang
+    """,
+)
+def q196_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("term"),
+    )
+    f = t.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("freq")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("freq"), "term")
+    xy = f.withColumn("rank", F.row_number().over(w)).select(
+        "lang",
+        F.round(F.log(F.col("rank").cast("double")), 6).alias("x"),
+        F.round(F.log(F.col("freq").cast("double")), 6).alias("y"),
+    )
+    s = xy.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum(F.col("x").cast(DEC)), 6).cast("double").alias("sx"),
+        F.round(F.sum(F.col("y").cast(DEC)), 6).cast("double").alias("sy"),
+        F.round(F.sum(F.round(F.col("x") * F.col("y"), 6).cast(DEC)), 6)
+        .cast("double")
+        .alias("sxy"),
+        F.round(F.sum(F.round(F.col("x") * F.col("x"), 6).cast(DEC)), 6)
+        .cast("double")
+        .alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "lang",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias(
+            "intercept"
+        ),
+    ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# q197 — rolling 7-day distinct active users per day. Spark has no
+# COUNT(DISTINCT) OVER a window frame; the scale-correct recomposition
+# is a contribution fan-out: each distinct (user, day) row contributes
+# to the 7 calendar days it is visible to (a 7× explode of an
+# already-collapsed frame), then ONE exact distinct aggregate per day.
+# Work is 7·|distinct(user,day)| regardless of raw event volume — the
+# raw table is collapsed map-side first. Days with no activity in the
+# trailing week simply don't appear (no zero-fill — matches the
+# oracle's grouping). The oracle computes the same rolling distinct
+# via a spine range join.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q197_rolling_active_users",
+    oracle="""
+    WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+               FROM events),
+    spine AS (SELECT DISTINCT day FROM d),
+    j AS (SELECT s.day AS day, d.user_id
+          FROM spine s JOIN d
+            ON d.day BETWEEN s.day - 6 AND s.day)
+    SELECT day, COUNT(DISTINCT user_id)::BIGINT AS active_7d
+    FROM j GROUP BY day ORDER BY day
+    """,
+)
+def q197_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    # fan each (user, activity-day) out to the 7 observation days it
+    # counts toward, then keep only observation days that actually
+    # exist in the data (left-semi against the activity-day spine —
+    # mirrors the oracle's spine join)
+    fan = d.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+    )
+    spine = d.select("day").distinct()
+    return (
+        fan.join(spine, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("long").alias("active_7d"))
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q198 — document length bands from EXACT global percentile cutoffs
+# (operators/percentiles.py with a constant group), then per-band
+# stats: the "percentile banding" step every curation pipeline runs
+# before length-conditional filtering. Cutoffs are rounded at 6 before
+# banding in BOTH engines (q14 established that the operator's
+# interpolation matches DuckDB's quantile_cont at 6 dp), so the band
+# boundaries are bit-identical.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q198_length_bands",
+    oracle="""
+    WITH c AS (SELECT ROUND(quantile_cont(n_chars, 0.25), 6) AS p25,
+                      ROUND(quantile_cont(n_chars, 0.50), 6) AS p50,
+                      ROUND(quantile_cont(n_chars, 0.75), 6) AS p75
+               FROM documents),
+    b AS (SELECT CASE WHEN n_chars <= p25 THEN 'q1_short'
+                      WHEN n_chars <= p50 THEN 'q2_mid'
+                      WHEN n_chars <= p75 THEN 'q3_long'
+                      ELSE 'q4_xlong' END AS band,
+                 n_chars
+          FROM documents, c)
+    SELECT band, COUNT(*)::BIGINT AS n_docs,
+           SUM(n_chars)::BIGINT AS total_chars,
+           MIN(n_chars)::BIGINT AS min_chars,
+           MAX(n_chars)::BIGINT AS max_chars
+    FROM b GROUP BY band ORDER BY band
+    """,
+)
+def q198_length_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.percentiles import exact_percentiles
+
+    d = load_table(spark, sf_dir, "documents")
+    cuts = exact_percentiles(
+        d.withColumn("__g", F.lit(1)),
+        ["__g"],
+        "n_chars",
+        {"p25": 0.25, "p50": 0.5, "p75": 0.75},
+    ).select(
+        F.round("p25", 6).alias("p25"),
+        F.round("p50", 6).alias("p50"),
+        F.round("p75", 6).alias("p75"),
+    )
+    b = d.crossJoin(F.broadcast(cuts)).select(
+        F.when(F.col("n_chars") <= F.col("p25"), "q1_short")
+        .when(F.col("n_chars") <= F.col("p50"), "q2_mid")
+        .when(F.col("n_chars") <= F.col("p75"), "q3_long")
+        .otherwise("q4_xlong")
+        .alias("band"),
+        "n_chars",
+    )
+    return (
+        b.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .orderBy("band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q199 — token-budget allocation across sources: a 2-pass capped
+# waterfall. Pass 1 allocates the budget (80% of total mass)
+# proportionally but clips each source at kappa = 0.95·B/S (so
+# above-average sources cap — calibrated: source shares span
+# 4.2–5.7%, kappa sits at share 4.75%); pass 2 hands the clipped
+# leftover to the UNCAPPED sources pro rata to their mass. The fixed
+# 2-pass form (not iterate-to-fixpoint) is the contract, exactly
+# replayable in SQL. This is the mixture-building step that turns
+# q187-style weights into actual per-source token grants under a
+# budget.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q199_token_budget_allocation",
+    oracle="""
+    WITH s AS (SELECT source, SUM(n_chars)::BIGINT AS c
+               FROM documents GROUP BY source),
+    t AS (SELECT SUM(c)::BIGINT AS total, COUNT(*)::BIGINT AS ns FROM s),
+    p AS (SELECT source, c, total,
+                 0.8::DOUBLE * total AS b,
+                 0.95::DOUBLE * (0.8::DOUBLE * total) / ns AS kappa
+          FROM s, t),
+    a1 AS (SELECT *,
+                  ROUND(LEAST(b * c / total, kappa), 6) AS alloc1,
+                  (b * c / total > kappa) AS capped
+           FROM p),
+    l AS (SELECT ROUND(CAST((SELECT FIRST(b) FROM a1) AS DOUBLE)
+                       - ROUND(SUM(CAST(alloc1 AS DECIMAL(28,6))), 6)
+                         ::DOUBLE, 6) AS leftover,
+                 SUM(CASE WHEN NOT capped THEN c ELSE 0 END)::BIGINT
+                   AS free_mass
+          FROM a1)
+    SELECT source, c AS n_chars, capped,
+           alloc1,
+           CASE WHEN capped THEN alloc1
+                ELSE ROUND(alloc1 + leftover * c / free_mass, 6)
+           END AS alloc_final
+    FROM a1, l
+    ORDER BY source
+    """,
+)
+def q199_token_budget_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    s = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum("n_chars").cast("long").alias("c"))
+    )
+    t = s.agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("ns"),
+    )
+    p = s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "c",
+        "total",
+        (F.lit(0.8) * F.col("total")).alias("b"),
+        (F.lit(0.95) * (F.lit(0.8) * F.col("total")) / F.col("ns")).alias(
+            "kappa"
+        ),
+    )
+    raw = F.col("b") * F.col("c") / F.col("total")
+    a1 = p.select(
+        "source",
+        "c",
+        "b",
+        F.round(F.least(raw, F.col("kappa")), 6).alias("alloc1"),
+        (raw > F.col("kappa")).alias("capped"),
+    )
+    a1 = a1.localCheckpoint(eager=False)  # feeds totals AND final select
+    lo = a1.agg(
+        F.round(
+            F.first("b")
+            - F.round(F.sum(F.col("alloc1").cast(DEC)), 6).cast("double"),
+            6,
+        ).alias("leftover"),
+        F.sum(F.when(~F.col("capped"), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("free_mass"),
+    )
+    return (
+        a1.crossJoin(F.broadcast(lo))
+        .select(
+            "source",
+            F.col("c").alias("n_chars"),
+            "capped",
+            "alloc1",
+            F.when(F.col("capped"), F.col("alloc1"))
+            .otherwise(
+                F.round(
+                    F.col("alloc1")
+                    + F.col("leftover") * F.col("c") / F.col("free_mass"),
+                    6,
+                )
+            )
+            .alias("alloc_final"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q200 — n-gram novelty: per document, the fraction of its distinct
+# 3-gram shingles whose FIRST occurrence (min doc_id) is this doc —
+# the "how much genuinely new text does each doc add" curve used to
+# decide corpus ordering and diminishing-returns cutoffs. One shingle
+# index groupBy (min is map-combinable) + one join back; at 100 TB
+# the index is the same inverted structure the dedup family already
+# maintains (operators/dedup.py), so this rides an existing asset.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q200_ngram_novelty",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      string_split(lower(trim(text)), ' ') AS toks
+               FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS s
+           FROM t, unnest(range(greatest(len(toks) - 2, 1))) AS u(i)
+           WHERE toks[i+1] IS NOT NULL AND toks[i+2] IS NOT NULL
+             AND toks[i+3] IS NOT NULL),
+    first AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s),
+    j AS (SELECT sh.doc_id,
+                 COUNT(*)::BIGINT AS n_shingles,
+                 SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                   ::BIGINT AS n_novel
+          FROM sh JOIN first f ON sh.s = f.s
+          GROUP BY sh.doc_id)
+    SELECT doc_id, n_shingles, n_novel,
+           ROUND(n_novel::DOUBLE / n_shingles, 6) AS novelty
+    FROM j ORDER BY doc_id
+    """,
+)
+def q200_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _spread, shingles
+
+    # _spread: the docs parquet is one input split — without it all
+    # shingling runs on a single core (the dedup-family lesson)
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    sh = (
+        shingles(d, n=3)
+        .select("doc_id", F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    sh = sh.localCheckpoint(eager=False)  # feeds both aggregates below
+    # No 500k-row join-back: a shingle's winner IS its min(doc_id), so
+    # per-doc novel counts fall out of a second aggregate over the
+    # index — the only join left is per-doc vs per-doc (|docs| rows).
+    n_novel = (
+        sh.groupBy("s")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+    )
+    n_sh = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
+    return (
+        n_sh.join(n_novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.round(
+                F.coalesce("n_novel", F.lit(0)).cast("double")
+                / F.col("n_shingles"),
+                6,
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
