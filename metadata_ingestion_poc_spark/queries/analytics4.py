@@ -1086,3 +1086,135 @@ def q200_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q201 — Pareto frontier (operators/skyline.py): cheapest-and-freshest
+# orders — no order on the frontier is beaten on BOTH price and age by
+# another. The oracle is the brute-force NOT EXISTS dominance test
+# (DuckDB's IEJoin makes it tractable), so the driver differentially
+# proves the two-phase bucket-prune + range-partitioned sweep returns
+# EXACTLY the dominance-defined set.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q201_pareto_frontier",
+    oracle="""
+    WITH p AS (SELECT DISTINCT o_totalprice AS price,
+                      date_diff('day', CAST(o_orderdate AS DATE),
+                                DATE '2026-01-01') AS age_days
+               FROM orders WHERE o_orderkey % 7 = 0)
+    SELECT price, age_days
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.price <= a.price AND b.age_days <= a.age_days
+        AND (b.price < a.price OR b.age_days < a.age_days))
+    ORDER BY price, age_days
+    """,
+)
+def q201_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skyline import skyline2d
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            F.col("o_totalprice").alias("price"),
+            F.datediff(
+                F.lit("2026-01-01").cast("date"), F.to_date("o_orderdate")
+            )
+            .cast("long")
+            .alias("age_days"),
+        )
+    )
+    return skyline2d(o, "price", "age_days").orderBy("price", "age_days")
+
+
+# ---------------------------------------------------------------------------
+# q202 — cohort LTV curve: cumulative revenue per customer by cohort
+# month and months-of-age. Cohort = month of first order; ages are
+# exact integer month arithmetic (y*12+m), revenue sums and the
+# cumulative window go through the decimal discipline. The canonical
+# retention-economics readout (q145's cohort retention, in currency).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q202_cohort_ltv",
+    oracle="""
+    WITH fo AS (SELECT o_custkey,
+                       MIN(date_trunc('month', CAST(o_orderdate AS DATE)))
+                         AS cohort
+                FROM orders GROUP BY o_custkey),
+    sz AS (SELECT cohort, COUNT(*)::BIGINT AS cohort_size
+           FROM fo GROUP BY cohort),
+    o AS (SELECT f.cohort,
+                 (year(date_trunc('month', CAST(o.o_orderdate AS DATE))) * 12
+                  + month(date_trunc('month', CAST(o.o_orderdate AS DATE))))
+                 - (year(f.cohort) * 12 + month(f.cohort)) AS age,
+                 o.o_totalprice
+          FROM orders o JOIN fo f ON o.o_custkey = f.o_custkey),
+    g AS (SELECT cohort, age,
+                 ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 6)::DOUBLE
+                   AS rev
+          FROM o GROUP BY cohort, age),
+    c AS (SELECT cohort, age, rev,
+                 ROUND(SUM(CAST(rev AS DECIMAL(28,6)))
+                         OVER (PARTITION BY cohort ORDER BY age
+                               ROWS UNBOUNDED PRECEDING), 6)::DOUBLE
+                   AS cum_rev
+          FROM g)
+    SELECT CAST(c.cohort AS DATE) AS cohort, c.age::BIGINT AS age,
+           sz.cohort_size,
+           ROUND(c.cum_rev / sz.cohort_size, 6) AS ltv_per_customer
+    FROM c JOIN sz ON c.cohort = sz.cohort
+    ORDER BY cohort, age
+    """,
+)
+def q202_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.trunc(F.to_date("o_orderdate"), "month").alias("om"),
+        "o_totalprice",
+    )
+    fo = o.groupBy("o_custkey").agg(F.min("om").alias("cohort"))
+    fo = fo.localCheckpoint(eager=False)  # feeds sizes AND the join
+    sz = fo.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    months = (F.year("om") * 12 + F.month("om")) - (
+        F.year("cohort") * 12 + F.month("cohort")
+    )
+    g = (
+        o.join(fo, "o_custkey")
+        .select("cohort", months.alias("age"), "o_totalprice")
+        .groupBy("cohort", "age")
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast(DEC)), 6)
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = g.withColumn(
+        "cum_rev",
+        F.round(F.sum(F.col("rev").cast(DEC)).over(w), 6).cast("double"),
+    )
+    return (
+        c.join(F.broadcast(sz), "cohort")
+        .select(
+            "cohort",
+            F.col("age").cast("long").alias("age"),
+            "cohort_size",
+            F.round(F.col("cum_rev") / F.col("cohort_size"), 6).alias(
+                "ltv_per_customer"
+            ),
+        )
+        .orderBy("cohort", "age")
+    )
