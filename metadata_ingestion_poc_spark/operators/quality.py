@@ -164,3 +164,56 @@ def referential_integrity(
     for o in outs[1:]:
         u = u.unionByName(o)
     return u
+
+
+def functional_dependencies(
+    deps: list[tuple[DataFrame, str, str, str]],
+) -> DataFrame:
+    """Profile declared functional dependencies X → Y: one row per
+    dependency with (dep, n_lhs, n_violating, violation_rate,
+    max_rhs_per_lhs).
+
+    A dependency holds for a key x when every row with that x carries
+    the same y; `n_violating` counts keys with >1 distinct y. Scale
+    shape per dependency: the table collapses to distinct (x, y)
+    pairs FIRST (map-side combine — the exchange carries pairs, not
+    rows), then a per-key distinct count; both aggregates share one
+    exchange on x. NULL x keys are excluded (no identity to violate);
+    NULL y counts as a value (two rows (x, null), (x, 'a') violate).
+    """
+    if not deps:
+        raise ValueError("need at least one dependency")
+    names = [d[3] for d in deps]
+    if len(set(names)) != len(names):
+        raise ValueError("dependency names must be unique")
+    outs = []
+    for df, lhs, rhs, name in deps:
+        pairs = (
+            df.filter(F.col(lhs).isNotNull())
+            .select(F.col(lhs).alias("__x"), F.col(rhs).alias("__y"))
+            .distinct()
+        )
+        per_key = pairs.groupBy("__x").agg(
+            F.count(F.lit(1)).alias("__ny")
+        )
+        outs.append(
+            per_key.agg(
+                F.count(F.lit(1)).cast("long").alias("n_lhs"),
+                F.sum(F.when(F.col("__ny") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_violating"),
+                F.max("__ny").cast("long").alias("max_rhs_per_lhs"),
+            ).select(
+                F.lit(name).alias("dep"),
+                "n_lhs",
+                "n_violating",
+                F.round(
+                    F.col("n_violating").cast("double") / F.col("n_lhs"), 6
+                ).alias("violation_rate"),
+                "max_rhs_per_lhs",
+            )
+        )
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionByName(o)
+    return u

@@ -1218,3 +1218,245 @@ def q202_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "age")
     )
+
+
+# ---------------------------------------------------------------------------
+# q203 — Benford first-digit screen over order totals: observed digit
+# shares vs the Benford expectation log10(1+1/d), with per-digit
+# chi-square contributions. The classic fabricated-numbers detector
+# for financial columns. The first digit comes from INTEGER string
+# arithmetic (truncate, stringify, first char) — log10(x) would put
+# exact powers of ten at the mercy of cross-engine libm ULPs; this
+# way no float touches the bucketing. ln-ratio expectations follow
+# the rounded-ln discipline.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q203_benford_screen",
+    oracle="""
+    WITH d AS (SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                                       AS VARCHAR), 1, 1) AS BIGINT)
+                 AS digit
+               FROM orders WHERE o_totalprice >= 1),
+    n AS (SELECT COUNT(*)::BIGINT AS total FROM d),
+    g AS (SELECT digit, COUNT(*)::BIGINT AS n_orders FROM d GROUP BY digit)
+    SELECT g.digit, g.n_orders,
+           ROUND(g.n_orders::DOUBLE / n.total, 6) AS obs_share,
+           ROUND(ln(1.0::DOUBLE + 1.0::DOUBLE / g.digit)
+                 / ln(10.0::DOUBLE), 6) AS benford_p,
+           ROUND(
+             (g.n_orders::DOUBLE / n.total
+              - ROUND(ln(1.0::DOUBLE + 1.0::DOUBLE / g.digit)
+                      / ln(10.0::DOUBLE), 6))
+             * (g.n_orders::DOUBLE / n.total
+                - ROUND(ln(1.0::DOUBLE + 1.0::DOUBLE / g.digit)
+                        / ln(10.0::DOUBLE), 6))
+             / ROUND(ln(1.0::DOUBLE + 1.0::DOUBLE / g.digit)
+                     / ln(10.0::DOUBLE), 6), 9) AS chi2_term
+    FROM g, n
+    ORDER BY digit
+    """,
+)
+def q203_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 1
+    )
+    # FLOOR before the integer cast on BOTH sides: Spark's double->
+    # long cast truncates but DuckDB's ROUNDS (banker's) — a price of
+    # 89999.9998 would land in different digit buckets otherwise
+    d = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    n = d.count()  # one scalar
+    g = d.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    obs = F.col("n_orders").cast("double") / F.lit(float(n))
+    benford = F.round(
+        F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0)),
+        6,
+    )
+    return g.select(
+        "digit",
+        "n_orders",
+        F.round(obs, 6).alias("obs_share"),
+        benford.alias("benford_p"),
+        F.round((obs - benford) * (obs - benford) / benford, 9).alias(
+            "chi2_term"
+        ),
+    ).orderBy("digit")
+
+
+# ---------------------------------------------------------------------------
+# q204 — functional-dependency audit (operators/quality.py): measured
+# violation profiles for declared X → Y dependencies across the
+# schema — two that must HOLD (primary-key determinations) and three
+# that are genuinely violated, so both code paths carry signal. The
+# schema-profiling sibling of q185's FK orphan audit.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q204_fd_audit",
+    oracle="""
+    WITH spec AS (
+      SELECT 'customer.c_custkey->c_nationkey' AS dep,
+             c_custkey AS x, CAST(c_nationkey AS VARCHAR) AS y
+      FROM customer
+      UNION ALL
+      SELECT 'nation.n_nationkey->n_regionkey',
+             n_nationkey, CAST(n_regionkey AS VARCHAR) FROM nation
+      UNION ALL
+      SELECT 'events.user_id->event_type',
+             user_id, event_type FROM events
+      UNION ALL
+      SELECT 'orders.o_custkey->o_orderpriority',
+             o_custkey, o_orderpriority FROM orders
+      UNION ALL
+      SELECT 'lineitem.l_orderkey->l_suppkey',
+             l_orderkey, CAST(l_suppkey AS VARCHAR) FROM lineitem),
+    pairs AS (SELECT DISTINCT dep, x, y FROM spec WHERE x IS NOT NULL),
+    per_key AS (SELECT dep, x, COUNT(*)::BIGINT AS ny
+                FROM pairs GROUP BY dep, x),
+    agg AS (SELECT dep, COUNT(*)::BIGINT AS n_lhs,
+                   SUM(CASE WHEN ny > 1 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_violating,
+                   MAX(ny)::BIGINT AS max_rhs_per_lhs
+            FROM per_key GROUP BY dep)
+    SELECT dep, n_lhs, n_violating,
+           ROUND(n_violating::DOUBLE / n_lhs, 6) AS violation_rate,
+           max_rhs_per_lhs
+    FROM agg ORDER BY dep
+    """,
+)
+def q204_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import functional_dependencies
+
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    ev = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    # rhs cast to string uniformly so the union'd oracle is typable
+    deps = [
+        (
+            cust.withColumn("__y", F.col("c_nationkey").cast("string")),
+            "c_custkey",
+            "__y",
+            "customer.c_custkey->c_nationkey",
+        ),
+        (
+            nat.withColumn("__y", F.col("n_regionkey").cast("string")),
+            "n_nationkey",
+            "__y",
+            "nation.n_nationkey->n_regionkey",
+        ),
+        (ev, "user_id", "event_type", "events.user_id->event_type"),
+        (o, "o_custkey", "o_orderpriority", "orders.o_custkey->o_orderpriority"),
+        (
+            li.withColumn("__y", F.col("l_suppkey").cast("string")),
+            "l_orderkey",
+            "__y",
+            "lineitem.l_orderkey->l_suppkey",
+        ),
+    ]
+    return functional_dependencies(deps).orderBy("dep")
+
+
+# ---------------------------------------------------------------------------
+# q205 — association rules over co-purchased parts (apriori's 2-item
+# stage): frequent-item pruning FIRST (the support floor cuts the
+# candidate space before any pair is formed — the classic scale
+# lever), then pair support / confidence / lift from pure count
+# ratios (exact integers → one double division each, no rounding
+# hazards). Extends q43's raw co-purchase counts into the
+# probabilistic rule measures.
+# ---------------------------------------------------------------------------
+
+_AR_ITEM_SUPPORT = 12  # orders containing the item (frequent-item floor)
+_AR_PAIR_SUPPORT = 3  # orders containing the pair (co-occurrence is rare:
+# ~4 lines/order over a key space that scales with SF keeps pair counts
+# small and SF-invariant — max 5 at sf0.01)
+
+
+@query(
+    "q205_association_rules",
+    oracle=f"""
+    WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item
+               FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT ok)::BIGINT AS n_orders FROM b),
+    freq AS (SELECT item, COUNT(*)::BIGINT AS supp FROM b
+             GROUP BY item HAVING COUNT(*) >= {_AR_ITEM_SUPPORT}),
+    p AS (SELECT a.item AS ante, c.item AS cons, COUNT(*)::BIGINT AS pair_supp
+          FROM b a
+          JOIN b c ON a.ok = c.ok AND a.item < c.item
+          JOIN freq fa ON fa.item = a.item
+          JOIN freq fc ON fc.item = c.item
+          GROUP BY a.item, c.item
+          HAVING COUNT(*) >= {_AR_PAIR_SUPPORT})
+    SELECT p.ante, p.cons, p.pair_supp,
+           ROUND(p.pair_supp::DOUBLE / n.n_orders, 6) AS support,
+           ROUND(p.pair_supp::DOUBLE / fa.supp, 6) AS confidence,
+           ROUND((p.pair_supp::DOUBLE / fa.supp)
+                 / (fc.supp::DOUBLE / n.n_orders), 6) AS lift
+    FROM p
+    JOIN freq fa ON fa.item = p.ante
+    JOIN freq fc ON fc.item = p.cons, n
+    ORDER BY pair_supp DESC, ante, cons
+    LIMIT 50
+    """,
+)
+def q205_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    b = b.localCheckpoint(eager=False)  # basket frame feeds 3 consumers
+    n_orders = b.select("ok").distinct().count()
+    freq = (
+        b.groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("supp"))
+        .filter(F.col("supp") >= _AR_ITEM_SUPPORT)
+    )
+    freq = freq.localCheckpoint(eager=False)  # prune both sides + 2 joins
+    fa = freq.select(F.col("item").alias("ante"), F.col("supp").alias("supp_a"))
+    fc = freq.select(F.col("item").alias("cons"), F.col("supp").alias("supp_c"))
+    left = b.join(
+        F.broadcast(freq.select("item")), "item"
+    ).select("ok", F.col("item").alias("ante"))
+    right = b.join(
+        F.broadcast(freq.select("item")), "item"
+    ).select("ok", F.col("item").alias("cons"))
+    pairs = (
+        left.join(right, "ok")
+        .filter(F.col("ante") < F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_supp"))
+        .filter(F.col("pair_supp") >= _AR_PAIR_SUPPORT)
+    )
+    conf = F.col("pair_supp").cast("double") / F.col("supp_a")
+    return (
+        pairs.join(F.broadcast(fa), "ante")
+        .join(F.broadcast(fc), "cons")
+        .select(
+            "ante",
+            "cons",
+            "pair_supp",
+            F.round(
+                F.col("pair_supp").cast("double") / F.lit(float(n_orders)), 6
+            ).alias("support"),
+            F.round(conf, 6).alias("confidence"),
+            F.round(
+                conf / (F.col("supp_c").cast("double") / F.lit(float(n_orders))),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("pair_supp"), "ante", "cons")
+        .limit(50)
+    )

@@ -54,3 +54,27 @@ def test_skyline_single_point_and_validation(spark):
     df = spark.createDataFrame([(1, 2)], ["x", "y"])
     with pytest.raises(ValueError):
         skyline2d(df, "x", "y", buckets=0)
+
+
+def test_functional_dependencies_profile(spark):
+    from metadata_ingestion_poc_spark.operators.quality import (
+        functional_dependencies,
+    )
+    import pytest
+
+    df = spark.createDataFrame(
+        [
+            (1, "a"), (1, "a"),        # holds for key 1
+            (2, "a"), (2, "b"),        # violated (2 values)
+            (3, None), (3, "c"),       # null rhs counts as a value
+            (None, "x"),               # null lhs excluded
+        ],
+        ["x", "y"],
+    )
+    out = functional_dependencies([(df, "x", "y", "fd")]).collect()[0]
+    assert (out.n_lhs, out.n_violating, out.max_rhs_per_lhs) == (3, 2, 2)
+    assert out.violation_rate == pytest.approx(2 / 3, abs=1e-6)
+    with pytest.raises(ValueError):
+        functional_dependencies([])
+    with pytest.raises(ValueError):
+        functional_dependencies([(df, "x", "y", "d"), (df, "y", "x", "d")])
