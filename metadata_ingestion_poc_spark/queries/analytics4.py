@@ -1460,3 +1460,222 @@ def q205_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_supp"), "ante", "cons")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# q206 — clamped running balance (inventory that can't go negative):
+# b_t = max(0, b_{t-1} + delta_t) is nonlinear-recursive and looks
+# window-inexpressible — but the classic identity
+#     b_t = p_t - LEAST(0, min_{j<=t} p_j)      (p = prefix sums)
+# turns it into two plain windows (running sum + running min): a
+# reset happens exactly at the running-minimum prefix, and everything
+# after is measured from that trough. Pure integer arithmetic on
+# whole-unit quantities — exact in any engine. Returns ('R') restock,
+# everything else ships.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q206_clamped_running_balance",
+    oracle="""
+    WITH d AS (SELECT l_partkey AS part, CAST(l_shipdate AS DATE) AS day,
+                      SUM(CASE WHEN l_returnflag = 'R'
+                               THEN CAST(l_quantity AS BIGINT)
+                               ELSE -CAST(l_quantity AS BIGINT) END)::BIGINT
+                        AS delta
+               FROM lineitem WHERE l_partkey < 20
+               GROUP BY part, day),
+    p AS (SELECT part, day, delta,
+                 SUM(delta) OVER (PARTITION BY part ORDER BY day
+                                  ROWS UNBOUNDED PRECEDING) AS prefix
+          FROM d),
+    m AS (SELECT part, day, delta, prefix,
+                 MIN(prefix) OVER (PARTITION BY part ORDER BY day
+                                   ROWS UNBOUNDED PRECEDING) AS min_prefix
+          FROM p)
+    SELECT part, day, delta,
+           (prefix - LEAST(min_prefix, 0))::BIGINT AS balance
+    FROM m ORDER BY part, day
+    """,
+)
+def q206_clamped_running_balance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 20)
+    d = (
+        li.groupBy(
+            F.col("l_partkey").alias("part"),
+            F.to_date("l_shipdate").alias("day"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("l_returnflag") == "R",
+                    F.col("l_quantity").cast("long"),
+                ).otherwise(-F.col("l_quantity").cast("long"))
+            )
+            .cast("long")
+            .alias("delta")
+        )
+    )
+    w = (
+        Window.partitionBy("part")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = d.withColumn("prefix", F.sum("delta").over(w)).withColumn(
+        "min_prefix", F.min("prefix").over(w)
+    )
+    return p.select(
+        "part",
+        "day",
+        "delta",
+        (F.col("prefix") - F.least(F.col("min_prefix"), F.lit(0)))
+        .cast("long")
+        .alias("balance"),
+    ).orderBy("part", "day")
+
+
+# ---------------------------------------------------------------------------
+# q207 — time-weighted average value per user (TWAP): each event's
+# value holds until the next event, so it weighs by its holding
+# duration (integer epoch-second gaps — the q192 timezone-free
+# arithmetic); the final event carries no interval and drops out.
+# One lead window + one groupBy, both on user_id: a single exchange.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q207_time_weighted_value",
+    oracle="""
+    WITH r AS (SELECT user_id, value,
+                      date_diff('second', TIMESTAMP '1970-01-01', ts) AS sec,
+                      LEAD(date_diff('second', TIMESTAMP '1970-01-01', ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        AS next_sec
+               FROM events),
+    iv AS (SELECT user_id, value, (next_sec - sec)::BIGINT AS dt
+           FROM r WHERE next_sec IS NOT NULL),
+    g AS (SELECT user_id,
+                 COUNT(*)::BIGINT AS n_intervals,
+                 SUM(dt)::BIGINT AS total_sec,
+                 ROUND(SUM(CAST(ROUND(value * dt, 6) AS DECIMAL(28,6))), 6)
+                   ::DOUBLE AS wsum
+          FROM iv GROUP BY user_id)
+    SELECT user_id, n_intervals, total_sec,
+           ROUND(wsum / total_sec::DOUBLE, 6) AS twap
+    FROM g ORDER BY user_id
+    """,
+)
+def q207_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        "ts",
+        "event_id",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        ).alias("sec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = (
+        ev.withColumn("next_sec", F.lead("sec").over(w))
+        .filter(F.col("next_sec").isNotNull())
+        .select(
+            "user_id",
+            "value",
+            (F.col("next_sec") - F.col("sec")).cast("long").alias("dt"),
+        )
+    )
+    g = iv.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum("dt").cast("long").alias("total_sec"),
+        F.round(
+            F.sum(F.round(F.col("value") * F.col("dt"), 6).cast(DEC)), 6
+        )
+        .cast("double")
+        .alias("wsum"),
+    )
+    return g.select(
+        "user_id",
+        "n_intervals",
+        "total_sec",
+        F.round(F.col("wsum") / F.col("total_sec").cast("double"), 6).alias(
+            "twap"
+        ),
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# q208 — percent-of-parent hierarchy rollup: each nation's revenue share
+# within its region and each region's share of the world — the
+# standard drill-path readout, done with ONE detail aggregate and two
+# window re-aggregations (no re-scan per level; the decimal discipline
+# keeps every level's sum order-free).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q208_percent_of_parent",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(28,6))), 6)::DOUBLE
+               AS nation_rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY region, nation),
+    lv AS (SELECT region, nation, nation_rev,
+                  ROUND(SUM(CAST(nation_rev AS DECIMAL(28,6)))
+                          OVER (PARTITION BY region), 6)::DOUBLE AS region_rev,
+                  ROUND(SUM(CAST(nation_rev AS DECIMAL(28,6))) OVER (), 6)
+                    ::DOUBLE AS world_rev
+           FROM rev)
+    SELECT region, nation, nation_rev,
+           ROUND(nation_rev / region_rev, 6) AS share_of_region,
+           ROUND(region_rev / world_rev, 6) AS region_share_of_world
+    FROM lv ORDER BY region, nation
+    """,
+)
+def q208_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast(DEC)), 6)
+            .cast("double")
+            .alias("nation_rev")
+        )
+    )
+    wr = Window.partitionBy("region")
+    ww = Window.partitionBy()
+    lv = rev.withColumn(
+        "region_rev",
+        F.round(F.sum(F.col("nation_rev").cast(DEC)).over(wr), 6).cast(
+            "double"
+        ),
+    ).withColumn(
+        "world_rev",
+        F.round(F.sum(F.col("nation_rev").cast(DEC)).over(ww), 6).cast(
+            "double"
+        ),
+    )
+    return lv.select(
+        "region",
+        "nation",
+        "nation_rev",
+        F.round(F.col("nation_rev") / F.col("region_rev"), 6).alias(
+            "share_of_region"
+        ),
+        F.round(F.col("region_rev") / F.col("world_rev"), 6).alias(
+            "region_share_of_world"
+        ),
+    ).orderBy("region", "nation")
