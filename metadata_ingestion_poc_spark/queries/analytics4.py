@@ -629,7 +629,14 @@ def q194_rolling_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(-9, 0)
     )
-    s = F.array_sort(F.collect_list("o_totalprice").over(w))
+    # Hoist the sorted frame into a column: inlining the array_sort
+    # expression into every element_at reference left 54 copies in
+    # the projection (the window itself was deduped, the sort was
+    # not) — the hoist halves both the copy count and the wall time.
+    o = o.withColumn(
+        "__s", F.array_sort(F.collect_list("o_totalprice").over(w))
+    )
+    s = F.col("__s")
     m = F.size(s)
 
     def q_at(p: float):
