@@ -1686,3 +1686,194 @@ def q208_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             "region_share_of_world"
         ),
     ).orderBy("region", "nation")
+
+
+# ---------------------------------------------------------------------------
+# q209 — month-over-month revenue growth: monthly rollup + lag window
+# + exact-division growth ratio. The rollup is |months| rows, so the
+# single-partition lag window is a non-issue at any SF; the decimal
+# discipline keeps each month's sum order-free and the ratio is one
+# division of two already-rounded doubles.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q209_mom_growth",
+    oracle="""
+    WITH m AS (SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+                      COUNT(*)::BIGINT AS n_orders,
+                      ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 6)
+                        ::DOUBLE AS revenue
+               FROM orders GROUP BY month)
+    SELECT CAST(month AS DATE) AS month, n_orders, revenue,
+           ROUND(revenue / LAG(revenue) OVER (ORDER BY month) - 1.0, 6)
+             AS mom_growth
+    FROM m ORDER BY month
+    """,
+)
+def q209_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.trunc(F.to_date("o_orderdate"), "month").alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast(DEC)), 6)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    w = Window.orderBy("month")
+    return m.select(
+        "month",
+        "n_orders",
+        "revenue",
+        F.round(
+            F.col("revenue") / F.lag("revenue").over(w) - F.lit(1.0), 6
+        ).alias("mom_growth"),
+    ).orderBy("month")
+
+
+# ---------------------------------------------------------------------------
+# q210 — Gini coefficient of customer revenue concentration:
+#     G = (2·Σ i·x_i) / (n·Σ x_i) − (n+1)/n    (x sorted ascending)
+# The global ascending rank comes from operators/indexing.py's
+# global_row_number (range partition + broadcast offsets — the q178
+# no-1-task-sort machinery), so the inequality statistic scales to
+# any customer count. Integer ranks × decimal sums keep the two
+# reductions exact; the closing arithmetic is a handful of IEEE ops
+# on scalars.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q210_revenue_gini",
+    oracle="""
+    WITH c AS (SELECT o_custkey,
+                      ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 6)
+                        ::DOUBLE AS rev
+               FROM orders GROUP BY o_custkey),
+    r AS (SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS i
+          FROM c),
+    s AS (SELECT COUNT(*)::BIGINT AS n,
+                 ROUND(SUM(CAST(rev AS DECIMAL(28,6))), 6)::DOUBLE AS total,
+                 ROUND(SUM(CAST(ROUND(i * rev, 6) AS DECIMAL(28,6))), 6)
+                   ::DOUBLE AS weighted
+          FROM r)
+    SELECT n, total,
+           ROUND(2.0::DOUBLE * weighted / (n * total)
+                 - (n + 1.0::DOUBLE) / n, 6) AS gini
+    FROM s
+    """,
+)
+def q210_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.indexing import global_row_number
+
+    c = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast(DEC)), 6)
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    r = global_row_number(c, ["rev", "o_custkey"], out_col="i")
+    s = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum(F.col("rev").cast(DEC)), 6).cast("double").alias("total"),
+        F.round(
+            F.sum(F.round(F.col("i") * F.col("rev"), 6).cast(DEC)), 6
+        )
+        .cast("double")
+        .alias("weighted"),
+    )
+    n = F.col("n")
+    return s.select(
+        "n",
+        "total",
+        F.round(
+            F.lit(2.0) * F.col("weighted") / (n * F.col("total"))
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q211 — conversion latency distribution: per user, seconds from
+# FIRST 'view' to FIRST LATER 'purchase'; the per-user reduction is
+# two min-aggregates (no window), and the latency distribution rolls
+# up through the exact-percentiles operator with rounded cutoffs
+# (q14-established quantile_cont parity). Users who never view, never
+# purchase, or purchase only before viewing drop out in both engines.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q211_conversion_latency",
+    oracle="""
+    WITH v AS (SELECT user_id,
+                      MIN(date_diff('second', TIMESTAMP '1970-01-01', ts))
+                        AS first_view
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+    p AS (SELECT e.user_id,
+                 MIN(date_diff('second', TIMESTAMP '1970-01-01', e.ts))
+                   AS first_purchase
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'purchase'
+            AND date_diff('second', TIMESTAMP '1970-01-01', e.ts)
+                  >= v.first_view
+          GROUP BY e.user_id),
+    lat AS (SELECT (p.first_purchase - v.first_view)::BIGINT AS latency_sec
+            FROM p JOIN v ON p.user_id = v.user_id)
+    SELECT COUNT(*)::BIGINT AS n_converted,
+           ROUND(quantile_cont(latency_sec, 0.5), 6)::DOUBLE AS p50_sec,
+           ROUND(quantile_cont(latency_sec, 0.9), 6)::DOUBLE AS p90_sec,
+           MIN(latency_sec)::BIGINT AS min_sec,
+           MAX(latency_sec)::BIGINT AS max_sec
+    FROM lat
+    """,
+)
+def q211_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.percentiles import exact_percentiles
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        ).alias("sec"),
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("first_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("sec") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("first_purchase"))
+    )
+    lat = (
+        p.join(v, "user_id")
+        .select(
+            (F.col("first_purchase") - F.col("first_view"))
+            .cast("long")
+            .alias("latency_sec"),
+            F.lit(1).alias("__g"),
+        )
+        .localCheckpoint(eager=False)  # feeds percentiles + the aggregate
+    )
+    pct = exact_percentiles(
+        lat, ["__g"], "latency_sec", {"p50_sec": 0.5, "p90_sec": 0.9}
+    ).select(F.round("p50_sec", 6).alias("p50_sec"), F.round("p90_sec", 6).alias("p90_sec"))
+    agg = lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.min("latency_sec").cast("long").alias("min_sec"),
+        F.max("latency_sec").cast("long").alias("max_sec"),
+    )
+    return agg.crossJoin(F.broadcast(pct)).select(
+        "n_converted", "p50_sec", "p90_sec", "min_sec", "max_sec"
+    )
