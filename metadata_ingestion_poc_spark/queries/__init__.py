@@ -106,12 +106,13 @@ def _load_all() -> None:
 # the never-swept block); (c) the first 11 entries of the round-3
 # credit block (q70-q74, q80-q85) to fill the 50.
 #
-# Round-7 rotation note: promote q197-q211 (round-6-late, outside the
+# Round-7 rotation note: promote q197-q213 (round-6-late, outside the
 # full round-6 window: rolling distinct, length bands, budget
 # waterfall, n-gram novelty, Pareto frontier, cohort LTV, Benford,
 # FD audit, association rules, clamped balance, TWAP,
-# percent-of-parent, MoM growth, revenue Gini, conversion latency
-# (q197-q211) — all locally oracle-verified at 3 SFs)
+# percent-of-parent, MoM growth, revenue Gini, conversion latency,
+# purchase cadence, null profile (q197-q213) — all locally
+# oracle-verified at 3 SFs)
 # and any round-7-new queries first, then the FULL round-3 credit
 # block (q70-q74, q80-q89, q95-q103,
 # q110-q114, q116-q118 — last swept in D3; its refresh was pushed out

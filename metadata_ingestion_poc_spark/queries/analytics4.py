@@ -1877,3 +1877,129 @@ def q211_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.crossJoin(F.broadcast(pct)).select(
         "n_converted", "p50_sec", "p90_sec", "min_sec", "max_sec"
     )
+
+
+# ---------------------------------------------------------------------------
+# q212 — repeat-purchase cadence: per returning customer, mean days
+# between consecutive orders (integer date arithmetic, one lag window
+# + one groupBy on the same exchange), then the corporate rollup by
+# the customer's order count band. The purchase-frequency readout
+# that pairs with q202's LTV curve.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q212_repeat_purchase_interval",
+    oracle="""
+    WITH r AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+                      LAG(CAST(o_orderdate AS DATE))
+                        OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS prev_d
+               FROM orders),
+    iv AS (SELECT o_custkey, date_diff('day', prev_d, d) AS gap
+           FROM r WHERE prev_d IS NOT NULL),
+    per AS (SELECT o_custkey, COUNT(*)::BIGINT AS n_gaps,
+                   SUM(gap)::BIGINT AS total_days
+            FROM iv GROUP BY o_custkey),
+    banded AS (SELECT CASE WHEN n_gaps >= 20 THEN 'frequent'
+                           WHEN n_gaps >= 10 THEN 'regular'
+                           ELSE 'occasional' END AS band,
+                      n_gaps, total_days
+               FROM per)
+    SELECT band, COUNT(*)::BIGINT AS n_customers,
+           SUM(n_gaps)::BIGINT AS n_intervals,
+           ROUND(SUM(total_days)::DOUBLE / SUM(n_gaps), 6)
+             AS mean_gap_days
+    FROM banded GROUP BY band ORDER BY band
+    """,
+)
+def q212_repeat_purchase_interval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d"), "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    iv = (
+        o.withColumn("prev_d", F.lag("d").over(w))
+        .filter(F.col("prev_d").isNotNull())
+        .select(
+            "o_custkey", F.datediff("d", "prev_d").cast("long").alias("gap")
+        )
+    )
+    per = iv.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("gap").cast("long").alias("total_days"),
+    )
+    band = (
+        F.when(F.col("n_gaps") >= 20, "frequent")
+        .when(F.col("n_gaps") >= 10, "regular")
+        .otherwise("occasional")
+    )
+    return (
+        per.select(band.alias("band"), "n_gaps", "total_days")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("n_gaps").cast("long").alias("n_intervals"),
+            F.round(
+                F.sum("total_days").cast("double") / F.sum("n_gaps"), 6
+            ).alias("mean_gap_days"),
+        )
+        .orderBy("band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q213 — column null/blank/distinct profile: the first thing a data
+# engineer runs on an unfamiliar table, as ONE scan — the columns
+# melt into a (column, value) stream via stack() (the q185 shared-
+# scan trick applied to profiling), so adding columns never adds
+# scans. Counts are exact integers; distinct is per column on the
+# melted stream.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q213_null_profile",
+    oracle="""
+    WITH m AS (
+      SELECT 'o_orderstatus' AS col, o_orderstatus AS val FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', o_orderpriority FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', CAST(o_totalprice AS VARCHAR) FROM orders
+      UNION ALL
+      SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders)
+    SELECT col,
+           COUNT(*)::BIGINT AS n_rows,
+           SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+           SUM(CASE WHEN val = '' THEN 1 ELSE 0 END)::BIGINT AS n_blank,
+           COUNT(DISTINCT val)::BIGINT AS n_distinct
+    FROM m GROUP BY col ORDER BY col
+    """,
+)
+def q213_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    melted = o.selectExpr(
+        "stack(4, "
+        "'o_orderstatus', o_orderstatus, "
+        "'o_orderpriority', o_orderpriority, "
+        "'o_totalprice', cast(o_totalprice as string), "
+        "'o_custkey', cast(o_custkey as string)"
+        ") as (col, val)"
+    )
+    return (
+        melted.groupBy("col")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("val").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null"),
+            F.sum(F.when(F.col("val") == "", 1).otherwise(0))
+            .cast("long")
+            .alias("n_blank"),
+            F.count_distinct("val").cast("long").alias("n_distinct"),
+        )
+        .orderBy("col")
+    )

@@ -78,3 +78,69 @@ def test_functional_dependencies_profile(spark):
         functional_dependencies([])
     with pytest.raises(ValueError):
         functional_dependencies([(df, "x", "y", "d"), (df, "y", "x", "d")])
+
+
+# ---------------------------------------------------------------------------
+# property-based: skyline and k-core vs brute-force models on
+# arbitrary small graphs/clouds (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_POINTS = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(_POINTS)
+def test_skyline_property_matches_brute(spark, pts):
+    assert _run(spark, pts, buckets=3, partitions=2) == _brute(pts)
+
+
+def _brute_kcore_rounds(edges, k, rounds):
+    es = {
+        (min(u, v), max(u, v)) for u, v in edges if u != v
+    }
+    for _ in range(rounds):
+        deg = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        es = {(a, b) for a, b in es if a in keep and b in keep}
+    deg = {}
+    for a, b in es:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    return dict(deg)
+
+
+_EDGES = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(_EDGES, st.integers(1, 4))
+def test_kcore_property_matches_model(spark, edges, k):
+    from metadata_ingestion_poc_spark.operators.graph import kcore
+
+    df = spark.createDataFrame(edges, ["u", "v"])
+    got = {
+        r.node: r.deg for r in kcore(df, k=k, rounds=3).collect()
+    }
+    assert got == _brute_kcore_rounds(edges, k, 3)
