@@ -404,23 +404,31 @@ def bm25_scores(
     toks_all = tokenize(docs, text_col=text_col).select(
         "doc_id", F.size("tokens").alias("dl"), "tokens"
     )
-    # One pass: corpus size and average doc length. Both aggregates are
-    # exact integers (token counts), so avgdl is ONE double division —
-    # bit-identical in any engine — rather than an order-dependent
-    # double avg().
+    # Corpus size and average doc length as a broadcast 1-row frame —
+    # never driver-side: collecting them would split the query into two
+    # jobs and re-scan the corpus. Both aggregates are exact integers
+    # (token counts), so avgdl is ONE double division — bit-identical
+    # in any engine — rather than an order-dependent double avg().
     stats = toks_all.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total_dl")
-    ).collect()[0]
-    n_docs = float(stats["n"])
-    avgdl = float(stats["total_dl"]) / n_docs
+        F.count(F.lit(1)).cast("double").alias("__n_docs"),
+        (
+            F.sum("dl").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("__avgdl"),
+    )
+    n_docs = F.col("__n_docs")
+    avgdl = F.col("__avgdl")
 
     qset = F.array(*[F.lit(t) for t in query_terms])
     # tf per (doc, term): count matches inside the token array — no
     # corpus-wide explode; the only exploded axis is the |query| terms.
     tf = (
-        toks_all.select(
+        toks_all.crossJoin(F.broadcast(stats))
+        .select(
             "doc_id",
             "dl",
+            "__n_docs",
+            "__avgdl",
             F.explode(qset).alias("term"),
             F.size(
                 F.filter("tokens", lambda x: x == F.col("term"))
@@ -431,10 +439,10 @@ def bm25_scores(
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         F.lit(1.0)
-        + (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + (n_docs - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
     )
     denom = F.col("tf") + F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl
     )
     # Per-term contribution is a pure double expression over identical
     # operands in every engine; rounding it at 6 absorbs cross-engine

@@ -98,85 +98,74 @@ def _load_all() -> None:
 # eventually verified. Names not present are skipped silently (renames
 # must not break import).
 #
-# Round-6 rotation (window N=50): (a) the 38 never-swept q148-q185
-# (added after the round-5 window filled; the round-5 judge verified
-# all 38 green via tools/check.py — driver credit is what's missing);
-# (b) q14 (exact_percentiles lineage-cut rewrite this round — q165/
-# q175/q174/q185/q181/q182, also touched this round, are already in
-# the never-swept block); (c) the first 11 entries of the round-3
-# credit block (q70-q74, q80-q85) to fill the 50.
+# Round-7 rotation (window N=50): (a) the 17 never-driver-swept
+# q197-q213 (added after the round-6 window filled; the round-6 judge
+# verified all 17 green via an independent tools/check.py run — driver
+# credit is what's missing); (b) any round-7-new queries (inserted
+# below as they land); (c) the round-3 credit block (q70-q74, q80-q89,
+# q95-q103, q110-q114, q116-q118 — last swept in D3) to fill the 50.
+# With 17 + 32 = 49 rotation entries, each round-7-new query pushes one
+# round-3 tail entry (from q118 backwards) into the round-8 window.
 #
-# Round-7 rotation note: promote q197-q213 (round-6-late, outside the
-# full round-6 window: rolling distinct, length bands, budget
-# waterfall, n-gram novelty, Pareto frontier, cohort LTV, Benford,
-# FD audit, association rules, clamped balance, TWAP,
-# percent-of-parent, MoM growth, revenue Gini, conversion latency,
-# purchase cadence, null profile (q197-q213) — all locally
-# oracle-verified at 3 SFs)
-# and any round-7-new queries first, then the FULL round-3 credit
-# block (q70-q74, q80-q89, q95-q103,
-# q110-q114, q116-q118 — last swept in D3; its refresh was pushed out
-# of the round-6 window by the 11 new q186-q196), then the round-4
-# block (q120-q130). Round 8 takes whatever round-7 code changes
-# touch plus the round-5 block (q131-q147).
+# Round-8 rotation note: promote whatever round-7 code changes touch,
+# any round-3-block entries that fell off the round-7 window (tail
+# first), then the round-4 block (q120-q130) and the round-5 block
+# (q131-q147).
 # ---------------------------------------------------------------------------
 _SWEEP_PRIORITY = [
-    # -- never swept (added late in round 5); includes this round's
-    # -- changed q165/q174/q175/q181/q182/q185.
-    "q148_interval_overlap_join",
-    "q149_importance_weighted_sample",
-    "q150_group_reservoir_sample",
-    "q151_pii_profile",
-    "q152_vocab_jaccard",
-    "q153_group_regression",
-    "q154_mad_outliers",
-    "q155_markov_transitions",
-    "q156_unigram_entropy",
-    "q157_bfs_hops",
-    "q158_cluster_collapse",
-    "q159_hard_negative_mining",
-    "q160_threshold_sweep",
-    "q161_recursive_cte_bfs",
-    "q162_url_host_stats",
-    "q163_lateral_topk",
-    "q164_asof_forward_attribution",
-    "q165_weighted_percentiles",
-    "q166_bpe_token_accounting",
-    "q167_bloom_prune_join",
-    "q168_pagerank",
-    "q169_cms_heavy_hitters",
-    "q170_retrieval_metrics",
-    "q171_moving_median",
-    "q172_new_vs_returning",
-    "q173_winnow_fingerprints",
-    "q174_triangle_count",
-    "q175_winsorized_stats",
-    "q176_ks_drift",
-    "q177_pmi_collocations",
-    "q178_global_row_number",
-    "q179_gap_fill_interpolate",
-    "q180_decile_lift",
-    "q181_bm25_topk",
-    "q182_zorder_buckets",
-    "q183_quantile_sketch",
-    "q184_random_projection",
-    "q185_referential_integrity",
-    # -- changed in round 6 (lineage-cut rewrite).
-    "q14_percentiles",
-    # -- new in round 6 — never swept.
-    "q186_activity_streaks",
-    "q187_mixture_temperature",
-    "q188_decayed_user_value",
-    "q189_kcore_decomposition",
-    "q190_tfidf_cosine_pairs",
-    "q191_price_histogram",
-    "q192_sessionize_events",
-    "q193_pii_redaction",
-    "q194_rolling_iqr_outliers",
-    "q195_user_burstiness",
-    "q196_zipf_fit",
-    # (round-3 refresh pushed wholly to round 7: the 11 round-6-new
-    # queries above fill the window to exactly 50)
+    # -- never driver-swept (added late in round 6; judge-verified).
+    "q197_rolling_active_users",
+    "q198_length_bands",
+    "q199_token_budget_allocation",
+    "q200_ngram_novelty",
+    "q201_pareto_frontier",
+    "q202_cohort_ltv",
+    "q203_benford_screen",
+    "q204_fd_audit",
+    "q205_association_rules",
+    "q206_clamped_running_balance",
+    "q207_time_weighted_value",
+    "q208_percent_of_parent",
+    "q209_mom_growth",
+    "q210_revenue_gini",
+    "q211_conversion_latency",
+    "q212_repeat_purchase_interval",
+    "q213_null_profile",
+    # -- new in round 7 — never swept.
+    # (inserted here as they land)
+    # -- round-3 credit block (last swept in D3).
+    "q70_tumbling_window",
+    "q71_sliding_window",
+    "q72_session_window",
+    "q73_funnel_conversion",
+    "q74_grouped_zscore",
+    "q80_tpch_q13_count_distribution",
+    "q81_tpch_q15_top_supplier",
+    "q82_tpch_q19_disjunctive",
+    "q83_tpch_q22_global_sales_opportunity",
+    "q84_nation_trade_matrix",
+    "q85_null_semantics",
+    "q86_tpch_q10_returned_items",
+    "q87_tpch_q14_promo_share",
+    "q88_window_rank_extras",
+    "q89_array_setops",
+    "q95_trailing_hour_counts",
+    "q96_tpch_q5_local_supplier_volume",
+    "q97_tpch_q8_market_share",
+    "q98_tpch_q9_profit_by_nation_year",
+    "q99_tpch_q11_important_parts",
+    "q100_tpch_q16_supplier_count",
+    "q101_tpch_q17_small_quantity_revenue",
+    "q102_tpch_q21_sole_blame_supplier",
+    "q103_tpch_q2_cheapest_supplier",
+    "q110_tpch_q12_priority_lines",
+    "q111_tpch_q20_heavy_suppliers",
+    "q112_join_right_outer",
+    "q113_join_full_outer",
+    "q114_tpch_q4_order_priority",
+    "q116_length_histogram",
+    "q117_mixture_resample",
+    "q118_sessionize_gaps",
 ]
 
 

@@ -1425,7 +1425,11 @@ def q205_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     b = b.localCheckpoint(eager=False)  # basket frame feeds 3 consumers
-    n_orders = b.select("ok").distinct().count()
+    # Corpus-size scalar stays JVM-side as a broadcast 1-row frame —
+    # a driver-side .count() here would split the query into two jobs.
+    n_orders_f = b.agg(
+        F.countDistinct("ok").cast("double").alias("__n_orders")
+    )
     freq = (
         b.groupBy("item")
         .agg(F.count(F.lit(1)).cast("long").alias("supp"))
@@ -1451,16 +1455,18 @@ def q205_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(F.broadcast(fa), "ante")
         .join(F.broadcast(fc), "cons")
+        .crossJoin(F.broadcast(n_orders_f))
         .select(
             "ante",
             "cons",
             "pair_supp",
             F.round(
-                F.col("pair_supp").cast("double") / F.lit(float(n_orders)), 6
+                F.col("pair_supp").cast("double") / F.col("__n_orders"), 6
             ).alias("support"),
             F.round(conf, 6).alias("confidence"),
             F.round(
-                conf / (F.col("supp_c").cast("double") / F.lit(float(n_orders))),
+                conf
+                / (F.col("supp_c").cast("double") / F.col("__n_orders")),
                 6,
             ).alias("lift"),
         )

@@ -181,3 +181,23 @@ def test_fuzzy_join_is_equi_not_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_percentiles_single_filescan(spark, sf_dir):
+    """Round-6 lineage-cut contract (operators/percentiles.py): the
+    rank-based exact-percentile pipeline reads lineitem ONCE (the
+    checkpointed rank frame feeds all downstream arms). Was 9
+    FileScans before the fix — pin it at 1 so a refactor can't
+    silently resurrect the re-scans."""
+    plan = physical_plan(QUERIES["q14_percentiles"](spark, sf_dir))
+    assert plan.count("FileScan") == 1, plan.count("FileScan")
+
+
+def test_triangle_count_bounded_exchanges(spark, sf_dir):
+    """Round-6 lineage-cut contract (operators/graph.py): the edge
+    frame is checkpointed once, so the triangle join tree stays at
+    ~9 Exchanges (was 177 when each arm re-derived the edges). The
+    checkpoint also removes every FileScan from the returned plan."""
+    plan = physical_plan(QUERIES["q174_triangle_count"](spark, sf_dir))
+    assert plan.count("Exchange ") <= 20, plan.count("Exchange ")
+    assert plan.count("FileScan") == 0, plan.count("FileScan")

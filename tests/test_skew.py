@@ -144,3 +144,81 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_salted_agg_hot_key_actually_fans_out(spark):
+    """Adversarial skew: 100% of rows share one key. Correctness under
+    salting is pinned above; THIS pins the load-balancing claim itself —
+    phase 1 must really spread the hot key over all salt_buckets
+    reducer groups (counted through the public API: the number of
+    partial rows merged per key IS the number of distinct salts hit),
+    and no bucket may hold more than 2x the uniform share. A salt
+    formula that quietly collapsed to a constant would keep results
+    identical while resurrecting the straggler."""
+    n, buckets = 16_000, 16
+    df = spark.range(n).select(F.lit("hot").alias("k"), F.col("id").alias("v"))
+    out = salted_agg(
+        df,
+        keys=["k"],
+        partial_aggs=[F.count(F.lit(1)).alias("pc")],
+        final_aggs=[
+            F.count(F.lit(1)).alias("n_partials"),
+            F.max("pc").alias("max_bucket"),
+            F.sum("pc").alias("n_rows"),
+        ],
+        salt_buckets=buckets,
+        salt_source="v",
+    ).first()
+    assert out.n_rows == n
+    assert out.n_partials == buckets  # every salt bucket engaged
+    assert out.max_bucket <= 2 * (n // buckets)  # no bucket >2x fair share
+
+
+def test_salted_agg_null_key_and_null_salt_source(spark):
+    """NULL keys form their own group (groupBy semantics) and NULL
+    salt-source values hash to one bucket — both must survive the
+    two-phase split with exact totals."""
+    df = spark.range(3_000).select(
+        F.when(F.col("id") % 3 == 0, F.lit(None)).otherwise(F.lit("k")).alias("k"),
+        F.when(F.col("id") % 5 == 0, F.lit(None))
+        .otherwise(F.col("id"))
+        .cast("long")
+        .alias("src"),
+        F.lit(1).alias("v"),
+    )
+    rows = {
+        r["k"]: r["n"]
+        for r in salted_agg(
+            df,
+            keys=["k"],
+            partial_aggs=[F.count(F.lit(1)).alias("pc")],
+            final_aggs=[F.sum("pc").alias("n")],
+            salt_buckets=8,
+            salt_source="src",
+        ).collect()
+    }
+    assert rows == {None: 1_000, "k": 2_000}
+
+
+def test_salted_agg_constant_salt_source_degrades_safely(spark):
+    """Worst-case salt source (a constant, perfectly correlated with
+    the hot key): fan-out degrades to one bucket — the documented
+    failure mode — but the merged result stays exact."""
+    df = spark.range(5_000).select(
+        F.lit("hot").alias("k"), F.lit(7).alias("c"), F.col("id").alias("v")
+    )
+    out = salted_agg(
+        df,
+        keys=["k"],
+        partial_aggs=[F.sum("v").alias("ps"), F.count(F.lit(1)).alias("pc")],
+        final_aggs=[
+            F.sum("ps").alias("total"),
+            F.sum("pc").alias("n"),
+            F.count(F.lit(1)).alias("n_partials"),
+        ],
+        salt_buckets=8,
+        salt_source="c",
+    ).first()
+    assert out.total == sum(range(5_000))
+    assert out.n == 5_000
+    assert out.n_partials == 1  # degenerate spread, correct merge
