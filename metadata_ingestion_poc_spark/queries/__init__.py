@@ -82,6 +82,7 @@ def _load_all() -> None:
         analytics2,
         analytics3,
         analytics4,
+        analytics5,
         llm_ops5,
         # -- embedding similarity + near-dup (most expensive) --
         llm_ops2,
@@ -132,7 +133,10 @@ _SWEEP_PRIORITY = [
     "q212_repeat_purchase_interval",
     "q213_null_profile",
     # -- new in round 7 — never swept.
-    # (inserted here as they land)
+    "q214_rag_chunking",
+    "q215_js_divergence",
+    "q216_hhi_concentration",
+    "q217_cohens_kappa",
     # -- round-3 credit block (last swept in D3).
     "q70_tumbling_window",
     "q71_sliding_window",

@@ -1,0 +1,355 @@
+"""Eighth analytics batch (round 7): RAG-style document chunking,
+Jensen-Shannon categorical drift, Herfindahl-Hirschman market
+concentration, and Cohen's-kappa rater agreement.
+
+Cross-engine discipline notes specific to this batch:
+
+- q214 is pure integer/array arithmetic (ceil-division chunk counts,
+  1-based slices) — identical in any engine by construction; the only
+  care point is that both sides use the same non-negative ceil-div
+  form ``(max(n-W,0)+S-1) div S + 1`` so the n<=W edge yields exactly
+  one chunk without negative-floor asymmetry.
+- q215/q217 derive every probability as ONE double division of two
+  exact BIGINT counts (bit-identical everywhere); the only libm call
+  is q215's ln(), whose ULP noise is absorbed by rounding each
+  (p-side / q-side) term at 6 dp BEFORE their sum — adding two 6-dp
+  values is exact.
+- q216 follows q01's revenue discipline: each line's
+  ext*(1-disc) is rounded at 6 and decimal-summed, shares are one
+  double division of two decimal-exact totals cast to DOUBLE first
+  (DuckDB decimal/decimal division rounds differently than double
+  division — cast BEFORE dividing), and share² is rounded at 6 before
+  the decimal HHI sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import query
+from ..catalog import load_table
+from ._util import DEC
+
+# ---------------------------------------------------------------------------
+# q214 — RAG chunking: split every document into overlapping
+# token-window chunks (window W=32 tokens, stride S=24), the standard
+# retrieval-corpus preparation step. One pass, zero shuffles until the
+# final presentation sort: tokens and chunk offsets are computed
+# per-row with array functions, the chunk axis is a posexplode of a
+# sequence — never a self-join. At 100 TB this is embarrassingly
+# parallel and stays entirely inside whole-stage codegen.
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 32
+_CHUNK_S = 24
+
+
+@query(
+    "q214_rag_chunking",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+               FROM documents WHERE doc_id % 5 = 0),
+    n AS (SELECT doc_id, toks, len(toks) AS n_tok FROM t),
+    c AS (SELECT doc_id, toks, n_tok,
+                 unnest(generate_series(
+                     0, (greatest(n_tok - {_CHUNK_W}, 0) + {_CHUNK_S - 1})
+                            // {_CHUNK_S})) AS chunk_idx
+          FROM n)
+    SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+           (chunk_idx * {_CHUNK_S})::BIGINT AS chunk_start,
+           len(list_slice(toks, chunk_idx * {_CHUNK_S} + 1,
+                          chunk_idx * {_CHUNK_S} + {_CHUNK_W}))::BIGINT
+               AS n_tokens,
+           array_to_string(
+               list_slice(toks, chunk_idx * {_CHUNK_S} + 1,
+                          chunk_idx * {_CHUNK_S} + {_CHUNK_W}), ' ')
+               AS chunk_text
+    FROM c
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def q214_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    W, S = _CHUNK_W, _CHUNK_S
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", F.split(F.trim("text"), " ").alias("toks"))
+        .withColumn("n_tok", F.size("toks"))
+    )
+    # non-negative ceil-div: n<=W -> exactly 1 chunk; the last chunk is
+    # the (possibly short) tail, matching list_slice truncation.
+    n_last = (
+        F.floor(
+            (F.greatest(F.col("n_tok") - W, F.lit(0)) + F.lit(S - 1)) / S
+        )
+    ).cast("int")
+    return (
+        toks.select(
+            "doc_id",
+            "toks",
+            F.posexplode(F.sequence(F.lit(0), n_last)).alias(
+                "chunk_idx", "_dup"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            (F.col("chunk_idx") * S).cast("long").alias("chunk_start"),
+            F.size(F.slice(F.col("toks"), F.col("chunk_idx") * S + 1, W))
+            .cast("long")
+            .alias("n_tokens"),
+            F.array_join(
+                F.slice(F.col("toks"), F.col("chunk_idx") * S + 1, W), " "
+            ).alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q215 — Jensen-Shannon divergence between two categorical
+# distributions: the p_brand mix of discounted (>= 5%) vs
+# non-discounted lineitems. Complements the numeric KS drift screen
+# (q176) with the categorical drift screen an LLM-corpus pipeline runs
+# on source/domain mixes. Per-brand contribution rows (not just the
+# scalar) so the differential proves the whole table. Scale shape:
+# part is broadcast; the two distributions come from ONE scan +
+# ONE groupBy on (brand, side); the final per-brand pivot is a 25-row
+# frame.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q215_js_divergence",
+    oracle="""
+    WITH j AS (SELECT p.p_brand AS brand,
+                      CASE WHEN l.l_discount >= 0.05 THEN 1 ELSE 0 END AS disc
+               FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    c AS (SELECT brand,
+                 SUM(disc)::BIGINT AS n_p,
+                 SUM(1 - disc)::BIGINT AS n_q
+          FROM j GROUP BY brand),
+    tot AS (SELECT SUM(n_p)::BIGINT AS tp, SUM(n_q)::BIGINT AS tq FROM c),
+    d AS (SELECT brand, n_p, n_q,
+                 n_p::DOUBLE / tp AS p, n_q::DOUBLE / tq AS q
+          FROM c, tot)
+    SELECT brand, n_p, n_q,
+           ROUND(p, 6) AS p_share, ROUND(q, 6) AS q_share,
+           ROUND(CASE WHEN n_p = 0 THEN 0.0::DOUBLE
+                      ELSE 0.5::DOUBLE * p * ln(p / (0.5::DOUBLE * (p + q)))
+                 END, 6)
+           + ROUND(CASE WHEN n_q = 0 THEN 0.0::DOUBLE
+                        ELSE 0.5::DOUBLE * q * ln(q / (0.5::DOUBLE * (p + q)))
+                   END, 6) AS js_contrib
+    FROM d
+    ORDER BY brand
+    """,
+)
+def q215_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_discount")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    c = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.when(F.col("l_discount") >= 0.05, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("disc"),
+        )
+        .groupBy("brand")
+        .agg(
+            F.sum("disc").cast("long").alias("n_p"),
+            F.sum(1 - F.col("disc")).cast("long").alias("n_q"),
+        )
+    )
+    # 25-row distribution frame feeds BOTH the totals and the final
+    # select — cut lineage so lineitem+part are scanned once, not twice
+    c = c.localCheckpoint(eager=False)
+    tot = c.agg(
+        F.sum("n_p").cast("long").alias("tp"),
+        F.sum("n_q").cast("long").alias("tq"),
+    )
+    p = F.col("n_p").cast("double") / F.col("tp")
+    q = F.col("n_q").cast("double") / F.col("tq")
+    m = F.lit(0.5) * (p + q)
+    term = lambda n, s: F.round(  # noqa: E731
+        F.when(n == 0, F.lit(0.0)).otherwise(F.lit(0.5) * s * F.log(s / m)), 6
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "brand",
+            "n_p",
+            "n_q",
+            F.round(p, 6).alias("p_share"),
+            F.round(q, 6).alias("q_share"),
+            (term(F.col("n_p"), p) + term(F.col("n_q"), q)).alias(
+                "js_contrib"
+            ),
+        )
+        .orderBy("brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q216 — Herfindahl-Hirschman concentration index: how concentrated is
+# lineitem revenue among suppliers, per supplier nation. Complements
+# the Gini screen (q210) with the antitrust-style concentration
+# measure (sum of squared market shares; 1/n = perfect competition,
+# 1.0 = monopoly). Scale shape: one lineitem scan, partial-agg
+# shuffle on (nation, supplier) — ~#suppliers rows after the first
+# agg; everything downstream is negligible. supplier/nation broadcast.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q216_hhi_concentration",
+    oracle="""
+    WITH rev AS (SELECT s.s_nationkey AS nk, l.l_suppkey AS sk,
+                        ROUND(SUM(CAST(ROUND(
+                            l.l_extendedprice * (1 - l.l_discount), 6)
+                            AS DECIMAL(28,6))), 6) AS srev
+                 FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                 GROUP BY s.s_nationkey, l.l_suppkey),
+    n AS (SELECT nk, ROUND(SUM(srev), 6) AS nrev,
+                 COUNT(*)::BIGINT AS n_suppliers
+          FROM rev GROUP BY nk),
+    sh AS (SELECT r.nk,
+                  ROUND(CAST(r.srev AS DOUBLE) / CAST(n.nrev AS DOUBLE)
+                        * (CAST(r.srev AS DOUBLE) / CAST(n.nrev AS DOUBLE)),
+                        6) AS share2
+           FROM rev r JOIN n USING (nk))
+    SELECT nn.n_name AS nation,
+           n.n_suppliers,
+           CAST(n.nrev AS DOUBLE) AS nation_revenue,
+           ROUND(SUM(CAST(sh.share2 AS DECIMAL(28,6))), 6)::DOUBLE AS hhi
+    FROM sh
+    JOIN n USING (nk)
+    JOIN nation nn ON nn.n_nationkey = sh.nk
+    GROUP BY nn.n_name, n.n_suppliers, n.nrev
+    ORDER BY nation
+    """,
+)
+def q216_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("nk"), F.col("l_suppkey").alias("sk")
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                        6,
+                    ).cast(DEC)
+                ),
+                6,
+            ).alias("srev")
+        )
+    )
+    # ~#suppliers-row frame feeds the nation totals AND the share join —
+    # cut lineage so lineitem+supplier are scanned once, not twice
+    rev = rev.localCheckpoint(eager=False)
+    ntot = rev.groupBy("nk").agg(
+        F.round(F.sum("srev"), 6).alias("nrev"),
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+    )
+    share = F.col("srev").cast("double") / F.col("nrev").cast("double")
+    return (
+        rev.join(F.broadcast(ntot), "nk")
+        .select("nk", "nrev", "n_suppliers", F.round(share * share, 6).alias("share2"))
+        .groupBy("nk", "nrev", "n_suppliers")
+        .agg(F.round(F.sum(F.col("share2").cast(DEC)), 6).cast("double").alias("hhi"))
+        .join(F.broadcast(nat), F.col("nk") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_suppliers",
+            F.col("nrev").cast("double").alias("nation_revenue"),
+            "hhi",
+        )
+        .orderBy("nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q217 — Cohen's kappa: chance-corrected agreement between two binary
+# "raters" derived from each lineitem (rater A: the line was returned;
+# rater B: the line was discounted >= 5%), per ship year. The
+# agreement screen an annotation pipeline runs on double-labeled data.
+# Every probability is one double division of exact BIGINT confusion
+# counts; kappa = (po - pe) / (1 - pe) is then a fixed sequence of
+# IEEE double ops — bit-identical in both engines; rounded at 6 for
+# hashing. One scan, one 7-group shuffle.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q217_cohens_kappa",
+    oracle="""
+    WITH r AS (SELECT year(l_shipdate) AS ship_year,
+                      CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS a,
+                      CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS b
+               FROM lineitem),
+    c AS (SELECT ship_year,
+                 COUNT(*)::BIGINT AS n,
+                 SUM(a * b)::BIGINT AS n11,
+                 SUM(a * (1 - b))::BIGINT AS n10,
+                 SUM((1 - a) * b)::BIGINT AS n01,
+                 SUM((1 - a) * (1 - b))::BIGINT AS n00
+          FROM r GROUP BY ship_year),
+    k AS (SELECT *,
+                 (n11 + n00)::DOUBLE / n AS po,
+                 ((n11 + n10)::DOUBLE / n) * ((n11 + n01)::DOUBLE / n)
+                 + ((n01 + n00)::DOUBLE / n) * ((n10 + n00)::DOUBLE / n)
+                     AS pe
+          FROM c)
+    SELECT ship_year, n, n11, n10, n01, n00,
+           ROUND(po, 6) AS po, ROUND(pe, 6) AS pe,
+           ROUND((po - pe) / (1 - pe), 6) AS kappa
+    FROM k
+    ORDER BY ship_year
+    """,
+)
+def q217_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "lineitem").select(
+        F.year("l_shipdate").alias("ship_year"),
+        F.when(F.col("l_returnflag") == "R", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("a"),
+        F.when(F.col("l_discount") >= 0.05, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("b"),
+    )
+    c = r.groupBy("ship_year").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("long").alias("n00"),
+    )
+    po = (F.col("n11") + F.col("n00")).cast("double") / F.col("n")
+    pe = (
+        (F.col("n11") + F.col("n10")).cast("double") / F.col("n")
+    ) * ((F.col("n11") + F.col("n01")).cast("double") / F.col("n")) + (
+        (F.col("n01") + F.col("n00")).cast("double") / F.col("n")
+    ) * ((F.col("n10") + F.col("n00")).cast("double") / F.col("n"))
+    return c.select(
+        "ship_year",
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+    ).orderBy("ship_year")

@@ -1,0 +1,132 @@
+"""Semantic corners for the round-7 analytics batch (q214-q217).
+
+The driver sweep proves these against DuckDB end-to-end; these tests
+pin the hand-checkable invariants that survive refactors of either
+side — chunk coverage/overlap algebra, JS divergence bounds, HHI
+extremes, and kappa's calibration points.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from metadata_ingestion_poc_spark.queries import QUERIES
+from metadata_ingestion_poc_spark.queries.analytics5 import (
+    _CHUNK_S,
+    _CHUNK_W,
+)
+
+
+@pytest.fixture(scope="module")
+def chunks(spark, sf_dir):
+    return QUERIES["q214_rag_chunking"](spark, sf_dir).collect()
+
+
+def test_rag_chunks_cover_and_overlap(chunks):
+    """Every chunk except the last is full-width; consecutive chunks
+    overlap by exactly W-S tokens; offsets advance by the stride."""
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r.chunk_idx)
+        assert [r.chunk_idx for r in rs] == list(range(len(rs)))
+        for r in rs[:-1]:
+            assert r.n_tokens == _CHUNK_W, (doc_id, r)
+        for r in rs:
+            assert r.chunk_start == r.chunk_idx * _CHUNK_S
+            assert 1 <= r.n_tokens <= _CHUNK_W
+            assert len(r.chunk_text.split(" ")) == r.n_tokens
+
+
+def test_rag_chunking_short_doc_single_chunk(spark, sf_dir):
+    """n <= W docs produce exactly one chunk holding the whole doc —
+    the ceil-div edge both engines must agree on."""
+    short = [r for r in QUERIES["q214_rag_chunking"](spark, sf_dir).collect()]
+    docs_with_one = {
+        r.doc_id
+        for r in short
+        if r.chunk_idx == 0 and r.n_tokens <= _CHUNK_W
+    }
+    multi = {r.doc_id for r in short if r.chunk_idx > 0}
+    only_one = docs_with_one - multi
+    # the sf0.001/sf0.01 corpora both contain short docs; each must
+    # appear exactly once
+    for r in short:
+        if r.doc_id in only_one:
+            assert r.chunk_idx == 0
+
+
+def test_js_divergence_bounds_and_totals(spark, sf_dir):
+    rows = QUERIES["q215_js_divergence"](spark, sf_dir).collect()
+    assert rows
+    # shares are distributions
+    assert abs(sum(r.p_share for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.q_share for r in rows) - 1.0) < 1e-3
+    js = sum(r.js_contrib for r in rows)
+    # JS divergence (natural log) is bounded by ln 2 and non-negative;
+    # per-brand contributions can be slightly negative only via 6-dp
+    # rounding
+    assert -1e-4 <= js <= 0.6932
+    for r in rows:
+        assert r.js_contrib >= -1e-5
+
+
+def test_hhi_bounds(spark, sf_dir):
+    rows = QUERIES["q216_hhi_concentration"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # n equal suppliers -> 1/n; monopoly -> 1. 6-dp rounding slack.
+        assert 1.0 / r.n_suppliers - 1e-4 <= r.hhi <= 1.0 + 1e-6
+        assert r.nation_revenue > 0
+
+
+def test_kappa_calibration_points(spark):
+    """kappa == 1 on perfect agreement; ~0 when raters are independent
+    coin flips of different biases (pinned through the same registered
+    pipeline arithmetic, inlined here on a constructed frame)."""
+    df = spark.range(1000).select(
+        F.lit(2000).alias("ship_year"),
+        (F.col("id") % 2).cast("int").alias("a"),
+        (F.col("id") % 2).cast("int").alias("b"),
+    )
+    c = df.groupBy("ship_year").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("long").alias("n00"),
+    ).first()
+    po = (c.n11 + c.n00) / c.n
+    pe = ((c.n11 + c.n10) / c.n) * ((c.n11 + c.n01) / c.n) + (
+        (c.n01 + c.n00) / c.n
+    ) * ((c.n10 + c.n00) / c.n)
+    assert (po - pe) / (1 - pe) == 1.0
+
+    # independent raters: a = id%2, b = (id//2)%2 -> kappa ~ 0
+    df2 = spark.range(1000).select(
+        (F.col("id") % 2).cast("int").alias("a"),
+        ((F.col("id") / 2).cast("int") % 2).cast("int").alias("b"),
+    )
+    c2 = df2.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("long").alias("n00"),
+    ).first()
+    po2 = (c2.n11 + c2.n00) / c2.n
+    pe2 = ((c2.n11 + c2.n10) / c2.n) * ((c2.n11 + c2.n01) / c2.n) + (
+        (c2.n01 + c2.n00) / c2.n
+    ) * ((c2.n10 + c2.n00) / c2.n)
+    assert abs((po2 - pe2) / (1 - pe2)) < 0.01
+
+
+def test_kappa_registered_query_year_grain(spark, sf_dir):
+    rows = QUERIES["q217_cohens_kappa"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n == r.n11 + r.n10 + r.n01 + r.n00
+        assert -1.0 <= r.kappa <= 1.0
