@@ -105,13 +105,15 @@ def _load_all() -> None:
 # credit is what's missing); (b) any round-7-new queries (inserted
 # below as they land); (c) the round-3 credit block (q70-q74, q80-q89,
 # q95-q103, q110-q114, q116-q118 — last swept in D3) to fill the 50.
-# With 17 + 32 = 49 rotation entries, each round-7-new query pushes one
-# round-3 tail entry (from q118 backwards) into the round-8 window.
+# With 17 never-swept + 7 round-7-new + 32 round-3 entries = 56 > 50,
+# the round-3 tail (q112/q113/q114/q116/q117/q118) falls off this
+# round's window.
 #
-# Round-8 rotation note: promote whatever round-7 code changes touch,
-# any round-3-block entries that fell off the round-7 window (tail
-# first), then the round-4 block (q120-q130) and the round-5 block
-# (q131-q147).
+# Round-8 rotation note: promote whatever round-8 code changes touch,
+# then the six round-3 stragglers (q112-q114, q116-q118), then the
+# round-4 block (q120-q130) and as much of the round-5 block
+# (q131-q147) as fits. Round 9 takes the rest of q131-q147 plus the
+# round-6 block (q148-q185) refresh.
 # ---------------------------------------------------------------------------
 _SWEEP_PRIORITY = [
     # -- never driver-swept (added late in round 6; judge-verified).
@@ -133,10 +135,15 @@ _SWEEP_PRIORITY = [
     "q212_repeat_purchase_interval",
     "q213_null_profile",
     # -- new in round 7 — never swept.
+    # (q214-q220: chunking, JS drift, HHI, kappa, retention, bigram
+    # LM, dow seasonality)
     "q214_rag_chunking",
     "q215_js_divergence",
     "q216_hhi_concentration",
     "q217_cohens_kappa",
+    "q218_cohort_retention",
+    "q219_bigram_lm_score",
+    "q220_dow_seasonality",
     # -- round-3 credit block (last swept in D3).
     "q70_tumbling_window",
     "q71_sliding_window",

@@ -1,6 +1,8 @@
 """Eighth analytics batch (round 7): RAG-style document chunking,
 Jensen-Shannon categorical drift, Herfindahl-Hirschman market
-concentration, and Cohen's-kappa rater agreement.
+concentration, Cohen's-kappa rater agreement, weekly cohort
+retention, bigram-LM perplexity-proxy scoring, and day-of-week
+seasonality.
 
 Cross-engine discipline notes specific to this batch:
 
@@ -353,3 +355,234 @@ def q217_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe, 6).alias("pe"),
         F.round((po - pe) / (1 - pe), 6).alias("kappa"),
     ).orderBy("ship_year")
+
+
+# ---------------------------------------------------------------------------
+# q218 — cohort retention triangle: for each signup cohort week, the
+# share of users active again at week-age 0,1,2,... — the classic
+# product-analytics companion to the q202 LTV curve (which tracks
+# revenue; this tracks presence). WEEKLY grain because the synthetic
+# events table spans one calendar month at every SF (TESTDATA.md) —
+# weeks give a real triangle where months would collapse to one
+# cell — and PURCHASE events only, whose sparser per-user cadence
+# yields multiple cohorts with genuinely declining retention (all-event
+# activity is so dense every user lands in cohort week 1 at ~1.0); trunc-to-Monday parity: Spark trunc(date,'week') == DuckDB
+# date_trunc('week'), so age is an exact multiple-of-7 day diff.
+# All integer arithmetic and exact distinct counts; retention is one
+# double division. Scale shape: ONE (user,week) distinct collapse up
+# front (the exchange carries user-weeks, not raw events), first-week
+# and activity then join on user_id — same key, AQE reuses the
+# partitioning — and the final cohort×age grid is tiny; cohort sizes
+# broadcast.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q218_cohort_retention",
+    oracle="""
+    WITH um AS (SELECT DISTINCT user_id,
+                       date_trunc('week', CAST(ts AS DATE))::DATE AS w
+                FROM events WHERE event_type = 'purchase'),
+    f AS (SELECT user_id, MIN(w) AS cohort FROM um GROUP BY user_id),
+    coh AS (SELECT cohort, COUNT(*)::BIGINT AS cohort_size
+            FROM f GROUP BY cohort),
+    act AS (SELECT f.cohort,
+                   (date_diff('day', f.cohort, u.w) // 7)::BIGINT
+                       AS age_weeks,
+                   COUNT(DISTINCT u.user_id)::BIGINT AS n_active
+            FROM um u JOIN f USING (user_id)
+            GROUP BY f.cohort, age_weeks)
+    SELECT a.cohort AS cohort_week, a.age_weeks, c.cohort_size,
+           a.n_active,
+           ROUND(a.n_active::DOUBLE / c.cohort_size, 6) AS retention
+    FROM act a JOIN coh c USING (cohort)
+    ORDER BY cohort_week, age_weeks
+    """,
+)
+def q218_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    um = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.trunc(F.to_date("ts"), "week").alias("w"))
+        .distinct()
+    )
+    um = um.localCheckpoint(eager=False)  # feeds first-week AND activity
+    f = um.groupBy("user_id").agg(F.min("w").alias("cohort"))
+    coh = f.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    age = F.floor(F.datediff(F.col("w"), F.col("cohort")) / 7).cast("long")
+    act = (
+        um.join(f, "user_id")
+        .groupBy("cohort", age.alias("age_weeks"))
+        .agg(F.count_distinct("user_id").cast("long").alias("n_active"))
+    )
+    return (
+        act.join(F.broadcast(coh), "cohort")
+        .select(
+            F.col("cohort").alias("cohort_week"),
+            "age_weeks",
+            "cohort_size",
+            "n_active",
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "age_weeks")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q219 — bigram language-model scoring: train add-k-smoothed bigram
+# probabilities on the corpus, score every document by its average
+# log-probability — the KenLM-style perplexity-proxy quality filter of
+# LLM data pipelines, reduced to counts (no model binary needed).
+# Float discipline: p = (c2 + 0.5) / (c1 + 0.5·V) has exact-integer
+# operands and exact 0.5 scaling, so only ln() needs the rounded-
+# contribution (6 dp) + decimal-sum treatment; avg is one double
+# division. Scale shape: the model is two count tables bounded by the
+# (df-capped, in production) vocabulary — broadcast here; at a 100 TB
+# corpus with a large V the same joins run as shuffle equi-joins on
+# the bigram key, and everything else is per-doc array math.
+# ---------------------------------------------------------------------------
+
+_LM_K = 0.5
+
+
+@query(
+    "q219_bigram_lm_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+               FROM documents),
+    bg AS (SELECT doc_id, toks[i+1] AS w1, toks[i+2] AS w2
+           FROM t, unnest(range(len(toks) - 1)) AS u(i)
+           WHERE len(toks) >= 2),
+    c2 AS (SELECT w1, w2, COUNT(*)::BIGINT AS c2 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*)::BIGINT AS c1 FROM bg GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT w)::BIGINT AS v
+          FROM (SELECT unnest(toks) AS w FROM t)),
+    sc AS (SELECT bg.doc_id,
+                  ROUND(ln((c2.c2 + {_LM_K}::DOUBLE)
+                           / (c1.c1 + {_LM_K}::DOUBLE * v.v)), 6) AS lp
+           FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v)
+    SELECT doc_id,
+           COUNT(*)::BIGINT AS n_bigrams,
+           ROUND(CAST(SUM(CAST(lp AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_logp
+    FROM sc GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q219_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.trim("text")), " ").alias("toks")
+    )
+    n = F.size("toks")
+    bg = (
+        t.filter(n >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("toks", 1, n - 1),
+                    F.slice("toks", 2, n - 1),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.0").alias("w1"), F.col("b.1").alias("w2"))
+    )
+    bg = bg.localCheckpoint(eager=False)  # feeds model counts AND scoring
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    v = t.select(F.explode("toks").alias("w")).agg(
+        F.count_distinct("w").cast("long").alias("v")
+    )
+    lp = F.round(
+        F.log(
+            (F.col("c2") + F.lit(_LM_K))
+            / (F.col("c1") + F.lit(_LM_K) * F.col("v"))
+        ),
+        6,
+    )
+    return (
+        bg.join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(v))
+        .withColumn("lp", lp)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("lp").cast(DEC)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_logp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q220 — day-of-week seasonality index of order revenue: average
+# revenue of a Monday (…Sunday) relative to the average day overall —
+# the quick seasonal-decomposition screen behind staffing/alerting
+# baselines. Weekday numbering parity: Spark weekday() and DuckDB
+# isodow()-1 both give 0=Monday..6=Sunday. Daily revenues are
+# decimal-exact sums; both index divisions happen on doubles cast
+# from exact decimals. Scale shape: one orders scan, one day-grain
+# map-combined groupBy; everything after is a ≤7-row frame with the
+# global total broadcast.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q220_dow_seasonality",
+    oracle="""
+    WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                      ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 6)
+                          AS rev
+               FROM orders GROUP BY day),
+    s AS (SELECT (isodow(day) - 1)::BIGINT AS dow,
+                 COUNT(*)::BIGINT AS n_days,
+                 ROUND(SUM(rev), 6) AS dow_rev
+          FROM d GROUP BY dow),
+    t AS (SELECT ROUND(SUM(rev), 6) AS tot, COUNT(*)::BIGINT AS nd FROM d)
+    SELECT dow, n_days,
+           CAST(dow_rev AS DOUBLE) AS dow_revenue,
+           ROUND((CAST(dow_rev AS DOUBLE) / n_days)
+                 / (CAST(tot AS DOUBLE) / nd), 6) AS seasonality_index
+    FROM s, t
+    ORDER BY dow
+    """,
+)
+def q220_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast(DEC)), 6).alias("rev")
+        )
+    )
+    d = d.localCheckpoint(eager=False)  # feeds dow rollup AND global total
+    s = d.groupBy(F.weekday("day").cast("long").alias("dow")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.sum("rev"), 6).alias("dow_rev"),
+    )
+    t = d.agg(
+        F.round(F.sum("rev"), 6).alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("nd"),
+    )
+    return (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "dow",
+            "n_days",
+            F.col("dow_rev").cast("double").alias("dow_revenue"),
+            F.round(
+                (F.col("dow_rev").cast("double") / F.col("n_days"))
+                / (F.col("tot").cast("double") / F.col("nd")),
+                6,
+            ).alias("seasonality_index"),
+        )
+        .orderBy("dow")
+    )

@@ -130,3 +130,47 @@ def test_kappa_registered_query_year_grain(spark, sf_dir):
     for r in rows:
         assert r.n == r.n11 + r.n10 + r.n01 + r.n00
         assert -1.0 <= r.kappa <= 1.0
+
+
+def test_cohort_retention_invariants(spark, sf_dir):
+    rows = QUERIES["q218_cohort_retention"](spark, sf_dir).collect()
+    assert rows
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_week, []).append(r)
+        assert 0 <= r.n_active <= r.cohort_size
+        assert 0.0 <= r.retention <= 1.0
+    for cohort, rs in by_cohort.items():
+        rs.sort(key=lambda r: r.age_weeks)
+        # age 0 = the cohort's own first week: everyone is active
+        assert rs[0].age_weeks == 0
+        assert rs[0].retention == 1.0
+
+
+def test_bigram_lm_scores_are_log_probs(spark, sf_dir):
+    out = QUERIES["q219_bigram_lm_score"](spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    docs = (
+        QUERIES["q219_bigram_lm_score"]
+        .__globals__["load_table"](spark, sf_dir, "documents")
+        .select(
+            F.size(F.split(F.lower(F.trim("text")), " ")).alias("n")
+        )
+        .filter(F.col("n") >= 2)
+        .count()
+    )
+    assert len(rows) == docs  # every scoreable doc scored exactly once
+    for r in rows:
+        assert r.avg_logp < 0  # log of probability < 1
+        assert r.n_bigrams >= 1
+
+
+def test_dow_seasonality_reconstructs_total(spark, sf_dir):
+    rows = QUERIES["q220_dow_seasonality"](spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 7
+    assert all(r.seasonality_index > 0 for r in rows)
+    # weighted mean of indexes is exactly 1: sum(n_days * idx) == nd
+    nd = sum(r.n_days for r in rows)
+    w = sum(r.n_days * r.seasonality_index for r in rows)
+    assert abs(w - nd) < 1e-2
