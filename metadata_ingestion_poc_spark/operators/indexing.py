@@ -47,9 +47,18 @@ def global_row_number(
         if num_partitions
         else df.repartitionByRange(*cols)
     ).sortWithinPartitions(*cols)
-    with_pid = parted.withColumn("__pid", F.spark_partition_id())
+    # Materialize BEFORE collecting counts: the counts collect and the
+    # final join/window are separate jobs, and without a lineage cut
+    # each re-evaluates the range shuffle — where AQE may coalesce to a
+    # DIFFERENT partition count the second time, so the inner join on
+    # __pid silently drops whole partitions (observed at sf0.1: q180
+    # lost deciles 5-10). The checkpoint pins one partition layout for
+    # both consumers and halves the work (the sort runs once).
+    with_pid = parted.withColumn(
+        "__pid", F.spark_partition_id()
+    ).localCheckpoint(eager=False)
 
-    # bounded: one row per partition
+    # bounded: one row per partition (materializes the checkpoint)
     counts = {
         r["__pid"]: r["c"]
         for r in with_pid.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()

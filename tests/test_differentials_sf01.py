@@ -1,4 +1,7 @@
-"""sf0.1 differential for q189 k-core against the unrolled-CTE oracle.
+"""sf0.1 differential gates for operators whose failure modes only
+appear above toy scale.
+
+k-core: re-proves the fixed-round contract at 10x the graph.
 
 The driver's sweep verifies q189 at sf0.01 (2,000-node graph, 6 peel
 rounds).  This gate re-proves the SAME fixed-round contract at 10x the
@@ -60,3 +63,18 @@ def test_kcore_sf01_matches_unrolled_cte_oracle(spark):
     # whole graph would still hash-match a broken oracle
     assert 0 < len(srows) < 20_000
     assert table_hash(scols, srows) == table_hash(dcols, drows)
+
+
+def test_decile_lift_sf01_complete(spark):
+    """Round-7 regression gate: q180 at sf0.1 lost deciles 5-10 when
+    global_row_number's offset collect and final join evaluated the
+    range shuffle twice (nondeterministic sampling seed + AQE
+    coalescing -> pid mismatch -> inner-join row loss). The operator
+    now checkpoints one layout; this pins the visible symptom at the
+    scale where it bit."""
+    from metadata_ingestion_poc_spark.catalog import load_table
+
+    rows = QUERIES["q180_decile_lift"](spark, SF01).collect()
+    assert len(rows) == 10
+    n_orders = load_table(spark, SF01, "orders").count()
+    assert sum(r.n_orders for r in rows) == n_orders

@@ -41,3 +41,41 @@ def test_contiguous_and_partitioning_invariant(spark):
 def test_no_order_cols_raises(spark):
     with pytest.raises(ValueError, match="order column"):
         global_row_number(spark.range(3), [])
+
+
+def test_stable_across_reevaluation_with_aqe(spark):
+    """Round-7 regression (q180 at sf0.1): the per-partition offset
+    collect and the final join/window are separate jobs. Before the
+    operator checkpointed its ranged frame, AQE could coalesce the
+    range shuffle into a DIFFERENT partition count on the second
+    evaluation, and the inner join on __pid silently dropped whole
+    partitions. Force AQE's hand with a tiny advisory size and verify
+    the numbering is complete several times in a row."""
+    saved = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", None)
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+    try:
+        # the wide payload column is what de-syncs the two jobs: the
+        # offsets job prunes it (narrow shuffle), the final job carries
+        # it (wide shuffle) — AQE coalesces the two shuffles to
+        # different partition counts unless the operator pins one
+        # layout
+        df = spark.range(50_000).select(
+            (F.col("id") * 2654435761 % 100_000).alias("k"),
+            "id",
+            F.repeat(F.lit("x"), 200).alias("payload"),
+        )
+        for _ in range(3):
+            nums = [
+                r["row_num"]
+                for r in global_row_number(df, ["k", "id"]).select(
+                    "row_num", "payload"
+                ).collect()
+            ]
+            assert sorted(nums) == list(range(1, 50_001))
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        else:
+            spark.conf.set(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", saved
+            )
