@@ -83,6 +83,7 @@ def _load_all() -> None:
         analytics3,
         analytics4,
         analytics5,
+        geo_queries,
         llm_ops5,
         # -- embedding similarity + near-dup (most expensive) --
         llm_ops2,
@@ -144,6 +145,10 @@ _SWEEP_PRIORITY = [
     "q218_cohort_retention",
     "q219_bigram_lm_score",
     "q220_dow_seasonality",
+    "q221_geo_cell_density",
+    "q222_geo_radius_join",
+    "q223_vshape_patterns",
+    "q224_deseasonalized_anomalies",
     # -- round-3 credit block (last swept in D3).
     "q70_tumbling_window",
     "q71_sliding_window",

@@ -586,3 +586,156 @@ def q220_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+# ---------------------------------------------------------------------------
+# q223 — V-shape pattern detection in the daily revenue series: days
+# that are a strict local minimum with both a drop and a recovery of
+# at least 20% — the lag/lead form of MATCH_RECOGNIZE-style pattern
+# search (which Spark lacks). Daily revenues are decimal-exact sums;
+# the drop/recovery ratios are single double divisions of decimal
+# totals rounded at 6. One day-grain exchange, then a 1-partition
+# window over |days| rows (~2.4k at sf1 — the series axis, not the
+# data axis; a per-entity pattern search would partition by entity).
+# ---------------------------------------------------------------------------
+
+_V_DEPTH = 0.2
+
+
+@query(
+    "q223_vshape_patterns",
+    oracle=f"""
+    WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                      ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 6)
+                          AS rev
+               FROM orders GROUP BY day),
+    w AS (SELECT day, rev,
+                 lag(rev) OVER (ORDER BY day) AS prev_rev,
+                 lead(rev) OVER (ORDER BY day) AS next_rev
+          FROM d)
+    SELECT day,
+           CAST(prev_rev AS DOUBLE) AS prev_rev,
+           CAST(rev AS DOUBLE) AS rev,
+           CAST(next_rev AS DOUBLE) AS next_rev,
+           ROUND(1.0 - CAST(rev AS DOUBLE) / CAST(prev_rev AS DOUBLE), 6)
+               AS drop_pct,
+           ROUND(CAST(next_rev AS DOUBLE) / CAST(rev AS DOUBLE) - 1.0, 6)
+               AS recovery_pct
+    FROM w
+    WHERE prev_rev IS NOT NULL AND next_rev IS NOT NULL
+      AND ROUND(1.0 - CAST(rev AS DOUBLE) / CAST(prev_rev AS DOUBLE), 6)
+          >= {_V_DEPTH!r}
+      AND ROUND(CAST(next_rev AS DOUBLE) / CAST(rev AS DOUBLE) - 1.0, 6)
+          >= {_V_DEPTH!r}
+    ORDER BY day
+    """,
+)
+def q223_vshape_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast(DEC)), 6).alias("rev")
+        )
+    )
+    w = Window.orderBy("day")
+    ser = d.select(
+        "day",
+        "rev",
+        F.lag("rev").over(w).alias("prev_rev"),
+        F.lead("rev").over(w).alias("next_rev"),
+    )
+    drop = F.round(
+        F.lit(1.0)
+        - F.col("rev").cast("double") / F.col("prev_rev").cast("double"),
+        6,
+    )
+    rec = F.round(
+        F.col("next_rev").cast("double") / F.col("rev").cast("double")
+        - F.lit(1.0),
+        6,
+    )
+    return (
+        ser.filter(
+            F.col("prev_rev").isNotNull() & F.col("next_rev").isNotNull()
+        )
+        .select(
+            "day",
+            F.col("prev_rev").cast("double").alias("prev_rev"),
+            F.col("rev").cast("double").alias("rev"),
+            F.col("next_rev").cast("double").alias("next_rev"),
+            drop.alias("drop_pct"),
+            rec.alias("recovery_pct"),
+        )
+        .filter(
+            (F.col("drop_pct") >= _V_DEPTH)
+            & (F.col("recovery_pct") >= _V_DEPTH)
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q224 — seasonally-adjusted revenue anomalies: divide each day's
+# revenue by its day-of-week mean (the q220 index machinery) and flag
+# days whose deseasonalized ratio deviates >= 30% from 1 — the
+# STL-lite anomaly screen that removes the weekly cycle a plain
+# z-score would keep flagging. dow means are exact-decimal sums with
+# one double division; the ratio is one more division, rounded at 6.
+# Scale shape: one day-grain map-combined exchange; the 7-row dow
+# profile broadcasts back onto the day frame.
+# ---------------------------------------------------------------------------
+
+_ANOM_DEV = 0.3
+
+
+@query(
+    "q224_deseasonalized_anomalies",
+    oracle=f"""
+    WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                      ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 6)
+                          AS rev
+               FROM orders GROUP BY day),
+    s AS (SELECT (isodow(day) - 1)::BIGINT AS dow,
+                 ROUND(CAST(SUM(rev) AS DOUBLE) / COUNT(*), 6) AS dow_mean
+          FROM d GROUP BY dow),
+    r AS (SELECT d.day, CAST(d.rev AS DOUBLE) AS rev, s.dow_mean,
+                 ROUND(CAST(d.rev AS DOUBLE) / s.dow_mean, 6) AS ratio
+          FROM d JOIN s ON (isodow(d.day) - 1) = s.dow)
+    SELECT day, rev, dow_mean, ratio
+    FROM r
+    WHERE abs(ratio - 1.0) >= {_ANOM_DEV!r}
+    ORDER BY day
+    """,
+)
+def q224_deseasonalized_anomalies(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast(DEC)), 6).alias("rev")
+        )
+    )
+    d = d.localCheckpoint(eager=False)  # feeds the dow profile AND the scan
+    s = d.groupBy(F.weekday("day").cast("long").alias("dow")).agg(
+        F.round(
+            F.sum("rev").cast("double") / F.count(F.lit(1)), 6
+        ).alias("dow_mean")
+    )
+    ratio = F.round(F.col("rev").cast("double") / F.col("dow_mean"), 6)
+    return (
+        d.withColumn("dow", F.weekday("day").cast("long"))
+        .join(F.broadcast(s), "dow")
+        .select(
+            "day",
+            F.col("rev").cast("double").alias("rev"),
+            "dow_mean",
+            ratio.alias("ratio"),
+        )
+        .filter(F.abs(F.col("ratio") - 1.0) >= _ANOM_DEV)
+        .orderBy("day")
+    )

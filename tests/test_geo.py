@@ -1,0 +1,135 @@
+"""Geo operator corners: quantization clamps, Morton-cell locality,
+and the radius join's banding completeness where it is hardest —
+antimeridian wrap and high latitude (shrinking longitude cells).
+
+The registered q222 differential proves banding == brute force on the
+synthetic corpus; these tests prove it on adversarial hand-built
+points the corpus may never hit.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from metadata_ingestion_poc_spark.operators.geo import (
+    EARTH_RADIUS_KM,
+    geo_cell,
+    geo_cell_sql,
+    haversine_km,
+    radius_join,
+)
+
+
+def _hav(lat1, lon1, lat2, lon2):
+    rl1, rl2 = math.radians(lat1), math.radians(lat2)
+    dlat = math.radians(lat2 - lat1) / 2
+    dlon = math.radians(lon2 - lon1) / 2
+    a = math.sin(dlat) ** 2 + math.cos(rl1) * math.cos(rl2) * math.sin(
+        dlon
+    ) ** 2
+    return 2 * EARTH_RADIUS_KM * math.asin(math.sqrt(a))
+
+
+def test_geo_cell_clamps_poles_and_antimeridian(spark):
+    df = spark.createDataFrame(
+        [(90.0, 180.0), (-90.0, -180.0), (89.999, 179.999), (0.0, 0.0)],
+        "lat double, lon double",
+    )
+    rows = df.select(geo_cell("lat", "lon", 4).alias("c")).collect()
+    cells = 1 << 4
+    # every id valid for a 4-bit interleave (< 2^(2*bits)); boundary
+    # +90/+180 clamps into the last cell instead of overflowing
+    assert all(0 <= r.c < cells * cells for r in rows)
+
+
+def test_geo_cell_sql_twin_matches(spark, sf_dir):
+    import duckdb
+
+    from metadata_ingestion_poc_spark.catalog import load_table
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.expr("(s_suppkey * 7919 % 12000) / 100.0 - 60.0").alias("lat"),
+        F.expr("(s_suppkey * 104729 % 36000) / 100.0 - 180.0").alias("lon"),
+    )
+    got = {
+        r.s_suppkey: r.c
+        for r in sup.select(
+            "s_suppkey", geo_cell("lat", "lon", 6).alias("c")
+        ).collect()
+    }
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            f"""
+            SELECT s_suppkey, {geo_cell_sql(
+                "(s_suppkey * 7919 % 12000) / 100.0 - 60.0",
+                "(s_suppkey * 104729 % 36000) / 100.0 - 180.0", 6)}
+            FROM read_parquet('{sf_dir}/supplier.parquet')
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_haversine_known_distance(spark):
+    # Paris (48.8566, 2.3522) <-> London (51.5074, -0.1278) ~ 343.5 km
+    df = spark.createDataFrame(
+        [(48.8566, 2.3522, 51.5074, -0.1278)],
+        "a double, b double, c double, d double",
+    )
+    km = df.select(
+        haversine_km(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias(
+            "km"
+        )
+    ).first()["km"]
+    assert abs(km - _hav(48.8566, 2.3522, 51.5074, -0.1278)) < 1e-9
+    assert 330 < km < 350
+
+
+@pytest.mark.parametrize("bits", [4, 6])
+def test_radius_join_matches_brute_force_adversarial(spark, bits):
+    """Hand-built adversarial set: antimeridian straddle, high
+    latitude (lon cells shrink -> wider dynamic span), equator, and
+    cell-boundary points. Banding must return EXACTLY the brute-force
+    pair set at every resolution."""
+    qpts = [
+        (1, 59.5, 179.8),   # high-lat, near antimeridian
+        (2, 59.5, -179.9),  # other side of the wrap
+        (3, 0.0, 0.05),     # equator, near cell boundary
+        (4, -45.0, 90.0),
+    ]
+    ppts = [
+        (10, 59.7, -179.7),  # within ~30 km of q1 ACROSS the wrap
+        (11, 59.0, 178.5),
+        (12, 0.0, 0.0),
+        (13, -44.5, 91.0),
+        (14, 30.0, 30.0),    # far from everything
+        (15, -59.9, -90.0),
+    ]
+    radius = 200.0
+    q = spark.createDataFrame(qpts, "qid long, q_lat double, q_lon double")
+    p = spark.createDataFrame(ppts, "pid long, p_lat double, p_lon double")
+    got = {
+        (r.qid, r.pid)
+        for r in radius_join(q, p, radius, bits=bits).collect()
+    }
+    want = {
+        (qid, pid)
+        for qid, qla, qlo in qpts
+        for pid, pla, plo in ppts
+        if round(_hav(qla, qlo, pla, plo), 6) <= radius
+    }
+    assert want, "fixture must produce at least one in-radius pair"
+    assert got == want
+    # the wrap pair specifically must be found
+    assert (1, 10) in got
+
+
+def test_radius_join_validates_radius(spark):
+    df = spark.createDataFrame([(1, 0.0, 0.0)], "i long, q_lat double, q_lon double")
+    with pytest.raises(ValueError, match="radius_km"):
+        radius_join(df, df, -5.0)
