@@ -106,13 +106,14 @@ def _load_all() -> None:
 # credit is what's missing); (b) any round-7-new queries (inserted
 # below as they land); (c) the round-3 credit block (q70-q74, q80-q89,
 # q95-q103, q110-q114, q116-q118 — last swept in D3) to fill the 50.
-# With 17 never-swept + 7 round-7-new + 32 round-3 entries = 56 > 50,
-# the round-3 tail (q112/q113/q114/q116/q117/q118) falls off this
-# round's window.
+# With 17 never-swept + 11 round-7-new + 32 round-3 entries = 60 > 50,
+# the round-3 tail (q102/q103, q110-q114, q116-q118) falls off this
+# round's window; the swept round-3 refresh is q70-q74, q80-q89,
+# q95-q101.
 #
 # Round-8 rotation note: promote whatever round-8 code changes touch,
-# then the six round-3 stragglers (q112-q114, q116-q118), then the
-# round-4 block (q120-q130) and as much of the round-5 block
+# then the ten round-3 stragglers (q102/q103, q110-q114, q116-q118),
+# then the round-4 block (q120-q130) and as much of the round-5 block
 # (q131-q147) as fits. Round 9 takes the rest of q131-q147 plus the
 # round-6 block (q148-q185) refresh.
 # ---------------------------------------------------------------------------

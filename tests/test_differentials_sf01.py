@@ -78,3 +78,33 @@ def test_decile_lift_sf01_complete(spark):
     assert len(rows) == 10
     n_orders = load_table(spark, SF01, "orders").count()
     assert sum(r.n_orders for r in rows) == n_orders
+
+
+def test_pagerank_sf01_matches_unrolled_oracle(spark):
+    """Same gate for the OTHER iterative-float family: 4 unrolled
+    pagerank rounds at sf0.1, where the capped co-purchase graph is at
+    its sparsest (partner-in-cap probability shrinks with the key
+    space) — the regime where a damping/deg-join bug could leave the
+    small-SF result intact."""
+    import duckdb
+
+    from metadata_ingestion_poc_spark.queries.analytics3 import (
+        _PR_ITERS,
+        _pagerank_oracle,
+    )
+
+    sdf = QUERIES["q168_pagerank"](spark, SF01)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{SF01}/lineitem.parquet')"
+    )
+    res = con.execute(_pagerank_oracle(_PR_ITERS))
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert len(srows) == len(drows) and len(srows) > 0
+    assert sorted(scols) == sorted(dcols)
+    assert table_hash(scols, srows) == table_hash(dcols, drows)
