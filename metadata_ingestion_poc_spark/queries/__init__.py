@@ -106,13 +106,13 @@ def _load_all() -> None:
 # credit is what's missing); (b) any round-7-new queries (inserted
 # below as they land); (c) the round-3 credit block (q70-q74, q80-q89,
 # q95-q103, q110-q114, q116-q118 — last swept in D3) to fill the 50.
-# With 17 never-swept + 11 round-7-new + 32 round-3 entries = 60 > 50,
+# With 17 never-swept + 12 round-7-new + 32 round-3 entries = 61 > 50,
 # the round-3 tail (q102/q103, q110-q114, q116-q118) falls off this
 # round's window; the swept round-3 refresh is q70-q74, q80-q89,
-# q95-q101.
+# q95-q100 (q101 onward falls to round 8).
 #
 # Round-8 rotation note: promote whatever round-8 code changes touch,
-# then the ten round-3 stragglers (q102/q103, q110-q114, q116-q118),
+# then the round-3 stragglers (q101-q103, q110-q114, q116-q118),
 # then the round-4 block (q120-q130) and as much of the round-5 block
 # (q131-q147) as fits. Round 9 takes the rest of q131-q147 plus the
 # round-6 block (q148-q185) refresh.
@@ -150,6 +150,7 @@ _SWEEP_PRIORITY = [
     "q222_geo_radius_join",
     "q223_vshape_patterns",
     "q224_deseasonalized_anomalies",
+    "q225_cusum_changepoint",
     # -- round-3 credit block (last swept in D3).
     "q70_tumbling_window",
     "q71_sliding_window",

@@ -739,3 +739,81 @@ def q224_deseasonalized_anomalies(
         .filter(F.abs(F.col("ratio") - 1.0) >= _ANOM_DEV)
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# q225 — CUSUM change-point screen on the daily revenue series: the
+# cumulative sum of deviations from the global mean peaks exactly
+# where the level shifts; the top-|S| days locate candidate change
+# points (classic Page CUSUM, offline form). Exactness: daily
+# revenues and the running deviation sum are DECIMAL (associative —
+# any partitioning), the mean is one rounded double division, each
+# deviation is rounded at 6 before the decimal running sum, so |S|
+# comparisons and the top-5 are bit-identical cross-engine. Scale
+# shape: one day-grain map-combined exchange; the running-sum window
+# runs on the |days| frame (the series axis, bounded ~2.4k rows at
+# any SF).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q225_cusum_changepoint",
+    oracle="""
+    WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                      ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 6)
+                          AS rev
+               FROM orders GROUP BY day),
+    m AS (SELECT ROUND(CAST(SUM(rev) AS DOUBLE) / COUNT(*), 6) AS mu
+          FROM d),
+    s AS (SELECT day,
+                 SUM(CAST(ROUND(CAST(rev AS DOUBLE) - m.mu, 6)
+                          AS DECIMAL(28,6)))
+                     OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cusum
+          FROM d, m)
+    SELECT day, CAST(cusum AS DOUBLE) AS cusum,
+           CASE WHEN cusum >= 0 THEN 'high' ELSE 'low' END AS regime
+    FROM s
+    ORDER BY abs(cusum) DESC, day
+    LIMIT 5
+    """,
+)
+def q225_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast(DEC)), 6).alias("rev")
+        )
+    )
+    d = d.localCheckpoint(eager=False)  # feeds the mean AND the series
+    m = d.agg(
+        F.round(
+            F.sum("rev").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mu")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    s = (
+        d.crossJoin(F.broadcast(m))
+        .withColumn(
+            "cusum",
+            F.sum(
+                F.round(F.col("rev").cast("double") - F.col("mu"), 6).cast(
+                    DEC
+                )
+            ).over(w),
+        )
+    )
+    return (
+        s.select(
+            "day",
+            F.col("cusum").cast("double").alias("cusum"),
+            F.when(F.col("cusum") >= 0, F.lit("high"))
+            .otherwise(F.lit("low"))
+            .alias("regime"),
+        )
+        .orderBy(F.abs(F.col("cusum")).desc(), "day")
+        .limit(5)
+    )
