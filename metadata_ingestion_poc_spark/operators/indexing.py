@@ -81,3 +81,74 @@ def global_row_number(
         )
         .drop("__pid", "__offset")
     )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    value_col: str,
+    out_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """`df` plus the running sum of `value_col` in `order_cols` order —
+    the distributed prefix sum. ``SUM(v) OVER (ORDER BY ...)`` with no
+    PARTITION BY is the same one-task cliff as global row numbering;
+    this uses the identical skeleton: range partition + in-partition
+    sort, ONE bounded collect of per-partition TOTALS (not data),
+    broadcast exclusive-prefix offsets, and a parallel intra-partition
+    running sum.
+
+    Same lineage-cut rule as global_row_number: the ranged frame is
+    checkpointed BEFORE the totals collect so both jobs see one
+    partition layout (the AQE/sampling re-evaluation trap).
+
+    For cross-engine-exact results pass a DECIMAL value column —
+    decimal addition is associative, so partition totals + offsets
+    reproduce the sequential sum bit-for-bit; double columns are
+    subject to the usual float reassociation (offsets group additions
+    differently than a sequential scan would).
+    """
+    if not order_cols:
+        raise ValueError("need at least one order column")
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    parted = (
+        df.repartitionByRange(num_partitions, *cols)
+        if num_partitions
+        else df.repartitionByRange(*cols)
+    ).sortWithinPartitions(*cols)
+    with_pid = parted.withColumn(
+        "__pid", F.spark_partition_id()
+    ).localCheckpoint(eager=False)
+
+    totals = {
+        r["__pid"]: r["t"]
+        for r in with_pid.groupBy("__pid")
+        .agg(F.sum(value_col).alias("t"))
+        .collect()
+    }
+    value_type = dict(with_pid.dtypes)[value_col]
+    offsets, acc = {}, None
+    for pid in sorted(totals):
+        offsets[pid] = acc  # None -> zero offset for the first partition
+        t = totals[pid]
+        acc = t if acc is None else acc + t
+    offset_df = F.broadcast(
+        with_pid.sparkSession.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()],
+            f"__pid int, __offset {value_type}",
+        )
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        with_pid.join(offset_df, "__pid")
+        .withColumn(
+            out_col,
+            F.coalesce(F.col("__offset"), F.lit(0).cast(value_type))
+            + F.sum(value_col).over(w),
+        )
+        .drop("__pid", "__offset")
+    )

@@ -106,13 +106,13 @@ def _load_all() -> None:
 # credit is what's missing); (b) any round-7-new queries (inserted
 # below as they land); (c) the round-3 credit block (q70-q74, q80-q89,
 # q95-q103, q110-q114, q116-q118 — last swept in D3) to fill the 50.
-# With 17 never-swept + 12 round-7-new + 32 round-3 entries = 61 > 50,
+# With 17 never-swept + 15 round-7-new + 32 round-3 entries = 64 > 50,
 # the round-3 tail (q102/q103, q110-q114, q116-q118) falls off this
 # round's window; the swept round-3 refresh is q70-q74, q80-q89,
-# q95-q100 (q101 onward falls to round 8).
+# q95-q97 (q98 onward falls to round 8).
 #
 # Round-8 rotation note: promote whatever round-8 code changes touch,
-# then the round-3 stragglers (q101-q103, q110-q114, q116-q118),
+# then the round-3 stragglers (q98-q103, q110-q114, q116-q118),
 # then the round-4 block (q120-q130) and as much of the round-5 block
 # (q131-q147) as fits. Round 9 takes the rest of q131-q147 plus the
 # round-6 block (q148-q185) refresh.
@@ -151,6 +151,9 @@ _SWEEP_PRIORITY = [
     "q223_vshape_patterns",
     "q224_deseasonalized_anomalies",
     "q225_cusum_changepoint",
+    "q226_woe_iv",
+    "q227_abc_classification",
+    "q228_mutual_information",
     # -- round-3 credit block (last swept in D3).
     "q70_tumbling_window",
     "q71_sliding_window",

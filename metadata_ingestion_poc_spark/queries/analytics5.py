@@ -817,3 +817,269 @@ def q225_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("cusum")).desc(), "day")
         .limit(5)
     )
+
+
+# ---------------------------------------------------------------------------
+# q226 — weight-of-evidence / information-value scoring bins: quartile
+# bins of l_extendedprice scored against the returned-line target —
+# the credit-scoring feature screen (IV ranks predictors before any
+# model). Cutoffs are exact global percentiles rounded at 6 in both
+# engines (q14/q198 established quantile_cont parity); every share is
+# one double division of exact BIGINT counts; the single ln() is
+# rounded at 6 BEFORE entering the IV product, whose other factor is
+# a deterministic double difference. Scale shape: percentile pass +
+# one binning groupBy, 4-row frame after; totals broadcast.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q226_woe_iv",
+    oracle="""
+    WITH c AS (SELECT ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+                      ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+                      ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+               FROM lineitem),
+    b AS (SELECT CASE WHEN l_extendedprice <= p25 THEN 'q1'
+                      WHEN l_extendedprice <= p50 THEN 'q2'
+                      WHEN l_extendedprice <= p75 THEN 'q3'
+                      ELSE 'q4' END AS bin,
+                 CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS bad
+          FROM lineitem, c),
+    g AS (SELECT bin, COUNT(*)::BIGINT AS n,
+                 SUM(1 - bad)::BIGINT AS n_good,
+                 SUM(bad)::BIGINT AS n_bad
+          FROM b GROUP BY bin),
+    t AS (SELECT SUM(n_good)::BIGINT AS gt, SUM(n_bad)::BIGINT AS bt FROM g)
+    SELECT bin, n, n_good, n_bad,
+           ROUND(ln((n_good::DOUBLE / gt) / (n_bad::DOUBLE / bt)), 6)
+               AS woe,
+           ROUND((n_good::DOUBLE / gt - n_bad::DOUBLE / bt)
+                 * ROUND(ln((n_good::DOUBLE / gt)
+                            / (n_bad::DOUBLE / bt)), 6), 6) AS iv_contrib
+    FROM g, t
+    ORDER BY bin
+    """,
+)
+def q226_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.percentiles import exact_percentiles
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice",
+        F.when(F.col("l_returnflag") == "R", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("bad"),
+    )
+    cuts = exact_percentiles(
+        li.withColumn("__g", F.lit(1)),
+        ["__g"],
+        "l_extendedprice",
+        {"p25": 0.25, "p50": 0.5, "p75": 0.75},
+    ).select(
+        F.round("p25", 6).alias("p25"),
+        F.round("p50", 6).alias("p50"),
+        F.round("p75", 6).alias("p75"),
+    )
+    g = (
+        li.crossJoin(F.broadcast(cuts))
+        .select(
+            F.when(F.col("l_extendedprice") <= F.col("p25"), "q1")
+            .when(F.col("l_extendedprice") <= F.col("p50"), "q2")
+            .when(F.col("l_extendedprice") <= F.col("p75"), "q3")
+            .otherwise("q4")
+            .alias("bin"),
+            "bad",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(1 - F.col("bad")).cast("long").alias("n_good"),
+            F.sum("bad").cast("long").alias("n_bad"),
+        )
+    )
+    g = g.localCheckpoint(eager=False)  # 4-row frame feeds totals + select
+    t = g.agg(
+        F.sum("n_good").cast("long").alias("gt"),
+        F.sum("n_bad").cast("long").alias("bt"),
+    )
+    gs = F.col("n_good").cast("double") / F.col("gt")
+    bs = F.col("n_bad").cast("double") / F.col("bt")
+    woe = F.round(F.log(gs / bs), 6)
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "bin",
+            "n",
+            "n_good",
+            "n_bad",
+            woe.alias("woe"),
+            F.round((gs - bs) * woe, 6).alias("iv_contrib"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q227 — ABC inventory classification: rank parts by revenue, class A
+# = parts covering the first 70% of cumulative revenue, B to 90%, C
+# the tail. The cumulative share over a GLOBAL descending order is the
+# one-task-window cliff — computed here with the distributed prefix
+# sum (operators/indexing.py global_running_sum: range partition, one
+# bounded totals collect, broadcast offsets). Revenues are DECIMAL
+# end-to-end, so the distributed prefix sum is bit-identical to the
+# sequential window (decimal addition is associative) — the oracle IS
+# that sequential window. One (part) exchange + the range exchange.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q227_abc_classification",
+    oracle="""
+    WITH rev AS (SELECT l_partkey AS p,
+                        ROUND(SUM(CAST(ROUND(
+                            l_extendedprice * (1 - l_discount), 6)
+                            AS DECIMAL(28,6))), 6) AS srev
+                 FROM lineitem GROUP BY l_partkey),
+    t AS (SELECT ROUND(SUM(srev), 6) AS tot FROM rev),
+    r AS (SELECT p, srev,
+                 SUM(srev) OVER (ORDER BY srev DESC, p
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum
+          FROM rev),
+    c AS (SELECT p, srev,
+                 CASE WHEN ROUND(CAST(cum AS DOUBLE)
+                                 / CAST(t.tot AS DOUBLE), 6) <= 0.7
+                          THEN 'A'
+                      WHEN ROUND(CAST(cum AS DOUBLE)
+                                 / CAST(t.tot AS DOUBLE), 6) <= 0.9
+                          THEN 'B'
+                      ELSE 'C' END AS abc_class
+          FROM r, t)
+    SELECT abc_class, COUNT(*)::BIGINT AS n_parts,
+           CAST(ROUND(SUM(srev), 6) AS DOUBLE) AS class_revenue,
+           MIN(p) AS min_part, MAX(p) AS max_part
+    FROM c GROUP BY abc_class ORDER BY abc_class
+    """,
+)
+def q227_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.indexing import global_running_sum
+
+    rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("p"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                        6,
+                    ).cast(DEC)
+                ),
+                6,
+            ).alias("srev")
+        )
+    )
+    rev = rev.localCheckpoint(eager=False)  # feeds total AND prefix sum
+    t = rev.agg(F.round(F.sum("srev"), 6).alias("tot"))
+    r = global_running_sum(
+        rev.withColumn("__neg", -F.col("srev")),
+        ["__neg", "p"],
+        "srev",
+        out_col="cum",
+    )
+    share = F.round(
+        F.col("cum").cast("double") / F.col("tot").cast("double"), 6
+    )
+    return (
+        r.crossJoin(F.broadcast(t))
+        .select(
+            "p",
+            "srev",
+            F.when(share <= 0.7, "A")
+            .when(share <= 0.9, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.round(F.sum("srev"), 6)
+            .cast("double")
+            .alias("class_revenue"),
+            F.min("p").alias("min_part"),
+            F.max("p").alias("max_part"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q228 — mutual information between two categoricals: discount band
+# (none / low / high) × return flag — the model-free dependence screen
+# feature selection runs before training (the two-variable sibling of
+# the PMI collocations in q177). Every probability is one double
+# division of exact BIGINT counts; each cell's contribution
+# p(x,y)·ln(p(x,y)/(p(x)p(y))) is rounded at 6 — per-cell rows, so
+# the differential proves the full table, and the MI scalar is their
+# exact 6-dp sum. One scan, one 9-cell groupBy; marginals broadcast.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q228_mutual_information",
+    oracle="""
+    WITH b AS (SELECT CASE WHEN l_discount = 0.0 THEN 'none'
+                           WHEN l_discount <= 0.05 THEN 'low'
+                           ELSE 'high' END AS x,
+                      l_returnflag AS y
+               FROM lineitem),
+    cell AS (SELECT x, y, COUNT(*)::BIGINT AS n FROM b GROUP BY x, y),
+    mx AS (SELECT x, SUM(n)::BIGINT AS nx FROM cell GROUP BY x),
+    my AS (SELECT y, SUM(n)::BIGINT AS ny FROM cell GROUP BY y),
+    t AS (SELECT SUM(n)::BIGINT AS nt FROM cell)
+    SELECT c.x, c.y, c.n,
+           ROUND(c.n::DOUBLE / t.nt, 6) AS p_xy,
+           ROUND(mx.nx::DOUBLE / t.nt, 6) AS p_x,
+           ROUND(my.ny::DOUBLE / t.nt, 6) AS p_y,
+           ROUND((c.n::DOUBLE / t.nt)
+                 * ln((c.n::DOUBLE / t.nt)
+                      / ((mx.nx::DOUBLE / t.nt)
+                         * (my.ny::DOUBLE / t.nt))), 6) AS mi_contrib
+    FROM cell c JOIN mx USING (x) JOIN my USING (y), t
+    ORDER BY x, y
+    """,
+)
+def q228_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_discount") == 0.0, "none")
+        .when(F.col("l_discount") <= 0.05, "low")
+        .otherwise("high")
+        .alias("x"),
+        F.col("l_returnflag").alias("y"),
+    )
+    cell = b.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    cell = cell.localCheckpoint(eager=False)  # feeds marginals + select
+    mx = cell.groupBy("x").agg(F.sum("n").cast("long").alias("nx"))
+    my = cell.groupBy("y").agg(F.sum("n").cast("long").alias("ny"))
+    t = cell.agg(F.sum("n").cast("long").alias("nt"))
+    p_xy = F.col("n").cast("double") / F.col("nt")
+    p_x = F.col("nx").cast("double") / F.col("nt")
+    p_y = F.col("ny").cast("double") / F.col("nt")
+    return (
+        cell.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "x",
+            "y",
+            "n",
+            F.round(p_xy, 6).alias("p_xy"),
+            F.round(p_x, 6).alias("p_x"),
+            F.round(p_y, 6).alias("p_y"),
+            F.round(p_xy * F.log(p_xy / (p_x * p_y)), 6).alias(
+                "mi_contrib"
+            ),
+        )
+        .orderBy("x", "y")
+    )

@@ -79,3 +79,71 @@ def test_stable_across_reevaluation_with_aqe(spark):
             spark.conf.set(
                 "spark.sql.adaptive.advisoryPartitionSizeInBytes", saved
             )
+
+
+def test_global_running_sum_matches_sequential_window(spark):
+    from pyspark.sql import Window
+
+    from metadata_ingestion_poc_spark.operators.indexing import (
+        global_running_sum,
+    )
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 97).alias("k"),
+        "id",
+        (F.col("id") % 1000).cast("decimal(28,6)").alias("v"),
+    )
+    got = {
+        r["id"]: r["rs"]
+        for r in global_running_sum(
+            df, ["k", "id"], "v", "rs", num_partitions=13
+        ).collect()
+    }
+    want = {
+        r["id"]: r["rs"]
+        for r in df.withColumn(
+            "rs",
+            F.sum("v").over(
+                Window.orderBy("k", "id").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        ).collect()
+    }
+    assert got == want  # decimal addition is associative -> exact
+
+
+def test_global_running_sum_negative_and_first_offset(spark):
+    """Mixed-sign values: partition totals can be negative; the first
+    partition's NULL offset must coalesce to zero, not drop rows."""
+    from metadata_ingestion_poc_spark.operators.indexing import (
+        global_running_sum,
+    )
+
+    df = spark.range(1000).select(
+        "id",
+        (
+            F.when(F.col("id") % 2 == 0, F.col("id")).otherwise(
+                -F.col("id")
+            )
+        ).cast("decimal(28,6)").alias("v"),
+    )
+    rows = global_running_sum(
+        df, ["id"], "v", "rs", num_partitions=7
+    ).collect()
+    assert len(rows) == 1000
+    acc, want = 0, {}
+    for i in range(1000):
+        acc += i if i % 2 == 0 else -i
+        want[i] = acc
+    got = {r["id"]: int(r["rs"]) for r in rows}
+    assert got == want
+
+
+def test_global_running_sum_requires_order(spark):
+    from metadata_ingestion_poc_spark.operators.indexing import (
+        global_running_sum,
+    )
+
+    with pytest.raises(ValueError, match="order column"):
+        global_running_sum(spark.range(3), [], "id")
