@@ -24,7 +24,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 EARTH_RADIUS_KM = 6371.0
-KM_PER_DEG = 111.32  # meridian degree; also equatorial longitude degree
+# meridian degree ON THIS SPHERE (pi*R/180 ~ 111.195 km) — derived, not
+# the geodetic 111.32, so the angular radius r_deg is never
+# underestimated relative to the haversine the filter actually runs
+KM_PER_DEG = math.pi * EARTH_RADIUS_KM / 180.0
 
 
 def _quant(col: Column, lo: float, span: float, cells: int) -> Column:
@@ -88,19 +91,23 @@ def radius_join(
     points: DataFrame,
     radius_km: float,
     bits: int = 8,
-    how: str = "inner",
 ) -> DataFrame:
     """All (query, point) pairs within radius_km, via grid banding.
 
     queries needs columns (q_lat, q_lon), points (p_lat, p_lon);
-    other columns pass through. Returns the pairs plus ``distance_km``
-    (rounded at 6 — the radius comparison uses the ROUNDED value so a
-    SQL replay with the same rounding matches bit-for-bit).
+    other columns pass through. Returns the INNER pairs plus
+    ``distance_km`` (rounded at 6 — the radius comparison uses the
+    ROUNDED value so a SQL replay with the same rounding matches
+    bit-for-bit). Inner-only by design: the post-filter on distance
+    cannot preserve outer semantics; anti/outer shapes belong to a
+    groupBy over these pairs.
 
     Candidate generation: each query fans out to the grid cells a
     radius_km disc around it can touch — latitude span is constant
-    (radius / 111.32 km per degree), longitude span widens with
-    1/cos(lat) — then equi-joins points on exact (ix, iy) cell
+    (radius / KM_PER_DEG), longitude span widens with 1/cos(lat),
+    clamped at the full ring with wrapped cells deduplicated so each
+    (query, point) pair appears EXACTLY once — then equi-joins points
+    on exact (ix, iy) cell
     coordinates. Fan-out per query is O((2·span+1)²) cells, work is
     Σ per-cell density; nothing is ever all-pairs. The 1/cos(lat)
     span is what keeps the join CORRECT at high latitude where
@@ -121,11 +128,25 @@ def radius_join(
     lat_span = int(math.ceil(r_deg / lat_cell_deg))
     # longitude span depends on each query's latitude — computed
     # per row, exploded as a sequence (the interval_join bin pattern)
-    lon_span = F.ceil(
-        F.lit(r_deg)
-        / F.cos(F.radians(F.least(F.abs(F.col("q_lat")) + F.lit(r_deg), F.lit(89.9))))
-        / F.lit(lon_cell_deg)
-    ).cast("int")
+    # a disc never needs more than the full longitude ring: clamp the
+    # span at cells//2 (2*span+1 >= cells, full coverage) and dedup
+    # the pmod-wrapped probe cells BEFORE exploding — without the
+    # array_distinct, spans past the ring would alias extra dy offsets
+    # onto already-probed cells and every match would duplicate
+    lon_span = F.least(
+        F.ceil(
+            F.lit(r_deg)
+            / F.cos(
+                F.radians(
+                    F.least(
+                        F.abs(F.col("q_lat")) + F.lit(r_deg), F.lit(89.9)
+                    )
+                )
+            )
+            / F.lit(lon_cell_deg)
+        ).cast("int"),
+        F.lit(cells // 2),
+    )
     q = (
         queries.withColumn(
             "__qix", _quant(F.col("q_lat"), -90.0, 180.0, cells)
@@ -136,15 +157,22 @@ def radius_join(
             F.explode(F.sequence(F.lit(-lat_span), F.lit(lat_span))),
         )
         .withColumn(
-            "__dy", F.explode(F.sequence(-lon_span, lon_span))
+            "__piy",
+            # longitude wraps: probe cell iy mod cells so a disc
+            # spanning the antimeridian still finds its neighbors
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(-lon_span, lon_span),
+                        lambda d: F.pmod(
+                            F.col("__qiy") + d, F.lit(cells)
+                        ),
+                    )
+                )
+            ),
         )
         .withColumn("__pix", F.col("__qix") + F.col("__dx"))
-        # longitude wraps: probe cell iy mod cells so a disc spanning
-        # the antimeridian still finds its neighbors
-        .withColumn(
-            "__piy", F.pmod(F.col("__qiy") + F.col("__dy"), F.lit(cells))
-        )
-        .drop("__qix", "__qiy", "__dx", "__dy")
+        .drop("__qix", "__qiy", "__dx")
     )
     dist = F.round(
         haversine_km(
@@ -153,7 +181,7 @@ def radius_join(
         6,
     )
     return (
-        q.join(p, ["__pix", "__piy"], how)
+        q.join(p, ["__pix", "__piy"])
         .withColumn("distance_km", dist)
         .filter(F.col("distance_km") <= radius_km)
         .drop("__pix", "__piy")

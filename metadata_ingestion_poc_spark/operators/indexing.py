@@ -131,7 +131,8 @@ def global_running_sum(
     for pid in sorted(totals):
         offsets[pid] = acc  # None -> zero offset for the first partition
         t = totals[pid]
-        acc = t if acc is None else acc + t
+        if t is not None:  # all-NULL partition contributes nothing
+            acc = t if acc is None else acc + t
     offset_df = F.broadcast(
         with_pid.sparkSession.createDataFrame(
             [(pid, off) for pid, off in offsets.items()],

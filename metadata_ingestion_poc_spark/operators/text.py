@@ -404,6 +404,9 @@ def bm25_scores(
     toks_all = tokenize(docs, text_col=text_col).select(
         "doc_id", F.size("tokens").alias("dl"), "tokens"
     )
+    # the token frame feeds BOTH the stats aggregate and the tf branch;
+    # cut lineage so the corpus is tokenized once, not once per branch
+    toks_all = toks_all.localCheckpoint(eager=False)
     # Corpus size and average doc length as a broadcast 1-row frame —
     # never driver-side: collecting them would split the query into two
     # jobs and re-scan the corpus. Both aggregates are exact integers

@@ -107,7 +107,7 @@ def _load_all() -> None:
 # below as they land); (c) the round-3 credit block (q70-q74, q80-q89,
 # q95-q103, q110-q114, q116-q118 — last swept in D3) to fill the 50.
 # With 17 never-swept + 15 round-7-new + 32 round-3 entries = 64 > 50,
-# the round-3 tail (q102/q103, q110-q114, q116-q118) falls off this
+# the round-3 tail (q98-q103, q110-q114, q116-q118) falls off this
 # round's window; the swept round-3 refresh is q70-q74, q80-q89,
 # q95-q97 (q98 onward falls to round 8).
 #

@@ -113,10 +113,11 @@ def test_radius_join_matches_brute_force_adversarial(spark, bits):
     radius = 200.0
     q = spark.createDataFrame(qpts, "qid long, q_lat double, q_lon double")
     p = spark.createDataFrame(ppts, "pid long, p_lat double, p_lon double")
-    got = {
+    got_list = [
         (r.qid, r.pid)
         for r in radius_join(q, p, radius, bits=bits).collect()
-    }
+    ]
+    got = set(got_list)
     want = {
         (qid, pid)
         for qid, qla, qlo in qpts
@@ -125,6 +126,8 @@ def test_radius_join_matches_brute_force_adversarial(spark, bits):
     }
     assert want, "fixture must produce at least one in-radius pair"
     assert got == want
+    # EXACTLY once each: wrapped probe cells must not re-emit a pair
+    assert len(got_list) == len(want), got_list
     # the wrap pair specifically must be found
     assert (1, 10) in got
 
@@ -133,3 +136,31 @@ def test_radius_join_validates_radius(spark):
     df = spark.createDataFrame([(1, 0.0, 0.0)], "i long, q_lat double, q_lon double")
     with pytest.raises(ValueError, match="radius_km"):
         radius_join(df, df, -5.0)
+
+
+@pytest.mark.parametrize("bits", [4, 5])
+def test_radius_join_polar_full_ring_no_duplicates(spark, bits):
+    """Near the pole a modest radius needs the FULL longitude ring:
+    the span clamp + array_distinct must cover every cell exactly once
+    (a bare pmod of an oversized span would alias offsets onto probed
+    cells and duplicate every match; an undersized clamp would skip a
+    cell and drop pairs)."""
+    qpts = [(1, 88.0, 0.0)]
+    # points on the same tiny polar circle at many longitudes — all
+    # within ~250 km of the query's latitude ring
+    ppts = [(100 + k, 88.5, -180.0 + 30.0 * k) for k in range(12)]
+    radius = 2000.0
+    q = spark.createDataFrame(qpts, "qid long, q_lat double, q_lon double")
+    p = spark.createDataFrame(ppts, "pid long, p_lat double, p_lon double")
+    got_list = [
+        (r.qid, r.pid) for r in radius_join(q, p, radius, bits=bits).collect()
+    ]
+    want = {
+        (qid, pid)
+        for qid, qla, qlo in qpts
+        for pid, pla, plo in ppts
+        if round(_hav(qla, qlo, pla, plo), 6) <= radius
+    }
+    assert len(want) == 12  # every ring point is in radius at 88 deg
+    assert set(got_list) == want
+    assert len(got_list) == len(want), "duplicated pairs"

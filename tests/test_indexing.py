@@ -147,3 +147,32 @@ def test_global_running_sum_requires_order(spark):
 
     with pytest.raises(ValueError, match="order column"):
         global_running_sum(spark.range(3), [], "id")
+
+
+def test_global_running_sum_all_null_partition(spark):
+    """Nullness correlated with the sort key can fill an entire range
+    partition with NULL values; its None total must be skipped (not
+    crash the prefix loop) and downstream offsets must stay exact."""
+    from metadata_ingestion_poc_spark.operators.indexing import (
+        global_running_sum,
+    )
+
+    df = spark.range(900).select(
+        "id",
+        F.when(F.col("id") < 300, F.lit(None))
+        .otherwise(F.col("id"))
+        .cast("decimal(28,6)")
+        .alias("v"),
+    )
+    rows = global_running_sum(
+        df, ["id"], "v", "rs", num_partitions=3
+    ).collect()
+    assert len(rows) == 900
+    got = {r["id"]: (None if r["rs"] is None else int(r["rs"])) for r in rows}
+    acc, want = 0, {}
+    for i in range(900):
+        if i >= 300:
+            acc += i
+        # running SUM over an all-NULL prefix is NULL (SQL semantics)
+        want[i] = None if i < 300 else acc
+    assert got == want
