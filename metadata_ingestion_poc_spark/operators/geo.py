@@ -111,8 +111,9 @@ def radius_join(
     coordinates. Fan-out per query is O((2·span+1)²) cells, work is
     Σ per-cell density; nothing is ever all-pairs. The 1/cos(lat)
     span is what keeps the join CORRECT at high latitude where
-    longitude cells shrink (valid to ~±89.9°; the quantization clamp
-    handles the poles themselves).
+    longitude cells shrink; a disc that reaches a polar cap probes
+    the FULL longitude ring (cross-pole neighbors sit at antipodal
+    longitudes, outside any finite 1/cos(lat) span for small radii).
     """
     if radius_km <= 0:
         raise ValueError(f"radius_km must be positive, got {radius_km}")
@@ -133,19 +134,29 @@ def radius_join(
     # the pmod-wrapped probe cells BEFORE exploding — without the
     # array_distinct, spans past the ring would alias extra dy offsets
     # onto already-probed cells and every match would duplicate
-    lon_span = F.least(
-        F.ceil(
-            F.lit(r_deg)
-            / F.cos(
-                F.radians(
-                    F.least(
-                        F.abs(F.col("q_lat")) + F.lit(r_deg), F.lit(89.9)
+    # A disc that touches a polar cap (|lat| + r reaches the last cell
+    # row) contains longitude-antipodal neighbors across the pole —
+    # the 1/cos(lat) formula only reaches the full ring for radii
+    # >= ~35 km (r_deg/cos(89.9°) >= 180°), so force the full ring
+    # explicitly whenever the disc can cross the pole.
+    touches_pole = (
+        F.abs(F.col("q_lat")) + F.lit(r_deg) >= F.lit(90.0 - lat_cell_deg)
+    )
+    lon_span = F.when(touches_pole, F.lit(cells // 2)).otherwise(
+        F.least(
+            F.ceil(
+                F.lit(r_deg)
+                / F.cos(
+                    F.radians(
+                        F.least(
+                            F.abs(F.col("q_lat")) + F.lit(r_deg), F.lit(89.9)
+                        )
                     )
                 )
-            )
-            / F.lit(lon_cell_deg)
-        ).cast("int"),
-        F.lit(cells // 2),
+                / F.lit(lon_cell_deg)
+            ).cast("int"),
+            F.lit(cells // 2),
+        )
     )
     q = (
         queries.withColumn(

@@ -144,12 +144,24 @@ def global_running_sum(
         .orderBy(*cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # Sequential SUM(...) OVER semantics: the running sum is NULL only
+    # while EVERY value seen so far is NULL. The in-partition window
+    # sum is NULL whenever the local prefix is all-NULL — but earlier
+    # partitions may still carry a non-null offset, so adding them
+    # naively poisons the carried prefix with NULL. Emit NULL only
+    # when BOTH the offset and the local window sum are NULL.
+    local_sum = F.sum(value_col).over(w)
     return (
         with_pid.join(offset_df, "__pid")
         .withColumn(
             out_col,
-            F.coalesce(F.col("__offset"), F.lit(0).cast(value_type))
-            + F.sum(value_col).over(w),
+            F.when(
+                F.col("__offset").isNull() & local_sum.isNull(),
+                F.lit(None).cast(value_type),
+            ).otherwise(
+                F.coalesce(F.col("__offset"), F.lit(0).cast(value_type))
+                + F.coalesce(local_sum, F.lit(0).cast(value_type))
+            ),
         )
         .drop("__pid", "__offset")
     )

@@ -41,22 +41,33 @@ def test_rag_chunks_cover_and_overlap(chunks):
             assert len(r.chunk_text.split(" ")) == r.n_tokens
 
 
-def test_rag_chunking_short_doc_single_chunk(spark, sf_dir):
+def test_rag_chunking_short_doc_single_chunk(spark, sf_dir, chunks):
     """n <= W docs produce exactly one chunk holding the whole doc —
-    the ceil-div edge both engines must agree on."""
-    short = [r for r in QUERIES["q214_rag_chunking"](spark, sf_dir).collect()]
-    docs_with_one = {
-        r.doc_id
-        for r in short
-        if r.chunk_idx == 0 and r.n_tokens <= _CHUNK_W
-    }
-    multi = {r.doc_id for r in short if r.chunk_idx > 0}
-    only_one = docs_with_one - multi
-    # the sf0.001/sf0.01 corpora both contain short docs; each must
-    # appear exactly once
-    for r in short:
-        if r.doc_id in only_one:
-            assert r.chunk_idx == 0
+    the ceil-div edge both engines must agree on. The short set comes
+    from the SOURCE table (same tokenization as the query), so the
+    test fails if the corpus has no short docs or if a short doc ever
+    grows a second chunk / loses tokens."""
+    src = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(
+            "doc_id",
+            F.size(F.split(F.trim("text"), " ")).alias("n_tok"),
+        )
+        .filter(F.col("n_tok") <= _CHUNK_W)
+        .collect()
+    )
+    assert src, "corpus must contain docs shorter than one window"
+    n_tok = {r.doc_id: r.n_tok for r in src}
+    out = {}
+    for r in chunks:
+        if r.doc_id in n_tok:
+            out.setdefault(r.doc_id, []).append(r)
+    assert set(out) == set(n_tok)
+    for doc_id, rs in out.items():
+        assert len(rs) == 1, (doc_id, rs)
+        assert rs[0].chunk_idx == 0
+        assert rs[0].n_tokens == n_tok[doc_id]
 
 
 def test_js_divergence_bounds_and_totals(spark, sf_dir):

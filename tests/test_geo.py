@@ -132,6 +132,39 @@ def test_radius_join_matches_brute_force_adversarial(spark, bits):
     assert (1, 10) in got
 
 
+@pytest.mark.parametrize("bits", [4, 6])
+def test_radius_join_cross_pole_small_radius(spark, bits):
+    """Round-8 fix: a SMALL radius disc that contains the pole has
+    in-radius neighbors at ANTIPODAL longitudes (across the pole),
+    which no finite 1/cos(lat) span reaches — the operator must force
+    the full longitude ring whenever |lat| + r_deg touches the polar
+    cap. Before the fix these pairs were silently dropped for radii
+    below ~35 km."""
+    qpts = [(1, 89.95, 10.0), (2, -89.9, -120.0)]
+    ppts = [
+        (10, 89.93, -170.0),  # ~9 km from q1, ACROSS the north pole
+        (11, 89.97, 100.0),   # ~4 km, quarter-turn longitude
+        (12, -89.95, 60.0),   # across the south pole from q2
+        (13, 89.0, 10.0),     # same meridian but ~105 km away: out
+    ]
+    radius = 25.0
+    q = spark.createDataFrame(qpts, "qid long, q_lat double, q_lon double")
+    p = spark.createDataFrame(ppts, "pid long, p_lat double, p_lon double")
+    got_list = [
+        (r.qid, r.pid) for r in radius_join(q, p, radius, bits=bits).collect()
+    ]
+    want = {
+        (qid, pid)
+        for qid, qla, qlo in qpts
+        for pid, pla, plo in ppts
+        if round(_hav(qla, qlo, pla, plo), 6) <= radius
+    }
+    assert (1, 10) in want and (2, 12) in want  # the cross-pole pairs
+    assert (1, 13) not in want
+    assert set(got_list) == want
+    assert len(got_list) == len(want), "duplicated pairs"
+
+
 def test_radius_join_validates_radius(spark):
     df = spark.createDataFrame([(1, 0.0, 0.0)], "i long, q_lat double, q_lon double")
     with pytest.raises(ValueError, match="radius_km"):

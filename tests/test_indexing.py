@@ -140,6 +140,73 @@ def test_global_running_sum_negative_and_first_offset(spark):
     assert got == want
 
 
+def test_global_running_sum_nulls_mid_order(spark):
+    """NULL values AFTER non-null ones: the in-partition window sum is
+    NULL for an all-NULL partition, but earlier partitions carry a
+    non-null offset — the running sum must keep carrying that prefix
+    (sequential SUM OVER semantics), not go NULL. Round-8 fix; the
+    older all-NULL test only covered NULLs sorted FIRST, which masks
+    this."""
+    from metadata_ingestion_poc_spark.operators.indexing import (
+        global_running_sum,
+    )
+
+    df = spark.range(600).select(
+        "id",
+        F.when((F.col("id") < 100) | (F.col("id") >= 400), F.col("id"))
+        .otherwise(F.lit(None))
+        .cast("decimal(28,6)")
+        .alias("v"),
+    )
+    rows = global_running_sum(
+        df, ["id"], "v", "rs", num_partitions=6
+    ).collect()
+    assert len(rows) == 600
+    got = {r["id"]: (None if r["rs"] is None else int(r["rs"])) for r in rows}
+    acc, want = 0, {}
+    for i in range(600):
+        if i < 100 or i >= 400:
+            acc += i
+        want[i] = acc  # never NULL: row 0 is non-null
+    assert got == want
+
+
+def test_lineage_cut_is_structural(spark):
+    """The q180 bug class (round 7): any operator that collects
+    per-partition state and joins it back MUST checkpoint the ranged
+    frame first, or AQE/sampling re-evaluation desynchronizes the two
+    jobs' partition layouts. A lazy localCheckpoint turns the plan
+    into a LogicalRDD leaf — so the final plan of each such operator
+    must contain a LogicalRDD and must NOT re-plan the range shuffle
+    (no RepartitionByExpression). Removing the checkpoint reintroduces
+    the RepartitionByExpression node and fails this test."""
+    from metadata_ingestion_poc_spark.operators.indexing import (
+        global_row_number,
+        global_running_sum,
+    )
+    from metadata_ingestion_poc_spark.operators.skyline import skyline2d
+
+    df = spark.range(1000).select(
+        "id",
+        (F.col("id") % 37).alias("x"),
+        (F.col("id") % 11).alias("y"),
+        F.col("id").cast("decimal(28,6)").alias("v"),
+    )
+    outs = {
+        "global_row_number": global_row_number(df, ["id"], num_partitions=4),
+        "global_running_sum": global_running_sum(
+            df, ["id"], "v", "rs", num_partitions=4
+        ),
+        "skyline2d": skyline2d(df, "x", "y", buckets=4, partitions=4),
+    }
+    for name, out in outs.items():
+        plan = out._jdf.queryExecution().analyzed().toString()
+        assert "LogicalRDD" in plan, f"{name}: lineage cut missing"
+        assert "RepartitionByExpression" not in plan, (
+            f"{name}: range shuffle re-planned past the lineage cut"
+        )
+
+
 def test_global_running_sum_requires_order(spark):
     from metadata_ingestion_poc_spark.operators.indexing import (
         global_running_sum,
