@@ -175,11 +175,12 @@ def functional_dependencies(
 
     A dependency holds for a key x when every row with that x carries
     the same y; `n_violating` counts keys with >1 distinct y. Scale
-    shape per dependency: the table collapses to distinct (x, y)
-    pairs FIRST (map-side combine — the exchange carries pairs, not
-    rows), then a per-key distinct count; both aggregates share one
-    exchange on x. NULL x keys are excluded (no identity to violate);
-    NULL y counts as a value (two rows (x, null), (x, 'a') violate).
+    shape per dependency: ONE exchange on x — count_distinct(y) plans
+    as a single hash aggregate with map-side partials (the earlier
+    distinct-pairs-then-count form paid a second shuffle on (x, y)).
+    NULL x keys are excluded (no identity to violate); NULL y counts
+    as a value (two rows (x, null), (x, 'a') violate) — count_distinct
+    skips NULLs, so a has-null flag adds it back per key.
     """
     if not deps:
         raise ValueError("need at least one dependency")
@@ -188,32 +189,37 @@ def functional_dependencies(
         raise ValueError("dependency names must be unique")
     outs = []
     for df, lhs, rhs, name in deps:
-        pairs = (
+        outs.append(
             df.filter(F.col(lhs).isNotNull())
             .select(F.col(lhs).alias("__x"), F.col(rhs).alias("__y"))
-            .distinct()
-        )
-        per_key = pairs.groupBy("__x").agg(
-            F.count(F.lit(1)).alias("__ny")
-        )
-        outs.append(
-            per_key.agg(
-                F.count(F.lit(1)).cast("long").alias("n_lhs"),
-                F.sum(F.when(F.col("__ny") > 1, 1).otherwise(0))
-                .cast("long")
-                .alias("n_violating"),
-                F.max("__ny").cast("long").alias("max_rhs_per_lhs"),
-            ).select(
-                F.lit(name).alias("dep"),
-                "n_lhs",
-                "n_violating",
-                F.round(
-                    F.col("n_violating").cast("double") / F.col("n_lhs"), 6
-                ).alias("violation_rate"),
-                "max_rhs_per_lhs",
+            .groupBy("__x")
+            .agg(
+                (
+                    F.count_distinct("__y")
+                    + F.max(
+                        F.when(F.col("__y").isNull(), 1).otherwise(0)
+                    )
+                ).alias("__ny")
             )
+            .select(F.lit(name).alias("dep"), "__ny")
         )
+    # one grouped rollup over the tagged union instead of one
+    # single-partition aggregate PER dependency — map-side partials
+    # mean the final exchange carries ~(partitions x deps) rows
     u = outs[0]
     for o in outs[1:]:
         u = u.unionByName(o)
-    return u
+    return u.groupBy("dep").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lhs"),
+        F.sum(F.when(F.col("__ny") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_violating"),
+        F.round(
+            F.sum(F.when(F.col("__ny") > 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("violation_rate"),
+        F.max("__ny").cast("long").alias("max_rhs_per_lhs"),
+    ).select(
+        "dep", "n_lhs", "n_violating", "violation_rate", "max_rhs_per_lhs"
+    )

@@ -1279,11 +1279,18 @@ def q203_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("digit")
     )
-    n = d.count()  # one scalar
     g = d.groupBy("digit").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders")
     )
-    obs = F.col("n_orders").cast("double") / F.lit(float(n))
+    # the grand total is just the sum of the 9-row digit rollup —
+    # fold it in as a broadcast 1-row frame (q205/BM25 pattern) so the
+    # orders scan runs in ONE job instead of a driver count() + query
+    g = g.localCheckpoint(eager=False)  # feeds the total AND the select
+    tot = F.broadcast(
+        g.agg(F.sum("n_orders").cast("long").alias("__total"))
+    )
+    g = g.crossJoin(tot)
+    obs = F.col("n_orders").cast("double") / F.col("__total").cast("double")
     benford = F.round(
         F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0)),
         6,
