@@ -444,3 +444,174 @@ def exact_percentiles(
         .agg(F.first("__val"))
     )
     return out
+
+
+def exact_percentiles_continuous(
+    df: DataFrame,
+    value_col: str,
+    percentiles: dict[str, float],
+    tiebreak_cols: list[str],
+) -> DataFrame:
+    """Global percentile_cont over a CONTINUOUS (near-unique) value
+    column — one row, a column per requested percentile.
+
+    exact_percentiles' histogram pre-aggregation is the scale move for
+    discrete values; on a near-unique double column the histogram
+    collapses nothing, and with a constant group its rank window
+    becomes a single-partition sort of the whole column — the exact
+    cliff the operator exists to avoid. This variant is the
+    continuous-path twin: a distributed range-partitioned sort
+    (operators/indexing.py global_row_number, which already carries
+    the checkpoint-before-offsets-collect lineage rule), then a filter
+    to the <= 2·|percentiles| bracketing ranks and a bounded collect —
+    interpolation v_lo + frac·(v_hi − v_lo) happens on those few rows,
+    never on the column.
+
+    tiebreak_cols must extend value_col to a total order (any unique
+    key): tie ORDER among equal values is irrelevant to the value at a
+    rank, but global_row_number requires it for determinism. NULL
+    values are excluded (percentile_cont semantics).
+    """
+    if not percentiles:
+        raise ValueError("need at least one percentile")
+    if not tiebreak_cols:
+        raise ValueError("need a tiebreak column for a total order")
+    cols = [F.col(value_col), *[F.col(c) for c in tiebreak_cols]]
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        value_col, *tiebreak_cols
+    )
+    # TWO jobs total: (1) range-sort, checkpoint (the mandatory
+    # lineage cut — indexing.py's AQE rule), and collect per-partition
+    # counts, which also yields n; (2) join the broadcast offsets back
+    # and filter to the bracketing global ranks. Inlining the
+    # global_row_number skeleton instead of calling it avoids its
+    # separate count/checkpoint round-trips — on a driver-latency
+    # budget, job COUNT is the cost, not rows.
+    with_pid = (
+        vals.repartitionByRange(*cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    counts = {
+        r["__pid"]: r["c"]
+        for r in with_pid.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    n = sum(counts.values())
+    if n == 0:
+        raise ValueError("no non-null values to take percentiles of")
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    want: dict[str, tuple[int, int, float]] = {}
+    ranks: set[int] = set()
+    for name, p in percentiles.items():
+        pos = float(p) * (n - 1)
+        r_lo = int(pos)
+        r_hi = min(r_lo + 1, n - 1)
+        want[name] = (r_lo, r_hi, pos - r_lo)
+        ranks.update((r_lo + 1, r_hi + 1))  # ranks are 1-based
+    offset_df = F.broadcast(
+        with_pid.sparkSession.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()],
+            "__pid int, __offset long",
+        )
+    )
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    by_rank = {
+        r["__rn"]: r[value_col]
+        for r in with_pid.join(offset_df, "__pid")
+        .withColumn(
+            "__rn", (F.col("__offset") + F.row_number().over(w)).cast("long")
+        )
+        .filter(F.col("__rn").isin(sorted(ranks)))
+        .select("__rn", value_col)
+        .collect()  # bounded: <= 2 rows per percentile
+    }
+    row = tuple(
+        float(
+            by_rank[r_lo + 1]
+            + frac * (by_rank[r_hi + 1] - by_rank[r_lo + 1])
+        )
+        for (r_lo, r_hi, frac) in want.values()
+    )
+    return df.sparkSession.createDataFrame(
+        [row], ", ".join(f"{name} double" for name in want)
+    )
+
+
+def exact_percentiles_bounded(
+    df: DataFrame,
+    value_cols: list[str],
+    percentiles: dict[str, float],
+) -> dict[str, dict[str, float]]:
+    """percentile_cont for several BOUNDED-DISTINCT numeric columns in
+    ONE job: fuse the columns into a single (metric, value) histogram
+    (explode + map-side-combined groupBy), collect it — bounded by the
+    columns' distinct-value counts (a day range, an order-count cap),
+    NOT the row count — and interpolate in the driver.
+
+    Returns {column: {percentile_name: value}}. This is the right
+    shape when the grouped operator's machinery is overkill: a
+    constant group means its window/join tree buys nothing, and each
+    extra column would otherwise cost a full operator invocation
+    (multiple jobs) instead of one shared scan. NULLs excluded
+    (percentile_cont semantics). For near-unique columns use
+    exact_percentiles_continuous instead — this one's collect would
+    not be bounded there.
+    """
+    if not percentiles:
+        raise ValueError("need at least one percentile")
+    if not value_cols:
+        raise ValueError("need at least one value column")
+    fused = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("m"),
+                        F.col(c).cast("double").alias("v"),
+                    )
+                    for c in value_cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.m", "s.v")
+    hist = (
+        fused.filter(F.col("v").isNotNull())
+        .groupBy("m", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    by_col: dict[str, list[tuple[float, int]]] = {c: [] for c in value_cols}
+    for r in hist:
+        by_col[r["m"]].append((r["v"], r["c"]))
+    out: dict[str, dict[str, float]] = {}
+    for c in value_cols:
+        pairs = sorted(by_col[c])
+        if not pairs:
+            raise ValueError(f"no non-null values in column {c!r}")
+        n = sum(cnt for _, cnt in pairs)
+        # value at 0-based rank k via the cumulative histogram
+        cum, bounds = 0, []
+        for v, cnt in pairs:
+            bounds.append((cum, cum + cnt - 1, v))
+            cum += cnt
+
+        def at(k: int) -> float:
+            import bisect
+
+            i = bisect.bisect_right([b[0] for b in bounds], k) - 1
+            return bounds[i][2]
+
+        cuts = {}
+        for name, p in percentiles.items():
+            pos = float(p) * (n - 1)
+            lo, hi = int(pos), min(int(pos) + 1, n - 1)
+            v_lo, v_hi = at(lo), at(hi)
+            cuts[name] = v_lo + (pos - lo) * (v_hi - v_lo)
+        out[c] = cuts
+    return out

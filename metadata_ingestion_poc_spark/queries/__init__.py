@@ -84,6 +84,7 @@ def _load_all() -> None:
         analytics4,
         analytics5,
         geo_queries,
+        analytics6,
         llm_ops5,
         # -- embedding similarity + near-dup (most expensive) --
         llm_ops2,
@@ -100,79 +101,40 @@ def _load_all() -> None:
 # eventually verified. Names not present are skipped silently (renames
 # must not break import).
 #
-# Round-7 rotation (window N=50): (a) the 17 never-driver-swept
-# q197-q213 (added after the round-6 window filled; the round-6 judge
-# verified all 17 green via an independent tools/check.py run — driver
-# credit is what's missing); (b) any round-7-new queries (inserted
-# below as they land); (c) the round-3 credit block (q70-q74, q80-q89,
-# q95-q103, q110-q114, q116-q118 — last swept in D3) to fill the 50.
-# With 17 never-swept + 15 round-7-new + 32 round-3 entries = 64 > 50,
-# the round-3 tail (q98-q103, q110-q114, q116-q118) falls off this
-# round's window; the swept round-3 refresh is q70-q74, q80-q89,
-# q95-q97 (q98 onward falls to round 8).
+# Round-8 rotation (window N=50), per the round-7 verdict: (a) every
+# query whose implementation changed in round 8 — q203 (Benford
+# scalar folded into a broadcast frame), q204 (FD audit rewritten to
+# count_distinct + one tagged-union rollup), q222 (radius_join
+# polar-cap full-ring fix), q227 (global_running_sum NULL-carry fix)
+# — plus the 9 round-8-new q229-q237; (b) the round-3 stragglers that
+# fell off the round-7 window (q98-q103, q110-q114, q116-q118); (c)
+# the round-4 block (q120-q130); (d) the head of the round-5 block
+# q131-q142. 13 + 14 + 11 + 12 = 50; q143-q147 fall to round 9.
 #
-# Round-8 rotation note: promote whatever round-8 code changes touch,
-# then the round-3 stragglers (q98-q103, q110-q114, q116-q118),
-# then the round-4 block (q120-q130) and as much of the round-5 block
-# (q131-q147) as fits. Round 9 takes the rest of q131-q147 plus the
-# round-6 block (q148-q185) refresh.
+# Round-9 rotation note: promote whatever round-9 code changes touch,
+# then q143-q147, then the round-6 block refresh (q148-q185) and the
+# late-round-6 q186-q196 as fits. Round 10 takes the remainder plus
+# the q01-q49 relational core refresh.
 # ---------------------------------------------------------------------------
 _SWEEP_PRIORITY = [
-    # -- never driver-swept (added late in round 6; judge-verified).
-    "q197_rolling_active_users",
-    "q198_length_bands",
-    "q199_token_budget_allocation",
-    "q200_ngram_novelty",
-    "q201_pareto_frontier",
-    "q202_cohort_ltv",
+    # -- round-8 code-changed.
     "q203_benford_screen",
     "q204_fd_audit",
-    "q205_association_rules",
-    "q206_clamped_running_balance",
-    "q207_time_weighted_value",
-    "q208_percent_of_parent",
-    "q209_mom_growth",
-    "q210_revenue_gini",
-    "q211_conversion_latency",
-    "q212_repeat_purchase_interval",
-    "q213_null_profile",
-    # -- new in round 7 — never swept.
-    # (q214-q220: chunking, JS drift, HHI, kappa, retention, bigram
-    # LM, dow seasonality)
-    "q214_rag_chunking",
-    "q215_js_divergence",
-    "q216_hhi_concentration",
-    "q217_cohens_kappa",
-    "q218_cohort_retention",
-    "q219_bigram_lm_score",
-    "q220_dow_seasonality",
-    "q221_geo_cell_density",
     "q222_geo_radius_join",
-    "q223_vshape_patterns",
-    "q224_deseasonalized_anomalies",
-    "q225_cusum_changepoint",
-    "q226_woe_iv",
     "q227_abc_classification",
-    "q228_mutual_information",
-    # -- round-3 credit block (last swept in D3).
-    "q70_tumbling_window",
-    "q71_sliding_window",
-    "q72_session_window",
-    "q73_funnel_conversion",
-    "q74_grouped_zscore",
-    "q80_tpch_q13_count_distribution",
-    "q81_tpch_q15_top_supplier",
-    "q82_tpch_q19_disjunctive",
-    "q83_tpch_q22_global_sales_opportunity",
-    "q84_nation_trade_matrix",
-    "q85_null_semantics",
-    "q86_tpch_q10_returned_items",
-    "q87_tpch_q14_promo_share",
-    "q88_window_rank_extras",
-    "q89_array_setops",
-    "q95_trailing_hour_counts",
-    "q96_tpch_q5_local_supplier_volume",
-    "q97_tpch_q8_market_share",
+    # -- new in round 8 — never swept.
+    # (PSI drift, chi-square/Cramér's V, geo k-NN, event runs, Theil,
+    # OOV rate)
+    "q229_psi_drift",
+    "q230_chi2_independence",
+    "q231_geo_knn",
+    "q232_event_runs",
+    "q233_theil_index",
+    "q234_oov_rate",
+    "q235_embedding_label_drift",
+    "q236_rfm_segments",
+    "q237_km_survival",
+    # -- round-3 stragglers (last swept in D3; judge-verified in r7).
     "q98_tpch_q9_profit_by_nation_year",
     "q99_tpch_q11_important_parts",
     "q100_tpch_q16_supplier_count",
@@ -187,6 +149,31 @@ _SWEEP_PRIORITY = [
     "q116_length_histogram",
     "q117_mixture_resample",
     "q118_sessionize_gaps",
+    # -- round-4 credit block (last swept in D4; judge-verified in r7).
+    "q120_boilerplate_ngrams",
+    "q121_domain_cap",
+    "q122_shuffle_shard_export",
+    "q123_snapshot_diff",
+    "q124_semantic_dedup",
+    "q125_embedding_quantization",
+    "q126_incremental_dedup",
+    "q127_sketch_rollup",
+    "q128_table_profile",
+    "q129_cms_term_frequencies",
+    "q130_text_normalize",
+    # -- round-5 block head (last swept in D5; judge-verified in r7).
+    "q131_bigram_lm_score",
+    "q132_lexical_diversity",
+    "q133_vocab_growth",
+    "q134_gopher_quality_rules",
+    "q135_source_kl_divergence",
+    "q136_cross_source_contamination",
+    "q137_dataset_split",
+    "q138_event_attribution",
+    "q139_duplicated_spans",
+    "q140_fuzzy_name_match",
+    "q141_self_repeated_spans",
+    "q142_neardup_degree_histogram",
 ]
 
 
