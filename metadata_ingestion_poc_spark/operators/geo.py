@@ -142,19 +142,25 @@ def radius_join(
     touches_pole = (
         F.abs(F.col("q_lat")) + F.lit(r_deg) >= F.lit(90.0 - lat_cell_deg)
     )
+    # In the non-polar branch |lat| + r_deg < 90 - lat_cell_deg by the
+    # guard above, so cos(|lat| + r_deg) >= sin(lat_cell_deg) > 0 — no
+    # fixed-degree clamp needed. (An earlier 89.9° clamp UNDERSIZED the
+    # span for grids finer than 0.1°/cell, i.e. bits >= 11, where
+    # |lat| + r_deg can exceed 89.9 without tripping the polar-cap
+    # rule.) greatest(0, ...) only sanitizes the dead branch of rows
+    # that take the when() value.
     lon_span = F.when(touches_pole, F.lit(cells // 2)).otherwise(
         F.least(
-            F.ceil(
-                F.lit(r_deg)
-                / F.cos(
-                    F.radians(
-                        F.least(
-                            F.abs(F.col("q_lat")) + F.lit(r_deg), F.lit(89.9)
-                        )
+            F.greatest(
+                F.ceil(
+                    F.lit(r_deg)
+                    / F.cos(
+                        F.radians(F.abs(F.col("q_lat")) + F.lit(r_deg))
                     )
-                )
-                / F.lit(lon_cell_deg)
-            ).cast("int"),
+                    / F.lit(lon_cell_deg)
+                ).cast("int"),
+                F.lit(0),
+            ),
             F.lit(cells // 2),
         )
     )

@@ -474,6 +474,9 @@ def exact_percentiles_continuous(
     """
     if not percentiles:
         raise ValueError("need at least one percentile")
+    for name, p in percentiles.items():
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"percentile {name}={p} must be in [0, 1]")
     if not tiebreak_cols:
         raise ValueError("need a tiebreak column for a total order")
     cols = [F.col(value_col), *[F.col(c) for c in tiebreak_cols]]
@@ -565,6 +568,9 @@ def exact_percentiles_bounded(
     """
     if not percentiles:
         raise ValueError("need at least one percentile")
+    for name, p in percentiles.items():
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"percentile {name}={p} must be in [0, 1]")
     if not value_cols:
         raise ValueError("need at least one value column")
     fused = df.select(

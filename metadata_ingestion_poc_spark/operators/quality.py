@@ -209,7 +209,7 @@ def functional_dependencies(
     u = outs[0]
     for o in outs[1:]:
         u = u.unionByName(o)
-    return u.groupBy("dep").agg(
+    rolled = u.groupBy("dep").agg(
         F.count(F.lit(1)).cast("long").alias("n_lhs"),
         F.sum(F.when(F.col("__ny") > 1, 1).otherwise(0))
         .cast("long")
@@ -220,6 +220,23 @@ def functional_dependencies(
             6,
         ).alias("violation_rate"),
         F.max("__ny").cast("long").alias("max_rhs_per_lhs"),
-    ).select(
-        "dep", "n_lhs", "n_violating", "violation_rate", "max_rhs_per_lhs"
+    )
+    # contract: ONE ROW PER DECLARED DEPENDENCY — a dep whose lhs is
+    # entirely NULL (or whose table is empty) has no per-key rows and
+    # would vanish from the groupBy; left-join the declared list back
+    # so it reports n_lhs=0 (rate/max NULL, matching an aggregate over
+    # an empty frame)
+    declared = F.broadcast(
+        outs[0].sparkSession.createDataFrame(
+            [(n,) for n in names], "dep string"
+        )
+    )
+    return declared.join(rolled, "dep", "left").select(
+        "dep",
+        F.coalesce(F.col("n_lhs"), F.lit(0)).cast("long").alias("n_lhs"),
+        F.coalesce(F.col("n_violating"), F.lit(0))
+        .cast("long")
+        .alias("n_violating"),
+        "violation_rate",
+        "max_rhs_per_lhs",
     )

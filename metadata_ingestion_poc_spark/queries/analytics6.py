@@ -730,8 +730,22 @@ def q236_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     rf = exact_percentiles_bounded(cust, ["r", "f"], quints)
 
     def lit_cuts(cuts: dict[str, float]) -> DataFrame:
+        # HALF_UP at 6 dp, matching SQL ROUND / F.round everywhere
+        # else in the file (Python round() is banker's — a 6-dp-tie
+        # cut would shift a quintile boundary between engines)
+        from decimal import ROUND_HALF_UP, Decimal
+
         return spark_.createDataFrame(
-            [tuple(round(cuts[c], 6) for c in quints)],
+            [
+                tuple(
+                    float(
+                        Decimal(repr(cuts[c])).quantize(
+                            Decimal("0.000001"), rounding=ROUND_HALF_UP
+                        )
+                    )
+                    for c in quints
+                )
+            ],
             ", ".join(f"{c} double" for c in quints),
         )
 
@@ -742,12 +756,6 @@ def q236_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     m_cuts = exact_percentiles_continuous(
         cust, "m", quints, tiebreak_cols=["o_custkey"]
     ).select(*[F.round(c, 6).alias(c) for c in quints])
-
-    def score(v: str, cuts: DataFrame) -> F.Column:
-        s = F.lit(1)
-        for c in quints:
-            s = s + (F.col(v) > F.col(c)).cast("int")
-        return s.cast("long")
 
     scored = (
         cust.crossJoin(F.broadcast(r_cuts.select(*[F.col(c).alias(f"r_{c}") for c in quints])))

@@ -190,3 +190,16 @@ def test_km_survival_monotone_and_bounded(spark, sf_dir):
         if prev_risk is not None:
             assert r.n_at_risk < prev_risk
         prev_risk = r.n_at_risk
+
+
+def test_continuous_percentiles_rejects_out_of_range_p(spark):
+    from metadata_ingestion_poc_spark.operators.percentiles import (
+        exact_percentiles_bounded,
+        exact_percentiles_continuous,
+    )
+
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double")
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        exact_percentiles_continuous(df, "v", {"p": 1.5}, ["id"])
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        exact_percentiles_bounded(df, ["v"], {"p": -0.1})

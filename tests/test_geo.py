@@ -197,3 +197,31 @@ def test_radius_join_polar_full_ring_no_duplicates(spark, bits):
     assert len(want) == 12  # every ring point is in radius at 88 deg
     assert set(got_list) == want
     assert len(got_list) == len(want), "duplicated pairs"
+
+
+@pytest.mark.parametrize("bits", [11, 12])
+def test_radius_join_fine_grid_near_pole(spark, bits):
+    """Round-8 review fix: for grids finer than 0.1°/cell the old
+    fixed 89.9° cos clamp undersized the longitude span in the band
+    between 89.9° and the polar-cap trigger — pairs a couple of km
+    apart at 89.93° were dropped at bits >= 11. The span now uses the
+    true |lat| + r_deg (positive cos guaranteed by the polar-cap
+    guard)."""
+    q = spark.createDataFrame(
+        [(1, 89.93, 0.0)], "qid long, q_lat double, q_lon double"
+    )
+    p = spark.createDataFrame(
+        [(10, 89.93, 15.0), (11, 89.93, 180.0)],
+        "pid long, p_lat double, p_lon double",
+    )
+    got = {
+        (r.qid, r.pid)
+        for r in radius_join(q, p, 2.5, bits=bits).collect()
+    }
+    want = {
+        (1, pid)
+        for pid, pla, plo in [(10, 89.93, 15.0), (11, 89.93, 180.0)]
+        if round(_hav(89.93, 0.0, pla, plo), 6) <= 2.5
+    }
+    assert (1, 10) in want  # ~2.03 km — the reviewed repro pair
+    assert got == want

@@ -144,3 +144,39 @@ def test_kcore_property_matches_model(spark, edges, k):
         r.node: r.deg for r in kcore(df, k=k, rounds=3).collect()
     }
     assert got == _brute_kcore_rounds(edges, k, 3)
+
+
+def test_fd_audit_keeps_empty_dependency_row(spark):
+    """Round-8 review fix: a dependency whose lhs is entirely NULL
+    (or whose table is empty) must still get its output row
+    (n_lhs=0) — the grouped-rollup rewrite had silently dropped it."""
+    import pyspark.sql.functions as F
+
+    from metadata_ingestion_poc_spark.operators.quality import (
+        functional_dependencies,
+    )
+
+    ok = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "x long, y string"
+    )
+    empty = spark.createDataFrame([], "x long, y string")
+    all_null = spark.createDataFrame(
+        [(None, "a")], "x long, y string"
+    )
+    rows = {
+        r["dep"]: r
+        for r in functional_dependencies(
+            [
+                (ok, "x", "y", "ok"),
+                (empty, "x", "y", "empty_dep"),
+                (all_null, "x", "y", "null_lhs"),
+            ]
+        ).collect()
+    }
+    assert set(rows) == {"ok", "empty_dep", "null_lhs"}
+    assert rows["ok"]["n_lhs"] == 2 and rows["ok"]["n_violating"] == 1
+    for name in ("empty_dep", "null_lhs"):
+        assert rows[name]["n_lhs"] == 0
+        assert rows[name]["n_violating"] == 0
+        assert rows[name]["violation_rate"] is None
+        assert rows[name]["max_rhs_per_lhs"] is None
