@@ -914,3 +914,93 @@ def q237_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("km_log_survival"),
     ).orderBy("duration_days")
+
+
+# ---------------------------------------------------------------------------
+# q238 — cross-document chunk duplication: chunk the corpus with the
+# q214 RAG window (same W/S constants — this is the dedup pass a
+# retrieval pipeline runs on the chunk table it just built) and
+# measure, per source, how many chunk instances are verbatim-shared
+# with at least one OTHER document — chunk-granularity boilerplate
+# that whole-document dedup (q50) and near-dup (q51) both miss. The
+# chunk-identity rollup shuffles chunk TEXT once (map-side combine);
+# identity is the exact string, so both engines agree by construction.
+# ---------------------------------------------------------------------------
+
+from .analytics5 import _CHUNK_S, _CHUNK_W  # noqa: E402 — shared contract
+
+
+@query(
+    "q238_chunk_dedup",
+    oracle=f"""
+    WITH t AS (SELECT d.doc_id, d.source,
+                      string_split(trim(d.text), ' ') AS toks
+               FROM documents d),
+    n AS (SELECT doc_id, source, toks, len(toks) AS n_tok FROM t),
+    c AS (SELECT doc_id, source,
+                 array_to_string(
+                     list_slice(toks, i * {_CHUNK_S} + 1,
+                                i * {_CHUNK_S} + {_CHUNK_W}), ' ')
+                   AS chunk_text
+          FROM n, LATERAL (SELECT unnest(generate_series(
+                   0, (greatest(n_tok - {_CHUNK_W}, 0) + {_CHUNK_S - 1})
+                          // {_CHUNK_S})) AS i)),
+    ident AS (SELECT chunk_text,
+                     COUNT(DISTINCT doc_id)::BIGINT AS n_docs
+              FROM c GROUP BY chunk_text)
+    SELECT c.source,
+           COUNT(*)::BIGINT AS n_chunks,
+           SUM(CASE WHEN ident.n_docs >= 2 THEN 1 ELSE 0 END)::BIGINT
+             AS n_shared,
+           ROUND(SUM(CASE WHEN ident.n_docs >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*), 6) AS shared_rate
+    FROM c JOIN ident USING (chunk_text)
+    GROUP BY c.source
+    ORDER BY c.source
+    """,
+)
+def q238_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    W, S = _CHUNK_W, _CHUNK_S
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.split(F.trim("text"), " ").alias("toks"),
+        )
+        .withColumn("n_tok", F.size("toks"))
+    )
+    n_last = (
+        F.floor(
+            (F.greatest(F.col("n_tok") - W, F.lit(0)) + F.lit(S - 1)) / S
+        )
+    ).cast("int")
+    chunks = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_last),
+                lambda i: F.array_join(
+                    F.slice(F.col("toks"), i * S + 1, W), " "
+                ),
+            )
+        ).alias("chunk_text"),
+    )
+    chunks = chunks.localCheckpoint(eager=False)  # feeds identity + rollup
+    ident = chunks.groupBy("chunk_text").agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs")
+    )
+    shared = F.when(F.col("n_docs") >= 2, 1).otherwise(0)
+    return (
+        chunks.join(ident, "chunk_text")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(shared).cast("long").alias("n_shared"),
+            F.round(
+                F.sum(shared).cast("double") / F.count(F.lit(1)), 6
+            ).alias("shared_rate"),
+        )
+        .orderBy("source")
+    )

@@ -203,3 +203,28 @@ def test_continuous_percentiles_rejects_out_of_range_p(spark):
         exact_percentiles_continuous(df, "v", {"p": 1.5}, ["id"])
     with pytest.raises(ValueError, match=r"\[0, 1\]"):
         exact_percentiles_bounded(df, ["v"], {"p": -0.1})
+
+
+def test_chunk_dedup_conserves_chunks_and_bounds(spark, sf_dir):
+    from metadata_ingestion_poc_spark.catalog import load_table
+    from metadata_ingestion_poc_spark.queries.analytics5 import (
+        _CHUNK_S,
+        _CHUNK_W,
+    )
+
+    rows = QUERIES["q238_chunk_dedup"](spark, sf_dir).collect()
+    assert len(rows) == 20  # one per source
+    for r in rows:
+        assert 0 <= r.n_shared <= r.n_chunks
+        assert 0.0 <= r.shared_rate <= 1.0
+    # chunk-count conservation against the ceil-div formula
+    import math
+
+    want = 0
+    for n_tok in (
+        load_table(spark, sf_dir, "documents")
+        .select(F.size(F.split(F.trim("text"), " ")).alias("n"))
+        .collect()
+    ):
+        want += (max(n_tok.n - _CHUNK_W, 0) + _CHUNK_S - 1) // _CHUNK_S + 1
+    assert sum(r.n_chunks for r in rows) == want
