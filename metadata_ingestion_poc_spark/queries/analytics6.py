@@ -1004,3 +1004,214 @@ def q238_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q239 — Spearman rank correlation per nation between a customer's
+# order count and total revenue: the robust (monotone, outlier-proof)
+# sibling of q153's per-group OLS. Average ranks handle ties exactly
+# (rank() + (|equal|-1)/2 — a .5-granular value, exact in decimal);
+# rho is Pearson over those ranks with every sum decimal-exact and
+# ONE sqrt/division at the end. Two shuffles at data scale (customer
+# rollup, nation rank window); cross-engine exactness bound: the
+# n·Σxy products stay under 2^53 for groups up to ~2e5 customers —
+# far beyond the per-nation cardinality here, and the formula itself
+# is standard at any scale.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q239_spearman_rank_corr",
+    oracle="""
+    WITH cust AS (SELECT o_custkey,
+                         COUNT(*)::BIGINT AS f,
+                         ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 6)
+                           ::DOUBLE AS m
+                  FROM orders GROUP BY o_custkey),
+    g AS (SELECT n.n_name, cust.f, cust.m
+          FROM cust
+          JOIN customer c ON c.c_custkey = cust.o_custkey
+          JOIN nation n ON n.n_nationkey = c.c_nationkey),
+    ranked AS (SELECT n_name,
+                      RANK() OVER (PARTITION BY n_name ORDER BY f)
+                        + (COUNT(*) OVER (PARTITION BY n_name, f) - 1)
+                          / 2.0 AS rf,
+                      RANK() OVER (PARTITION BY n_name ORDER BY m)
+                        + (COUNT(*) OVER (PARTITION BY n_name, m) - 1)
+                          / 2.0 AS rm
+               FROM g),
+    s AS (SELECT n_name,
+                 COUNT(*)::BIGINT AS n,
+                 CAST(SUM(CAST(rf AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(rm AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(rf * rm AS DECIMAL(38,6))) AS DOUBLE)
+                   AS sxy,
+                 CAST(SUM(CAST(rf * rf AS DECIMAL(38,6))) AS DOUBLE)
+                   AS sxx,
+                 CAST(SUM(CAST(rm * rm AS DECIMAL(38,6))) AS DOUBLE)
+                   AS syy
+          FROM ranked GROUP BY n_name)
+    SELECT n_name, n,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS spearman_rho
+    FROM s
+    ORDER BY n_name
+    """,
+)
+def q239_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("f"),
+            F.round(F.sum(F.col("o_totalprice").cast(DEC)), 6)
+            .cast("double")
+            .alias("m"),
+        )
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    g = cust.join(
+        F.broadcast(c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)),
+        cust.o_custkey == F.col("c_custkey"),
+    ).select("n_name", "f", "m")
+    D38 = "decimal(38,6)"
+
+    def arank(col: str) -> F.Column:
+        return (
+            F.rank().over(Window.partitionBy("n_name").orderBy(col))
+            + (
+                F.count(F.lit(1)).over(Window.partitionBy("n_name", col))
+                - 1
+            )
+            / 2.0
+        )
+
+    ranked = g.select(
+        "n_name", arank("f").alias("rf"), arank("m").alias("rm")
+    )
+    s = ranked.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("rf").cast(D38)).cast("double").alias("sx"),
+        F.sum(F.col("rm").cast(D38)).cast("double").alias("sy"),
+        F.sum((F.col("rf") * F.col("rm")).cast(D38))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("rf") * F.col("rf")).cast(D38))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("rm") * F.col("rm")).cast(D38))
+        .cast("double")
+        .alias("syy"),
+    )
+    nn = F.col("n").cast("double")
+    return s.select(
+        "n_name",
+        "n",
+        F.round(
+            (nn * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (nn * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (nn * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("spearman_rho"),
+    ).orderBy("n_name")
+
+
+# ---------------------------------------------------------------------------
+# q240 — autocorrelation (ACF) of the daily revenue series at lags
+# 1..7: the stationarity/seasonality screen run before any
+# forecasting model (the dow seasonality of q220 shows up as a lag-7
+# peak). The series is the decimal-exact daily rollup (bounded by the
+# DATE RANGE, so the lag self-join and the mean broadcast never see
+# the raw corpus); deviations multiply as doubles and round at 6
+# before decimal sums; missing calendar days simply drop their pairs
+# (documented contract — both engines join on the same date_add key).
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 7
+
+
+@query(
+    "q240_revenue_acf",
+    oracle=f"""
+    WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                      ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,6))), 6)
+                        ::DOUBLE AS rev
+               FROM orders GROUP BY day),
+    mu AS (SELECT CAST(ROUND(SUM(CAST(rev AS DECIMAL(28,6))), 6) AS DOUBLE)
+                    / COUNT(*) AS mu
+           FROM d),
+    dev AS (SELECT day, rev - mu.mu AS e FROM d, mu),
+    den AS (SELECT ROUND(SUM(CAST(ROUND(e * e, 6) AS DECIMAL(28,6))), 6)
+                     ::DOUBLE AS ss
+            FROM dev),
+    lags AS (SELECT unnest(generate_series(1, {_ACF_MAX_LAG})) AS lag),
+    pairs AS (SELECT lags.lag, a.e AS ea, b.e AS eb
+              FROM lags
+              JOIN dev a ON TRUE
+              JOIN dev b ON b.day = a.day + to_days(lags.lag::INT))
+    SELECT lag::BIGINT AS lag,
+           COUNT(*)::BIGINT AS n_pairs,
+           ROUND(ROUND(SUM(CAST(ROUND(ea * eb, 6) AS DECIMAL(28,6))), 6)
+                   ::DOUBLE
+                 / (SELECT ss FROM den), 6) AS acf
+    FROM pairs GROUP BY lag ORDER BY lag
+    """,
+)
+def q240_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast(DEC)), 6)
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    d = d.localCheckpoint(eager=False)  # bounded day frame, 4 consumers
+    mu = d.agg(
+        (
+            F.round(F.sum(F.col("rev").cast(DEC)), 6).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu")
+    )
+    dev = d.crossJoin(F.broadcast(mu)).select(
+        "day", (F.col("rev") - F.col("mu")).alias("e")
+    )
+    dev = dev.localCheckpoint(eager=False)  # feeds den + both join sides
+    den = dev.agg(
+        F.round(F.sum(F.round(F.col("e") * F.col("e"), 6).cast(DEC)), 6)
+        .cast("double")
+        .alias("ss")
+    )
+    lags = dev.sparkSession.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = dev.crossJoin(F.broadcast(lags))
+    b = dev.select(F.col("day").alias("bday"), F.col("e").alias("eb"))
+    pairs = a.join(
+        b, F.date_add(F.col("day"), F.col("lag")) == F.col("bday")
+    )
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(
+                F.sum(F.round(F.col("e") * F.col("eb"), 6).cast(DEC)), 6
+            )
+            .cast("double")
+            .alias("num"),
+        )
+        .crossJoin(F.broadcast(den))
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            "n_pairs",
+            F.round(F.col("num") / F.col("ss"), 6).alias("acf"),
+        )
+        .orderBy("lag")
+    )

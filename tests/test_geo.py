@@ -225,3 +225,45 @@ def test_radius_join_fine_grid_near_pole(spark, bits):
     }
     assert (1, 10) in want  # ~2.03 km — the reviewed repro pair
     assert got == want
+
+
+def test_radius_join_random_differential_seeded(spark):
+    """Seeded random differential: 60 queries x 120 points drawn over
+    the full globe with extra mass at |lat| > 75 and |lon| > 170 (the
+    adversarial bands), three radii, two grids — banding must equal
+    brute force EXACTLY every time. Complements the hand-built corner
+    tests with breadth."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+
+    def pt():
+        r = rng.random()
+        if r < 0.3:
+            lat = rng.uniform(75, 90) * (1 if rng.random() < 0.5 else -1)
+        else:
+            lat = rng.uniform(-90, 90)
+        if rng.random() < 0.3:
+            lon = rng.uniform(170, 180) * (1 if rng.random() < 0.5 else -1)
+        else:
+            lon = rng.uniform(-180, 180)
+        return round(lat, 4), round(lon, 4)
+
+    qpts = [(i, *pt()) for i in range(60)]
+    ppts = [(1000 + i, *pt()) for i in range(120)]
+    q = spark.createDataFrame(qpts, "qid long, q_lat double, q_lon double")
+    p = spark.createDataFrame(ppts, "pid long, p_lat double, p_lon double")
+    for radius in (30.0, 400.0, 2500.0):
+        want = {
+            (qid, pid)
+            for qid, qla, qlo in qpts
+            for pid, pla, plo in ppts
+            if round(_hav(qla, qlo, pla, plo), 6) <= radius
+        }
+        for bits in (5, 8):
+            got_list = [
+                (r.qid, r.pid)
+                for r in radius_join(q, p, radius, bits=bits).collect()
+            ]
+            assert set(got_list) == want, (radius, bits)
+            assert len(got_list) == len(want), (radius, bits, "dups")
