@@ -106,13 +106,13 @@ def _load_all() -> None:
 # scalar folded into a broadcast frame), q204 (FD audit rewritten to
 # count_distinct + one tagged-union rollup), q222 (radius_join
 # polar-cap full-ring fix), q227 (global_running_sum NULL-carry fix)
-# — plus the 12 round-8-new q229-q240; (b) the round-3 stragglers that
+# — plus the 13 round-8-new q229-q241; (b) the round-3 stragglers that
 # fell off the round-7 window (q98-q103, q110-q114, q116-q118); (c)
 # the round-4 block (q120-q130); (d) the head of the round-5 block
-# q131-q139. 16 + 14 + 11 + 9 = 50; q140-q147 fall to round 9.
+# q131-q138. 17 + 14 + 11 + 8 = 50; q139-q147 fall to round 9.
 #
 # Round-9 rotation note: promote whatever round-9 code changes touch,
-# then q140-q147, then the round-6 block refresh (q148-q185) and the
+# then q139-q147, then the round-6 block refresh (q148-q185) and the
 # late-round-6 q186-q196 as fits. Round 10 takes the remainder plus
 # the q01-q49 relational core refresh.
 # ---------------------------------------------------------------------------
@@ -137,6 +137,7 @@ _SWEEP_PRIORITY = [
     "q238_chunk_dedup",
     "q239_spearman_rank_corr",
     "q240_revenue_acf",
+    "q241_geo_hotspots",
     # -- round-3 stragglers (last swept in D3; judge-verified in r7).
     "q98_tpch_q9_profit_by_nation_year",
     "q99_tpch_q11_important_parts",
@@ -173,7 +174,6 @@ _SWEEP_PRIORITY = [
     "q136_cross_source_contamination",
     "q137_dataset_split",
     "q138_event_attribution",
-    "q139_duplicated_spans",
 ]
 
 

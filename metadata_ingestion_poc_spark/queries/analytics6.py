@@ -1215,3 +1215,169 @@ def q240_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+# ---------------------------------------------------------------------------
+# q241 — geo hotspot clustering: DBSCAN-lite over the Morton grid.
+# Points are a deterministic 7-city mixture (2/3 of keys; ±2°
+# integer-derived jitter) over uniform background noise (1/3) — the uniform hash coordinates of
+# q221/q222 are intentionally clump-free and would make ANY density
+# rule degenerate). Cells whose point count exceeds 2x the
+# non-empty-cell mean are "dense" — a RELATIVE threshold, so the rule
+# is scale-invariant across SFs, and an all-integer comparison
+# n·n_cells > 2·total, so no float boundary; dense cells that are
+# 8-neighbors (longitude wraps, latitude clamps) merge into hotspots
+# via connected components (operators/components.py — the same
+# large/small-star machinery the near-dup clusters use, here over a
+# cell graph BOUNDED by the grid, not the data). Output: one row per
+# hotspot with its cell and point mass. The oracle replays the
+# density rule and runs the q54-style RECURSIVE reachability over the
+# same integer adjacency.
+# ---------------------------------------------------------------------------
+
+_HOT_BITS = 5
+# 2/3 of points form 7 tight cities (center = key % 7, ±2° jitter);
+# 1/3 are uniform background noise — the separation DBSCAN exists for
+_HOT_LAT = (
+    "(CASE WHEN c_custkey % 3 = 0"
+    " THEN (c_custkey * 7919 % 18000) / 100.0 - 90.0"
+    " ELSE (c_custkey % 7) * 25.0 - 75.0"
+    "      + (c_custkey * 7919 % 400) / 100.0 - 2.0 END)"
+)
+_HOT_LON = (
+    "(CASE WHEN c_custkey % 3 = 0"
+    " THEN (c_custkey * 9973 % 36000) / 100.0 - 180.0"
+    " ELSE (c_custkey % 7) * 53.0 - 159.0"
+    "      + (c_custkey * 9973 % 400) / 100.0 - 2.0 END)"
+)
+
+
+@query(
+    "q241_geo_hotspots",
+    oracle=f"""
+    WITH RECURSIVE pts AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR(({_HOT_LAT} - (-90.0))
+                 / 180.0 * {1 << _HOT_BITS})
+                 AS BIGINT), 0), {(1 << _HOT_BITS) - 1}) AS ix,
+             LEAST(GREATEST(CAST(FLOOR(({_HOT_LON} - (-180.0))
+                 / 360.0 * {1 << _HOT_BITS})
+                 AS BIGINT), 0), {(1 << _HOT_BITS) - 1}) AS iy
+      FROM customer),
+    cells AS (SELECT ix, iy, COUNT(*)::BIGINT AS n FROM pts
+              GROUP BY ix, iy),
+    t AS (SELECT SUM(n)::BIGINT AS total, COUNT(*)::BIGINT AS nc
+          FROM cells),
+    dense AS (SELECT ix, iy, n, ix * {1 << _HOT_BITS} + iy AS key
+              FROM cells, t WHERE n * t.nc > 2 * t.total),
+    edges AS (
+      SELECT a.key AS s, b.key AS d
+      FROM dense a
+      JOIN dense b
+        ON b.ix BETWEEN a.ix - 1 AND a.ix + 1
+       AND (b.iy = (a.iy + 1) % {1 << _HOT_BITS}
+            OR b.iy = (a.iy - 1 + {1 << _HOT_BITS}) % {1 << _HOT_BITS}
+            OR b.iy = a.iy)
+       AND a.key <> b.key),
+    reach AS (
+      SELECT key AS n, key AS m FROM dense
+      UNION
+      SELECT e.s, r.m FROM edges e JOIN reach r ON e.d = r.n
+    ),
+    comp AS (SELECT n AS key, MIN(m) AS cluster_id FROM reach GROUP BY n)
+    SELECT comp.cluster_id::BIGINT AS cluster_id,
+           COUNT(*)::BIGINT AS n_cells,
+           SUM(dense.n)::BIGINT AS n_points
+    FROM dense JOIN comp USING (key)
+    GROUP BY comp.cluster_id
+    ORDER BY cluster_id
+    """,
+)
+def q241_geo_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+
+    cells_n = 1 << _HOT_BITS
+    pts = load_table(spark, sf_dir, "customer").select(
+        F.least(
+            F.greatest(
+                F.floor(
+                    (F.expr(_HOT_LAT) - F.lit(-90.0)) / 180.0 * cells_n
+                ).cast("long"),
+                F.lit(0),
+            ),
+            F.lit(cells_n - 1),
+        ).alias("ix"),
+        F.least(
+            F.greatest(
+                F.floor(
+                    (F.expr(_HOT_LON) - F.lit(-180.0)) / 360.0 * cells_n
+                ).cast("long"),
+                F.lit(0),
+            ),
+            F.lit(cells_n - 1),
+        ).alias("iy"),
+    )
+    cells = pts.groupBy("ix", "iy").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    cells = cells.localCheckpoint(eager=False)  # feeds totals + dense
+    t = cells.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("nc"),
+    )
+    dense = (
+        cells.crossJoin(F.broadcast(t))
+        .filter(F.col("n") * F.col("nc") > 2 * F.col("total"))
+        .select(
+            "ix", "iy", "n", (F.col("ix") * cells_n + F.col("iy")).alias("key")
+        )
+    )
+    dense = dense.localCheckpoint(eager=False)  # feeds edges + rollup
+    nbr = dense.select(
+        F.col("key").alias("ka"),
+        F.explode(
+            F.sequence(F.lit(-1), F.lit(1))
+        ).alias("dx"),
+        "ix",
+        "iy",
+    ).select(
+        "ka",
+        (F.col("ix") + F.col("dx")).alias("bix"),
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.pmod(F.col("iy") + 1, F.lit(cells_n)),
+                    F.pmod(F.col("iy") - 1, F.lit(cells_n)),
+                    F.col("iy"),
+                )
+            )
+        ).alias("biy"),
+    )
+    other = dense.select(
+        F.col("ix").alias("bix"),
+        F.col("iy").alias("biy"),
+        F.col("key").alias("kb"),
+    )
+    pairs = (
+        nbr.join(other, ["bix", "biy"])
+        .filter(F.col("ka") < F.col("kb"))
+        .select(F.col("ka").alias("doc_a"), F.col("kb").alias("doc_b"))
+        .distinct()
+    )
+    comps = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("key"), F.col("component").alias("cluster_id")
+    )
+    return (
+        dense.join(comps, "key", "left")
+        .select(
+            F.coalesce(F.col("cluster_id"), F.col("key")).alias(
+                "cluster_id"
+            ),
+            "n",
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("n").cast("long").alias("n_points"),
+        )
+        .orderBy("cluster_id")
+    )

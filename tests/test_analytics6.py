@@ -280,3 +280,23 @@ def test_acf_bounds_and_lag7_seasonality(spark, sf_dir):
     # which distances a gap severs depends on the gap layout)
     n_days = max(r.n_pairs for r in rows)
     assert all(r.n_pairs > n_days // 2 for r in rows)
+
+
+def test_geo_hotspots_conservation_and_merging(spark, sf_dir):
+    from metadata_ingestion_poc_spark.catalog import load_table
+    from metadata_ingestion_poc_spark.queries.analytics6 import _HOT_BITS
+
+    rows = QUERIES["q241_geo_hotspots"](spark, sf_dir).collect()
+    assert rows  # the 7-city mixture always produces hotspots
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    covered = sum(r.n_points for r in rows)
+    # hotspots capture the city mass (~2/3 of points, minus boundary
+    # splits) and exclude the uniform background noise
+    assert 0 < covered <= n_cust
+    assert covered > n_cust // 3
+    # a city's cells are mutually adjacent, so clusters never exceed
+    # the 7 generating cities
+    assert 1 <= len(rows) <= 7
+    for r in rows:
+        assert r.n_cells >= 1
+        assert 0 <= r.cluster_id < (1 << _HOT_BITS) ** 2
