@@ -57,20 +57,26 @@ def geo_cell(lat: Column | str, lon: Column | str, bits: int = 8) -> Column:
     )
 
 
+def quant_sql(expr: str, lo: float, span: float, cells: int) -> str:
+    """DuckDB twin of _quant — the ONE axis-quantization contract every
+    grid consumer (Morton cells, radius join, hotspot clustering) must
+    share; private copies drift when the clamp rules change."""
+    return (
+        f"LEAST(GREATEST(CAST(FLOOR((({expr}) - ({lo!r})) / {span!r}"
+        f" * {cells}) AS BIGINT), 0), {cells - 1})"
+    )
+
+
 def geo_cell_sql(lat: str, lon: str, bits: int = 8) -> str:
     """DuckDB twin of geo_cell — identical quantization + interleave."""
     from .export import zorder_key_sql
 
     cells = 1 << bits
-    qlat = (
-        f"LEAST(GREATEST(CAST(FLOOR((({lat}) - (-90.0)) / 180.0 * {cells})"
-        f" AS BIGINT), 0), {cells - 1})"
+    return zorder_key_sql(
+        quant_sql(lat, -90.0, 180.0, cells),
+        quant_sql(lon, -180.0, 360.0, cells),
+        bits=bits,
     )
-    qlon = (
-        f"LEAST(GREATEST(CAST(FLOOR((({lon}) - (-180.0)) / 360.0 * {cells})"
-        f" AS BIGINT), 0), {cells - 1})"
-    )
-    return zorder_key_sql(qlat, qlon, bits=bits)
 
 
 def haversine_km(

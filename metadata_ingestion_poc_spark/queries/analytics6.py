@@ -917,14 +917,16 @@ def q237_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q238 — cross-document chunk duplication: chunk the corpus with the
-# q214 RAG window (same W/S constants — this is the dedup pass a
-# retrieval pipeline runs on the chunk table it just built) and
-# measure, per source, how many chunk instances are verbatim-shared
-# with at least one OTHER document — chunk-granularity boilerplate
-# that whole-document dedup (q50) and near-dup (q51) both miss. The
-# chunk-identity rollup shuffles chunk TEXT once (map-side combine);
-# identity is the exact string, so both engines agree by construction.
+# q238 — cross-document chunk duplication over the FULL corpus,
+# reusing q214's window constants (W/S only — q214 itself chunks a
+# doc_id %5 subsample, which would keep just 4 of 20 sources here):
+# per source, how many chunk instances are verbatim-shared with at
+# least one OTHER document — chunk-granularity boilerplate that
+# whole-document dedup (q50) and near-dup (q51) both miss. Chunk text
+# crosses the network ONCE (the combined (text, source) rollup with
+# map-side combine); everything after runs on the collapsed identity
+# frame. Identity is the exact string, so both engines agree by
+# construction.
 # ---------------------------------------------------------------------------
 
 from .analytics5 import _CHUNK_S, _CHUNK_W  # noqa: E402 — shared contract
@@ -945,18 +947,22 @@ from .analytics5 import _CHUNK_S, _CHUNK_W  # noqa: E402 — shared contract
           FROM n, LATERAL (SELECT unnest(generate_series(
                    0, (greatest(n_tok - {_CHUNK_W}, 0) + {_CHUNK_S - 1})
                           // {_CHUNK_S})) AS i)),
-    ident AS (SELECT chunk_text,
-                     COUNT(DISTINCT doc_id)::BIGINT AS n_docs
-              FROM c GROUP BY chunk_text)
-    SELECT c.source,
-           COUNT(*)::BIGINT AS n_chunks,
-           SUM(CASE WHEN ident.n_docs >= 2 THEN 1 ELSE 0 END)::BIGINT
+    cs AS (SELECT chunk_text, source,
+                  COUNT(*)::BIGINT AS n_inst,
+                  COUNT(DISTINCT doc_id)::BIGINT AS nd
+           FROM c GROUP BY chunk_text, source),
+    tot AS (SELECT source, n_inst,
+                   SUM(nd) OVER (PARTITION BY chunk_text) AS total_nd
+            FROM cs)
+    SELECT source,
+           SUM(n_inst)::BIGINT AS n_chunks,
+           SUM(CASE WHEN total_nd >= 2 THEN n_inst ELSE 0 END)::BIGINT
              AS n_shared,
-           ROUND(SUM(CASE WHEN ident.n_docs >= 2 THEN 1 ELSE 0 END)::DOUBLE
-                 / COUNT(*), 6) AS shared_rate
-    FROM c JOIN ident USING (chunk_text)
-    GROUP BY c.source
-    ORDER BY c.source
+           ROUND(SUM(CASE WHEN total_nd >= 2 THEN n_inst ELSE 0 END)::DOUBLE
+                 / SUM(n_inst), 6) AS shared_rate
+    FROM tot
+    GROUP BY source
+    ORDER BY source
     """,
 )
 def q238_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -987,22 +993,45 @@ def q238_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_text"),
     )
-    chunks = chunks.localCheckpoint(eager=False)  # feeds identity + rollup
-    ident = chunks.groupBy("chunk_text").agg(
-        F.count_distinct("doc_id").cast("long").alias("n_docs")
+    # ONE combined shuffle: collapse to (chunk_text, source) with
+    # instance and distinct-doc counts (map-side combine carries the
+    # chunk text across the network once); since each doc has exactly
+    # one source, the per-text doc total is the window SUM of the
+    # per-source distinct counts — computed on the already-collapsed
+    # frame, never by re-joining chunk instances.
+    cs = chunks.groupBy("chunk_text", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_inst"),
+        F.count_distinct("doc_id").cast("long").alias("nd"),
     )
-    shared = F.when(F.col("n_docs") >= 2, 1).otherwise(0)
+    total_nd = F.sum("nd").over(Window.partitionBy("chunk_text"))
+    shared = F.when(F.col("total_nd") >= 2, F.col("n_inst")).otherwise(0)
     return (
-        chunks.join(ident, "chunk_text")
+        cs.withColumn("total_nd", total_nd)
         .groupBy("source")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("n_inst").cast("long").alias("n_chunks"),
             F.sum(shared).cast("long").alias("n_shared"),
             F.round(
-                F.sum(shared).cast("double") / F.count(F.lit(1)), 6
+                F.sum(shared).cast("double") / F.sum("n_inst"), 6
             ).alias("shared_rate"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# average rank WITH TIES — the Spearman building block: rank() gives
+# the min rank of a tie group, count-over-(group, value) its size, so
+# min + (size-1)/2 is the tie group's mean rank (.5-granular, exact).
+# Module-level so the hand-checked tie tests exercise THIS expression,
+# not a copy.
+def avg_rank(group_col: str, col: str) -> F.Column:
+    return (
+        F.rank().over(Window.partitionBy(group_col).orderBy(col))
+        + (
+            F.count(F.lit(1)).over(Window.partitionBy(group_col, col)) - 1
+        )
+        / 2.0
     )
 
 
@@ -1053,7 +1082,8 @@ def q238_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM ranked GROUP BY n_name)
     SELECT n_name, n,
            ROUND((n * sxy - sx * sy)
-                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                 / sqrt(NULLIF((n * sxx - sx * sx)
+                               * (n * syy - sy * sy), 0)), 6)
              AS spearman_rho
     FROM s
     ORDER BY n_name
@@ -1079,19 +1109,10 @@ def q239_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.o_custkey == F.col("c_custkey"),
     ).select("n_name", "f", "m")
     D38 = "decimal(38,6)"
-
-    def arank(col: str) -> F.Column:
-        return (
-            F.rank().over(Window.partitionBy("n_name").orderBy(col))
-            + (
-                F.count(F.lit(1)).over(Window.partitionBy("n_name", col))
-                - 1
-            )
-            / 2.0
-        )
-
     ranked = g.select(
-        "n_name", arank("f").alias("rf"), arank("m").alias("rm")
+        "n_name",
+        avg_rank("n_name", "f").alias("rf"),
+        avg_rank("n_name", "m").alias("rm"),
     )
     s = ranked.groupBy("n_name").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -1108,16 +1129,24 @@ def q239_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("syy"),
     )
     nn = F.col("n").cast("double")
+    # zero rank variance (a nation where every customer ties on a
+    # metric, e.g. a single-customer nation at tiny SF) makes the
+    # denominator 0 — rho is undefined there: emit NULL, never divide
+    # (ANSI mode would THROW; non-ANSI would emit NaN vs the oracle's
+    # NULL — both wrong)
+    den = (nn * F.col("sxx") - F.col("sx") * F.col("sx")) * (
+        nn * F.col("syy") - F.col("sy") * F.col("sy")
+    )
     return s.select(
         "n_name",
         "n",
-        F.round(
-            (nn * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / F.sqrt(
-                (nn * F.col("sxx") - F.col("sx") * F.col("sx"))
-                * (nn * F.col("syy") - F.col("sy") * F.col("sy"))
+        F.when(
+            den > 0,
+            F.round(
+                (nn * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / F.sqrt(den),
+                6,
             ),
-            6,
         ).alias("spearman_rho"),
     ).orderBy("n_name")
 
@@ -1235,6 +1264,9 @@ def q240_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same integer adjacency.
 # ---------------------------------------------------------------------------
 
+from ..operators.geo import _quant as _geo_quant  # noqa: E402
+from ..operators.geo import quant_sql as _geo_quant_sql  # noqa: E402
+
 _HOT_BITS = 5
 # 2/3 of points form 7 tight cities (center = key % 7, ±2° jitter);
 # 1/3 are uniform background noise — the separation DBSCAN exists for
@@ -1256,12 +1288,8 @@ _HOT_LON = (
     "q241_geo_hotspots",
     oracle=f"""
     WITH RECURSIVE pts AS (
-      SELECT LEAST(GREATEST(CAST(FLOOR(({_HOT_LAT} - (-90.0))
-                 / 180.0 * {1 << _HOT_BITS})
-                 AS BIGINT), 0), {(1 << _HOT_BITS) - 1}) AS ix,
-             LEAST(GREATEST(CAST(FLOOR(({_HOT_LON} - (-180.0))
-                 / 360.0 * {1 << _HOT_BITS})
-                 AS BIGINT), 0), {(1 << _HOT_BITS) - 1}) AS iy
+      SELECT {_geo_quant_sql(_HOT_LAT, -90.0, 180.0, 1 << _HOT_BITS)} AS ix,
+             {_geo_quant_sql(_HOT_LON, -180.0, 360.0, 1 << _HOT_BITS)} AS iy
       FROM customer),
     cells AS (SELECT ix, iy, COUNT(*)::BIGINT AS n FROM pts
               GROUP BY ix, iy),
@@ -1297,24 +1325,8 @@ def q241_geo_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cells_n = 1 << _HOT_BITS
     pts = load_table(spark, sf_dir, "customer").select(
-        F.least(
-            F.greatest(
-                F.floor(
-                    (F.expr(_HOT_LAT) - F.lit(-90.0)) / 180.0 * cells_n
-                ).cast("long"),
-                F.lit(0),
-            ),
-            F.lit(cells_n - 1),
-        ).alias("ix"),
-        F.least(
-            F.greatest(
-                F.floor(
-                    (F.expr(_HOT_LON) - F.lit(-180.0)) / 360.0 * cells_n
-                ).cast("long"),
-                F.lit(0),
-            ),
-            F.lit(cells_n - 1),
-        ).alias("iy"),
+        _geo_quant(F.expr(_HOT_LAT), -90.0, 180.0, cells_n).alias("ix"),
+        _geo_quant(F.expr(_HOT_LON), -180.0, 360.0, cells_n).alias("iy"),
     )
     cells = pts.groupBy("ix", "iy").agg(
         F.count(F.lit(1)).cast("long").alias("n")

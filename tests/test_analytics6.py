@@ -241,32 +241,77 @@ def test_spearman_bounds_and_direction(spark, sf_dir):
     assert all(r.spearman_rho > 0.3 for r in rows)
 
 
-def test_spearman_exact_on_hand_data(spark):
-    """Hand-checkable case with TIES: x = (1,2,2,4), y = (10,20,20,5).
-    Average ranks rx = (1, 2.5, 2.5, 4), ry = (2, 3.5, 3.5, 1);
-    Pearson over those ranks = -0.2105263... (classic tie formula)."""
-    from metadata_ingestion_poc_spark.queries.analytics6 import (
-        q239_spearman_rank_corr,  # noqa: F401 — formula lives inline
-    )
-    import pyspark.sql.functions as F
-    from pyspark.sql import Window
+def test_spearman_avg_rank_exact_on_hand_data(spark):
+    """Hand-checkable TIES case against the PRODUCTION avg_rank
+    expression (the same Column q239 ranks with): x = (1,2,2,4),
+    y = (10,20,20,5) → average ranks rx = (1, 2.5, 2.5, 4),
+    ry = (2, 3.5, 3.5, 1)."""
+    from metadata_ingestion_poc_spark.queries.analytics6 import avg_rank
 
     g = spark.createDataFrame(
         [("n", 1.0, 10.0), ("n", 2.0, 20.0), ("n", 2.0, 20.0),
          ("n", 4.0, 5.0)],
         "n_name string, f double, m double",
     )
+    ranked = g.select(
+        "n_name",
+        avg_rank("n_name", "f").alias("rf"),
+        avg_rank("n_name", "m").alias("rm"),
+    )
+    rows = sorted((r.rf, r.rm) for r in ranked.collect())
+    assert rows == [(1.0, 2.0), (2.5, 3.5), (2.5, 3.5), (4.0, 1.0)]
 
-    def arank(col):
-        return (
-            F.rank().over(Window.partitionBy("n_name").orderBy(col))
-            + (F.count(F.lit(1)).over(Window.partitionBy("n_name", col)) - 1)
-            / 2.0
-        )
 
-    ranked = g.select("n_name", arank("f").alias("rf"), arank("m").alias("rm"))
-    rows = {(r.rf, r.rm) for r in ranked.collect()}
-    assert rows == {(1.0, 2.0), (2.5, 3.5), (2.5, 3.5), (4.0, 1.0)}
+def test_spearman_single_member_group_yields_null(spark):
+    """Zero rank variance (a group with one row, or all-tied metrics)
+    must yield NULL rho — never a DIVIDE_BY_ZERO throw (ANSI mode) or
+    NaN. Round-8 review fix, exercised through the full q239 pipeline
+    shape on injected data."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window  # noqa: F401
+
+    from metadata_ingestion_poc_spark.queries.analytics6 import avg_rank
+
+    g = spark.createDataFrame(
+        [("solo", 3.0, 7.0), ("pair", 1.0, 5.0), ("pair", 2.0, 9.0),
+         ("tied", 4.0, 1.0), ("tied", 4.0, 2.0)],
+        "n_name string, f double, m double",
+    )
+    D38 = "decimal(38,6)"
+    ranked = g.select(
+        "n_name",
+        avg_rank("n_name", "f").alias("rf"),
+        avg_rank("n_name", "m").alias("rm"),
+    )
+    s = ranked.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("rf").cast(D38)).cast("double").alias("sx"),
+        F.sum(F.col("rm").cast(D38)).cast("double").alias("sy"),
+        F.sum((F.col("rf") * F.col("rm")).cast(D38)).cast("double").alias("sxy"),
+        F.sum((F.col("rf") * F.col("rf")).cast(D38)).cast("double").alias("sxx"),
+        F.sum((F.col("rm") * F.col("rm")).cast(D38)).cast("double").alias("syy"),
+    )
+    nn = F.col("n").cast("double")
+    den = (nn * F.col("sxx") - F.col("sx") * F.col("sx")) * (
+        nn * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    rho = {
+        r["n_name"]: r["rho"]
+        for r in s.select(
+            "n_name",
+            F.when(
+                den > 0,
+                F.round(
+                    (nn * F.col("sxy") - F.col("sx") * F.col("sy"))
+                    / F.sqrt(den),
+                    6,
+                ),
+            ).alias("rho"),
+        ).collect()
+    }
+    assert rho["solo"] is None   # n=1: no variance
+    assert rho["tied"] is None   # f all-tied: zero rank variance
+    assert rho["pair"] == 1.0    # perfectly monotone
 
 
 def test_acf_bounds_and_lag7_seasonality(spark, sf_dir):
