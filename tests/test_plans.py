@@ -238,3 +238,16 @@ def test_high_exchange_queries_audited_and_pinned(spark, sf_dir):
                 name,
                 plan.count("FileScan"),
             )
+
+
+def test_chunk_dedup_single_scan_no_join(spark, sf_dir):
+    """Round-8 review fix contract (q238): chunk text crosses the
+    network once — the plan is a combined (text, source) rollup plus
+    a window over the collapsed frame, with ONE documents scan and NO
+    join back to chunk instances (the original shape joined the
+    identity frame onto every instance and checkpointed ~1.3x the
+    corpus text)."""
+    plan = physical_plan(QUERIES["q238_chunk_dedup"](spark, sf_dir))
+    assert plan.count("FileScan") == 1, plan.count("FileScan")
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert node not in plan, node
