@@ -249,5 +249,15 @@ def test_chunk_dedup_single_scan_no_join(spark, sf_dir):
     corpus text)."""
     plan = physical_plan(QUERIES["q238_chunk_dedup"](spark, sf_dir))
     assert plan.count("FileScan") == 1, plan.count("FileScan")
-    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+    for node in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+    ):
         assert node not in plan, node
+    # "chunk text crosses the network once": the (text, source) rollup
+    # exchange + the window's text exchange + the source rollup + the
+    # presentation sort — a second full-instance shuffle busts this cap
+    assert plan.count("Exchange ") <= 5, plan.count("Exchange ")
