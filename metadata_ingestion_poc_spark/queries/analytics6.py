@@ -73,9 +73,11 @@ _PSI_SPLIT_YEAR = 1998
     SELECT band, ref_n, cur_n,
            ROUND(ref_n::DOUBLE / ref_t, 6) AS ref_share,
            ROUND(cur_n::DOUBLE / cur_t, 6) AS cur_share,
-           ROUND((cur_n::DOUBLE / cur_t - ref_n::DOUBLE / ref_t)
-                 * ln((cur_n::DOUBLE / cur_t)
-                      / (ref_n::DOUBLE / ref_t)), 6) AS psi_term
+           CASE WHEN ref_n = 0 OR cur_n = 0 THEN NULL
+                ELSE ROUND((cur_n::DOUBLE / cur_t - ref_n::DOUBLE / ref_t)
+                           * ln((cur_n::DOUBLE / cur_t)
+                                / (ref_n::DOUBLE / ref_t)), 6)
+           END AS psi_term
     FROM cell, t
     ORDER BY band
     """,
@@ -136,8 +138,16 @@ def q229_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cur_n",
             F.round(ref_share, 6).alias("ref_share"),
             F.round(cur_share, 6).alias("cur_share"),
-            F.round(
-                (cur_share - ref_share) * F.log(cur_share / ref_share), 6
+            # A band empty in either era has an undefined ln ratio
+            # (DuckDB errors on ln(0); Spark yields NULL) — emit an
+            # explicit NULL on both engines so tiny scale factors
+            # can't crash the oracle side.
+            F.when(
+                (F.col("ref_n") > 0) & (F.col("cur_n") > 0),
+                F.round(
+                    (cur_share - ref_share) * F.log(cur_share / ref_share),
+                    6,
+                ),
             ).alias("psi_term"),
         )
         .orderBy("band")
@@ -149,7 +159,9 @@ def q229_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # type and day-of-week (5×7 contingency): the categorical-association
 # screen that complements q228's mutual information with the
 # classical effect size. Expected counts are products of BIGINT
-# marginals divided once (row·col ≤ 6e5² — no overflow); each cell's
+# marginals divided once (row·col ≤ 6e5² — no overflow); the cell
+# frame is densified to the full r×c grid (marginal cross join,
+# bounded) so empty cells still contribute E; each cell's
 # (obs-exp)²/exp is rounded at 6 and decimal-summed; V's sqrt is
 # IEEE-correctly-rounded on both engines so one final round at 6 is
 # exact. One events scan, one 35-cell groupBy; everything downstream
@@ -162,20 +174,24 @@ def q229_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (SELECT event_type AS x, (isodow(ts) - 1)::BIGINT AS y
                FROM events),
-    cell AS (SELECT x, y, COUNT(*)::BIGINT AS n FROM b GROUP BY x, y),
-    mx AS (SELECT x, SUM(n)::BIGINT AS nx FROM cell GROUP BY x),
-    my AS (SELECT y, SUM(n)::BIGINT AS ny FROM cell GROUP BY y),
-    t AS (SELECT SUM(n)::BIGINT AS nt FROM cell),
+    obs AS (SELECT x, y, COUNT(*)::BIGINT AS n FROM b GROUP BY x, y),
+    mx AS (SELECT x, SUM(n)::BIGINT AS nx FROM obs GROUP BY x),
+    my AS (SELECT y, SUM(n)::BIGINT AS ny FROM obs GROUP BY y),
+    t AS (SELECT SUM(n)::BIGINT AS nt FROM obs),
+    cell AS (SELECT mx.x, my.y, mx.nx, my.ny,
+                    COALESCE(obs.n, 0)::BIGINT AS n
+             FROM mx CROSS JOIN my
+             LEFT JOIN obs ON obs.x = mx.x AND obs.y = my.y),
     terms AS (SELECT ROUND(
-                 (c.n::DOUBLE - (mx.nx * my.ny)::DOUBLE / t.nt)
-                 * (c.n::DOUBLE - (mx.nx * my.ny)::DOUBLE / t.nt)
-                 / ((mx.nx * my.ny)::DOUBLE / t.nt), 6) AS term
-              FROM cell c JOIN mx USING (x) JOIN my USING (y), t),
+                 (c.n::DOUBLE - (c.nx * c.ny)::DOUBLE / t.nt)
+                 * (c.n::DOUBLE - (c.nx * c.ny)::DOUBLE / t.nt)
+                 / ((c.nx * c.ny)::DOUBLE / t.nt), 6) AS term
+              FROM cell c, t),
     agg AS (SELECT ROUND(SUM(CAST(term AS DECIMAL(28,6))), 6)::DOUBLE
                      AS chi2
             FROM terms),
     dims AS (SELECT COUNT(DISTINCT x)::BIGINT AS r,
-                    COUNT(DISTINCT y)::BIGINT AS c FROM cell)
+                    COUNT(DISTINCT y)::BIGINT AS c FROM obs)
     SELECT t.nt AS n_events, (dims.r * dims.c)::BIGINT AS n_cells,
            agg.chi2,
            ((dims.r - 1) * (dims.c - 1))::BIGINT AS dof,
@@ -190,31 +206,34 @@ def q230_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("x"),
         F.weekday("ts").cast("long").alias("y"),
     )
-    cell = b.groupBy("x", "y").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    cell = cell.localCheckpoint(eager=False)  # feeds marginals + terms
-    mx = cell.groupBy("x").agg(F.sum("n").cast("long").alias("nx"))
-    my = cell.groupBy("y").agg(F.sum("n").cast("long").alias("ny"))
-    t = cell.agg(F.sum("n").cast("long").alias("nt"))
+    obs = b.groupBy("x", "y").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    obs = obs.localCheckpoint(eager=False)  # feeds marginals + cells
+    mx = obs.groupBy("x").agg(F.sum("n").cast("long").alias("nx"))
+    my = obs.groupBy("y").agg(F.sum("n").cast("long").alias("ny"))
+    t = obs.agg(F.sum("n").cast("long").alias("nt"))
+    # Densify to the full r×c grid (bounded: marginal-count product)
+    # so an empty contingency cell still contributes its expected
+    # count E to chi² — observed-cells-only understates the statistic.
+    cell = (
+        mx.crossJoin(F.broadcast(my))
+        .join(F.broadcast(obs), ["x", "y"], "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)).cast("long"))
+    )
     exp = (F.col("nx") * F.col("ny")).cast("double") / F.col("nt")
-    terms = (
-        cell.join(F.broadcast(mx), "x")
-        .join(F.broadcast(my), "y")
-        .crossJoin(F.broadcast(t))
-        .select(
-            F.round(
-                (F.col("n").cast("double") - exp)
-                * (F.col("n").cast("double") - exp)
-                / exp,
-                6,
-            ).alias("term")
-        )
+    terms = cell.crossJoin(F.broadcast(t)).select(
+        F.round(
+            (F.col("n").cast("double") - exp)
+            * (F.col("n").cast("double") - exp)
+            / exp,
+            6,
+        ).alias("term")
     )
     agg = terms.agg(
         F.round(F.sum(F.col("term").cast(DEC)), 6)
         .cast("double")
         .alias("chi2")
     )
-    dims = cell.agg(
+    dims = obs.agg(
         F.count_distinct("x").cast("long").alias("r"),
         F.count_distinct("y").cast("long").alias("c"),
     )
