@@ -11,7 +11,10 @@ to double for stable hashing. SQL equivalent:
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from decimal import ROUND_HALF_UP, Decimal
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DEC = "decimal(28,6)"
@@ -44,4 +47,47 @@ def sql_davg(expr: str, alias: str) -> str:
     return (
         f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE)"
         f" / COUNT({expr}), 6)::DOUBLE AS {alias}"
+    )
+
+
+def _half_up(v: float, decimals: int) -> float:
+    # HALF_UP, matching SQL ROUND / F.round everywhere else. Python's
+    # builtin round() is banker's rounding: a .5-tie cut value would
+    # silently shift a band boundary between engines.
+    q = Decimal(1).scaleb(-decimals)
+    return float(Decimal(repr(v)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def literal_row(
+    spark: SparkSession, values: Mapping[str, float], decimals: int = 6
+) -> DataFrame:
+    """One-row literal DataFrame of named double cut values, each
+    rounded HALF_UP at ``decimals`` dp.
+
+    The pattern: a small frame of percentile cuts (or any provably-
+    one-row statistic) consumed by several downstream operators should
+    be collected once and re-created as a LITERAL frame, so the
+    consumer plan carries a handful of doubles instead of re-executing
+    the producing operator's join tree per consumer (q236's plan went
+    37 -> 5 Exchanges this way).
+    """
+    names = list(values)
+    return spark.createDataFrame(
+        [tuple(_half_up(values[n], decimals) for n in names)],
+        ", ".join(f"{n} double" for n in names),
+    )
+
+
+def collect_literal_row(df: DataFrame, decimals: int = 6) -> DataFrame:
+    """Collect a provably-one-row frame of doubles and re-create it as
+    a literal one-row frame (see :func:`literal_row`). The collect is
+    bounded by construction: callers pass aggregate/cut frames whose
+    row count is exactly 1."""
+    rows = df.collect()
+    if len(rows) != 1:
+        raise ValueError(
+            f"collect_literal_row expects exactly 1 row, got {len(rows)}"
+        )
+    return literal_row(
+        df.sparkSession, rows[0].asDict(), decimals=decimals
     )

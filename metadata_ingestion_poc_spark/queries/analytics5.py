@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from . import query
 from ..catalog import load_table
-from ._util import DEC
+from ._util import DEC, collect_literal_row
 
 # ---------------------------------------------------------------------------
 # q214 — RAG chunking: split every document into overlapping
@@ -869,15 +869,16 @@ def q226_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("bad"),
     )
-    cuts = exact_percentiles(
-        li.withColumn("__g", F.lit(1)),
-        ["__g"],
-        "l_extendedprice",
-        {"p25": 0.25, "p50": 0.5, "p75": 0.75},
-    ).select(
-        F.round("p25", 6).alias("p25"),
-        F.round("p50", 6).alias("p50"),
-        F.round("p75", 6).alias("p75"),
+    # Collected to a 1-row literal (HALF_UP 6-dp via the audited
+    # helper) so the binning plan carries 3 doubles instead of the
+    # iterative-descent operator's join tree.
+    cuts = collect_literal_row(
+        exact_percentiles(
+            li.withColumn("__g", F.lit(1)),
+            ["__g"],
+            "l_extendedprice",
+            {"p25": 0.25, "p50": 0.5, "p75": 0.75},
+        ).select("p25", "p50", "p75")
     )
     g = (
         li.crossJoin(F.broadcast(cuts))

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from . import query
 from ..catalog import load_table
-from ._util import DEC
+from ._util import DEC, collect_literal_row, literal_row
 
 # ---------------------------------------------------------------------------
 # q229 — population stability index (PSI) of the order-price
@@ -744,32 +744,13 @@ def q236_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # R / F are bounded-distinct integers: ONE fused histogram job
     # computes both quintile sets (driver interpolation over the
     # collected histogram — bounded by the day range / order-count
-    # cap, not the customer count). The cut frames are 1-row literals,
-    # so the scoring plan carries 8 doubles, not an operator join tree.
+    # cap, not the customer count). The cut frames are 1-row literals
+    # (HALF_UP 6-dp via the audited helper), so the scoring plan
+    # carries 8 doubles, not an operator join tree.
     rf = exact_percentiles_bounded(cust, ["r", "f"], quints)
 
-    def lit_cuts(cuts: dict[str, float]) -> DataFrame:
-        # HALF_UP at 6 dp, matching SQL ROUND / F.round everywhere
-        # else in the file (Python round() is banker's — a 6-dp-tie
-        # cut would shift a quintile boundary between engines)
-        from decimal import ROUND_HALF_UP, Decimal
-
-        return spark_.createDataFrame(
-            [
-                tuple(
-                    float(
-                        Decimal(repr(cuts[c])).quantize(
-                            Decimal("0.000001"), rounding=ROUND_HALF_UP
-                        )
-                    )
-                    for c in quints
-                )
-            ],
-            ", ".join(f"{c} double" for c in quints),
-        )
-
-    r_cuts = lit_cuts(rf["r"])
-    f_cuts = lit_cuts(rf["f"])
+    r_cuts = literal_row(spark_, {c: rf["r"][c] for c in quints})
+    f_cuts = literal_row(spark_, {c: rf["f"][c] for c in quints})
     # M: near-unique doubles -> continuous distributed-sort path
     # (already a literal 1-row frame)
     m_cuts = exact_percentiles_continuous(
