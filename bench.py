@@ -8,7 +8,9 @@ driver-side collection (collect() would measure Py4J serialization, not
 the engine).
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default 32).
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_BENCH_OUT or argv[1] (detail-file path, default
+     ./BENCH_DETAIL.json — pass a scratch path for independent reruns).
 """
 
 from __future__ import annotations
@@ -98,8 +100,18 @@ def main() -> None:
     # Full names + 3dp timings go to BENCH_DETAIL.json; the stdout line
     # must stay well under a 4 KB capture window, so it uses the short
     # qNN prefix as the key, 2dp values, and compact separators.
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    # SPARK_GRAFT_BENCH_OUT (or argv[1]) redirects the detail file so
+    # independent reruns don't dirty the committed copy.
+    detail_path = (
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else os.environ.get(
+            "SPARK_GRAFT_BENCH_OUT",
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_DETAIL.json",
+            ),
+        )
     )
     detail = {
         "metric": "total_query_wall_sec",

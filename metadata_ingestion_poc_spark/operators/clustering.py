@@ -1,0 +1,184 @@
+"""Distributed k-means (Lloyd's algorithm) over an embedding column.
+
+The classic LLM-curation clustering primitive (topic bucketing,
+SemDeDup-style cluster-then-collapse, mixture balancing). Built
+Spark-first for the 100-TB shape:
+
+- **Assignment is pure codegen, zero shuffle.** The k centroids are
+  tiny by definition (k·d doubles), so each iteration bakes them into
+  the plan as SQL array literals — one ``array(named_struct(d2, cid))``
+  argmin expression per row, no join, no explode, no Python. (A
+  centroid JOIN would broadcast anyway; the literal form also keeps
+  every iteration's plan flat — see lineage note below.)
+- **The update step is ONE narrow exchange per iteration.** ``groupBy
+  (cluster) . agg(d per-dim decimal sums + count)`` has k groups, so
+  map-side partial aggregation reduces each of the N input partitions
+  to ≤ k·(d+1) values before the shuffle; the exchange carries
+  kilobytes at any data scale.
+- **No lineage growth.** Each round collects the k·(d+1) update row
+  (bounded by construction — k rows) and re-creates the next
+  centroids as literals, so iteration t+1's plan reads the
+  checkpointed input + literals; it never references iteration t's
+  plan. This is strictly stronger than the per-round localCheckpoint
+  discipline the iterative graph operators use (graph.py:234) —
+  there is nothing to truncate.
+- The projected (id, vector) input is localCheckpointed once so the
+  T iterations scan a compact columnar copy instead of re-running the
+  upstream plan T times. At cluster scale, callers with hot storage
+  can pass ``cache=False`` and let the scans hit the source.
+
+Cross-engine determinism (the DuckDB-oracle contract used by
+q242/q247):
+
+- Every per-dimension squared difference is rounded at 6 dp and
+  summed in DECIMAL(28,6) — decimal addition is associative, so the
+  distance is the identical exact value on any engine and any
+  partitioning (functions/determinism.py discipline).
+- Assignment ties (equal rounded distance) break on the lower
+  cluster id via struct-ordered ``array_min``; seed selection orders
+  by a deterministic integer hash with the id as tiebreak. Both are
+  total orders, so the trajectory is engine-independent.
+- New centroid coordinates are ``HALF_UP(round(sum/count, 6))``
+  (Python ``round()`` is banker's — literal_row's audited rounding),
+  matching SQL ``ROUND(CAST(SUM(decimal) AS DOUBLE)/COUNT, 6)``.
+- A cluster that loses every member simply drops out (k shrinks);
+  both engines' group-by semantics agree on this contract.
+
+Reference parity: the reference engine (a 249-LoC ingestion POC) has
+no clustering surface; this operator is part of the [EXT] analytics
+surface SURVEY.md §2 scopes for training-data curation.
+"""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.determinism import DEC
+
+_HASH_MULT = 2654435761  # Knuth multiplicative hash (public constant)
+_HASH_MOD = 2147483647
+
+
+def _half_up6(v: float) -> float:
+    return float(
+        Decimal(repr(v)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+
+
+def _dist_sql(vec_expr: str, centroid: Sequence[float]) -> str:
+    """Exact-decimal squared distance between a vector column and a
+    literal centroid: each term rounded at 6 dp, decimal-summed in
+    array order (associative, so order is irrelevant to the value).
+
+    One ``array(...)`` SQL literal per centroid — NOT ``F.lit(list)``,
+    which creates one py4j Column per element (a known seconds-of-
+    driver-time trap at thousands of elements)."""
+    arr = ", ".join(repr(float(x)) + "D" for x in centroid)
+    return (
+        f"aggregate(zip_with({vec_expr}, array({arr}), "
+        f"(x, y) -> round((cast(x as double) - y) * (cast(x as double) - y), 6)), "
+        f"cast(0 as decimal(28,6)), "
+        f"(acc, v) -> cast(acc + cast(v as decimal(28,6)) as decimal(28,6)))"
+    )
+
+
+def _assign_expr(
+    vec_col: str, centroids: Mapping[int, Sequence[float]]
+) -> str:
+    """argmin_{cid} dist²(vec, centroid_cid) as a struct (d2, cid):
+    struct comparison orders by d2 first, then cid — a total order,
+    so ties break deterministically on the lower cluster id."""
+    entries = ", ".join(
+        f"named_struct('d2', {_dist_sql(vec_col, c)}, 'cid', {cid})"
+        for cid, c in sorted(centroids.items())
+    )
+    return f"array_min(array({entries}))"
+
+
+def seed_centroids(
+    df: DataFrame, id_col: str, vec_col: str, k: int
+) -> dict[int, list[float]]:
+    """Deterministic spread seeds: the k rows with the smallest
+    multiplicative-hash of the id (id as tiebreak), numbered 1..k in
+    that order. Bounded collect: exactly k rows."""
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(
+            (F.col(id_col) * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD),
+            F.col(id_col),
+        )
+        .limit(k)
+        .collect()
+    )
+    return {
+        i + 1: [float(x) for x in r[vec_col]] for i, r in enumerate(rows)
+    }
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iterations: int,
+    cache: bool = True,
+) -> tuple[DataFrame, dict[int, list[float]]]:
+    """Run ``iterations`` Lloyd update rounds from the deterministic
+    seeds, then assign every row to its final centroid.
+
+    Returns ``(assigned, centroids)`` where ``assigned`` is the input
+    frame plus ``cluster_id`` (int) and ``d2`` (DECIMAL(28,6) exact
+    squared distance to the assigned centroid), and ``centroids`` maps
+    cluster id -> list of 6-dp double coordinates after the last
+    update. Clusters that lose all members drop out of both.
+    """
+    dims_row = df.select(F.size(vec_col).alias("d")).first()
+    if dims_row is None:
+        raise ValueError("kmeans_lloyd: empty input")
+    dims = dims_row["d"]
+
+    base = df.select(id_col, vec_col)
+    if cache:
+        base = base.localCheckpoint(eager=True)
+
+    centroids = seed_centroids(base, id_col, vec_col, k)
+
+    for _ in range(iterations):
+        choice = _assign_expr(vec_col, centroids)
+        # ONE exchange: k groups, map-side combine; d decimal sums +
+        # a count per group. The k-row collect is bounded by k.
+        upd = (
+            base.select(F.expr(choice).getField("cid").alias("__cid"), vec_col)
+            .groupBy("__cid")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[
+                    F.sum(
+                        F.element_at(F.col(vec_col), i)
+                        .cast("double")
+                        .cast(DEC)
+                    ).alias(f"__s{i}")
+                    for i in range(1, dims + 1)
+                ],
+            )
+            .collect()
+        )
+        centroids = {
+            r["__cid"]: [
+                _half_up6(float(r[f"__s{i}"]) / r["__n"])
+                for i in range(1, dims + 1)
+            ]
+            for r in upd
+        }
+
+    choice = _assign_expr(vec_col, centroids)
+    assigned = df.withColumn("__choice", F.expr(choice)).select(
+        "*",
+        F.col("__choice").getField("cid").alias("cluster_id"),
+        F.col("__choice").getField("d2").alias("d2"),
+    ).drop("__choice")
+    return assigned, centroids

@@ -85,6 +85,7 @@ def _load_all() -> None:
         analytics5,
         geo_queries,
         analytics6,
+        analytics7,
         llm_ops5,
         # -- embedding similarity + near-dup (most expensive) --
         llm_ops2,
