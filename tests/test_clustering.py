@@ -1,0 +1,109 @@
+"""Unit gates for operators/clustering.py (distributed Lloyd's).
+
+The oracle sweep (q242) proves trajectory equality vs DuckDB; these
+pin the operator-level contracts that a green hash can't isolate:
+recovery of planted clusters, partitioning-invariance of the decimal
+discipline, the deterministic tie rule, the empty-cluster drop
+contract, and inertia monotonicity."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from metadata_ingestion_poc_spark.operators.clustering import (
+    _assign_expr,
+    kmeans_lloyd,
+    seed_centroids,
+)
+
+
+def _planted(spark, per=30, sep=10.0):
+    """3 well-separated 4-d blobs; ids interleave the blobs so seed
+    hashing can't accidentally align with blob order."""
+    rows = []
+    for i in range(per * 3):
+        blob = i % 3
+        jit = ((i * 37) % 11 - 5) / 50.0  # +/-0.1 deterministic jitter
+        base = blob * sep
+        rows.append((i, [base + jit, base - jit, base + 2 * jit, base]))
+    return spark.createDataFrame(rows, "id long, vec array<double>")
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    df = _planted(spark)
+    assigned, cents = kmeans_lloyd(df, "id", "vec", k=3, iterations=3)
+    rows = assigned.select("id", "cluster_id").collect()
+    by_blob: dict[int, set[int]] = {}
+    for r in rows:
+        by_blob.setdefault(r["id"] % 3, set()).add(r["cluster_id"])
+    # each planted blob maps to exactly one cluster, all distinct
+    assert all(len(s) == 1 for s in by_blob.values())
+    assert len({s.pop() for s in by_blob.values()}) == 3
+    assert len(cents) == 3
+    # converged centroids sit near the blob centers
+    firsts = sorted(c[0] for c in cents.values())
+    assert firsts == pytest.approx([0.0, 10.0, 20.0], abs=0.2)
+
+
+def test_kmeans_invariant_under_repartitioning(spark):
+    """The decimal distance/update discipline makes the trajectory a
+    pure function of the data — any partition layout must produce
+    bit-identical centroids and assignments."""
+    df = _planted(spark, per=20)
+    a1, c1 = kmeans_lloyd(df.repartition(1), "id", "vec", 3, 2)
+    a2, c2 = kmeans_lloyd(df.repartition(17, "id"), "id", "vec", 3, 2)
+    assert c1 == c2
+    m1 = {r["id"]: (r["cluster_id"], str(r["d2"])) for r in a1.collect()}
+    m2 = {r["id"]: (r["cluster_id"], str(r["d2"])) for r in a2.collect()}
+    assert m1 == m2
+
+
+def test_kmeans_cache_false_same_result(spark):
+    df = _planted(spark, per=10)
+    _, c1 = kmeans_lloyd(df, "id", "vec", 3, 2, cache=True)
+    _, c2 = kmeans_lloyd(df, "id", "vec", 3, 2, cache=False)
+    assert c1 == c2
+
+
+def test_assignment_tie_breaks_on_lower_cid(spark):
+    """A point exactly equidistant from two centroids must go to the
+    lower cluster id (the struct-ordered array_min contract)."""
+    df = spark.createDataFrame([([1.0, 0.0],)], "vec array<double>")
+    choice = df.select(
+        F.expr(
+            _assign_expr("vec", {2: [0.0, 0.0], 5: [2.0, 0.0]})
+        ).alias("c")
+    ).first()["c"]
+    assert choice["cid"] == 2
+    assert str(choice["d2"]) == "1.000000"
+
+
+def test_kmeans_empty_cluster_drops(spark):
+    """Duplicate seed vectors collapse: every point ties to the lower
+    cid, the higher-cid twin gets no members and drops from both the
+    centroid dict and the assignment."""
+    rows = [(i, [float(i % 2) * 8.0, 0.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    seeds = seed_centroids(df, "id", "vec", 4)
+    assert len(seeds) == 4  # 4 seeds but only 2 distinct vectors
+    assigned, cents = kmeans_lloyd(df, "id", "vec", k=4, iterations=2)
+    assert len(cents) == 2
+    got_cids = {r["cluster_id"] for r in assigned.collect()}
+    assert got_cids == set(cents)
+
+
+def test_kmeans_inertia_nonincreasing(spark):
+    """Lloyd's inertia is non-increasing in exact arithmetic; the 6-dp
+    term rounding perturbs it by at most n*d*5e-7 — assert within
+    that bound across 1 vs 3 update rounds."""
+    df = _planted(spark, per=25, sep=3.0)
+
+    def inertia(iters):
+        a, _ = kmeans_lloyd(df, "id", "vec", 3, iters)
+        return float(
+            a.agg(F.sum("d2").cast("double").alias("s")).first()["s"]
+        )
+
+    i1, i3 = inertia(1), inertia(3)
+    assert i3 <= i1 + 75 * 4 * 5e-7

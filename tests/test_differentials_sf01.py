@@ -227,3 +227,175 @@ def test_radius_join_sf01_high_latitude_antimeridian_differential(spark):
     assert n_wrap > 0, "no cross-antimeridian pairs — fixture too tame"
     assert set(got) == want
     assert len(got) == len(want), "duplicated pairs"
+
+
+def test_kmeans_sf01_matches_unrolled_oracle(spark):
+    """VERDICT r8 #2: the k-means trajectory at sf0.1 (2,000 vectors,
+    4x the swept scale) must replay exactly in the unrolled
+    MATERIALIZED-CTE oracle — the scale where a nondeterministic
+    seed order, a banker's-rounded centroid update, or a dropped
+    empty cluster would diverge while 500 rows happen to agree."""
+    import duckdb
+
+    from metadata_ingestion_poc_spark.queries.analytics7 import (
+        _KM_DIMS,
+        _KM_ITERS,
+        _KM_K,
+        _kmeans_oracle,
+    )
+
+    sdf = QUERIES["q242_kmeans_clusters"](spark, SF01)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF01}/embeddings.parquet')"
+    )
+    res = con.execute(_kmeans_oracle(_KM_K, _KM_ITERS, _KM_DIMS))
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert len(srows) == len(drows) and 1 < len(srows) <= _KM_K
+    assert sorted(scols) == sorted(dcols)
+    # the clustering must be non-degenerate: >1 cluster got members
+    sizes = sorted(r[1] for r in srows)
+    assert sizes[-1] < sum(sizes)
+    assert table_hash(scols, srows) == table_hash(dcols, drows)
+
+
+def test_radius_join_sf01_polar_fine_grid_differential(spark):
+    """VERDICT r8 #7: pins the round-8 polar full-ring rule at sf0.1
+    with a FINE grid (bits=11, 0.088-deg cells) and a sub-35 km
+    radius — the exact regime where the pre-fix code missed
+    cross-pole pairs (cells at lon 0 vs lon 180 are metres apart
+    through the pole but maximally distant in cell space). Banding
+    must equal the in-engine brute-force cross join exactly."""
+    import pyspark.sql.functions as F
+
+    from metadata_ingestion_poc_spark.catalog import load_table
+    from metadata_ingestion_poc_spark.operators.geo import (
+        haversine_km,
+        radius_join,
+    )
+
+    radius = 30.0
+    qs = (
+        load_table(spark, SF01, "customer")
+        .filter(F.col("c_custkey") % 20 == 0)
+        .select(
+            "c_custkey",
+            F.expr("89.0 + (c_custkey * 7919 % 100) / 100.0").alias("q_lat"),
+            F.expr("(c_custkey * 9973 % 36000) / 100.0 - 180.0").alias(
+                "q_lon"
+            ),
+        )
+    )  # 750 probes in [89, 90) — every disc near/over the pole
+    ps = load_table(spark, SF01, "supplier").select(
+        "s_suppkey",
+        F.expr("89.0 + (s_suppkey * 6151 % 100) / 100.0").alias("p_lat"),
+        F.expr("(s_suppkey * 104729 % 36000) / 100.0 - 180.0").alias("p_lon"),
+    )
+    got = [
+        (r["c_custkey"], r["s_suppkey"], r["distance_km"])
+        for r in radius_join(qs, ps, radius, bits=11).collect()
+    ]
+    dist = F.round(
+        haversine_km(
+            F.col("q_lat"), F.col("q_lon"), F.col("p_lat"), F.col("p_lon")
+        ),
+        6,
+    )
+    want = {
+        (r["c_custkey"], r["s_suppkey"], r["d"])
+        for r in qs.crossJoin(ps)
+        .withColumn("d", dist)
+        .filter(F.col("d") <= radius)
+        .collect()
+    }
+    assert len(want) > 50
+    # the fixture must exercise the cross-pole path: matched pairs
+    # whose longitudes differ by 90..270 deg meet only through the
+    # polar cap, not along a same-cell band
+    q_pos = {r["c_custkey"]: r["q_lon"] for r in qs.collect()}
+    p_pos = {r["s_suppkey"]: r["p_lon"] for r in ps.collect()}
+    n_polar = sum(
+        1
+        for (a, b, _) in want
+        if 90.0 < abs(q_pos[a] - p_pos[b]) < 270.0
+    )
+    assert n_polar > 0, "no cross-pole pairs — fixture too tame"
+    assert set(got) == want
+    assert len(got) == len(want), "duplicated pairs"
+
+
+def test_geo_knn_sf01_rank_contiguity_under_rmax(spark):
+    """VERDICT r8 #7: q231's contract is 'the k nearest WITHIN R_max'
+    — under truncation the returned set must still be a PREFIX of the
+    true distance ranking (ranks 1..min(k, m) with no gaps), which a
+    candidate-generation miss would silently break while the swept
+    row-hash at sf0.01 stays green. Brute-force in-engine at sf0.1."""
+    import pyspark.sql.functions as F
+
+    from metadata_ingestion_poc_spark.catalog import load_table
+    from metadata_ingestion_poc_spark.operators.geo import haversine_km
+    from metadata_ingestion_poc_spark.queries.analytics6 import (
+        _KNN_K,
+        _KNN_RADIUS_KM,
+    )
+    from metadata_ingestion_poc_spark.queries.geo_queries import (
+        _CUST_LAT,
+        _CUST_LON,
+        _sup_points,
+    )
+
+    got = {}
+    for r in QUERIES["q231_geo_knn"](spark, SF01).collect():
+        got.setdefault(r["c_custkey"], []).append(
+            (r["nn_rank"], r["s_suppkey"], r["distance_km"])
+        )
+
+    qs = (
+        load_table(spark, SF01, "customer")
+        .filter(F.col("c_custkey") % 20 == 0)
+        .select(
+            "c_custkey",
+            F.expr(_CUST_LAT).alias("q_lat"),
+            F.expr(_CUST_LON).alias("q_lon"),
+        )
+    )
+    ps = _sup_points(spark, SF01)
+    dist = F.round(
+        haversine_km(
+            F.col("q_lat"), F.col("q_lon"), F.col("p_lat"), F.col("p_lon")
+        ),
+        6,
+    )
+    truth = {}
+    for r in (
+        qs.crossJoin(ps)
+        .withColumn("d", dist)
+        .filter(F.col("d") <= _KNN_RADIUS_KM)
+        .collect()
+    ):
+        truth.setdefault(r["c_custkey"], []).append(
+            (r["d"], r["s_suppkey"])
+        )
+
+    # every probe with in-radius neighbors must appear with EXACTLY
+    # the first min(k, m) of the (distance, suppkey) total order,
+    # ranked 1..n contiguously
+    assert set(got) == {q for q, v in truth.items() if v}
+    n_truncated = 0
+    for q, neigh in truth.items():
+        if not neigh:
+            continue
+        neigh.sort()
+        expect = [
+            (i + 1, sk, d)
+            for i, (d, sk) in enumerate(neigh[:_KNN_K])
+        ]
+        if len(neigh) > _KNN_K:
+            n_truncated += 1
+        assert sorted(got[q]) == expect, q
+    assert n_truncated > 0, "R_max never truncated — fixture too tame"
