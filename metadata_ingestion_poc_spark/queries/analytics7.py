@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from . import query
 from ..catalog import load_table
-from ..functions.determinism import _half_up
+from ..functions.determinism import DEC, _half_up
 
 # ---------------------------------------------------------------------------
 # q242 — k-means clustering of the embeddings table (Lloyd's, k=8,
@@ -154,4 +154,225 @@ def q242_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(norms), "cluster_id")
         .select("cluster_id", "n_members", "inertia", "centroid_norm")
         .orderBy("cluster_id")
+    )
+
+# ---------------------------------------------------------------------------
+# q243 — deterministic stratified sampling of the documents corpus:
+# per-source proportional allocation (quota = floor(n_s / 5), a 20%
+# rate via exact integer division — float rates hit representation
+# boundaries), members chosen as the quota lowest multiplicative-hash
+# doc ids within each stratum. The hash makes the sample a pure
+# function of the id — repartition-invariant and replayable, the
+# property a training-data pipeline needs for reproducible subsets.
+# Scale: ONE exchange by source + a per-stratum rank window (sort is
+# within-stratum, never global).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q243_stratified_sample",
+    oracle=f"""
+    WITH r AS (
+        SELECT source, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY (doc_id * {_KM_HASH_MULT}) % {_KM_HASH_MOD},
+                            doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n_total
+        FROM documents)
+    SELECT source, MAX(n_total)::BIGINT AS n_total,
+           (MAX(n_total) // 5)::BIGINT AS n_sampled,
+           SUM(CASE WHEN rn <= n_total // 5 THEN n_chars
+                    ELSE 0 END)::BIGINT AS sampled_chars
+    FROM r GROUP BY source ORDER BY source
+    """,
+)
+def q243_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    by_src = Window.partitionBy("source")
+    rank_w = by_src.orderBy(
+        (F.col("doc_id") * F.lit(_KM_HASH_MULT)) % F.lit(_KM_HASH_MOD),
+        "doc_id",
+    )
+    r = d.select(
+        "source",
+        "n_chars",
+        F.row_number().over(rank_w).alias("rn"),
+        F.count(F.lit(1)).over(by_src).alias("n_total"),
+    )
+    return (
+        r.groupBy("source")
+        .agg(
+            F.max("n_total").cast("long").alias("n_total"),
+            F.expr("max(n_total) div 5").cast("long").alias("n_sampled"),
+            F.sum(
+                F.when(
+                    F.col("rn") <= F.expr("n_total div 5"), F.col("n_chars")
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("sampled_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q244 — synchronous label propagation (2 rounds) on the co-purchase
+# part graph: every node starts as its own community, then adopts the
+# most frequent neighbor label (ties -> smallest label) each round —
+# the cheap community-detection companion to connected components
+# (which merges everything touching) and k-core (which peels). Pure
+# integer trajectory, so the unrolled MATERIALIZED-CTE oracle is
+# bit-exact. Scale shape: per round ONE join of the edge list against
+# the node-sized label frame + one (node, label) rollup + a
+# per-node rank window; labels localCheckpoint per round (the k-core
+# lineage discipline, operators/graph.py:234); rounds bounded by
+# construction.
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 2
+
+
+def _lpa_oracle(rounds: int) -> str:
+    sql = """
+    WITH li AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+    e AS MATERIALIZED (
+        SELECT DISTINCT a.p AS a, b.p AS b
+        FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+    sym AS MATERIALIZED (
+        SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+    l0 AS MATERIALIZED (
+        SELECT DISTINCT a AS node, a AS lbl FROM sym)"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+    v{r} AS MATERIALIZED (
+        SELECT s.a AS node, l.lbl, COUNT(*)::BIGINT AS c
+        FROM sym s JOIN l{r - 1} l ON l.node = s.b
+        GROUP BY s.a, l.lbl),
+    l{r} AS MATERIALIZED (
+        SELECT node, lbl FROM (
+            SELECT node, lbl,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY c DESC, lbl) AS rn
+            FROM v{r}) WHERE rn = 1)"""
+    return (
+        sql
+        + f"""
+    SELECT lbl::BIGINT AS community, COUNT(*)::BIGINT AS n_members
+    FROM l{rounds} GROUP BY lbl ORDER BY community"""
+    )
+
+
+@query("q244_label_propagation", oracle=_lpa_oracle(_LPA_ROUNDS))
+def q244_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = li.alias("x"), li.alias("y")
+    e = (
+        a.join(b, (F.col("x.ok") == F.col("y.ok")) & (F.col("x.p") < F.col("y.p")))
+        .select(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+        .distinct()
+    )
+    sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.localCheckpoint(eager=False)  # reused every round
+    labels = (
+        sym.select("a").distinct().select(F.col("a").alias("node"))
+        .withColumn("lbl", F.col("node"))
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lbl"))
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            sym.join(labels, labels["node"] == sym["b"])
+            .groupBy(sym["a"].alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint(eager=False)  # cut per-round lineage
+        )
+    return (
+        labels.groupBy(F.col("lbl").cast("long").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .orderBy("community")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q245 — temperature-scaled mixture weights per source (alpha = 0.5):
+# the standard multinomial-sampling reweighting for training-data
+# mixtures — w_s proportional to p_s^alpha flattens the source
+# distribution, and boost = w_s / p_s is the per-source up/down-
+# sampling factor. alpha = 0.5 is computed as sqrt (IEEE correctly
+# rounded on both engines; pow() is not). One 20-group aggregate +
+# broadcast totals; every share is one double division of exact
+# BIGINTs; sqrt terms rounded at 6 before the exact decimal
+# normalizer sum.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q245_mixture_temperature_weights",
+    oracle="""
+    WITH s AS (SELECT source, COUNT(*)::BIGINT AS n
+               FROM documents GROUP BY source),
+    t AS (SELECT SUM(n)::BIGINT AS nt FROM s),
+    w AS (SELECT source, n, ROUND(n::DOUBLE / nt, 6) AS p,
+                 ROUND(sqrt(n::DOUBLE / nt), 6) AS w_raw
+          FROM s, t),
+    z AS (SELECT ROUND(SUM(CAST(w_raw AS DECIMAL(28,6))), 6)::DOUBLE
+                   AS wsum
+          FROM w)
+    SELECT source, n AS n_docs, p,
+           ROUND(w_raw / wsum, 6) AS weight,
+           ROUND(ROUND(w_raw / wsum, 6) / p, 6) AS boost
+    FROM w, z ORDER BY source
+    """,
+)
+def q245_mixture_temperature_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    s = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    s = s.localCheckpoint(eager=False)  # feeds totals + select
+    t = s.agg(F.sum("n").cast("long").alias("nt"))
+    share = F.col("n").cast("double") / F.col("nt")
+    w = s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n",
+        F.round(share, 6).alias("p"),
+        F.round(F.sqrt(share), 6).alias("w_raw"),
+    )
+    w = w.localCheckpoint(eager=False)  # feeds normalizer + select
+    z = w.agg(
+        F.round(F.sum(F.col("w_raw").cast(DEC)), 6)
+        .cast("double")
+        .alias("wsum")
+    )
+    weight = F.round(F.col("w_raw") / F.col("wsum"), 6)
+    return (
+        w.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            "p",
+            weight.alias("weight"),
+            F.round(weight / F.col("p"), 6).alias("boost"),
+        )
+        .orderBy("source")
     )
