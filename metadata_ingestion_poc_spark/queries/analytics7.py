@@ -376,3 +376,93 @@ def q245_mixture_temperature_weights(
         )
         .orderBy("source")
     )
+
+# ---------------------------------------------------------------------------
+# q246 — top principal component of the embedding covariance via
+# power iteration (3 rounds): the "all-but-the-top" whitening /
+# dominant-direction diagnostic for embedding corpora. Distributed
+# work is exactly two bounded-output passes (operators/pca.py): a
+# d-group means rollup and ONE d(d+1)/2-group centered-product rollup
+# expanded per-row by nested codegen transforms (no self-join — the
+# exchange is bounded by d², not rows). The iteration itself runs on
+# the collected d×d sketch, constant-size at any corpus scale, and
+# replays in the oracle as unrolled MATERIALIZED matrix-vector CTEs
+# under the round-terms-then-exact-decimal-sum discipline. v0 =
+# 1/sqrt(64) = 0.125 exactly; sqrt is IEEE correctly rounded on both
+# engines.
+# ---------------------------------------------------------------------------
+
+_PCA_ITERS = 3
+
+
+def _pca_oracle(dims: int, iters: int) -> str:
+    sql = f"""
+    WITH edims AS MATERIALIZED (
+        SELECT vec_id AS id, t.i::INT AS dim, embedding[t.i]::DOUBLE AS v
+        FROM embeddings, range(1, {dims + 1}) AS t(i)),
+    nn AS (SELECT COUNT(*)::BIGINT AS n FROM embeddings),
+    m AS MATERIALIZED (
+        SELECT dim,
+               ROUND(CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE)
+                     / (SELECT n FROM nn), 6) AS mu
+        FROM edims GROUP BY dim),
+    cov AS MATERIALIZED (
+        SELECT a.dim AS i, b.dim AS j,
+               ROUND(CAST(SUM(CAST(ROUND((a.v - ma.mu) * (b.v - mb.mu), 6)
+                                   AS DECIMAL(28,6))) AS DOUBLE)
+                     / ((SELECT n FROM nn) - 1), 6) AS c
+        FROM edims a
+        JOIN edims b ON b.id = a.id AND b.dim >= a.dim
+        JOIN m ma ON ma.dim = a.dim
+        JOIN m mb ON mb.dim = b.dim
+        GROUP BY a.dim, b.dim),
+    sym AS MATERIALIZED (
+        SELECT i, j, c FROM cov
+        UNION ALL SELECT j AS i, i AS j, c FROM cov WHERE i < j),
+    v0 AS MATERIALIZED (SELECT dim, 0.125::DOUBLE AS x FROM m)"""
+    for r in range(1, iters + 1):
+        sql += f""",
+    u{r} AS MATERIALIZED (
+        -- c and x are 6-dp decimals, so c*x is EXACTLY a 12-dp
+        -- decimal: the 12-dp cast recovers it with no rounding
+        -- boundary (a 6-dp ROUND here is the q188 tie trap — v0 =
+        -- 0.125 puts 1/8 of the products on exact 5e-7 boundaries)
+        SELECT s.i AS dim,
+               CAST(SUM(CAST(s.c * p.x AS DECIMAL(38,12)))
+                    AS DOUBLE) AS u
+        FROM sym s JOIN v{r - 1} p ON p.dim = s.j
+        GROUP BY s.i),
+    nrm{r} AS (
+        SELECT sqrt(CAST(SUM(CAST(ROUND(u * u, 6) AS DECIMAL(28,6)))
+                         AS DOUBLE)) AS nr
+        FROM u{r}),
+    v{r} AS MATERIALIZED (
+        SELECT dim, ROUND(u / (SELECT nr FROM nrm{r}), 6) AS x
+        FROM u{r})"""
+    return (
+        sql
+        + f"""
+    SELECT v.dim::INT AS dim, v.x AS loading,
+           ROUND((SELECT nr FROM nrm{iters}), 6) AS eigenvalue
+    FROM v{iters} v ORDER BY dim"""
+    )
+
+
+@query(
+    "q246_pca_top_component",
+    oracle=_pca_oracle(_KM_DIMS, _PCA_ITERS),
+)
+def q246_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pca import pca_top_component
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    loadings, eig = pca_top_component(
+        emb, "embedding", dims=_KM_DIMS, iterations=_PCA_ITERS
+    )
+    # The result is the bounded d-row sketch itself — d is constant at
+    # any corpus scale, so a literal frame is the correct shape (the
+    # q236 cut-literal rule, applied to a whole eigenvector).
+    return spark.createDataFrame(
+        [(i + 1, loadings[i], eig) for i in range(_KM_DIMS)],
+        "dim int, loading double, eigenvalue double",
+    )
