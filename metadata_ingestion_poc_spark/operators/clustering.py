@@ -99,6 +99,19 @@ def _assign_expr(
     return f"array_min(array({entries}))"
 
 
+def nearest_two_expr(
+    vec_col: str, centroids: Mapping[int, Sequence[float]]
+) -> str:
+    """Sorted array of (d2, cid) structs over all centroids — element 1
+    is the assigned centroid, element 2 the runner-up (silhouette's
+    `b`). Same total order as the argmin: (exact decimal d2, cid)."""
+    entries = ", ".join(
+        f"named_struct('d2', {_dist_sql(vec_col, c)}, 'cid', {cid})"
+        for cid, c in sorted(centroids.items())
+    )
+    return f"array_sort(array({entries}))"
+
+
 def seed_centroids(
     df: DataFrame, id_col: str, vec_col: str, k: int
 ) -> dict[int, list[float]]:

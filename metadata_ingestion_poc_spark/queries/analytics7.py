@@ -43,7 +43,10 @@ _KM_HASH_MULT = 2654435761
 _KM_HASH_MOD = 2147483647
 
 
-def _kmeans_oracle(k: int, iters: int, dims: int) -> str:
+def _kmeans_prefix(k: int, iters: int, dims: int) -> str:
+    """Shared unrolled Lloyd's replay through the final per-(point,
+    centroid) distance frame ``dfin`` (q242 appends the cluster
+    summary tail; q247 the silhouette tail)."""
     sql = f"""
     WITH edims AS MATERIALIZED (
         SELECT vec_id AS id, t.i::INT AS dim, embedding[t.i]::DOUBLE AS v
@@ -89,6 +92,14 @@ def _kmeans_oracle(k: int, iters: int, dims: int) -> str:
                         AS DECIMAL(28,6))) AS d2
         FROM edims e JOIN {prev} c USING (dim)
         GROUP BY e.id, c.cid),
+    cfin AS MATERIALIZED (SELECT * FROM {prev})"""
+    )
+
+
+def _kmeans_oracle(k: int, iters: int, dims: int) -> str:
+    return (
+        _kmeans_prefix(k, iters, dims)
+        + """,
     afin AS MATERIALIZED (
         SELECT id, cid, d2 FROM (
             SELECT id, cid, d2,
@@ -99,7 +110,7 @@ def _kmeans_oracle(k: int, iters: int, dims: int) -> str:
         SELECT cid,
                ROUND(CAST(SUM(CAST(ROUND(v * v, 6) AS DECIMAL(28,6)))
                           AS DOUBLE), 6) AS centroid_norm
-        FROM {prev} GROUP BY cid)
+        FROM cfin GROUP BY cid)
     SELECT a.cid::INT AS cluster_id,
            COUNT(*)::BIGINT AS n_members,
            ROUND(CAST(SUM(a.d2) AS DOUBLE), 6) AS inertia,
@@ -465,4 +476,86 @@ def q246_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(i + 1, loadings[i], eig) for i in range(_KM_DIMS)],
         "dim int, loading double, eigenvalue double",
+    )
+
+# ---------------------------------------------------------------------------
+# q247 — centroid silhouette of the k-means clustering: per point,
+# s = (b2 − a2) / max(a2, b2) where a2/b2 are the exact-decimal
+# squared distances to the nearest and second-nearest FINAL centroid
+# (the O(n·k) centroid form of the silhouette — the O(n²) pairwise
+# form is not a 100-TB operation). Averaged per cluster, it is the
+# cluster-quality screen that decides whether q242's k was sane.
+# Scale: ONE codegen pass (sorted (d2, cid) struct array per row, no
+# shuffle) + one k-group rollup; the oracle re-ranks the shared
+# unrolled Lloyd's replay with rn ≤ 2. Degenerate contracts pinned on
+# both engines: a collapsed single-centroid run and a point at two
+# identical centroids both score 0.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q247_centroid_silhouette",
+    oracle=_kmeans_prefix(_KM_K, _KM_ITERS, _KM_DIMS)
+    + """,
+    r2 AS (
+        SELECT id, cid, d2,
+               ROW_NUMBER() OVER (PARTITION BY id
+                                  ORDER BY d2, cid) AS rn
+        FROM dfin),
+    ab AS (
+        SELECT o.id, o.cid, o.d2 AS a2, s.d2 AS b2
+        FROM r2 o LEFT JOIN r2 s ON s.id = o.id AND s.rn = 2
+        WHERE o.rn = 1),
+    per AS (
+        SELECT id, cid,
+               CASE WHEN b2 IS NULL OR greatest(a2, b2) = 0 THEN 0.0
+                    ELSE ROUND(CAST(b2 - a2 AS DOUBLE)
+                               / CAST(greatest(a2, b2) AS DOUBLE), 6)
+               END AS s
+        FROM ab)
+    SELECT cid::INT AS cluster_id, COUNT(*)::BIGINT AS n_members,
+           ROUND(CAST(SUM(CAST(s AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_silhouette
+    FROM per GROUP BY cid ORDER BY cluster_id
+    """,
+)
+def q247_centroid_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import kmeans_lloyd, nearest_two_expr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, centroids = kmeans_lloyd(
+        emb, "vec_id", "embedding", k=_KM_K, iterations=_KM_ITERS
+    )
+    srt = F.expr(nearest_two_expr("embedding", centroids))
+    two = emb.select(
+        F.element_at(srt, 1).alias("nearest"),
+        F.get(srt, 1).alias("second"),  # 0-based get -> NULL if k = 1
+    ).select(
+        F.col("nearest.cid").alias("cluster_id"),
+        F.col("nearest.d2").alias("a2"),
+        F.col("second.d2").alias("b2"),
+    )
+    s = F.when(
+        F.col("b2").isNull()
+        | (F.greatest(F.col("a2"), F.col("b2")) == 0),
+        F.lit(0.0),
+    ).otherwise(
+        F.round(
+            (F.col("b2") - F.col("a2")).cast("double")
+            / F.greatest(F.col("a2"), F.col("b2")).cast("double"),
+            6,
+        )
+    )
+    return (
+        two.select("cluster_id", s.alias("s"))
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.round(
+                F.sum(F.col("s").cast(DEC)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_silhouette"),
+        )
+        .orderBy("cluster_id")
     )
