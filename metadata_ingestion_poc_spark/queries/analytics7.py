@@ -322,68 +322,75 @@ def q244_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q245 — temperature-scaled mixture weights per source (alpha = 0.5):
-# the standard multinomial-sampling reweighting for training-data
-# mixtures — w_s proportional to p_s^alpha flattens the source
-# distribution, and boost = w_s / p_s is the per-source up/down-
-# sampling factor. alpha = 0.5 is computed as sqrt (IEEE correctly
-# rounded on both engines; pow() is not). One 20-group aggregate +
-# broadcast totals; every share is one double division of exact
-# BIGINTs; sqrt terms rounded at 6 before the exact decimal
-# normalizer sum.
+# q245 — budget-capped greedy selection per source: each source gets
+# a character budget (10% of its mass, exact integer division) and
+# docs are admitted in (n_chars, doc_id) priority order while the
+# inclusive running total stays within budget — the knapsack-greedy a
+# curation pipeline runs to fill a per-domain token budget (shortest-
+# first maximizes document diversity per char). Distinct from q243
+# (fixed-COUNT quota by hash) and q187 (global mixture weights): the
+# cutoff here is a per-stratum PREFIX-SUM condition, not a rank.
+# All-integer until the final utilization division, so the trajectory
+# is bit-exact. Scale: ONE exchange by source + two frames over the
+# same within-stratum sort (never a global sort).
 # ---------------------------------------------------------------------------
 
 
 @query(
-    "q245_mixture_temperature_weights",
+    "q245_budget_capped_selection",
     oracle="""
-    WITH s AS (SELECT source, COUNT(*)::BIGINT AS n
-               FROM documents GROUP BY source),
-    t AS (SELECT SUM(n)::BIGINT AS nt FROM s),
-    w AS (SELECT source, n, ROUND(n::DOUBLE / nt, 6) AS p,
-                 ROUND(sqrt(n::DOUBLE / nt), 6) AS w_raw
-          FROM s, t),
-    z AS (SELECT ROUND(SUM(CAST(w_raw AS DECIMAL(28,6))), 6)::DOUBLE
-                   AS wsum
-          FROM w)
-    SELECT source, n AS n_docs, p,
-           ROUND(w_raw / wsum, 6) AS weight,
-           ROUND(ROUND(w_raw / wsum, 6) / p, 6) AS boost
-    FROM w, z ORDER BY source
+    WITH r AS (
+        SELECT source, n_chars,
+               SUM(n_chars) OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(n_chars) OVER (PARTITION BY source) AS tot
+        FROM documents)
+    SELECT source,
+           (MAX(tot) // 10)::BIGINT AS budget_chars,
+           SUM(CASE WHEN cum <= tot // 10 THEN 1 ELSE 0 END)::BIGINT
+               AS n_selected,
+           SUM(CASE WHEN cum <= tot // 10 THEN n_chars ELSE 0 END)::BIGINT
+               AS chars_used,
+           ROUND(SUM(CASE WHEN cum <= tot // 10 THEN n_chars
+                          ELSE 0 END)::DOUBLE
+                 / (MAX(tot) // 10), 6) AS utilization
+    FROM r GROUP BY source ORDER BY source
     """,
 )
-def q245_mixture_temperature_weights(
+def q245_budget_capped_selection(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    s = (
-        load_table(spark, sf_dir, "documents")
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    from pyspark.sql import Window
+
+    by_src = Window.partitionBy("source")
+    cum_w = by_src.orderBy("n_chars", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    s = s.localCheckpoint(eager=False)  # feeds totals + select
-    t = s.agg(F.sum("n").cast("long").alias("nt"))
-    share = F.col("n").cast("double") / F.col("nt")
-    w = s.crossJoin(F.broadcast(t)).select(
+    r = load_table(spark, sf_dir, "documents").select(
         "source",
-        "n",
-        F.round(share, 6).alias("p"),
-        F.round(F.sqrt(share), 6).alias("w_raw"),
+        "n_chars",
+        F.sum("n_chars").over(cum_w).alias("cum"),
+        F.sum("n_chars").over(by_src).alias("tot"),
     )
-    w = w.localCheckpoint(eager=False)  # feeds normalizer + select
-    z = w.agg(
-        F.round(F.sum(F.col("w_raw").cast(DEC)), 6)
-        .cast("double")
-        .alias("wsum")
-    )
-    weight = F.round(F.col("w_raw") / F.col("wsum"), 6)
+    sel = F.col("cum") <= F.expr("tot div 10")
     return (
-        w.crossJoin(F.broadcast(z))
-        .select(
-            "source",
-            F.col("n").alias("n_docs"),
-            "p",
-            weight.alias("weight"),
-            F.round(weight / F.col("p"), 6).alias("boost"),
+        r.groupBy("source")
+        .agg(
+            F.expr("max(tot) div 10").cast("long").alias("budget_chars"),
+            F.sum(F.when(sel, 1).otherwise(0)).cast("long").alias(
+                "n_selected"
+            ),
+            F.sum(F.when(sel, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("chars_used"),
+            F.round(
+                F.sum(F.when(sel, F.col("n_chars")).otherwise(0)).cast(
+                    "double"
+                )
+                / F.expr("max(tot) div 10"),
+                6,
+            ).alias("utilization"),
         )
         .orderBy("source")
     )
