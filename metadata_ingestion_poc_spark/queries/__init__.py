@@ -102,79 +102,76 @@ def _load_all() -> None:
 # eventually verified. Names not present are skipped silently (renames
 # must not break import).
 #
-# Round-8 rotation (window N=50), per the round-7 verdict: (a) every
-# query whose implementation changed in round 8 — q203 (Benford
-# scalar folded into a broadcast frame), q204 (FD audit rewritten to
-# count_distinct + one tagged-union rollup), q222 (radius_join
-# polar-cap full-ring fix), q227 (global_running_sum NULL-carry fix)
-# — plus the 13 round-8-new q229-q241; (b) the round-3 stragglers that
-# fell off the round-7 window (q98-q103, q110-q114, q116-q118); (c)
-# the round-4 block (q120-q130); (d) the head of the round-5 block
-# q131-q138. 17 + 14 + 11 + 8 = 50; q139-q147 fall to round 9.
+# Round-9 rotation (window N=50), per the round-8 verdict: (a) every
+# query whose implementation changed in round 9 — q226/q236 (cut
+# frames migrated to the audited literal_row/collect_literal_row
+# helpers), q229 (PSI empty-band guard), q230 (chi² grid densify);
+# (b) the 6 round-9-new q242-q247; (c) the round-5 tail q139-q147
+# (judge-verified green in round 8, driver credit due); (d) the head
+# of the round-6 block refresh q148-q178. 4 + 6 + 9 + 31 = 50.
 #
-# Round-9 rotation note: promote whatever round-9 code changes touch,
-# then q139-q147, then the round-6 block refresh (q148-q185) and the
-# late-round-6 q186-q196 as fits. Round 10 takes the remainder plus
-# the q01-q49 relational core refresh.
+# Round-10 rotation note: promote whatever round-10 code changes
+# touch, then the rest of the round-6 refresh (q179-q185, q186-q196),
+# then the q01-q49 relational core refresh as fits. Round 11 takes
+# the remainder of the core refresh plus q50-q69.
 # ---------------------------------------------------------------------------
 _SWEEP_PRIORITY = [
-    # -- round-8 code-changed.
-    "q203_benford_screen",
-    "q204_fd_audit",
-    "q222_geo_radius_join",
-    "q227_abc_classification",
-    # -- new in round 8 — never swept.
-    # (PSI drift, chi-square/Cramér's V, geo k-NN, event runs, Theil,
-    # OOV rate)
+    # -- round-9 code-changed.
+    # (helper-hoist migrations q226/q236; advisor fixes q229/q230)
+    "q226_woe_iv",
     "q229_psi_drift",
     "q230_chi2_independence",
-    "q231_geo_knn",
-    "q232_event_runs",
-    "q233_theil_index",
-    "q234_oov_rate",
-    "q235_embedding_label_drift",
     "q236_rfm_segments",
-    "q237_km_survival",
-    "q238_chunk_dedup",
-    "q239_spearman_rank_corr",
-    "q240_revenue_acf",
-    "q241_geo_hotspots",
-    # -- round-3 stragglers (last swept in D3; judge-verified in r7).
-    "q98_tpch_q9_profit_by_nation_year",
-    "q99_tpch_q11_important_parts",
-    "q100_tpch_q16_supplier_count",
-    "q101_tpch_q17_small_quantity_revenue",
-    "q102_tpch_q21_sole_blame_supplier",
-    "q103_tpch_q2_cheapest_supplier",
-    "q110_tpch_q12_priority_lines",
-    "q111_tpch_q20_heavy_suppliers",
-    "q112_join_right_outer",
-    "q113_join_full_outer",
-    "q114_tpch_q4_order_priority",
-    "q116_length_histogram",
-    "q117_mixture_resample",
-    "q118_sessionize_gaps",
-    # -- round-4 credit block (last swept in D4; judge-verified in r7).
-    "q120_boilerplate_ngrams",
-    "q121_domain_cap",
-    "q122_shuffle_shard_export",
-    "q123_snapshot_diff",
-    "q124_semantic_dedup",
-    "q125_embedding_quantization",
-    "q126_incremental_dedup",
-    "q127_sketch_rollup",
-    "q128_table_profile",
-    "q129_cms_term_frequencies",
-    "q130_text_normalize",
-    # -- round-5 block head (last swept in D5; judge-verified in r7).
-    "q131_bigram_lm_score",
-    "q132_lexical_diversity",
-    "q133_vocab_growth",
-    "q134_gopher_quality_rules",
-    "q135_source_kl_divergence",
-    "q136_cross_source_contamination",
-    "q137_dataset_split",
-    "q138_event_attribution",
+    # -- new in round 9 — never swept (k-means, stratified sample,
+    # label propagation, budget-capped selection, PCA, silhouette).
+    "q242_kmeans_clusters",
+    "q243_stratified_sample",
+    "q244_label_propagation",
+    "q245_budget_capped_selection",
+    "q246_pca_top_component",
+    "q247_centroid_silhouette",
+    # -- round-5 tail (judge-verified green in r8; driver credit due).
+    "q139_duplicated_spans",
+    "q140_fuzzy_name_match",
+    "q141_self_repeated_spans",
+    "q142_neardup_degree_histogram",
+    "q143_eval_decontamination",
+    "q144_variant_json_analytics",
+    "q145_cohort_retention",
+    "q146_compression_screen",
+    "q147_ngram_containment_pairs",
+    # -- round-6 block refresh head (last swept in D6).
+    "q148_interval_overlap_join",
+    "q149_importance_weighted_sample",
+    "q150_group_reservoir_sample",
+    "q151_pii_profile",
+    "q152_vocab_jaccard",
+    "q153_group_regression",
+    "q154_mad_outliers",
+    "q155_markov_transitions",
+    "q156_unigram_entropy",
+    "q157_bfs_hops",
+    "q158_cluster_collapse",
+    "q159_hard_negative_mining",
+    "q160_threshold_sweep",
+    "q161_recursive_cte_bfs",
+    "q162_url_host_stats",
+    "q163_lateral_topk",
+    "q164_asof_forward_attribution",
+    "q165_weighted_percentiles",
+    "q166_bpe_token_accounting",
+    "q167_bloom_prune_join",
+    "q168_pagerank",
+    "q169_cms_heavy_hitters",
+    "q170_retrieval_metrics",
+    "q171_moving_median",
+    "q172_new_vs_returning",
+    "q173_winnow_fingerprints",
+    "q174_triangle_count",
+    "q175_winsorized_stats",
+    "q176_ks_drift",
+    "q177_pmi_collocations",
+    "q178_global_row_number",
 ]
 
 
