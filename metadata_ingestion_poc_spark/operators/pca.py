@@ -117,7 +117,7 @@ def power_iteration(
             float(
                 sum(
                     (
-                        _dec12(full[(i, j)] * v[j - 1])
+                        _dec12(full.get((i, j), 0.0) * v[j - 1])
                         for j in range(1, dims + 1)
                     ),
                     Decimal(0),
