@@ -1,16 +1,28 @@
 """Tenth analytics batch (round 9): distributed k-means embedding
-clustering and companions.
+clustering (q242) + centroid silhouette (q247), deterministic
+stratified sampling (q243), label propagation communities (q244),
+budget-capped greedy selection (q245), and PCA top component (q246).
 
 Cross-engine discipline notes for this batch:
 
-- q242 replays Lloyd's algorithm in the oracle iteration-by-iteration
-  with MATERIALIZED CTEs (the q168 pagerank / q189 k-core pattern —
-  without MATERIALIZED the unrolled prefix re-evaluates
+- q242/q247 replay Lloyd's algorithm in the oracle iteration-by-
+  iteration with MATERIALIZED CTEs (the q168 pagerank / q189 k-core
+  pattern — without MATERIALIZED the unrolled prefix re-evaluates
   exponentially). Every squared-difference term is rounded at 6 dp
   and decimal-summed, assignment ties break on the lower cluster id,
   and centroid updates are ROUND(sum/count, 6) — so the full
   clustering trajectory is engine-independent (see
   operators/clustering.py for the scale design).
+- q243/q245 are all-integer until one final division: quotas and
+  budgets use exact integer division because float rates at
+  representation boundaries would flip membership between engines.
+- q244 is a pure integer trajectory (counts + ids) — bit-exact by
+  construction.
+- q246's matrix-vector terms are cast at 12 dp, NOT rounded at 6: a
+  product of two 6-dp decimals is exactly a 12-dp decimal, and a
+  6-dp ROUND puts 1/8 of the first-iteration products (× v0 = 0.125)
+  on exact 5e-7 boundaries where Spark and DuckDB round one ulp
+  apart (the q188 tie trap).
 """
 
 from __future__ import annotations
