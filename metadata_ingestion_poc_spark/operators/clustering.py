@@ -51,22 +51,15 @@ surface SURVEY.md §2 scopes for training-data curation.
 
 from __future__ import annotations
 
-from decimal import ROUND_HALF_UP, Decimal
 from typing import Mapping, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.determinism import DEC
+from ..functions.determinism import DEC, _half_up
 
 _HASH_MULT = 2654435761  # Knuth multiplicative hash (public constant)
 _HASH_MOD = 2147483647
-
-
-def _half_up6(v: float) -> float:
-    return float(
-        Decimal(repr(v)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
-    )
 
 
 def _dist_sql(vec_expr: str, centroid: Sequence[float]) -> str:
@@ -121,7 +114,13 @@ def seed_centroids(
     rows = (
         df.select(id_col, vec_col)
         .orderBy(
-            (F.col(id_col) * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD),
+            # reduce the id FIRST so the product stays < MOD*MULT ≈
+            # 5.7e18 < 2^63: a raw id above ~3.5e9 (routine at corpus
+            # scale) would overflow the int64 multiply — silent wrap
+            # in Spark, out-of-range error in the SQL twin. Equal to
+            # (id*MULT) % MOD for every id by modular arithmetic.
+            ((F.col(id_col) % F.lit(_HASH_MOD)) * F.lit(_HASH_MULT))
+            % F.lit(_HASH_MOD),
             F.col(id_col),
         )
         .limit(k)
@@ -157,6 +156,14 @@ def kmeans_lloyd(
     base = df.select(id_col, vec_col)
     if cache:
         base = base.localCheckpoint(eager=True)
+    # A shorter vector anywhere else would zip_with-pad with NULL and
+    # silently poison its distances — fail loud instead.
+    ragged = base.filter(F.size(vec_col) != dims).limit(1).count()
+    if ragged:
+        raise ValueError(
+            f"kmeans_lloyd: ragged {vec_col} — expected every vector "
+            f"to have {dims} elements"
+        )
 
     centroids = seed_centroids(base, id_col, vec_col, k)
 
@@ -182,7 +189,7 @@ def kmeans_lloyd(
         )
         centroids = {
             r["__cid"]: [
-                _half_up6(float(r[f"__s{i}"]) / r["__n"])
+                _half_up(float(r[f"__s{i}"]) / r["__n"], 6)
                 for i in range(1, dims + 1)
             ]
             for r in upd

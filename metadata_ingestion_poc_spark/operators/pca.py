@@ -28,13 +28,11 @@ starting vector is exact."""
 
 from __future__ import annotations
 
-from decimal import Decimal
+from decimal import ROUND_HALF_UP, Decimal
 from typing import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-from decimal import ROUND_HALF_UP
 
 from ..functions.determinism import DEC, _half_up
 
@@ -130,15 +128,34 @@ def power_iteration(
                 (Decimal(repr(_half_up(x * x, 6))) for x in u), Decimal(0)
             )
         ) ** 0.5
+        if norm == 0.0:
+            # zero covariance (constant input): no dominant direction.
+            # Return the current unit vector with eigenvalue 0 rather
+            # than dividing by zero — the documented degenerate
+            # contract (constant data never reaches the SQL replay).
+            return v, 0.0
         v = [_half_up(x / norm, 6) for x in u]
     return v, _half_up(norm, 6)
 
 
 def pca_top_component(
-    df: DataFrame, vec_col: str, dims: int, iterations: int
+    df: DataFrame, vec_col: str, dims: int, iterations: int, cache: bool = True
 ) -> tuple[list[float], float]:
-    """Top principal component (loadings, eigenvalue estimate)."""
-    n = df.count()
-    means = dim_means(df, vec_col, n)
-    cov = covariance_upper(df, vec_col, dims, means, n)
+    """Top principal component (loadings, eigenvalue estimate).
+
+    The projected vector column is localCheckpointed once so the
+    means and covariance jobs scan a compact columnar copy instead of
+    re-executing an expensive upstream plan per pass (the
+    kmeans_lloyd discipline); ``cache=False`` opts out."""
+    base = df.select(vec_col)
+    if cache:
+        base = base.localCheckpoint(eager=True)
+    n = base.count()
+    if n < 2:
+        raise ValueError(
+            f"pca_top_component: needs >= 2 rows for a sample "
+            f"covariance, got {n}"
+        )
+    means = dim_means(base, vec_col, n)
+    cov = covariance_upper(base, vec_col, dims, means, n)
     return power_iteration(cov, dims, iterations)

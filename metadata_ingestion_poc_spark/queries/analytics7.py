@@ -51,8 +51,12 @@ from ..functions.determinism import DEC, _half_up
 _KM_K = 8
 _KM_ITERS = 3
 _KM_DIMS = 64
-_KM_HASH_MULT = 2654435761
-_KM_HASH_MOD = 2147483647
+# the one audited copy of the seed/sample hash — the oracles below
+# and the Spark paths must stay numerically identical
+from ..operators.clustering import (  # noqa: E402
+    _HASH_MOD as _KM_HASH_MOD,
+    _HASH_MULT as _KM_HASH_MULT,
+)
 
 
 def _kmeans_prefix(k: int, iters: int, dims: int) -> str:
@@ -66,7 +70,8 @@ def _kmeans_prefix(k: int, iters: int, dims: int) -> str:
     seeds AS MATERIALIZED (
         SELECT vec_id AS id,
                ROW_NUMBER() OVER (
-                   ORDER BY (vec_id * {_KM_HASH_MULT}) % {_KM_HASH_MOD},
+                   ORDER BY ((vec_id % {_KM_HASH_MOD})
+                             * {_KM_HASH_MULT}) % {_KM_HASH_MOD},
                             vec_id)::INT AS cid
         FROM embeddings
         QUALIFY cid <= {k}),
@@ -199,7 +204,8 @@ def q242_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source, n_chars,
                ROW_NUMBER() OVER (
                    PARTITION BY source
-                   ORDER BY (doc_id * {_KM_HASH_MULT}) % {_KM_HASH_MOD},
+                   ORDER BY ((doc_id % {_KM_HASH_MOD})
+                             * {_KM_HASH_MULT}) % {_KM_HASH_MOD},
                             doc_id) AS rn,
                COUNT(*) OVER (PARTITION BY source) AS n_total
         FROM documents)
@@ -218,7 +224,10 @@ def q243_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     by_src = Window.partitionBy("source")
     rank_w = by_src.orderBy(
-        (F.col("doc_id") * F.lit(_KM_HASH_MULT)) % F.lit(_KM_HASH_MOD),
+        # id reduced first so the int64 multiply can't overflow at
+        # corpus-scale ids (see operators/clustering.py seed hash)
+        ((F.col("doc_id") % F.lit(_KM_HASH_MOD)) * F.lit(_KM_HASH_MULT))
+        % F.lit(_KM_HASH_MOD),
         "doc_id",
     )
     r = d.select(
