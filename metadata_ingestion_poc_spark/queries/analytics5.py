@@ -861,7 +861,7 @@ def q225_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q226_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.percentiles import exact_percentiles
+    from ..operators.percentiles import exact_percentiles_continuous
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_extendedprice",
@@ -869,16 +869,21 @@ def q226_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("bad"),
     )
-    # Collected to a 1-row literal (HALF_UP 6-dp via the audited
-    # helper) so the binning plan carries 3 doubles instead of the
-    # iterative-descent operator's join tree.
+    # l_extendedprice is near-unique with a CONSTANT group: the
+    # continuous (distributed range-sort rank-lookup) percentile path,
+    # not the histogram one, whose single-group rank window would
+    # degenerate to a one-task sort of the column at scale. Collected
+    # to a 1-row literal (HALF_UP 6-dp via the audited helper) so the
+    # binning plan carries 3 doubles, not an operator join tree.
     cuts = collect_literal_row(
-        exact_percentiles(
-            li.withColumn("__g", F.lit(1)),
-            ["__g"],
+        exact_percentiles_continuous(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_extendedprice", "l_orderkey", "l_linenumber"
+            ),
             "l_extendedprice",
             {"p25": 0.25, "p50": 0.5, "p75": 0.75},
-        ).select("p25", "p50", "p75")
+            tiebreak_cols=["l_orderkey", "l_linenumber"],
+        )
     )
     g = (
         li.crossJoin(F.broadcast(cuts))

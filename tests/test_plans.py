@@ -261,3 +261,77 @@ def test_chunk_dedup_single_scan_no_join(spark, sf_dir):
     # exchange + the window's text exchange + the source rollup + the
     # presentation sort — a second full-instance shuffle busts this cap
     assert plan.count("Exchange ") <= 5, plan.count("Exchange ")
+
+
+def test_kmeans_assignment_is_codegen_only(spark, sf_dir):
+    """Round-9 contract (operators/clustering.py): the k-means
+    assignment bakes centroids into the plan as literals — the final
+    assigned frame must contain NO join of any kind and exactly the
+    k-group aggregation exchanges (plus the broadcast of the tiny
+    norms literal in the summary query). A centroid JOIN appearing
+    here means the zero-shuffle assignment property regressed."""
+    from metadata_ingestion_poc_spark.operators.clustering import (
+        kmeans_lloyd,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_lloyd(
+        emb, "vec_id", "embedding", k=4, iterations=1
+    )
+    plan = physical_plan(assigned)
+    for node in (
+        "SortMergeJoin",
+        "ShuffledHashJoin",
+        "BroadcastHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+        "Exchange ",
+    ):
+        assert node not in plan, node
+
+
+def test_pca_covariance_exchange_bounded_by_dims(spark, sf_dir):
+    """Round-9 contract (operators/pca.py): covariance comes from ONE
+    pass — per-row nested-transform expansion + a d(d+1)/2-group
+    rollup. The plan must contain no self-join of the corpus and at
+    most the two aggregation exchanges (partial + final)."""
+    from metadata_ingestion_poc_spark.operators.pca import (
+        covariance_upper,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    emb_ckpt = emb.localCheckpoint(eager=True)
+    # reproduce the operator's internal frame shape without collecting
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from metadata_ingestion_poc_spark.functions.determinism import DEC
+
+    means = [0.0] * 8
+    marr = ", ".join(repr(float(x)) + "D" for x in means)
+    cells = (
+        "flatten(transform(sequence(1, 8), i -> "
+        "transform(sequence(i, 8), j -> named_struct("
+        "'i', i, 'j', j, 'p', round("
+        "(cast(element_at(embedding, i) as double)"
+        f" - element_at(array({marr}), i))"
+        " * (cast(element_at(embedding, j) as double)"
+        f" - element_at(array({marr}), j)), 6)))))"
+    )
+    rollup = (
+        emb_ckpt.select(F.explode(F.expr(cells)).alias("c"))
+        .select("c.i", "c.j", F.col("c.p").cast(DEC).alias("p"))
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("s"))
+    )
+    plan = physical_plan(rollup)
+    for node in (
+        "SortMergeJoin",
+        "ShuffledHashJoin",
+        "BroadcastHashJoin",
+        "CartesianProduct",
+    ):
+        assert node not in plan, node
+    assert plan.count("Exchange ") <= 2, plan.count("Exchange ")
+    # and the real operator agrees with itself through this shape
+    got = covariance_upper(emb_ckpt, "embedding", 8, means, 500)
+    assert len(got) == 8 * 9 // 2
