@@ -202,3 +202,55 @@ def kmeans_lloyd(
         F.col("__choice").getField("d2").alias("d2"),
     ).drop("__choice")
     return assigned, centroids
+
+
+def kcenter_greedy(
+    df: DataFrame, id_col: str, vec_col: str, k: int
+) -> list[tuple[int, int, object]]:
+    """Gonzalez farthest-point traversal: the k-center coreset /
+    diversity-sampling primitive (pick the point farthest from every
+    already-chosen center, k times). The selection order doubles as a
+    coverage-radius curve — radius2[r] is the exact squared distance
+    that made pick r the argmax, i.e. how badly covered the corpus
+    still was before it.
+
+    100-TB shape: round r is ONE scan computing min over r LITERAL
+    seed distances (same codegen-only discipline as the k-means
+    assignment — no join, no shuffle) followed by a top-1 reduction
+    (per-partition max + k-way driver merge, never a sort). Plans are
+    STATELESS — every round rebuilds from literals, so nothing
+    accumulates: no checkpoints, no growing lineage, O(k²·d) work per
+    row total (k is small by definition).
+
+    Determinism: distances are the exact-decimal d2 of `_dist_sql`;
+    the argmax total order is (md2 DESC, id ASC); the first seed is
+    the minimum id; already-chosen ids are excluded so duplicate
+    vectors can't be re-picked. Returns [(sel_rank, id, radius2)],
+    radius2 None for the first seed (nothing to be far from yet).
+    """
+    first = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(1).collect()
+    )
+    if not first:
+        raise ValueError("kcenter_greedy: empty input")
+    chosen: dict[int, list[float]] = {
+        int(first[0][id_col]): [float(x) for x in first[0][vec_col]]
+    }
+    out: list[tuple[int, int, object]] = [(1, int(first[0][id_col]), None)]
+    for r in range(2, k + 1):
+        md2 = f"least({', '.join(_dist_sql(vec_col, c) for c in chosen.values())})" \
+            if len(chosen) > 1 else _dist_sql(vec_col, next(iter(chosen.values())))
+        top = (
+            df.select(id_col, vec_col)
+            .filter(~F.col(id_col).isin(*chosen.keys()))
+            .withColumn("__md2", F.expr(md2))
+            .orderBy(F.col("__md2").desc(), F.col(id_col).asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break  # fewer than k distinct points
+        row = top[0]
+        chosen[int(row[id_col])] = [float(x) for x in row[vec_col]]
+        out.append((r, int(row[id_col]), row["__md2"]))
+    return out

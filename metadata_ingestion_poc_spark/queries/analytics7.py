@@ -1,7 +1,8 @@
 """Tenth analytics batch (round 9): distributed k-means embedding
 clustering (q242) + centroid silhouette (q247), deterministic
 stratified sampling (q243), label propagation communities (q244),
-budget-capped greedy selection (q245), and PCA top component (q246).
+budget-capped greedy selection (q245), PCA top component (q246),
+and k-center greedy coreset selection (q248).
 
 Cross-engine discipline notes for this batch:
 
@@ -586,4 +587,92 @@ def q247_centroid_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_silhouette"),
         )
         .orderBy("cluster_id")
+    )
+
+# ---------------------------------------------------------------------------
+# q248 — k-center greedy coreset (Gonzalez farthest-point traversal):
+# pick the embedding farthest from every already-chosen center, k
+# times — the diversity-sampling primitive behind coreset selection
+# and "maximally different exemplars" curation, the coverage-seeking
+# complement of q242's density-seeking k-means. The selection order
+# doubles as a coverage-radius curve (radius2 = how badly covered the
+# corpus was before each pick). Scale (operators/clustering.py):
+# every round is ONE codegen-only scan (min over r literal seed
+# distances, no join/shuffle) + a top-1 reduction; plans are
+# stateless so nothing accumulates across rounds. The oracle unrolls
+# the traversal with MATERIALIZED running-min CTEs — exact decimals
+# make incremental LEAST equal to Spark's min-over-all-literals.
+# ---------------------------------------------------------------------------
+
+_KC_K = 6
+
+
+def _kcenter_oracle(k: int, dims: int) -> str:
+    sql = f"""
+    WITH edims AS MATERIALIZED (
+        SELECT vec_id AS id, t.i::INT AS dim, embedding[t.i]::DOUBLE AS v
+        FROM embeddings, range(1, {dims + 1}) AS t(i)),
+    s1 AS MATERIALIZED (SELECT MIN(vec_id)::BIGINT AS id FROM embeddings),
+    m1 AS MATERIALIZED (
+        SELECT a.id,
+               SUM(CAST(ROUND((a.v - b.v) * (a.v - b.v), 6)
+                        AS DECIMAL(28,6))) AS md2
+        FROM edims a JOIN edims b
+          ON b.dim = a.dim AND b.id = (SELECT id FROM s1)
+        GROUP BY a.id)"""
+    chosen = ["s1"]
+    for r in range(2, k + 1):
+        excl = " UNION ALL ".join(f"SELECT id FROM {s}" for s in chosen)
+        sql += f""",
+    s{r} AS MATERIALIZED (
+        SELECT id, md2 FROM m{r - 1}
+        WHERE id NOT IN ({excl})
+        ORDER BY md2 DESC, id LIMIT 1)"""
+        if r < k:
+            sql += f""",
+    m{r} AS MATERIALIZED (
+        SELECT m.id, LEAST(m.md2, d.d2) AS md2
+        FROM m{r - 1} m JOIN (
+            SELECT a.id,
+                   SUM(CAST(ROUND((a.v - b.v) * (a.v - b.v), 6)
+                            AS DECIMAL(28,6))) AS d2
+            FROM edims a JOIN edims b
+              ON b.dim = a.dim AND b.id = (SELECT id FROM s{r})
+            GROUP BY a.id) d ON d.id = m.id)"""
+        chosen.append(f"s{r}")
+    parts = [
+        """
+    SELECT 1::BIGINT AS sel_rank, (SELECT id FROM s1) AS vec_id,
+           NULL::DOUBLE AS radius2"""
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f"""
+    SELECT {r}::BIGINT AS sel_rank, id AS vec_id,
+           ROUND(md2::DOUBLE, 6) AS radius2
+    FROM s{r}"""
+        )
+    return sql + "\n    " + " UNION ALL ".join(parts) + "\n    ORDER BY sel_rank"
+
+
+@query(
+    "q248_kcenter_coreset",
+    oracle=_kcenter_oracle(_KC_K, _KM_DIMS),
+)
+def q248_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import kcenter_greedy
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sel = kcenter_greedy(emb, "vec_id", "embedding", k=_KC_K)
+    # bounded k-row result — a literal frame is the correct shape
+    return spark.createDataFrame(
+        [
+            (
+                rank,
+                vid,
+                None if r2 is None else _half_up(float(r2), 6),
+            )
+            for rank, vid, r2 in sel
+        ],
+        "sel_rank bigint, vec_id bigint, radius2 double",
     )

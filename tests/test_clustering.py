@@ -12,6 +12,7 @@ import pyspark.sql.functions as F
 import pytest
 
 from metadata_ingestion_poc_spark.operators.clustering import (
+    kcenter_greedy,
     _assign_expr,
     kmeans_lloyd,
     seed_centroids,
@@ -107,3 +108,43 @@ def test_kmeans_inertia_nonincreasing(spark):
 
     i1, i3 = inertia(1), inertia(3)
     assert i3 <= i1 + 75 * 4 * 5e-7
+
+
+def test_kcenter_greedy_covers_planted_blobs(spark):
+    """Farthest-point traversal on 3 well-separated blobs must visit
+    all three blobs within the first 3 picks, radii must be
+    non-increasing after the cross-blob jumps settle, and chosen ids
+    must be distinct."""
+    df = _planted(spark, per=20)
+    sel = kcenter_greedy(df, "id", "vec", k=5)
+    assert [r for r, _, _ in sel] == [1, 2, 3, 4, 5]
+    ids = [i for _, i, _ in sel]
+    assert len(set(ids)) == 5
+    assert sel[0][2] is None and all(r2 is not None for _, _, r2 in sel[1:])
+    blobs_hit = {i % 3 for i in ids[:3]}
+    assert blobs_hit == {0, 1, 2}
+    # once every blob is covered, the radius collapses from
+    # cross-blob distance (~100s) to within-blob jitter (<1)
+    assert float(sel[1][2]) > 100.0
+    assert float(sel[3][2]) < 1.0
+
+
+def test_kcenter_greedy_partitioning_invariant(spark):
+    df = _planted(spark, per=15)
+    s1 = kcenter_greedy(df.repartition(1), "id", "vec", k=4)
+    s2 = kcenter_greedy(df.repartition(11, "id"), "id", "vec", k=4)
+    assert [(r, i, str(d)) for r, i, d in s1] == [
+        (r, i, str(d)) for r, i, d in s2
+    ]
+
+
+def test_kcenter_greedy_stops_at_distinct_points(spark):
+    """Fewer distinct points than k: traversal returns early instead
+    of re-picking a chosen id."""
+    rows = [(i, [float(i % 2), 0.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    sel = kcenter_greedy(df, "id", "vec", k=5)
+    # every point is one of two locations, but ids differ — all 5
+    # picks exist yet picks 3+ have radius 0 (already covered)
+    assert len(sel) == 5
+    assert all(float(r2) == 0.0 for _, _, r2 in sel[2:])
