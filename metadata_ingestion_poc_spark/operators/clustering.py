@@ -131,6 +131,39 @@ def seed_centroids(
     }
 
 
+def _checked_base(
+    df: DataFrame, id_col: str, vec_col: str, cache: bool, op: str
+) -> tuple[DataFrame, int]:
+    """Projected (id, vector) frame + its validated dimensionality.
+
+    One aggregate over the (optionally checkpointed) projection
+    replaces a separate probe + ragged-scan pair: a vector shorter
+    than the rest (or NULL) would zip_with-pad with NULL and silently
+    poison its distances in BOTH the argmin and the farthest-point
+    traversal — fail loud instead."""
+    base = df.select(id_col, vec_col)
+    if cache:
+        base = base.localCheckpoint(eager=True)
+    row = base.agg(
+        F.min(F.size(vec_col)).alias("lo"),
+        F.max(F.size(vec_col)).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col(vec_col).isNull(), 1).otherwise(0)).alias(
+            "nulls"
+        ),
+    ).first()
+    if row is None or row["n"] == 0:
+        raise ValueError(f"{op}: empty input")
+    if row["nulls"]:
+        raise ValueError(f"{op}: NULL {vec_col} values")
+    if row["lo"] != row["hi"]:
+        raise ValueError(
+            f"{op}: ragged {vec_col} — vector lengths span "
+            f"[{row['lo']}, {row['hi']}]"
+        )
+    return base, row["hi"]
+
+
 def kmeans_lloyd(
     df: DataFrame,
     id_col: str,
@@ -148,22 +181,7 @@ def kmeans_lloyd(
     cluster id -> list of 6-dp double coordinates after the last
     update. Clusters that lose all members drop out of both.
     """
-    dims_row = df.select(F.size(vec_col).alias("d")).first()
-    if dims_row is None:
-        raise ValueError("kmeans_lloyd: empty input")
-    dims = dims_row["d"]
-
-    base = df.select(id_col, vec_col)
-    if cache:
-        base = base.localCheckpoint(eager=True)
-    # A shorter vector anywhere else would zip_with-pad with NULL and
-    # silently poison its distances — fail loud instead.
-    ragged = base.filter(F.size(vec_col) != dims).limit(1).count()
-    if ragged:
-        raise ValueError(
-            f"kmeans_lloyd: ragged {vec_col} — expected every vector "
-            f"to have {dims} elements"
-        )
+    base, dims = _checked_base(df, id_col, vec_col, cache, "kmeans_lloyd")
 
     centroids = seed_centroids(base, id_col, vec_col, k)
 
@@ -205,7 +223,7 @@ def kmeans_lloyd(
 
 
 def kcenter_greedy(
-    df: DataFrame, id_col: str, vec_col: str, k: int
+    df: DataFrame, id_col: str, vec_col: str, k: int, cache: bool = True
 ) -> list[tuple[int, int, object]]:
     """Gonzalez farthest-point traversal: the k-center coreset /
     diversity-sampling primitive (pick the point farthest from every
@@ -224,15 +242,17 @@ def kcenter_greedy(
 
     Determinism: distances are the exact-decimal d2 of `_dist_sql`;
     the argmax total order is (md2 DESC, id ASC); the first seed is
-    the minimum id; already-chosen ids are excluded so duplicate
-    vectors can't be re-picked. Returns [(sel_rank, id, radius2)],
-    radius2 None for the first seed (nothing to be far from yet).
+    the minimum id; already-chosen ids are excluded, so a duplicate
+    VECTOR can still be picked (under a distinct id, with radius 0)
+    but an id never repeats, and fewer than k rows truncates the
+    traversal identically on both engines. Returns
+    [(sel_rank, id, radius2)], radius2 None for the first seed
+    (nothing to be far from yet). ``cache`` localCheckpoints the
+    projected input once so the k rounds scan a compact copy instead
+    of re-executing an expensive upstream plan per round.
     """
-    first = (
-        df.select(id_col, vec_col).orderBy(id_col).limit(1).collect()
-    )
-    if not first:
-        raise ValueError("kcenter_greedy: empty input")
+    base, _ = _checked_base(df, id_col, vec_col, cache, "kcenter_greedy")
+    first = base.orderBy(id_col).limit(1).collect()
     chosen: dict[int, list[float]] = {
         int(first[0][id_col]): [float(x) for x in first[0][vec_col]]
     }
@@ -241,15 +261,14 @@ def kcenter_greedy(
         md2 = f"least({', '.join(_dist_sql(vec_col, c) for c in chosen.values())})" \
             if len(chosen) > 1 else _dist_sql(vec_col, next(iter(chosen.values())))
         top = (
-            df.select(id_col, vec_col)
-            .filter(~F.col(id_col).isin(*chosen.keys()))
+            base.filter(~F.col(id_col).isin(*chosen.keys()))
             .withColumn("__md2", F.expr(md2))
             .orderBy(F.col("__md2").desc(), F.col(id_col).asc())
             .limit(1)
             .collect()
         )
         if not top:
-            break  # fewer than k distinct points
+            break  # fewer than k ROWS remain (ids never repeat)
         row = top[0]
         chosen[int(row[id_col])] = [float(x) for x in row[vec_col]]
         out.append((r, int(row[id_col]), row["__md2"]))

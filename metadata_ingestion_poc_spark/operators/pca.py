@@ -68,6 +68,20 @@ def covariance_upper(
     centered products via nested transforms (codegen, no self-join),
     one d(d+1)/2-group rollup, ROUND(sum/(n-1), 6) driver division.
     The collect is bounded at d(d+1)/2 rows by construction."""
+    rows = covariance_rollup(df, vec_col, dims, means).collect()
+    return {
+        (r["i"], r["j"]): _half_up(float(r["s"]) / (n - 1), 6)
+        for r in rows
+    }
+
+
+def covariance_rollup(
+    df: DataFrame, vec_col: str, dims: int, means: Sequence[float]
+) -> DataFrame:
+    """The distributed half of :func:`covariance_upper` — the
+    d(d+1)/2-group decimal-sum frame BEFORE the bounded collect.
+    Exposed so plan contracts pin the real operator's shape (no
+    corpus self-join, exchanges bounded by d²)."""
     marr = ", ".join(repr(float(x)) + "D" for x in means)
     cells = (
         f"flatten(transform(sequence(1, {dims}), i -> "
@@ -78,17 +92,12 @@ def covariance_upper(
         f" * (cast(element_at({vec_col}, j) as double)"
         f" - element_at(array({marr}), j)), 6)))))"
     )
-    rows = (
+    return (
         df.select(F.explode(F.expr(cells)).alias("c"))
         .select("c.i", "c.j", F.col("c.p").cast(DEC).alias("p"))
         .groupBy("i", "j")
         .agg(F.sum("p").alias("s"))
-        .collect()
     )
-    return {
-        (r["i"], r["j"]): _half_up(float(r["s"]) / (n - 1), 6)
-        for r in rows
-    }
 
 
 def power_iteration(

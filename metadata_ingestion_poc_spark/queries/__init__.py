@@ -108,16 +108,20 @@ def _load_all() -> None:
 # helpers), q229 (PSI empty-band guard), q230 (chi² grid densify);
 # (b) the 7 round-9-new q242-q248; (c) the round-5 tail q139-q147
 # (judge-verified green in round 8, driver credit due); (d) the head
-# of the round-6 block refresh q148-q177. 4 + 7 + 9 + 30 = 50.
+# of the round-6 block refresh q148-q176. 5 + 7 + 9 + 29 = 50.
 #
 # Round-10 rotation note: promote whatever round-10 code changes
-# touch, then the rest of the round-6 refresh (q178-q185, q186-q196),
+# touch, then the rest of the round-6 refresh (q177-q185, q186-q196),
 # then the q01-q49 relational core refresh as fits. Round 11 takes
 # the remainder of the core refresh plus q50-q69.
 # ---------------------------------------------------------------------------
 _SWEEP_PRIORITY = [
     # -- round-9 code-changed.
-    # (helper-hoist migrations q226/q236; advisor fixes q229/q230)
+    # (helper-hoist migrations q226/q236; advisor fixes q229/q230;
+    # q117 hash made overflow-safe — value-identical by modular
+    # arithmetic, swept anyway; q149's twin change is in the window
+    # below already)
+    "q117_mixture_resample",
     "q226_woe_iv",
     "q229_psi_drift",
     "q230_chi2_independence",
@@ -171,7 +175,6 @@ _SWEEP_PRIORITY = [
     "q174_triangle_count",
     "q175_winsorized_stats",
     "q176_ks_drift",
-    "q177_pmi_collocations",
 ]
 
 

@@ -143,9 +143,9 @@ def q148_interval_overlap_join(
            COUNT(*)::BIGINT AS n_docs,
            ROUND(SUM(CAST(least(n_chars, 5000) / 10000.0
                           AS DECIMAL(28,6))), 6)::DOUBLE AS expected_keep,
-           SUM(CASE WHEN (doc_id * 2654435761) % 10000 < least(n_chars, 5000)
+           SUM(CASE WHEN ((doc_id % 10000) * 2654435761) % 10000 < least(n_chars, 5000)
                     THEN 1 ELSE 0 END)::BIGINT AS n_kept,
-           SUM(CASE WHEN (doc_id * 2654435761) % 10000 < least(n_chars, 5000)
+           SUM(CASE WHEN ((doc_id % 10000) * 2654435761) % 10000 < least(n_chars, 5000)
                     THEN n_chars ELSE 0 END)::BIGINT AS kept_chars
     FROM documents
     GROUP BY source
@@ -156,7 +156,12 @@ def q149_importance_weighted_sample(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    u = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(10000))
+    # id reduced first so the int64 multiply cannot overflow at
+    # corpus-scale ids (equal for every id by modular arithmetic)
+    u = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(10000)) * F.lit(2654435761),
+        F.lit(10000),
+    )
     cap = F.least(F.col("n_chars"), F.lit(5000))
     kept = u < cap
     return (

@@ -177,7 +177,7 @@ def q115_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(doc_id)::BIGINT AS first_doc,
            MAX(doc_id)::BIGINT AS last_doc
     FROM weighted
-    WHERE (doc_id * 2654435761) % 100 < keep_pct
+    WHERE ((doc_id % 100) * 2654435761) % 100 < keep_pct
     GROUP BY source
     ORDER BY source
     """,
@@ -193,7 +193,8 @@ def q117_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Knuth multiplicative hash of the id — spreads sequential ids
     # uniformly over the residues; pure function of the row
     sampled = d.withColumn("keep_pct", keep_pct).filter(
-        F.pmod(F.col("doc_id") * F.lit(2654435761), 100) < F.col("keep_pct")
+        F.pmod(F.pmod(F.col("doc_id"), F.lit(100)) * F.lit(2654435761), 100)
+        < F.col("keep_pct")
     )
     return (
         sampled.groupBy("source")

@@ -138,13 +138,24 @@ def test_kcenter_greedy_partitioning_invariant(spark):
     ]
 
 
-def test_kcenter_greedy_stops_at_distinct_points(spark):
-    """Fewer distinct points than k: traversal returns early instead
-    of re-picking a chosen id."""
+def test_kcenter_greedy_duplicate_vectors_still_pick_distinct_ids(spark):
+    """Duplicate VECTORS under distinct ids stay pickable (ids never
+    repeat, locations may): after the two distinct locations are
+    covered, further picks carry radius 0."""
     rows = [(i, [float(i % 2), 0.0]) for i in range(10)]
     df = spark.createDataFrame(rows, "id long, vec array<double>")
     sel = kcenter_greedy(df, "id", "vec", k=5)
-    # every point is one of two locations, but ids differ — all 5
-    # picks exist yet picks 3+ have radius 0 (already covered)
     assert len(sel) == 5
+    assert len({i for _, i, _ in sel}) == 5
     assert all(float(r2) == 0.0 for _, _, r2 in sel[2:])
+
+
+def test_kcenter_greedy_truncates_when_rows_exhausted(spark):
+    """Fewer rows than k: the traversal truncates (the only break
+    path) instead of erroring or repeating an id — the same contract
+    the oracle's NOT IN + LIMIT 1 enforces."""
+    rows = [(i, [float(i), 0.0]) for i in range(3)]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    sel = kcenter_greedy(df, "id", "vec", k=7)
+    assert len(sel) == 3
+    assert [i for _, i, _ in sel] == [0, 2, 1]  # far end first, then mid

@@ -293,37 +293,19 @@ def test_kmeans_assignment_is_codegen_only(spark, sf_dir):
 def test_pca_covariance_exchange_bounded_by_dims(spark, sf_dir):
     """Round-9 contract (operators/pca.py): covariance comes from ONE
     pass — per-row nested-transform expansion + a d(d+1)/2-group
-    rollup. The plan must contain no self-join of the corpus and at
-    most the two aggregation exchanges (partial + final)."""
+    rollup. The contract is asserted on the REAL operator's
+    pre-collect frame (covariance_rollup, the exact plan
+    covariance_upper collects), so a refactor into a corpus self-join
+    or an extra shuffle fails here."""
     from metadata_ingestion_poc_spark.operators.pca import (
+        covariance_rollup,
         covariance_upper,
     )
 
     emb = load_table(spark, sf_dir, "embeddings").select("embedding")
     emb_ckpt = emb.localCheckpoint(eager=True)
-    # reproduce the operator's internal frame shape without collecting
-    import pyspark.sql.functions as F  # noqa: F811
-
-    from metadata_ingestion_poc_spark.functions.determinism import DEC
-
     means = [0.0] * 8
-    marr = ", ".join(repr(float(x)) + "D" for x in means)
-    cells = (
-        "flatten(transform(sequence(1, 8), i -> "
-        "transform(sequence(i, 8), j -> named_struct("
-        "'i', i, 'j', j, 'p', round("
-        "(cast(element_at(embedding, i) as double)"
-        f" - element_at(array({marr}), i))"
-        " * (cast(element_at(embedding, j) as double)"
-        f" - element_at(array({marr}), j)), 6)))))"
-    )
-    rollup = (
-        emb_ckpt.select(F.explode(F.expr(cells)).alias("c"))
-        .select("c.i", "c.j", F.col("c.p").cast(DEC).alias("p"))
-        .groupBy("i", "j")
-        .agg(F.sum("p").alias("s"))
-    )
-    plan = physical_plan(rollup)
+    plan = physical_plan(covariance_rollup(emb_ckpt, "embedding", 8, means))
     for node in (
         "SortMergeJoin",
         "ShuffledHashJoin",
@@ -332,6 +314,7 @@ def test_pca_covariance_exchange_bounded_by_dims(spark, sf_dir):
     ):
         assert node not in plan, node
     assert plan.count("Exchange ") <= 2, plan.count("Exchange ")
-    # and the real operator agrees with itself through this shape
-    got = covariance_upper(emb_ckpt, "embedding", 8, means, 500)
+    # and the collecting wrapper produces the full upper triangle
+    n = emb_ckpt.count()
+    got = covariance_upper(emb_ckpt, "embedding", 8, means, n)
     assert len(got) == 8 * 9 // 2
