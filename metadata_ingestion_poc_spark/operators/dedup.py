@@ -680,3 +680,108 @@ def ngram_containment_pairs(
         )
         .select("doc_a", "doc_b", "containment_a", "containment_b", "jaccard")
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: tuple[int, int] = (2, 5),
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact set-similarity join via PREFIX FILTERING (the classic
+    Chaudhuri/Bayardo–Ramakrishnan pruning): all pairs with shingle
+    Jaccard ≥ num/den over the FULL shingle universe — zero recall
+    loss, proven by the brute-force oracle (q249).
+
+    Complementary to :func:`ngram_jaccard_pairs`, whose stop-shingle
+    df-cap redefines Jaccard over a pruned universe to kill hot
+    buckets. Prefix filtering keeps the exact semantics and sidesteps
+    the same hot buckets STRUCTURALLY: shingles are globally ordered
+    rarest-first (df asc, shingle asc — a total order), each document
+    indexes only its first |s| − ⌈t·|s|⌉ + 1 shingles in that order,
+    and any pair with J ≥ t provably shares its rarest common shingle
+    inside BOTH prefixes — so the candidate join only ever buckets on
+    RARE shingles; corpus boilerplate sorts last and never enters an
+    index. Candidate volume is Σ (prefix-bucket)², then candidates are
+    verified with an exact intersection count.
+
+    The threshold is a FRACTION (num, den): the prefix length and the
+    final acceptance test (n_common·den ≥ num·(|a|+|b|−n_common)) are
+    all-integer, so no float boundary can flip membership between
+    engines. One shuffle to rank shingles by rarity, one prefix
+    self-join, one verification join — every stage strictly shrinks.
+    """
+    num, den = threshold
+    if not (0 < num <= den):
+        raise ValueError("threshold must be a fraction in (0, 1]")
+    sh = shingles(df, n, text_col).select(
+        id_col, F.explode("shingles").alias("s")
+    )
+    sh = sh.localCheckpoint(eager=False)  # reused: df, prefix, verify ×2
+    sdf = sh.groupBy("s").agg(F.count(F.lit(1)).alias("sdf"))
+    by_doc = Window.partitionBy(id_col)
+    ranked = (
+        sh.join(sdf, "s")
+        .select(
+            id_col,
+            "s",
+            F.row_number()
+            .over(by_doc.orderBy("sdf", "s"))
+            .alias("rn"),
+            F.count(F.lit(1)).over(by_doc).alias("sz"),
+        )
+    )
+    # prefix length |s| - ceil(num·|s|/den) + 1, all-integer ceil
+    prefix = ranked.filter(
+        F.col("rn")
+        <= F.col("sz")
+        - F.expr(f"(({num} * sz + {den} - 1) div {den})")
+        + F.lit(1)
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh.select(F.col(id_col).alias("doc_a"), "s")
+    sh_b = sh.select(F.col(id_col).alias("doc_b"), "s")
+    common = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    union_sz = F.col("sa") + F.col("sb") - F.col("n_common")
+    return (
+        common.join(
+            sizes.select(
+                F.col(id_col).alias("doc_a"), F.col("n_sh").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col(id_col).alias("doc_b"), F.col("n_sh").alias("sb")
+            ),
+            "doc_b",
+        )
+        .filter(F.col("n_common") * den >= num * union_sz)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.round(F.col("n_common").cast("double") / union_sz, 6).alias(
+                "jaccard"
+            ),
+        )
+    )

@@ -106,12 +106,12 @@ def _load_all() -> None:
 # query whose implementation changed in round 9 — q226/q236 (cut
 # frames migrated to the audited literal_row/collect_literal_row
 # helpers), q229 (PSI empty-band guard), q230 (chi² grid densify);
-# (b) the 7 round-9-new q242-q248; (c) the round-5 tail q139-q147
+# (b) the 8 round-9-new q242-q249; (c) the round-5 tail q139-q147
 # (judge-verified green in round 8, driver credit due); (d) the head
-# of the round-6 block refresh q148-q176. 5 + 7 + 9 + 29 = 50.
+# of the round-6 block refresh q148-q175. 5 + 8 + 9 + 28 = 50.
 #
 # Round-10 rotation note: promote whatever round-10 code changes
-# touch, then the rest of the round-6 refresh (q177-q185, q186-q196),
+# touch, then the rest of the round-6 refresh (q176-q185, q186-q196),
 # then the q01-q49 relational core refresh as fits. Round 11 takes
 # the remainder of the core refresh plus q50-q69.
 # ---------------------------------------------------------------------------
@@ -135,6 +135,7 @@ _SWEEP_PRIORITY = [
     "q246_pca_top_component",
     "q247_centroid_silhouette",
     "q248_kcenter_coreset",
+    "q249_prefix_filter_jaccard",
     # -- round-5 tail (judge-verified green in r8; driver credit due).
     "q139_duplicated_spans",
     "q140_fuzzy_name_match",
@@ -174,7 +175,6 @@ _SWEEP_PRIORITY = [
     "q173_winnow_fingerprints",
     "q174_triangle_count",
     "q175_winsorized_stats",
-    "q176_ks_drift",
 ]
 
 

@@ -676,3 +676,51 @@ def q248_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "sel_rank bigint, vec_id bigint, radius2 double",
     )
+
+# ---------------------------------------------------------------------------
+# q249 — exact similarity join via prefix filtering: all document
+# pairs with shingle Jaccard ≥ 2/5 over the FULL shingle universe.
+# The zero-recall-loss complement of q51 (whose stop-shingle df-cap
+# redefines Jaccard over a pruned universe): the rarest-first global
+# shingle order means any qualifying pair provably shares its rarest
+# common shingle inside both documents' prefixes, so the candidate
+# join buckets only on rare shingles and boilerplate never enters an
+# index (operators/dedup.py prefix_filter_jaccard_pairs). Threshold
+# arithmetic is all-integer (n_common·5 ≥ 2·union) — no float
+# boundary. The oracle is the brute-force self-join, so every sweep
+# proves the zero-recall-loss guarantee on real data.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q249_prefix_filter_jaccard",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+               FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS s
+           FROM t, unnest(range(greatest(len(toks) - 2, 1))) AS u(i)),
+    sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      count(*)::BIGINT AS n_common
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_common,
+           ROUND(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6)
+               AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common * 5 >= 2 * (sa.n_sh + sb.n_sh - n_common)
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q249_prefix_filter_jaccard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import prefix_filter_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_pairs(
+        d, id_col="doc_id", n=3, threshold=(2, 5)
+    ).orderBy("doc_a", "doc_b")

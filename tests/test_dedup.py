@@ -179,3 +179,57 @@ def test_saved_shingle_index_reload_equals_rebuild(spark, sf_dir, tmp_path):
     }
     assert via_index == direct
     assert direct  # non-vacuous: the synthetic corpus has cross dups
+
+
+def test_prefix_filter_equals_brute_force_with_boilerplate(spark):
+    """Zero-recall-loss contract of prefix filtering, exercised where
+    it could break: a boilerplate shingle shared by EVERY doc (sorts
+    last in rarity order, so it must never be the sole candidate
+    route) plus genuine near-dup pairs. The prefix-filtered result
+    must equal the in-engine brute-force join exactly."""
+    import pyspark.sql.functions as F
+
+    from metadata_ingestion_poc_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+        shingles,
+    )
+
+    boiler = "all rights reserved forever"
+    rows = []
+    for i in range(30):
+        body = f"alpha{i % 7} beta{i % 5} gamma{i % 3} delta{i % 11} " \
+               f"epsi{i % 13} zeta{i}"
+        rows.append((i, f"{body} {boiler}"))
+    # plant exact-ish duplicates
+    rows.append((100, rows[3][1]))
+    rows.append((101, rows[3][1] + " extra token tail"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r["doc_a"], r["doc_b"], r["n_common"], r["jaccard"])
+        for r in prefix_filter_jaccard_pairs(
+            df, id_col="doc_id", n=3, threshold=(2, 5)
+        ).collect()
+    }
+
+    sh = shingles(df, 3).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    a = sh.toDF("doc_a", "s")
+    b = sh.toDF("doc_b", "s")
+    sizes = {r["doc_id"]: r["n"] for r in sh.groupBy("doc_id")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    brute = {}
+    for r in (
+        a.join(b, ["s"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("nc"))
+        .collect()
+    ):
+        u = sizes[r["doc_a"]] + sizes[r["doc_b"]] - r["nc"]
+        if r["nc"] * 5 >= 2 * u:
+            brute[(r["doc_a"], r["doc_b"])] = (r["nc"], round(r["nc"] / u, 6))
+    want = {(p[0], p[1], v[0], v[1]) for p, v in brute.items()}
+    assert (3, 100) in brute and (3, 101) in brute
+    assert got == want
