@@ -2,7 +2,8 @@
 clustering (q242) + centroid silhouette (q247), deterministic
 stratified sampling (q243), label propagation communities (q244),
 budget-capped greedy selection (q245), PCA top component (q246),
-and k-center greedy coreset selection (q248).
+k-center greedy coreset selection (q248), and the prefix-filtered
+exact similarity join (q249).
 
 Cross-engine discipline notes for this batch:
 
