@@ -715,10 +715,18 @@ def prefix_filter_jaccard_pairs(
     num, den = threshold
     if not (0 < num <= den):
         raise ValueError("threshold must be a fraction in (0, 1]")
-    sh = shingles(df, n, text_col).select(
-        id_col, F.explode("shingles").alias("s")
+    # _spread first: the shingle build is the CPU floor of the whole
+    # family and the documents table often arrives as ONE file split.
+    # explode_outer, not explode — the _shingle_index lesson: plain
+    # explode gets an inferred size()>0 filter pushed below the
+    # projection with the whole O(len²) shingle expression inlined,
+    # recomputing every shingle array twice.
+    sh = (
+        shingles(_spread(df), n, text_col)
+        .select(id_col, F.explode_outer("shingles").alias("s"))
+        .filter(F.col("s").isNotNull())
     )
-    sh = sh.localCheckpoint(eager=False)  # reused: df, prefix, verify ×2
+    sh = sh.localCheckpoint(eager=False)  # reused: df, prefix, verify
     sdf = sh.groupBy("s").agg(F.count(F.lit(1)).alias("sdf"))
     by_doc = Window.partitionBy(id_col)
     ranked = (
@@ -740,11 +748,34 @@ def prefix_filter_jaccard_pairs(
         + F.lit(1)
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    # Lossless candidate pruning on top of the prefix share (both
+    # classic, both integer-exact, so the verified OUTPUT is
+    # unchanged): (1) length filter — J ≥ num/den forces
+    # den·min(|a|,|b|) ≥ num·max(|a|,|b|); (2) positional filter —
+    # the remaining-suffix overlap bound min(|a|−pa, |b|−pb)+1 must
+    # reach the equivalent-overlap requirement α =
+    # ceil(num·(|a|+|b|)/(num+den)) (J ≥ t ⟺ overlap ≥
+    # t/(1+t)·(|a|+|b|)).
+    sza, szb = F.col("a.sz"), F.col("b.sz")
+    # integer ceil via div — a float quotient here could over-prune
+    alpha = F.expr(
+        f"(({num} * (a.sz + b.sz) + {num + den - 1}) div {num + den})"
+    )
+    # candidates join on xxhash64(s), not the shingle string: cheaper
+    # shuffle keys, and a hash collision only ADDS a candidate that
+    # exact verification discards — the output is unaffected.
     cand = (
         a.join(
             b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            (F.xxhash64(F.col("a.s")) == F.xxhash64(F.col("b.s")))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.lit(den) * F.least(sza, szb)
+               >= F.lit(num) * F.greatest(sza, szb))
+            & (
+                F.least(sza - F.col("a.rn"), szb - F.col("b.rn"))
+                + F.lit(1)
+                >= alpha
+            ),
         )
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
@@ -752,30 +783,38 @@ def prefix_filter_jaccard_pairs(
         )
         .distinct()
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    sh_a = sh.select(F.col(id_col).alias("doc_a"), "s")
-    sh_b = sh.select(F.col(id_col).alias("doc_b"), "s")
-    common = (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "s"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    # Verify with set arrays, not a re-exploded join: each candidate
+    # pair carries both (sorted, distinct) shingle arrays and counts
+    # the intersection in codegen — no pair×shingles shuffle.
+    sets = sh.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("s")).alias("arr"),
+        F.count(F.lit(1)).cast("long").alias("n_sh"),
     )
-    union_sz = F.col("sa") + F.col("sb") - F.col("n_common")
-    return (
-        common.join(
-            sizes.select(
-                F.col(id_col).alias("doc_a"), F.col("n_sh").alias("sa")
+    common = (
+        cand.join(
+            sets.select(
+                F.col(id_col).alias("doc_a"),
+                F.col("arr").alias("arr_a"),
+                F.col("n_sh").alias("sa"),
             ),
             "doc_a",
         )
         .join(
-            sizes.select(
-                F.col(id_col).alias("doc_b"), F.col("n_sh").alias("sb")
+            sets.select(
+                F.col(id_col).alias("doc_b"),
+                F.col("arr").alias("arr_b"),
+                F.col("n_sh").alias("sb"),
             ),
             "doc_b",
         )
-        .filter(F.col("n_common") * den >= num * union_sz)
+        .withColumn(
+            "n_common",
+            F.size(F.array_intersect("arr_a", "arr_b")).cast("long"),
+        )
+    )
+    union_sz = F.col("sa") + F.col("sb") - F.col("n_common")
+    return (
+        common.filter(F.col("n_common") * den >= num * union_sz)
         .select(
             "doc_a",
             "doc_b",
