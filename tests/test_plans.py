@@ -318,3 +318,17 @@ def test_pca_covariance_exchange_bounded_by_dims(spark, sf_dir):
     n = emb_ckpt.count()
     got = covariance_upper(emb_ckpt, "embedding", 8, means, n)
     assert len(got) == 8 * 9 // 2
+
+
+def test_asof_forward_attribution_plan_pinned(spark, sf_dir):
+    """VERDICT r8 #4: q164 was the only >1.5x mover between rounds 7
+    and 8 (0.58s -> 0.90s). Its plan is UNCHANGED across both rounds
+    (2 exchanges, no join regression — PLANS_r07/r08/r09 all agree),
+    so the move was host noise; this pin keeps it that way."""
+    plan = physical_plan(
+        QUERIES["q164_asof_forward_attribution"](spark, sf_dir)
+    )
+    assert plan.count("Exchange ") <= 2, plan.count("Exchange ")
+    for node in ("SortMergeJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin"):
+        assert node not in plan, node
