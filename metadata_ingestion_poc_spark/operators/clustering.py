@@ -132,16 +132,24 @@ def seed_centroids(
 
 
 def _checked_base(
-    df: DataFrame, id_col: str, vec_col: str, cache: bool, op: str
-) -> tuple[DataFrame, int]:
-    """Projected (id, vector) frame + its validated dimensionality.
+    df: DataFrame,
+    id_col: str | None,
+    vec_col: str,
+    cache: bool,
+    op: str,
+    dims: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Projected (id, vector) frame + validated dimensionality + count.
 
     One aggregate over the (optionally checkpointed) projection
     replaces a separate probe + ragged-scan pair: a vector shorter
-    than the rest (or NULL) would zip_with-pad with NULL and silently
-    poison its distances in BOTH the argmin and the farthest-point
-    traversal — fail loud instead."""
-    base = df.select(id_col, vec_col)
+    than the rest (or NULL, or holding a NULL element) would
+    zip_with-pad with NULL and silently poison its distances in BOTH
+    the argmin and the farthest-point traversal — and silently drop
+    out of mean/covariance sums — fail loud instead. ``id_col=None``
+    projects only the vector (the PCA shape); ``dims`` asserts the
+    uniform length matches the caller's declared dimensionality."""
+    base = df.select(*([id_col] if id_col else []), vec_col)
     if cache:
         base = base.localCheckpoint(eager=True)
     row = base.agg(
@@ -151,17 +159,36 @@ def _checked_base(
         F.sum(F.when(F.col(vec_col).isNull(), 1).otherwise(0)).alias(
             "nulls"
         ),
+        # element-level probe: one NULL element nulls every zip_with
+        # distance / product term for its row — distinct failure mode
+        # from a NULL vector, checked separately (size(filter) on a
+        # NULL array would itself be NULL, hence the guard).
+        F.sum(
+            F.when(F.col(vec_col).isNull(), 0).otherwise(
+                F.size(F.filter(F.col(vec_col), lambda x: x.isNull()))
+            )
+        ).alias("null_elems"),
     ).first()
     if row is None or row["n"] == 0:
         raise ValueError(f"{op}: empty input")
     if row["nulls"]:
         raise ValueError(f"{op}: NULL {vec_col} values")
+    if row["null_elems"]:
+        raise ValueError(
+            f"{op}: {row['null_elems']} NULL element(s) inside "
+            f"{vec_col} vectors"
+        )
     if row["lo"] != row["hi"]:
         raise ValueError(
             f"{op}: ragged {vec_col} — vector lengths span "
             f"[{row['lo']}, {row['hi']}]"
         )
-    return base, row["hi"]
+    if dims is not None and row["hi"] != dims:
+        raise ValueError(
+            f"{op}: {vec_col} has {row['hi']} dims, caller declared "
+            f"{dims}"
+        )
+    return base, row["hi"], row["n"]
 
 
 def kmeans_lloyd(
@@ -181,7 +208,7 @@ def kmeans_lloyd(
     cluster id -> list of 6-dp double coordinates after the last
     update. Clusters that lose all members drop out of both.
     """
-    base, dims = _checked_base(df, id_col, vec_col, cache, "kmeans_lloyd")
+    base, dims, _ = _checked_base(df, id_col, vec_col, cache, "kmeans_lloyd")
 
     centroids = seed_centroids(base, id_col, vec_col, k)
 
@@ -251,7 +278,7 @@ def kcenter_greedy(
     projected input once so the k rounds scan a compact copy instead
     of re-executing an expensive upstream plan per round.
     """
-    base, _ = _checked_base(df, id_col, vec_col, cache, "kcenter_greedy")
+    base, _, _ = _checked_base(df, id_col, vec_col, cache, "kcenter_greedy")
     first = base.orderBy(id_col).limit(1).collect()
     chosen: dict[int, list[float]] = {
         int(first[0][id_col]): [float(x) for x in first[0][vec_col]]

@@ -92,8 +92,15 @@ def covariance_rollup(
         f" * (cast(element_at({vec_col}, j) as double)"
         f" - element_at(array({marr}), j)), 6)))))"
     )
+    # explode_outer, not explode — the dedup.py _shingle_index lesson:
+    # plain explode over a computed array gets an inferred size()>0
+    # filter pushed below the projection with the WHOLE d(d+1)/2
+    # product expression inlined, re-evaluating it twice per row. The
+    # array is never empty (dims >= 1), so outer+isNotNull is
+    # value-identical.
     return (
-        df.select(F.explode(F.expr(cells)).alias("c"))
+        df.select(F.explode_outer(F.expr(cells)).alias("c"))
+        .filter(F.col("c").isNotNull())
         .select("c.i", "c.j", F.col("c.p").cast(DEC).alias("p"))
         .groupBy("i", "j")
         .agg(F.sum("p").alias("s"))
@@ -155,11 +162,16 @@ def pca_top_component(
     The projected vector column is localCheckpointed once so the
     means and covariance jobs scan a compact columnar copy instead of
     re-executing an expensive upstream plan per pass (the
-    kmeans_lloyd discipline); ``cache=False`` opts out."""
-    base = df.select(vec_col)
-    if cache:
-        base = base.localCheckpoint(eager=True)
-    n = base.count()
+    kmeans_lloyd discipline); ``cache=False`` opts out. Input is
+    validated through clustering's ``_checked_base`` (NULL vectors,
+    NULL elements, ragged or mis-declared lengths all fail loud —
+    element_at would otherwise return NULL and F.sum silently drop
+    those terms, quietly skewing means and covariance)."""
+    from .clustering import _checked_base
+
+    base, _, n = _checked_base(
+        df, None, vec_col, cache, "pca_top_component", dims=dims
+    )
     if n < 2:
         raise ValueError(
             f"pca_top_component: needs >= 2 rows for a sample "

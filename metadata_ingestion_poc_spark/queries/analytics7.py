@@ -377,7 +377,7 @@ def q244_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS chars_used,
            ROUND(SUM(CASE WHEN cum <= tot // 10 THEN n_chars
                           ELSE 0 END)::DOUBLE
-                 / (MAX(tot) // 10), 6) AS utilization
+                 / NULLIF(MAX(tot) // 10, 0), 6) AS utilization
     FROM r GROUP BY source ORDER BY source
     """,
 )
@@ -411,7 +411,11 @@ def q245_budget_capped_selection(
                 F.sum(F.when(sel, F.col("n_chars")).otherwise(0)).cast(
                     "double"
                 )
-                / F.expr("max(tot) div 10"),
+                # NULLIF: a source with under 10 total chars has
+                # budget 0 — NULL utilization on BOTH engines rather
+                # than an ANSI divide-by-zero crash (q229 empty-band
+                # pattern)
+                / F.expr("nullif(max(tot) div 10, 0)"),
                 6,
             ).alias("utilization"),
         )
@@ -699,7 +703,12 @@ def q248_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
                FROM documents),
     sh AS (SELECT DISTINCT doc_id,
-                  toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS s
+                  -- clamped slice + array_to_string, NOT toks[i+1] ||
+                  -- ' ' || toks[i+2] || ... : a document with fewer
+                  -- than 3 tokens must yield its PARTIAL shingle
+                  -- (Spark's concat_ws-over-slice semantics), not a
+                  -- NULL from an out-of-range index
+                  array_to_string(toks[i+1:i+3], ' ') AS s
            FROM t, unnest(range(greatest(len(toks) - 2, 1))) AS u(i)),
     sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
     common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -159,3 +159,43 @@ def test_kcenter_greedy_truncates_when_rows_exhausted(spark):
     sel = kcenter_greedy(df, "id", "vec", k=7)
     assert len(sel) == 3
     assert [i for _, i, _ in sel] == [0, 2, 1]  # far end first, then mid
+
+
+def test_checked_base_rejects_null_element_inside_vector(spark):
+    """Round-10 advisor fix: a single NULL ELEMENT (vector itself
+    non-NULL, length correct) nulls every zip_with distance for its
+    row, so assignment would silently drop the point from inertia
+    sums. The element-level probe must fail loud."""
+    rows = [(0, [0.0, 1.0]), (1, [2.0, None]), (2, [3.0, 4.0])]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    with pytest.raises(ValueError, match="NULL element"):
+        kmeans_lloyd(df, "id", "vec", k=2, iterations=1)
+    with pytest.raises(ValueError, match="NULL element"):
+        kcenter_greedy(df, "id", "vec", k=2)
+
+
+def test_pca_validates_input_like_clustering(spark):
+    """Round-10 advisor fix: pca_top_component now goes through
+    _checked_base — NULL vectors, NULL elements, ragged lengths and a
+    mis-declared dims all raise instead of silently skewing the
+    covariance (element_at -> NULL terms dropped by F.sum)."""
+    from metadata_ingestion_poc_spark.operators.pca import pca_top_component
+
+    # NOT [i, -i]: v0 = [c, c] is exactly orthogonal to that
+    # covariance's eigenvector, a power-iteration degenerate start
+    ok = [(i, [float(i), float(2 * i)]) for i in range(6)]
+    schema = "id long, vec array<double>"
+    for bad_rows, msg in [
+        (ok + [(9, None)], "NULL vec"),
+        (ok + [(9, [1.0, None])], "NULL element"),
+        (ok + [(9, [1.0, 2.0, 3.0])], "ragged"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            pca_top_component(
+                spark.createDataFrame(bad_rows, schema), "vec", 2, 2
+            )
+    with pytest.raises(ValueError, match="declared"):
+        pca_top_component(spark.createDataFrame(ok, schema), "vec", 3, 2)
+    # and the happy path still runs end-to-end through the new base
+    v, lam = pca_top_component(spark.createDataFrame(ok, schema), "vec", 2, 2)
+    assert len(v) == 2 and lam > 0

@@ -220,6 +220,22 @@ def test_high_exchange_queries_audited_and_pinned(spark, sf_dir):
     - q142/q51: multi-stage near-dup candidate pipelines (index,
       df-cap, bucket join, pair agg, degree/histogram) — each stage
       shuffles a strictly reduced frame; no meltable shared scan.
+
+    Round-10 additions (VERDICT r9 item 3 — the next three highest
+    unpinned plans, each read and confirmed minimal for its shape):
+
+    - q185: 7 FK edges × (child collapsed to distinct-key counts
+      BEFORE any join + broadcast parent key-set + a 1-row per-edge
+      aggregate) ≈ 25 exchanges. Every exchange is over a key-set or
+      a single row — never a row-wise fact join; the per-edge
+      SinglePartition exchanges carry exactly one row each.
+    - q154: 0 FileScans is the real contract — lineitem collapses to
+      a per-group value histogram (≤ groups×50 rows) behind ONE scan
+      ended by a localCheckpoint; all 25 exchanges shuffle that tiny
+      histogram through the two-median MAD pipeline.
+    - q165: ONE FileScan — the weighted-percentile operator's
+      branches all feed off the same collapsed value-histogram frame;
+      the 18 exchanges are histogram-sized, not row-sized.
     """
     limits = {
         "q198_length_bands": (18, 1),
@@ -227,6 +243,9 @@ def test_high_exchange_queries_audited_and_pinned(spark, sf_dir):
         "q211_conversion_latency": (15, None),
         "q142_neardup_degree_histogram": (19, None),
         "q51_ngram_jaccard_pairs": (16, None),
+        "q185_referential_integrity": (25, None),
+        "q154_mad_outliers": (25, 0),
+        "q165_weighted_percentiles": (18, 1),
     }
     for name, (max_exch, scans) in limits.items():
         plan = physical_plan(QUERIES[name](spark, sf_dir))
@@ -314,6 +333,15 @@ def test_pca_covariance_exchange_bounded_by_dims(spark, sf_dir):
     ):
         assert node not in plan, node
     assert plan.count("Exchange ") <= 2, plan.count("Exchange ")
+    # round-10 tightening: the O(d²) nested-transform expression must
+    # be evaluated ONCE per row. Plain explode over the computed array
+    # gets an inferred size()>0 filter pushed below the projection
+    # with the whole product expression inlined — double evaluation.
+    # explode_outer avoids the inference; the transform chain must
+    # therefore appear exactly once in the generated plan. (The outer
+    # sequence(1, d) constant-folds to an array literal, so match on
+    # the flatten(transform( chain, not the sequence literal.)
+    assert plan.count("flatten(transform(") == 1, plan
     # and the collecting wrapper produces the full upper triangle
     n = emb_ckpt.count()
     got = covariance_upper(emb_ckpt, "embedding", 8, means, n)
