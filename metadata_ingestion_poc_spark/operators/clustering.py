@@ -148,8 +148,17 @@ def _checked_base(
     the argmin and the farthest-point traversal — and silently drop
     out of mean/covariance sums — fail loud instead. ``id_col=None``
     projects only the vector (the PCA shape); ``dims`` asserts the
-    uniform length matches the caller's declared dimensionality."""
-    base = df.select(*([id_col] if id_col else []), vec_col)
+    uniform length matches the caller's declared dimensionality.
+
+    The projection is ``_spread`` first (round-10): a small embeddings
+    parquet arrives as ONE input split, so without it the checkpoint
+    pins a single partition and every distance / covariance scan of
+    the iterative suite runs on one core regardless of cluster size.
+    The stats gate makes it a no-op at real scale, and the decimal
+    discipline is partitioning-invariant by construction."""
+    from .dedup import _spread
+
+    base = _spread(df.select(*([id_col] if id_col else []), vec_col))
     if cache:
         base = base.localCheckpoint(eager=True)
     row = base.agg(
@@ -240,8 +249,14 @@ def kmeans_lloyd(
             for r in upd
         }
 
+    from .dedup import _spread
+
     choice = _assign_expr(vec_col, centroids)
-    assigned = df.withColumn("__choice", F.expr(choice)).select(
+    # _spread the FINAL assignment scan too: it runs over the caller's
+    # original frame (all columns), which for a small parquet is one
+    # split — the k·d-literal distance expression is the CPU floor of
+    # the whole operator and must use every core.
+    assigned = _spread(df).withColumn("__choice", F.expr(choice)).select(
         "*",
         F.col("__choice").getField("cid").alias("cluster_id"),
         F.col("__choice").getField("d2").alias("d2"),

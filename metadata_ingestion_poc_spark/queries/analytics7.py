@@ -560,8 +560,12 @@ def q247_centroid_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, centroids = kmeans_lloyd(
         emb, "vec_id", "embedding", k=_KM_K, iterations=_KM_ITERS
     )
+    from ..operators.dedup import _spread
+
     srt = F.expr(nearest_two_expr("embedding", centroids))
-    two = emb.select(
+    # _spread: the silhouette pass re-scans the one-split parquet with
+    # the O(k·d) sorted-distance expression — single-core without it
+    two = _spread(emb).select(
         F.element_at(srt, 1).alias("nearest"),
         F.get(srt, 1).alias("second"),  # 0-based get -> NULL if k = 1
     ).select(

@@ -304,9 +304,16 @@ def test_kmeans_assignment_is_codegen_only(spark, sf_dir):
         "BroadcastHashJoin",
         "BroadcastNestedLoopJoin",
         "CartesianProduct",
-        "Exchange ",
     ):
         assert node not in plan, node
+    # round-10: the only exchange allowed is _spread's stats-gated
+    # ROUND-ROBIN repartition (full-core scans of a one-split parquet
+    # at local scale; a no-op at real scale). A key-partitioned
+    # exchange here would mean the zero-shuffle assignment regressed.
+    import re
+
+    kinds = set(re.findall(r"Exchange (\w+)", plan))
+    assert kinds <= {"RoundRobinPartitioning"}, kinds
 
 
 def test_pca_covariance_exchange_bounded_by_dims(spark, sf_dir):
