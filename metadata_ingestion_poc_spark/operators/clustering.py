@@ -160,7 +160,11 @@ def _checked_base(
 
     base = _spread(df.select(*([id_col] if id_col else []), vec_col))
     if cache:
-        base = base.localCheckpoint(eager=True)
+        # LAZY: the validation aggregate immediately below is the
+        # materializing action, so eager=True would just split one
+        # job into two (the q226 collect-to-literal lesson: job count
+        # dominates at local scale).
+        base = base.localCheckpoint(eager=False)
     row = base.agg(
         F.min(F.size(vec_col)).alias("lo"),
         F.max(F.size(vec_col)).alias("hi"),

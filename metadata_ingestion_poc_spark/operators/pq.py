@@ -1,0 +1,417 @@
+"""Product-quantization ANN over an embedding column.
+
+The missing 100-TB similarity-search technique next to IVF/LSH
+(operators/similarity.py): compress each d-dim vector into m small
+integer codes (one per contiguous subspace), score queries against the
+codes through a per-query lookup table (asymmetric distance
+computation, ADC), then re-rank a small candidate set exactly.
+Jégou, Douze & Schmid, "Product Quantization for Nearest Neighbor
+Search" (TPAMI 2011) — public literature; built Spark-first here.
+
+The 100-TB shape, stage by stage:
+
+- **Training** is Lloyd's per subspace — but run JOINTLY: the m
+  subspace problems are independent yet share every scan, so one
+  iteration is ONE pass over the (checkpointed, _spread) projection
+  computing all m argmins in codegen, one explode to
+  (subspace, code, slice) rows, and ONE m·ksub-group exchange behind
+  map-side combine (the kmeans_lloyd update discipline — the exchange
+  carries m·ksub·(dsub+1) values per input partition, kilobytes at any
+  scale). Per round the bounded m·ksub·(dsub+1) state is collected and
+  re-literalized, so plans stay flat with no lineage (m separate
+  kmeans_lloyd calls would cost m× the scans for identical results).
+- **Encoding** is pure codegen, zero shuffle: the m·ksub codewords are
+  baked into ONE array-literal argmin expression per subspace — the
+  kmeans assignment property, m times over slices. Codes are
+  `array<int>`, m bytes-ish per vector: the 64-dim float corpus
+  compresses ~32×, which is the point — the ADC scan reads codes, not
+  vectors.
+- **Query (ADC)**: per query, a lookup table of partial dot products
+  lut[sub][code] = <q_sub, codeword> is computed ONCE from the literal
+  codebooks (m·ksub·dsub work per QUERY, not per corpus row) and
+  broadcast with the query; each corpus row is then scored with m
+  element_at lookups + one fold — cheaper than a d-term dot product by
+  d/m. Approximate cosine = Σ lut / (‖q‖ · ‖x̂‖), with ‖x̂‖ the norm of
+  the reconstruction, itself m lookups into a literal norm table.
+- **Re-rank**: the top `rerank` candidates per query (window over the
+  scored codes) are broadcast back against the corpus for exact
+  cosine — candidates are |Q|·rerank rows, so the join is a broadcast
+  hash join with ONE corpus scan. Recall is then P(true top-k ⊂ ADC
+  top-rerank), the standard PQ operating point; the floor is pinned at
+  sf0.1 in tests/test_ann_recall_sf01.py.
+
+Determinism: seeds come from the same reduced multiplicative id-hash
+as kmeans (overflow-safe form); update sums use exact DECIMAL(28,6)
+accumulation with 6-dp driver-side means, so codebooks/codes are
+bit-identical under any partitioning; ADC and exact scores are
+per-row expressions; every ranking breaks ties on the neighbor id.
+No RNG state anywhere.
+
+Reference parity note: the reference repo (metadata_ingestion, 249
+LoC) has no similarity-search surface; this operator belongs to the
+[EXT] LLM-data-pipeline family the build brief adds on top.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.determinism import DEC, _half_up
+from .clustering import _checked_base, seed_centroids
+from .similarity import dot, with_norm
+
+Codebooks = dict[int, dict[int, list[float]]]  # sub -> cid -> codeword
+
+
+def _slice_expr(vec_col: str, sub: int, dsub: int) -> str:
+    """1-based contiguous slice of subspace `sub` (1..m)."""
+    return f"slice({vec_col}, {(sub - 1) * dsub + 1}, {dsub})"
+
+
+def _book_literal(book: Mapping[int, Sequence[float]],
+                  gap_filled: bool) -> str:
+    """Codebook as ONE nested array literal. ``gap_filled`` pads
+    missing cids (clusters that lost all members) with zero vectors so
+    element_at stays POSITIONAL — only valid for lookup tables that
+    codes (which never reference a gap) index into; the assignment
+    argmin must NOT see gap entries (a zero codeword could win)."""
+    if gap_filled:
+        dsub = len(next(iter(book.values())))
+        zero = "array(" + ", ".join("0.0D" for _ in range(dsub)) + ")"
+        rows = [
+            "array(" + ", ".join(repr(float(x)) + "D"
+                                 for x in book[cid]) + ")"
+            if cid in book else zero
+            for cid in range(1, max(book) + 1)
+        ]
+    else:
+        rows = [
+            "array(" + ", ".join(repr(float(x)) + "D"
+                                 for x in book[cid]) + ")"
+            for cid in sorted(book)
+        ]
+    return f"array({', '.join(rows)})"
+
+
+def _sub_assign(vec_expr: str, book: Mapping[int, Sequence[float]]) -> str:
+    """argmin (d2, cid) struct for one subspace.
+
+    The codebook enters as ONE nested-array literal and the exact-
+    decimal distance is written ONCE inside a zip_with lambda — the
+    per-codeword-unrolled form (ksub separate aggregate expressions,
+    the kmeans _assign_expr shape) costs Catalyst seconds of analysis
+    and codegen at m·ksub expressions per scan; this form is ~50
+    nodes per subspace for identical arithmetic and the identical
+    (d2, cid) total order. ``vec_expr`` should be a plain projected
+    column (multiply-referenced inside the lambda — the shingles
+    CollapseProject lesson), not an inline slice()."""
+    cids = sorted(book)
+    cid_arr = "array(" + ", ".join(str(c) for c in cids) + ")"
+    dist = (
+        f"aggregate(zip_with({vec_expr}, cw, "
+        f"(x, y) -> round((cast(x as double) - y) * (cast(x as double) - y), 6)), "
+        f"cast(0 as decimal(28,6)), "
+        f"(acc, v) -> cast(acc + cast(v as decimal(28,6)) as decimal(28,6)))"
+    )
+    return (
+        f"array_min(zip_with({_book_literal(book, False)}, "
+        f"sequence(1, {len(cids)}), "
+        f"(cw, i) -> named_struct('d2', {dist}, "
+        f"'cid', element_at({cid_arr}, i))))"
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    m: int = 8,
+    ksub: int = 16,
+    iterations: int = 2,
+    cache: bool = True,
+) -> Codebooks:
+    """Train m per-subspace codebooks of ksub codewords each.
+
+    Jointly-run Lloyd's: every iteration is one scan + one
+    m·ksub-group exchange + one bounded collect (m·ksub rows), not m
+    separate k-means jobs. Seeds are the ksub lowest-id-hash vectors,
+    sliced — the same spread-seed rule as kmeans_lloyd, shared across
+    subspaces (each subspace immediately re-fits its own geometry).
+    """
+    if dims % m:
+        raise ValueError(f"pq_train: dims={dims} not divisible by m={m}")
+    dsub = dims // m
+    base, _, n = _checked_base(df, id_col, vec_col, cache, "pq_train",
+                               dims=dims)
+    if n < ksub:
+        raise ValueError(f"pq_train: {n} rows < ksub={ksub}")
+    seeds = seed_centroids(base, id_col, vec_col, ksub)
+    books: Codebooks = {
+        sub: {
+            cid: vec[(sub - 1) * dsub:(sub - 1) * dsub + dsub]
+            for cid, vec in seeds.items()
+        }
+        for sub in range(1, m + 1)
+    }
+    # slices projected ONCE as named columns: each is referenced ksub
+    # times inside its argmin lambda, and a multiply-referenced alias
+    # stays single-eval (CollapseProject), where an inline slice()
+    # would re-copy per codeword.
+    sliced = base.select(
+        *[
+            F.expr(_slice_expr(vec_col, sub, dsub)).alias(f"__s{sub}")
+            for sub in range(1, m + 1)
+        ]
+    )
+    for _ in range(iterations):
+        # ONE scan: per row, an array of (sub, code, slice) structs —
+        # all m argmins in codegen — exploded to m rows and rolled up
+        # to m·ksub groups with dsub decimal sums + a count each.
+        entries = ", ".join(
+            f"named_struct('sub', {sub}, "
+            f"'code', {_sub_assign(f'__s{sub}', books[sub])}.cid, "
+            f"'sl', __s{sub})"
+            for sub in range(1, m + 1)
+        )
+        upd = (
+            sliced.select(
+                F.explode_outer(F.expr(f"array({entries})")).alias("e")
+            )
+            .filter(F.col("e").isNotNull())
+            .groupBy(
+                F.col("e.sub").alias("sub"), F.col("e.code").alias("code")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(
+                        F.element_at(F.col("e.sl"), i)
+                        .cast("double")
+                        .cast(DEC)
+                    ).alias(f"s{i}")
+                    for i in range(1, dsub + 1)
+                ],
+            )
+            .collect()
+        )
+        books = {sub: {} for sub in range(1, m + 1)}
+        for r in upd:
+            books[r["sub"]][r["code"]] = [
+                _half_up(float(r[f"s{i}"]) / r["n"], 6)
+                for i in range(1, dsub + 1)
+            ]
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: Codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """(id, codes array<int>): each vector's nearest codeword per
+    subspace. Pure codegen against array literals — zero shuffle, no
+    join (the kmeans assignment property, m times over slices)."""
+    m = len(codebooks)
+    dsub = dims // m
+    from .dedup import _spread
+
+    sliced = _spread(df).select(
+        F.col(id_col).alias("id"),
+        *[
+            F.expr(_slice_expr(vec_col, sub, dsub)).alias(f"__s{sub}")
+            for sub in range(1, m + 1)
+        ],
+    )
+    codes = ", ".join(
+        f"{_sub_assign(f'__s{sub}', codebooks[sub])}.cid"
+        for sub in range(1, m + 1)
+    )
+    return sliced.select(
+        "id",
+        F.expr(f"array({codes})").cast("array<int>").alias("codes"),
+    )
+
+
+def _norm_table_sql(codebooks: Codebooks) -> str:
+    """Literal array: nsq[sub][cid] = ‖codeword‖² (reconstruction
+    norm contributions, queried with m element_at lookups per row).
+    Positional, gap-filled: codes never reference a dropped cid."""
+    m = len(codebooks)
+    subs = []
+    for sub in range(1, m + 1):
+        book = codebooks[sub]
+        vals = ", ".join(
+            repr(sum(v * v for v in book[cid])) + "D"
+            if cid in book else "0.0D"
+            for cid in range(1, max(book) + 1)
+        )
+        subs.append(f"array({vals})")
+    return f"array({', '.join(subs)})"
+
+
+def _lut_expr(vec_col: str, codebooks: Codebooks, dims: int) -> str:
+    """Per-query ADC lookup table: lut[sub][cid] = <q_sub, codeword>.
+    m·ksub·dsub work per QUERY row, evaluated once before broadcast.
+    Codebooks enter as gap-filled nested literals with the dot product
+    written once per subspace (see _sub_assign on why the unrolled
+    per-codeword form is a Catalyst planning trap)."""
+    m = len(codebooks)
+    dsub = dims // m
+    subs = []
+    for sub in range(1, m + 1):
+        q = _slice_expr(vec_col, sub, dsub)
+        cb = _book_literal(codebooks[sub], True)
+        subs.append(
+            f"transform({cb}, cw -> "
+            f"aggregate(zip_with({q}, cw, "
+            f"(x, y) -> cast(x as double) * y), 0.0D, (a, v) -> a + v))"
+        )
+    return f"array({', '.join(subs)})"
+
+
+def pq_topk_with_index(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: Codebooks,
+    corpus: DataFrame,
+    k: int = 10,
+    rerank: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Top-k cosine via ADC over prebuilt codes + exact re-rank.
+
+    Scan cost per corpus row: m element_at lookups + a fold (the
+    compressed-domain scan); only |Q|·rerank candidate rows ever touch
+    a real vector again (broadcast join, one corpus scan)."""
+    m = len(codebooks)
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__vec").alias("q_vec"),
+        F.col("__norm").alias("q_norm"),
+        F.expr(_lut_expr(vec_col, codebooks, dims)).alias("lut"),
+    )
+    nsq = _norm_table_sql(codebooks)
+    # approx dot = Σ_sub lut[sub][code_sub]; approx ‖x̂‖ from the norm
+    # table. aggregate over the 1..m index sequence keeps it codegen.
+    adc = (
+        "aggregate(sequence(1, {m}), 0.0D, (a, s) -> "
+        "a + element_at(element_at(lut, s), element_at(codes, s)))"
+    ).format(m=m)
+    rnorm = (
+        "sqrt(aggregate(sequence(1, {m}), 0.0D, (a, s) -> "
+        "a + element_at(element_at({nsq}, s), element_at(codes, s))))"
+    ).format(m=m, nsq=nsq)
+    scored = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            (F.expr(adc) / (F.col("q_norm") * F.expr(rnorm))).alias(
+                "adc_cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_cosine"), F.asc("neighbor_id")
+    )
+    cands = (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank: |Q|·rerank candidate rows, broadcast against ONE
+    # corpus scan; re-join the (broadcast-small) query vectors too.
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__vec").alias("c_vec"),
+        F.col("__norm").alias("c_norm"),
+    )
+    exact = (
+        c.join(F.broadcast(cands), "neighbor_id")
+        .join(
+            F.broadcast(q.select("query_id", "q_vec", "q_norm")),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                round_dp,
+            ).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def pq_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    iterations: int = 2,
+    rerank: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Train + encode + ADC + re-rank in one call (the q250 shape).
+    For the build-nightly/query-all-day split, use pq_train /
+    pq_encode / save_pq_index and query via pq_topk_with_index."""
+    books = pq_train(
+        corpus, id_col, vec_col, dims, m, ksub, iterations
+    )
+    codes = pq_encode(corpus, books, id_col, vec_col, dims)
+    return pq_topk_with_index(
+        queries, codes, books, corpus,
+        k=k, rerank=rerank, id_col=id_col, vec_col=vec_col,
+        dims=dims, round_dp=round_dp,
+    )
+
+
+def save_pq_index(
+    spark, codebooks: Codebooks, codes: DataFrame, path: str
+) -> None:
+    """Persist codebooks + codes as parquet (build nightly, query all
+    day — the save_ivf_index operational shape)."""
+    rows = [
+        (sub, cid, book[cid])
+        for sub, book in sorted(codebooks.items())
+        for cid in sorted(book)
+    ]
+    spark.createDataFrame(
+        rows, "sub int, cid int, codeword array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    codes.write.mode("overwrite").parquet(f"{path}/codes")
+
+
+def load_pq_index(spark, path: str) -> tuple[Codebooks, DataFrame]:
+    """Reload a persisted PQ index; reload ≡ rebuild is pinned in
+    tests/test_similarity.py."""
+    books: Codebooks = {}
+    for r in spark.read.parquet(f"{path}/codebooks").collect():
+        books.setdefault(r["sub"], {})[r["cid"]] = [
+            float(x) for x in r["codeword"]
+        ]
+    return books, spark.read.parquet(f"{path}/codes")

@@ -738,3 +738,28 @@ def q249_prefix_filter_jaccard(
     return prefix_filter_jaccard_pairs(
         d, id_col="doc_id", n=3, threshold=(2, 5)
     ).orderBy("doc_a", "doc_b")
+
+# ---------------------------------------------------------------------------
+# q250 — product-quantization ANN (round 10): compress each embedding
+# into m=8 integer codes via jointly-trained per-subspace Lloyd
+# codebooks, score queries in the compressed domain through a
+# broadcast ADC lookup table (m element_at lookups per corpus row
+# instead of a d-term dot product), then exactly re-rank the top
+# candidates. rows-only (approximate by design, like q56/q90); recall
+# floors vs the exact q55 oracle are pinned at sf0.1 in
+# tests/test_ann_recall_sf01.py (0.641 at this registered dial, 0.946
+# at ksub=32/rerank=400), and reload≡rebuild of the persisted
+# codebook+codes index in tests/test_similarity.py. See operators/
+# pq.py for the 100-TB stage-by-stage design.
+# ---------------------------------------------------------------------------
+
+
+@query("q250_pq_ann_topk")
+def q250_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import pq_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return pq_ann_topk(
+        queries_df, emb, k=10, ksub=16, iterations=1, rerank=150
+    ).orderBy("query_id", "rank")

@@ -90,3 +90,45 @@ def test_embedding_near_dup_recall_floor_sf01(spark):
     assert got <= exact, "verified pairs must be a subset of exact pairs"
     recall = len(exact & got) / len(exact)
     assert recall >= 0.6, f"near-dup sf0.1 recall regressed: {recall}"
+
+
+def test_pq_recall_floors_sf01(spark, emb01, exact_topk):
+    """PQ ADC + exact re-rank recall vs brute force (round 10).
+
+    Two pinned operating points, both deterministic (id-hash seeds,
+    decimal training sums, total-ordered rankings):
+    - the registered q250 dial (m=8, ksub=16, 1 iter, rerank=150):
+      measured 0.641 on 2026-08-15 — the cheap compressed-domain scan.
+    - the quality dial (ksub=32, 2 iters, rerank=400): measured
+      0.9457 — the recall/cost dial's other end, still scanning only
+      codes + re-ranking 0.4% of the corpus per query.
+    """
+    from metadata_ingestion_poc_spark.operators.pq import (
+        pq_encode,
+        pq_topk_with_index,
+        pq_train,
+    )
+
+    q = emb01.filter(F.col("vec_id") < 300)
+
+    books = pq_train(emb01, ksub=16, iterations=1)
+    codes = pq_encode(emb01, books).localCheckpoint(eager=True)
+    cheap = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_topk_with_index(
+            q, codes, books, emb01, k=10, rerank=150
+        ).collect()
+    }
+    recall = len(exact_topk & cheap) / len(exact_topk)
+    assert recall >= 0.6, f"PQ registered-dial recall regressed: {recall}"
+
+    books_hq = pq_train(emb01, ksub=32, iterations=2)
+    codes_hq = pq_encode(emb01, books_hq).localCheckpoint(eager=True)
+    hq = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_topk_with_index(
+            q, codes_hq, books_hq, emb01, k=10, rerank=400
+        ).collect()
+    }
+    recall_hq = len(exact_topk & hq) / len(exact_topk)
+    assert recall_hq >= 0.9, f"PQ quality-dial recall regressed: {recall_hq}"

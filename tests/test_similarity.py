@@ -135,3 +135,74 @@ def test_ivf_index_save_load_identical_results(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert reloaded == direct
+
+
+def test_pq_index_save_load_identical_results(spark, sf_dir, tmp_path):
+    """Reload ≡ rebuild for the persisted PQ index (codebooks +
+    codes): the build-nightly/query-all-day contract, same as IVF."""
+    from metadata_ingestion_poc_spark.operators.pq import (
+        load_pq_index,
+        pq_ann_topk,
+        pq_encode,
+        pq_topk_with_index,
+        pq_train,
+        save_pq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    direct = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in pq_ann_topk(
+            queries, emb, k=5, ksub=8, iterations=1, rerank=40
+        ).collect()
+    }
+
+    books = pq_train(emb, ksub=8, iterations=1)
+    codes = pq_encode(emb, books)
+    path = str(tmp_path / "pq_index")
+    save_pq_index(spark, books, codes, path)
+    books2, codes2 = load_pq_index(spark, path)
+    assert books2 == books  # 6-dp codewords round-trip parquet exactly
+    reloaded = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in pq_topk_with_index(
+            queries, codes2, books2, emb, k=5, rerank=40
+        ).collect()
+    }
+    assert reloaded == direct
+
+
+def test_pq_codes_invariant_under_repartition(spark, sf_dir):
+    """Codebooks and codes are pure functions of the data: decimal
+    update sums + 6-dp driver means make training partitioning-
+    invariant, and encoding is a per-row argmin over literals."""
+    from metadata_ingestion_poc_spark.operators.pq import (
+        pq_encode,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books1 = pq_train(emb, ksub=8, iterations=1)
+    books2 = pq_train(emb.repartition(7, "vec_id"), ksub=8, iterations=1)
+    assert books1 == books2
+    c1 = {(r.id, tuple(r.codes)) for r in pq_encode(emb, books1).collect()}
+    c2 = {
+        (r.id, tuple(r.codes))
+        for r in pq_encode(emb.repartition(5), books1).collect()
+    }
+    assert c1 == c2
+
+
+def test_pq_validation_fails_loud(spark):
+    """dims % m != 0 and undersized corpora raise (the _checked_base
+    discipline extends to PQ training)."""
+    from metadata_ingestion_poc_spark.operators.pq import pq_train
+
+    rows = [(i, [float(i)] * 6) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(df, dims=6, m=4, ksub=4)
+    with pytest.raises(ValueError, match="< ksub"):
+        pq_train(df, dims=6, m=3, ksub=32)
