@@ -415,3 +415,50 @@ def load_pq_index(spark, path: str) -> tuple[Codebooks, DataFrame]:
             float(x) for x in r["codeword"]
         ]
     return books, spark.read.parquet(f"{path}/codes")
+
+
+def pq_reconstruction_stats(
+    df: DataFrame,
+    codebooks: Codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """Per-(subspace, code) assignment census: member count + exact-
+    decimal sum of squared quantization error. The training-quality
+    audit a PQ deployment runs before trusting an index — and, with
+    codes from :func:`pq_train`, the frame q251's DuckDB oracle
+    replays end-to-end, which is what makes the joint-Lloyd trainer
+    oracle-provable rather than rows-only. ONE scan (all m argmin
+    structs in codegen), one explode, one m·ksub-group exchange."""
+    m = len(codebooks)
+    dsub = dims // m
+    from .dedup import _spread
+
+    sliced = _spread(df).select(
+        *[
+            F.expr(_slice_expr(vec_col, sub, dsub)).alias(f"__s{sub}")
+            for sub in range(1, m + 1)
+        ]
+    )
+    entries = ", ".join(
+        f"named_struct('sub', {sub}, 'a', {_sub_assign(f'__s{sub}', codebooks[sub])})"
+        for sub in range(1, m + 1)
+    )
+    return (
+        sliced.select(
+            F.explode_outer(F.expr(f"array({entries})")).alias("e")
+        )
+        .filter(F.col("e").isNotNull())
+        .select(
+            F.col("e.sub").alias("sub"),
+            F.col("e.a.cid").alias("code"),
+            F.col("e.a.d2").alias("d2"),
+        )
+        .groupBy("sub", "code")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.round(F.sum("d2").cast("double"), 6).alias("sum_d2"),
+        )
+        .orderBy("sub", "code")
+    )

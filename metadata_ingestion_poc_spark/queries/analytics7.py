@@ -763,3 +763,307 @@ def q250_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_ann_topk(
         queries_df, emb, k=10, ksub=16, iterations=1, rerank=150
     ).orderBy("query_id", "rank")
+
+# ---------------------------------------------------------------------------
+# q251 — PQ training replay: per-(subspace, code) member counts and
+# exact-decimal quantization error after one joint-Lloyd round
+# (operators/pq.py pq_train + pq_reconstruction_stats). This is the
+# oracle-bearing proof for the PQ family: the DuckDB twin replays the
+# ENTIRE trajectory — shared spread seeds, per-subspace assignment
+# with (d2, cid) tie order, ROUND(sum/n, 6) codeword updates, final
+# census — under the q242 decimal discipline, so a green hash means
+# the joint trainer is numerically identical to m independent Lloyd
+# runs. (q250 stays rows-only: ANN output is approximate by design;
+# training correctness is what's provable.)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8
+_PQ_KSUB = 8
+_PQ_ITERS = 1
+
+
+def _pq_train_oracle(m: int, ksub: int, iters: int, dims: int) -> str:
+    dsub = dims // m
+    sql = f"""
+    WITH sdims AS MATERIALIZED (
+        SELECT vec_id AS id,
+               ((t.i - 1) // {dsub})::INT + 1 AS sub,
+               ((t.i - 1) % {dsub})::INT + 1 AS sdim,
+               embedding[t.i]::DOUBLE AS v
+        FROM embeddings, range(1, {dims + 1}) AS t(i)),
+    seeds AS MATERIALIZED (
+        SELECT vec_id AS id,
+               ROW_NUMBER() OVER (
+                   ORDER BY ((vec_id % {_KM_HASH_MOD})
+                             * {_KM_HASH_MULT}) % {_KM_HASH_MOD},
+                            vec_id)::INT AS cid
+        FROM embeddings
+        QUALIFY cid <= {ksub}),
+    c0 AS MATERIALIZED (
+        SELECT s.cid, d.sub, d.sdim, d.v
+        FROM seeds s JOIN sdims d ON d.id = s.id)"""
+    prev = "c0"
+    for r in range(iters):
+        sql += f""",
+    d{r} AS MATERIALIZED (
+        SELECT e.id, e.sub, c.cid,
+               SUM(CAST(ROUND((e.v - c.v) * (e.v - c.v), 6)
+                        AS DECIMAL(28,6))) AS d2
+        FROM sdims e JOIN {prev} c ON c.sub = e.sub AND c.sdim = e.sdim
+        GROUP BY e.id, e.sub, c.cid),
+    a{r} AS MATERIALIZED (
+        SELECT id, sub, cid FROM (
+            SELECT id, sub, cid,
+                   ROW_NUMBER() OVER (PARTITION BY id, sub
+                                      ORDER BY d2, cid) AS rn
+            FROM d{r}) WHERE rn = 1),
+    c{r + 1} AS MATERIALIZED (
+        SELECT a.cid, e.sub, e.sdim,
+               ROUND(CAST(SUM(CAST(e.v AS DECIMAL(28,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS v
+        FROM a{r} a JOIN sdims e ON e.id = a.id AND e.sub = a.sub
+        GROUP BY a.cid, e.sub, e.sdim)"""
+        prev = f"c{r + 1}"
+    return (
+        sql
+        + f""",
+    dfin AS MATERIALIZED (
+        SELECT e.id, e.sub, c.cid,
+               SUM(CAST(ROUND((e.v - c.v) * (e.v - c.v), 6)
+                        AS DECIMAL(28,6))) AS d2
+        FROM sdims e JOIN {prev} c ON c.sub = e.sub AND c.sdim = e.sdim
+        GROUP BY e.id, e.sub, c.cid),
+    afin AS MATERIALIZED (
+        SELECT id, sub, cid, d2 FROM (
+            SELECT id, sub, cid, d2,
+                   ROW_NUMBER() OVER (PARTITION BY id, sub
+                                      ORDER BY d2, cid) AS rn
+            FROM dfin) WHERE rn = 1)
+    SELECT sub::INT AS sub, cid::INT AS code,
+           COUNT(*)::BIGINT AS n_vectors,
+           ROUND(CAST(SUM(d2) AS DOUBLE), 6) AS sum_d2
+    FROM afin GROUP BY sub, cid ORDER BY sub, code"""
+    )
+
+
+@query(
+    "q251_pq_train_census",
+    oracle=_pq_train_oracle(_PQ_M, _PQ_KSUB, _PQ_ITERS, _KM_DIMS),
+)
+def q251_pq_train_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import pq_reconstruction_stats, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(
+        emb, dims=_KM_DIMS, m=_PQ_M, ksub=_PQ_KSUB, iterations=_PQ_ITERS
+    )
+    return pq_reconstruction_stats(emb, books, dims=_KM_DIMS)
+
+# ---------------------------------------------------------------------------
+# q252 — hybrid retrieval with reciprocal-rank fusion (RRF, the
+# standard rank-fusion rule in RAG stacks): for each query document,
+# a LEXICAL ranking (distinct-token Jaccard against every candidate)
+# and a SEMANTIC ranking (embedding cosine) are fused as
+# Σ 1/(60 + rank) and the top 10 fused candidates returned. The
+# candidate universe is documents⋈embeddings on doc_id = vec_id (the
+# corpus slice that has both representations). Determinism: both
+# arms rank by an IEEE-identical double ordering key with doc_id
+# tiebreak (total order); each reciprocal term is rounded at 6 dp
+# before the one exact two-term sum, so the fused score replays
+# bit-identically. Scale: both arms are a broadcast of |Q| query rows
+# against one corpus scan + two |Q|-partition window ranks — no
+# corpus self-join, no corpus shuffle beyond the rank windows.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q252_rrf_hybrid_retrieval",
+    oracle="""
+    WITH base AS MATERIALIZED (
+        SELECT d.doc_id, list_distinct(string_split(lower(trim(d.text)), ' ')) AS toks,
+               e.embedding AS emb
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+    q AS (SELECT * FROM base WHERE doc_id < 5),
+    pairs AS MATERIALIZED (
+        SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+               len(list_intersect(q.toks, c.toks))::BIGINT AS n_int,
+               (len(q.toks) + len(c.toks)
+                - len(list_intersect(q.toks, c.toks)))::BIGINT AS n_uni,
+               list_dot_product(q.emb, c.emb)
+                 / (sqrt(list_dot_product(q.emb, q.emb))
+                    * sqrt(list_dot_product(c.emb, c.emb))) AS cosine
+        FROM q JOIN base c ON c.doc_id <> q.doc_id),
+    ranked AS (
+        SELECT query_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY n_int::DOUBLE / n_uni DESC,
+                                           cand_id) AS lex_rank,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, cand_id) AS sem_rank
+        FROM pairs),
+    fused AS (
+        SELECT query_id, cand_id, lex_rank, sem_rank,
+               ROUND(1.0 / (60 + lex_rank), 6)
+                 + ROUND(1.0 / (60 + sem_rank), 6) AS rrf
+        FROM ranked)
+    SELECT query_id, cand_id AS doc_id,
+           lex_rank::BIGINT AS lex_rank, sem_rank::BIGINT AS sem_rank,
+           ROUND(rrf, 6) AS rrf_score,
+           rank::BIGINT AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY rrf DESC, cand_id) AS rank
+          FROM fused)
+    WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+)
+def q252_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.similarity import dot, with_norm
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("toks"),
+    )
+    e = with_norm(load_table(spark, sf_dir, "embeddings")).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("__vec").alias("emb"),
+        F.col("__norm").alias("nrm"),
+    )
+    base = d.join(e, "doc_id")
+    q = base.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("toks").alias("q_toks"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    n_int = F.size(F.array_intersect("q_toks", "toks")).cast("long")
+    pairs = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("doc_id").alias("cand_id"),
+            n_int.alias("n_int"),
+            (
+                F.size("q_toks").cast("long")
+                + F.size("toks").cast("long")
+                - n_int
+            ).alias("n_uni"),
+            (
+                dot(F.col("q_emb"), F.col("emb"))
+                / (F.col("q_nrm") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+    )
+    by_q = Window.partitionBy("query_id")
+    ranked = pairs.select(
+        "query_id",
+        "cand_id",
+        F.row_number()
+        .over(
+            by_q.orderBy(
+                (F.col("n_int").cast("double") / F.col("n_uni")).desc(),
+                F.col("cand_id"),
+            )
+        )
+        .alias("lex_rank"),
+        F.row_number()
+        .over(by_q.orderBy(F.col("cosine").desc(), F.col("cand_id")))
+        .alias("sem_rank"),
+    )
+    rrf = F.round(1.0 / (60 + F.col("lex_rank")), 6) + F.round(
+        1.0 / (60 + F.col("sem_rank")), 6
+    )
+    fused = ranked.withColumn("rrf", rrf)
+    return (
+        fused.withColumn(
+            "rank",
+            F.row_number().over(
+                by_q.orderBy(F.col("rrf").desc(), F.col("cand_id"))
+            ),
+        )
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            F.col("cand_id").alias("doc_id"),
+            F.col("lex_rank").cast("long").alias("lex_rank"),
+            F.col("sem_rank").cast("long").alias("sem_rank"),
+            F.round("rrf", 6).alias("rrf_score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+# ---------------------------------------------------------------------------
+# q253 — greedy maximum-coverage selection (budgeted set cover over
+# 3-gram shingles): 5 rounds of "pick the document adding the most
+# uncovered shingles" — the (1 − 1/e)-approximate submodular greedy
+# that seeds eval sets and diversity-first subsets. Scale shape in
+# operators/coverage.py: one checkpointed inverted frame, covered set
+# bounded by R·shingles-per-doc riding as an array literal (no join,
+# flat plans), per round one doc-group rollup + top-1 reduction. The
+# oracle replays all 5 rounds as unrolled MATERIALIZED CTEs —
+# integer gains, (gain DESC, doc_id) argmax — so sweeps prove the
+# full trajectory.
+# ---------------------------------------------------------------------------
+
+_SC_ROUNDS = 5
+
+
+def _set_cover_oracle(rounds: int) -> str:
+    sql = """
+    WITH t AS MATERIALIZED (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+        FROM documents),
+    sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS s
+        FROM t, unnest(range(greatest(len(toks) - 2, 1))) AS u(i))"""
+    picked_sets: list[str] = []
+    for r in range(1, rounds + 1):
+        not_picked = (
+            " AND doc_id NOT IN ("
+            + " UNION ALL ".join(
+                f"SELECT doc_id FROM s{p}" for p in range(1, r)
+            )
+            + ")"
+            if r > 1
+            else ""
+        )
+        not_covered = (
+            f" AND s NOT IN (SELECT s FROM c{r - 1})" if r > 1 else ""
+        )
+        sql += f""",
+    s{r} AS MATERIALIZED (
+        SELECT doc_id, COUNT(*)::BIGINT AS gain
+        FROM sh WHERE 1=1{not_picked}{not_covered}
+        GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1),
+    c{r} AS MATERIALIZED (
+        SELECT s FROM sh WHERE doc_id = (SELECT doc_id FROM s{r})"""
+        if r > 1:
+            sql += f"""
+        UNION SELECT s FROM c{r - 1}"""
+        sql += ")"
+        picked_sets.append(
+            f"""
+    SELECT {r}::BIGINT AS sel_rank, doc_id, gain,
+           (SELECT COUNT(*) FROM c{r})::BIGINT AS cum_covered
+    FROM s{r}"""
+        )
+    return sql + "\n    " + " UNION ALL ".join(picked_sets) + "\n    ORDER BY sel_rank"
+
+
+@query("q253_greedy_set_cover", oracle=_set_cover_oracle(_SC_ROUNDS))
+def q253_greedy_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.coverage import greedy_set_cover
+
+    d = load_table(spark, sf_dir, "documents")
+    sel = greedy_set_cover(d, rounds=_SC_ROUNDS)
+    # bounded R-row trajectory — a literal frame is the correct shape
+    # (the q248 k-center precedent)
+    return spark.createDataFrame(
+        sel, "sel_rank bigint, doc_id bigint, gain bigint, cum_covered bigint"
+    )
