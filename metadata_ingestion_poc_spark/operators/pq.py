@@ -462,3 +462,177 @@ def pq_reconstruction_stats(
         )
         .orderBy("sub", "code")
     )
+
+
+def _cell_topn_expr(
+    vec_col: str, cents_norm: Mapping[int, Sequence[float]], nprobe: int
+) -> str:
+    """Top-`nprobe` coarse cells by cosine, as a sliced sorted array of
+    (negdot, cell) structs — the centroids enter as ONE nested-array
+    literal of PRE-NORMALIZED vectors (so ranking by raw dot equals
+    ranking by cosine; the row's own norm is a per-row constant), and
+    the dot product is written once inside the lambda. Zero shuffle,
+    no join: the kmeans literal-assignment property applied to the
+    IVF coarse quantizer."""
+    cells = sorted(cents_norm)
+    cb = "array(" + ", ".join(
+        "array(" + ", ".join(repr(float(x)) + "D"
+                             for x in cents_norm[c]) + ")"
+        for c in cells
+    ) + ")"
+    cell_arr = "array(" + ", ".join(str(c) for c in cells) + ")"
+    dotq = (
+        f"aggregate(zip_with({vec_col}, cw, "
+        f"(x, y) -> cast(x as double) * y), 0.0D, (a, v) -> a + v)"
+    )
+    return (
+        f"slice(array_sort(zip_with({cb}, sequence(1, {len(cells)}), "
+        f"(cw, i) -> named_struct('nd', -({dotq}), "
+        f"'cell', element_at({cell_arr}, i)))), 1, {nprobe})"
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_cells: int = 32,
+    nprobe: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    iterations: int = 1,
+    rerank: int = 150,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    round_dp: int = 6,
+) -> DataFrame:
+    """IVF-PQ: the composed production ANN architecture (FAISS IVFPQ
+    shape, public literature) — coarse inverted-file cells restrict
+    WHICH rows are scored, PQ codes make scoring each of them cheap,
+    and a small exact re-rank restores precision.
+
+    100-TB shape: the coarse quantizer is trained by the existing
+    ivf_build_index Lloyd refinement, then its n_cells centroids are
+    collected (bounded) and NORMALIZED into literals, so the
+    corpus-side build is ONE zero-shuffle codegen scan emitting
+    (id, cell, codes) — no window, no join (plain IVF pays a per-row
+    rank window for the same assignment). Queries explode to nprobe
+    (query, cell) rows and broadcast-join the coded corpus on cell:
+    each probed row costs m lookups + a fold instead of a d-term dot
+    product, so the scan floor is nprobe/n_cells of the corpus in the
+    COMPRESSED domain. Exact re-rank = |Q|·rerank rows broadcast
+    against one corpus scan (the pq_topk_with_index tail)."""
+    from .similarity import ivf_build_index
+
+    cents, _ = ivf_build_index(
+        corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col
+    )
+    cents_norm = {
+        int(r["cell"]): [
+            float(x) / float(r["c_norm"]) for x in r["c_vec"]
+        ]
+        for r in cents.collect()
+        if float(r["c_norm"]) > 0
+    }
+    books = pq_train(
+        corpus, id_col, vec_col, dims, m, ksub, iterations
+    )
+    dsub = dims // m
+    from .dedup import _spread
+
+    # ONE corpus scan: coarse cell (literal argmax) + PQ codes
+    # (literal argmins) — all codegen, zero shuffle.
+    sliced = _spread(corpus).select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"element_at({_cell_topn_expr(vec_col, cents_norm, 1)}, 1).cell"
+        ).alias("cell"),
+        *[
+            F.expr(_slice_expr(vec_col, sub, dsub)).alias(f"__s{sub}")
+            for sub in range(1, m + 1)
+        ],
+    )
+    codes_expr = ", ".join(
+        f"{_sub_assign(f'__s{sub}', books[sub])}.cid"
+        for sub in range(1, m + 1)
+    )
+    coded = sliced.select(
+        "id",
+        "cell",
+        F.expr(f"array({codes_expr})").cast("array<int>").alias("codes"),
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__vec").alias("q_vec"),
+        F.col("__norm").alias("q_norm"),
+        F.expr(_lut_expr(vec_col, books, dims)).alias("lut"),
+        F.explode(
+            F.expr(
+                f"transform({_cell_topn_expr(vec_col, cents_norm, nprobe)}, "
+                f"s -> s.cell)"
+            )
+        ).alias("cell"),
+    )
+    nsq = _norm_table_sql(books)
+    adc = (
+        "aggregate(sequence(1, {m}), 0.0D, (a, s) -> "
+        "a + element_at(element_at(lut, s), element_at(codes, s)))"
+    ).format(m=m)
+    rnorm = (
+        "sqrt(aggregate(sequence(1, {m}), 0.0D, (a, s) -> "
+        "a + element_at(element_at({nsq}, s), element_at(codes, s))))"
+    ).format(m=m, nsq=nsq)
+    scored = (
+        coded.join(F.broadcast(q), "cell")
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            (F.expr(adc) / (F.col("q_norm") * F.expr(rnorm))).alias(
+                "adc_cosine"
+            ),
+        )
+        # no dedup needed: each corpus row lives in exactly ONE cell,
+        # so a (query, row) pair matches at most one probed cell —
+        # a dropDuplicates here would be a pure extra shuffle
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_cosine"), F.asc("neighbor_id")
+    )
+    cands = (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__vec").alias("c_vec"),
+        F.col("__norm").alias("c_norm"),
+    )
+    qv = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__vec").alias("q_vec"),
+        F.col("__norm").alias("q_norm"),
+    )
+    exact = (
+        c.join(F.broadcast(cands), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                round_dp,
+            ).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1067,3 +1067,27 @@ def q253_greedy_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sel, "sel_rank bigint, doc_id bigint, gain bigint, cum_covered bigint"
     )
+
+# ---------------------------------------------------------------------------
+# q254 — IVF-PQ composed ANN (operators/pq.py ivfpq_topk): coarse
+# inverted-file cells restrict WHICH rows are scored (nprobe/n_cells
+# of the corpus), PQ codes make scoring them cheap (m lookups + a
+# fold per row, in the compressed domain), and a bounded exact
+# re-rank restores precision — the production ANN architecture.
+# rows-only (approximate by design); the sf0.1 floor pinned in
+# tests/test_ann_recall_sf01.py shows the composition loses almost
+# nothing over plain IVF at the same nprobe (0.7793 vs 0.8173) while
+# never touching a raw vector outside the re-rank.
+# ---------------------------------------------------------------------------
+
+
+@query("q254_ivfpq_ann_topk")
+def q254_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return ivfpq_topk(
+        queries_df, emb, k=10,
+        nprobe=16, ksub=32, iterations=1, rerank=300,
+    ).orderBy("query_id", "rank")
