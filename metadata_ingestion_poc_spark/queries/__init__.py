@@ -110,71 +110,78 @@ def _load_all() -> None:
 # (judge-verified green in round 8, driver credit due); (d) the head
 # of the round-6 block refresh q148-q175. 5 + 8 + 9 + 28 = 50.
 #
-# Round-10 rotation note: promote whatever round-10 code changes
-# touch, then the rest of the round-6 refresh (q176-q185, q186-q196),
-# then the q01-q49 relational core refresh as fits. Round 11 takes
-# the remainder of the core refresh plus q50-q69.
+# Round-10 rotation (window N=50), per the round-9 verdict: (a) the
+# 6 queries whose code or oracle text changed in round 10 (clustering
+# _spread/validation reroute; q249/q245 advisor edge fixes); (b) the
+# 5 round-10-new q250-q254 (PQ family, RRF, set cover); (c) the
+# round-6 refresh tail q176-q196 (judge-verified green in r9); (d)
+# the relational-core refresh head q01-q17b. 6 + 5 + 21 + 18 = 50.
+#
+# Round-11 rotation note: promote whatever round-11 code changes
+# touch, then the rest of the core refresh q18-q49, then q50-q69.
 # ---------------------------------------------------------------------------
 _SWEEP_PRIORITY = [
-    # -- round-9 code-changed.
-    # (helper-hoist migrations q226/q236; advisor fixes q229/q230;
-    # q117 hash made overflow-safe — value-identical by modular
-    # arithmetic, swept anyway; q149's twin change is in the window
-    # below already)
-    "q117_mixture_resample",
-    "q226_woe_iv",
-    "q229_psi_drift",
-    "q230_chi2_independence",
-    "q236_rfm_segments",
-    # -- new in round 9 — never swept (k-means, stratified sample,
-    # label propagation, budget-capped selection, PCA, silhouette).
+    # -- round-10 code-changed.
+    # (clustering family re-routed through _spread + lazy checkpoint
+    # and element-null validation: q242/q246/q247/q248; advisor edge
+    # fixes to the q249 oracle's partial-shingle semantics and q245's
+    # zero-budget guard — all value-identical on this data by design,
+    # swept anyway because their code/oracle text changed)
     "q242_kmeans_clusters",
-    "q243_stratified_sample",
-    "q244_label_propagation",
     "q245_budget_capped_selection",
     "q246_pca_top_component",
     "q247_centroid_silhouette",
     "q248_kcenter_coreset",
     "q249_prefix_filter_jaccard",
-    # -- round-5 tail (judge-verified green in r8; driver credit due).
-    "q139_duplicated_spans",
-    "q140_fuzzy_name_match",
-    "q141_self_repeated_spans",
-    "q142_neardup_degree_histogram",
-    "q143_eval_decontamination",
-    "q144_variant_json_analytics",
-    "q145_cohort_retention",
-    "q146_compression_screen",
-    "q147_ngram_containment_pairs",
-    # -- round-6 block refresh head (last swept in D6).
-    "q148_interval_overlap_join",
-    "q149_importance_weighted_sample",
-    "q150_group_reservoir_sample",
-    "q151_pii_profile",
-    "q152_vocab_jaccard",
-    "q153_group_regression",
-    "q154_mad_outliers",
-    "q155_markov_transitions",
-    "q156_unigram_entropy",
-    "q157_bfs_hops",
-    "q158_cluster_collapse",
-    "q159_hard_negative_mining",
-    "q160_threshold_sweep",
-    "q161_recursive_cte_bfs",
-    "q162_url_host_stats",
-    "q163_lateral_topk",
-    "q164_asof_forward_attribution",
-    "q165_weighted_percentiles",
-    "q166_bpe_token_accounting",
-    "q167_bloom_prune_join",
-    "q168_pagerank",
-    "q169_cms_heavy_hitters",
-    "q170_retrieval_metrics",
-    "q171_moving_median",
-    "q172_new_vs_returning",
-    "q173_winnow_fingerprints",
-    "q174_triangle_count",
-    "q175_winsorized_stats",
+    # -- new in round 10 — never swept (PQ family, RRF fusion,
+    # greedy set cover).
+    "q250_pq_ann_topk",
+    "q251_pq_train_census",
+    "q252_rrf_hybrid_retrieval",
+    "q253_greedy_set_cover",
+    "q254_ivfpq_ann_topk",
+    # -- round-6 block refresh tail (judge-verified green in r9 at
+    # sf0.01; driver credit due).
+    "q176_ks_drift",
+    "q177_pmi_collocations",
+    "q178_global_row_number",
+    "q179_gap_fill_interpolate",
+    "q180_decile_lift",
+    "q181_bm25_topk",
+    "q182_zorder_buckets",
+    "q183_quantile_sketch",
+    "q184_random_projection",
+    "q185_referential_integrity",
+    "q186_activity_streaks",
+    "q187_mixture_temperature",
+    "q188_decayed_user_value",
+    "q189_kcore_decomposition",
+    "q190_tfidf_cosine_pairs",
+    "q191_price_histogram",
+    "q192_sessionize_events",
+    "q193_pii_redaction",
+    "q194_rolling_iqr_outliers",
+    "q195_user_burstiness",
+    "q196_zipf_fit",
+    # -- relational-core refresh head (last swept in D1/D2).
+    "q01_pricing_summary",
+    "q02_filter_predicates",
+    "q03_projection_compute",
+    "q04_join_inner_broadcast",
+    "q05_join_left_outer",
+    "q06_join_semi",
+    "q07_join_anti",
+    "q08_join_star_multiway",
+    "q09_agg_global",
+    "q10_topk_orders",
+    "q11_rollup",
+    "q12_cube",
+    "q13_grouping_sets",
+    "q14_percentiles",
+    "q15_variance_stats",
+    "q16_argmax_per_group",
+    "q17_collect_sorted",
+    "q17b_collect_array",
 ]
 
 
