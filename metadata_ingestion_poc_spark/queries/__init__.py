@@ -115,10 +115,10 @@ def _load_all() -> None:
 # _spread/validation reroute; q249/q245 advisor edge fixes); (b) the
 # 5 round-10-new q250-q254 (PQ family, RRF, set cover); (c) the
 # round-6 refresh tail q176-q196 (judge-verified green in r9); (d)
-# the relational-core refresh head q01-q17b. 6 + 5 + 21 + 18 = 50.
+# the relational-core refresh head q01-q16. 6 + 7 + 21 + 16 = 50.
 #
 # Round-11 rotation note: promote whatever round-11 code changes
-# touch, then the rest of the core refresh q18-q49, then q50-q69.
+# touch, then the rest of the core refresh q17-q49, then q50-q69.
 # ---------------------------------------------------------------------------
 _SWEEP_PRIORITY = [
     # -- round-10 code-changed.
@@ -133,13 +133,15 @@ _SWEEP_PRIORITY = [
     "q247_centroid_silhouette",
     "q248_kcenter_coreset",
     "q249_prefix_filter_jaccard",
-    # -- new in round 10 — never swept (PQ family, RRF fusion,
-    # greedy set cover).
+    # -- new in round 10 — never swept (PQ family, RRF fusion, greedy
+    # set cover, source overlap matrix, A-ES weighted sample).
     "q250_pq_ann_topk",
     "q251_pq_train_census",
     "q252_rrf_hybrid_retrieval",
     "q253_greedy_set_cover",
     "q254_ivfpq_ann_topk",
+    "q255_source_overlap_matrix",
+    "q256_weighted_sample",
     # -- round-6 block refresh tail (judge-verified green in r9 at
     # sf0.01; driver credit due).
     "q176_ks_drift",
@@ -180,8 +182,6 @@ _SWEEP_PRIORITY = [
     "q14_percentiles",
     "q15_variance_stats",
     "q16_argmax_per_group",
-    "q17_collect_sorted",
-    "q17b_collect_array",
 ]
 
 

@@ -1091,3 +1091,141 @@ def q254_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries_df, emb, k=10,
         nprobe=16, ksub=32, iterations=1, rerank=300,
     ).orderBy("query_id", "rank")
+
+# ---------------------------------------------------------------------------
+# q255 — cross-source contamination matrix: for every source pair,
+# the distinct-3-gram-shingle overlap (count, Jaccard, and
+# containment in the smaller side) — the corpus-level leakage audit a
+# curation pipeline runs between training subsets and eval sources
+# (the aggregate companion to q143's doc-level decontamination).
+# Scale shape: ONE (source, shingle) distinct rollup (bounded by
+# #sources × shingle universe), then a self-join on shingle whose
+# cost is Σ_s (sources-per-shingle)² ≤ #sources² per shingle — never
+# a doc×doc or row-scale pair frame. All-integer until two final
+# divisions.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q255_source_overlap_matrix",
+    oracle="""
+    WITH t AS (SELECT source, string_split(lower(trim(text)), ' ') AS toks
+               FROM documents),
+    ss AS MATERIALIZED (
+        SELECT DISTINCT source, array_to_string(toks[i+1:i+3], ' ') AS s
+        FROM t, unnest(range(greatest(len(toks) - 2, 1))) AS u(i)),
+    sz AS (SELECT source, COUNT(*)::BIGINT AS n FROM ss GROUP BY source),
+    ov AS (SELECT a.source AS src_a, b.source AS src_b,
+                  COUNT(*)::BIGINT AS n_common
+           FROM ss a JOIN ss b ON b.s = a.s AND a.source < b.source
+           GROUP BY 1, 2)
+    SELECT src_a, src_b, n_common,
+           za.n AS n_a, zb.n AS n_b,
+           ROUND(n_common::DOUBLE / (za.n + zb.n - n_common), 6)
+             AS jaccard,
+           ROUND(n_common::DOUBLE / least(za.n, zb.n), 6)
+             AS containment
+    FROM ov JOIN sz za ON za.source = src_a
+            JOIN sz zb ON zb.source = src_b
+    ORDER BY src_a, src_b
+    """,
+)
+def q255_source_overlap_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.dedup import _spread, shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    ss = (
+        shingles(_spread(d), 3, "text")
+        .select("source", F.explode_outer("shingles").alias("s"))
+        .filter(F.col("s").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False)  # reused by sizes + both join sides
+    )
+    sz = ss.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = ss.select(F.col("source").alias("src_a"), "s")
+    b = ss.select(F.col("source").alias("src_b"), "s")
+    ov = (
+        a.join(b, "s")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    za = sz.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    zb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        ov.join(F.broadcast(za), "src_a")
+        .join(F.broadcast(zb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("n_common").cast("double")
+                / F.least("n_a", "n_b"),
+                6,
+            ).alias("containment"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+# ---------------------------------------------------------------------------
+# q256 — weighted sampling without replacement (Efraimidis–Spirakis
+# A-ES, public literature): the top-20 documents by the key
+# ln(u)/w with w = n_chars and u a deterministic id-hash uniform —
+# the standard one-pass distributed weighted sampler (inclusion
+# probability rises with weight; a plain top-k by key needs no
+# per-group state). Distinct from q243 (unweighted stratified quota)
+# and q150 (unweighted per-group reservoir). Determinism: u is the
+# reduced Knuth hash mapped to (0,1]; ln(u) is ROUNDed at 6 dp (the
+# sanctioned cross-engine ln discipline, q237), then divided by the
+# integer weight — both engines perform the identical IEEE division
+# of identical doubles, so the raw key doubles are bit-equal and the
+# (key DESC, doc_id) ranking replays exactly. Scale: one scan + a
+# top-k reduction (TakeOrdered, never a global sort).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q256_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               ROUND(ln((((doc_id % {_KM_HASH_MOD}) * {_KM_HASH_MULT})
+                         % {_KM_HASH_MOD} + 1)::DOUBLE
+                        / {_KM_HASH_MOD + 1}::DOUBLE), 6)
+                 / n_chars AS aes_key
+        FROM documents WHERE n_chars > 0)
+    SELECT sel_rank, doc_id, source, n_chars, aes_key
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY aes_key DESC, doc_id)
+                    AS sel_rank
+          FROM keyed)
+    WHERE sel_rank <= 20
+    ORDER BY sel_rank
+    """,
+)
+def q256_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h = (
+        (F.col("doc_id") % F.lit(_KM_HASH_MOD)) * F.lit(_KM_HASH_MULT)
+    ) % F.lit(_KM_HASH_MOD)
+    u = (h + 1).cast("double") / F.lit(float(_KM_HASH_MOD + 1))
+    key = F.round(F.log(u), 6) / F.col("n_chars")
+    w = Window.orderBy(F.col("aes_key").desc(), F.col("doc_id"))
+    return (
+        d.select("doc_id", "source", "n_chars", key.alias("aes_key"))
+        .withColumn("sel_rank", F.row_number().over(w))
+        .filter(F.col("sel_rank") <= 20)
+        .select("sel_rank", "doc_id", "source", "n_chars", "aes_key")
+        .orderBy("sel_rank")
+    )
