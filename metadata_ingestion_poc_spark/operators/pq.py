@@ -293,13 +293,38 @@ def pq_topk_with_index(
     Scan cost per corpus row: m element_at lookups + a fold (the
     compressed-domain scan); only |Q|·rerank candidate rows ever touch
     a real vector again (broadcast join, one corpus scan)."""
-    m = len(codebooks)
     q = with_norm(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
-        F.col("__vec").alias("q_vec"),
         F.col("__norm").alias("q_norm"),
         F.expr(_lut_expr(vec_col, codebooks, dims)).alias("lut"),
     )
+    joined = codes.crossJoin(F.broadcast(q))
+    return _adc_rerank(
+        joined, codebooks, queries, corpus,
+        k=k, rerank=rerank, id_col=id_col, vec_col=vec_col,
+        round_dp=round_dp,
+    )
+
+
+def _adc_rerank(
+    joined: DataFrame,
+    codebooks: Codebooks,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    rerank: int,
+    id_col: str,
+    vec_col: str,
+    round_dp: int,
+) -> DataFrame:
+    """Shared tail of the PQ query paths (plain PQ and IVF-PQ):
+    ADC-score the (candidate row ⋈ query) frame, keep the top
+    ``rerank`` per query, then exactly re-rank those candidates
+    against the raw corpus. ``joined`` must carry
+    (query_id, q_norm, lut, id, codes); everything downstream —
+    tie order, rounding, rerank semantics — lives HERE once, so the
+    two entry points cannot drift apart."""
+    m = len(codebooks)
     nsq = _norm_table_sql(codebooks)
     # approx dot = Σ_sub lut[sub][code_sub]; approx ‖x̂‖ from the norm
     # table. aggregate over the 1..m index sequence keeps it codegen.
@@ -312,8 +337,7 @@ def pq_topk_with_index(
         "a + element_at(element_at({nsq}, s), element_at(codes, s))))"
     ).format(m=m, nsq=nsq)
     scored = (
-        codes.crossJoin(F.broadcast(q))
-        .filter(F.col("id") != F.col("query_id"))
+        joined.filter(F.col("id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("id").alias("neighbor_id"),
@@ -337,12 +361,14 @@ def pq_topk_with_index(
         F.col("__vec").alias("c_vec"),
         F.col("__norm").alias("c_norm"),
     )
+    qv = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__vec").alias("q_vec"),
+        F.col("__norm").alias("q_norm"),
+    )
     exact = (
         c.join(F.broadcast(cands), "neighbor_id")
-        .join(
-            F.broadcast(q.select("query_id", "q_vec", "q_norm")),
-            "query_id",
-        )
+        .join(F.broadcast(qv), "query_id")
         .select(
             "query_id",
             "neighbor_id",
@@ -564,7 +590,6 @@ def ivfpq_topk(
     )
     q = with_norm(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
-        F.col("__vec").alias("q_vec"),
         F.col("__norm").alias("q_norm"),
         F.expr(_lut_expr(vec_col, books, dims)).alias("lut"),
         F.explode(
@@ -574,65 +599,12 @@ def ivfpq_topk(
             )
         ).alias("cell"),
     )
-    nsq = _norm_table_sql(books)
-    adc = (
-        "aggregate(sequence(1, {m}), 0.0D, (a, s) -> "
-        "a + element_at(element_at(lut, s), element_at(codes, s)))"
-    ).format(m=m)
-    rnorm = (
-        "sqrt(aggregate(sequence(1, {m}), 0.0D, (a, s) -> "
-        "a + element_at(element_at({nsq}, s), element_at(codes, s))))"
-    ).format(m=m, nsq=nsq)
-    scored = (
-        coded.join(F.broadcast(q), "cell")
-        .filter(F.col("id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("id").alias("neighbor_id"),
-            (F.expr(adc) / (F.col("q_norm") * F.expr(rnorm))).alias(
-                "adc_cosine"
-            ),
-        )
-        # no dedup needed: each corpus row lives in exactly ONE cell,
-        # so a (query, row) pair matches at most one probed cell —
-        # a dropDuplicates here would be a pure extra shuffle
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("adc_cosine"), F.asc("neighbor_id")
-    )
-    cands = (
-        scored.withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") <= rerank)
-        .select("query_id", "neighbor_id")
-    )
-    c = with_norm(corpus, vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col("__vec").alias("c_vec"),
-        F.col("__norm").alias("c_norm"),
-    )
-    qv = with_norm(queries, vec_col).select(
-        F.col(id_col).alias("query_id"),
-        F.col("__vec").alias("q_vec"),
-        F.col("__norm").alias("q_norm"),
-    )
-    exact = (
-        c.join(F.broadcast(cands), "neighbor_id")
-        .join(F.broadcast(qv), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                dot(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_norm") * F.col("c_norm")),
-                round_dp,
-            ).alias("cosine"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        exact.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+    # no dedup needed on the cell join: each corpus row lives in
+    # exactly ONE cell, so a (query, row) pair matches at most one
+    # probed cell — a dropDuplicates would be a pure extra shuffle
+    joined = coded.join(F.broadcast(q), "cell")
+    return _adc_rerank(
+        joined, books, queries, corpus,
+        k=k, rerank=rerank, id_col=id_col, vec_col=vec_col,
+        round_dp=round_dp,
     )

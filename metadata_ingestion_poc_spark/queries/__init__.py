@@ -113,7 +113,8 @@ def _load_all() -> None:
 # Round-10 rotation (window N=50), per the round-9 verdict: (a) the
 # 6 queries whose code or oracle text changed in round 10 (clustering
 # _spread/validation reroute; q249/q245 advisor edge fixes); (b) the
-# 5 round-10-new q250-q254 (PQ family, RRF, set cover); (c) the
+# 7 round-10-new q250-q256 (PQ family, RRF, set cover, source
+# overlap, weighted sample); (c) the
 # round-6 refresh tail q176-q196 (judge-verified green in r9); (d)
 # the relational-core refresh head q01-q16. 6 + 7 + 21 + 16 = 50.
 #

@@ -880,7 +880,11 @@ def q251_pq_train_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q252_rrf_hybrid_retrieval",
     oracle="""
     WITH base AS MATERIALIZED (
-        SELECT d.doc_id, list_distinct(string_split(lower(trim(d.text)), ' ')) AS toks,
+        SELECT d.doc_id,
+               -- string_split_regex, not string_split(' '): Spark
+               -- tokenizes on \s+, and consecutive whitespace must
+               -- not fabricate empty tokens in the oracle
+               list_distinct(string_split_regex(lower(trim(d.text)), '\s+')) AS toks,
                e.embedding AS emb
         FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
     q AS (SELECT * FROM base WHERE doc_id < 5),
@@ -1017,7 +1021,7 @@ _SC_ROUNDS = 5
 def _set_cover_oracle(rounds: int) -> str:
     sql = """
     WITH t AS MATERIALIZED (
-        SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
         FROM documents),
     sh AS MATERIALIZED (
         SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS s
@@ -1109,7 +1113,7 @@ def q254_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q255_source_overlap_matrix",
     oracle="""
-    WITH t AS (SELECT source, string_split(lower(trim(text)), ' ') AS toks
+    WITH t AS (SELECT source, string_split_regex(lower(trim(text)), '\s+') AS toks
                FROM documents),
     ss AS MATERIALIZED (
         SELECT DISTINCT source, array_to_string(toks[i+1:i+3], ' ') AS s
