@@ -367,3 +367,53 @@ def test_asof_forward_attribution_plan_pinned(spark, sf_dir):
     for node in ("SortMergeJoin", "CartesianProduct",
                  "BroadcastNestedLoopJoin"):
         assert node not in plan, node
+
+
+def test_pq_encode_is_codegen_only(spark, sf_dir):
+    """Round-10 contract (operators/pq.py): PQ encoding bakes the
+    codebooks into nested-array literals — the coded frame must
+    contain NO join and no key-partitioned exchange (only _spread's
+    stats-gated round-robin repartition, a no-op at real scale). A
+    codebook JOIN here means the zero-shuffle encoding regressed."""
+    import re
+
+    from metadata_ingestion_poc_spark.operators.pq import (
+        pq_encode,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(emb, ksub=8, iterations=1)
+    plan = physical_plan(pq_encode(emb, books))
+    for node in (
+        "SortMergeJoin",
+        "ShuffledHashJoin",
+        "BroadcastHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+    ):
+        assert node not in plan, node
+    kinds = set(re.findall(r"Exchange (\w+)", plan))
+    assert kinds <= {"RoundRobinPartitioning"}, kinds
+
+
+def test_pq_census_single_bounded_exchange(spark, sf_dir):
+    """Round-10 contract: pq_reconstruction_stats is ONE scan + one
+    m·ksub-group rollup — exactly one key-partitioned exchange (plus
+    the round-robin spread and the orderBy's range partition), no
+    joins, no second scan of the corpus."""
+    import re
+
+    from metadata_ingestion_poc_spark.operators.pq import (
+        pq_reconstruction_stats,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(emb, ksub=8, iterations=1)
+    plan = physical_plan(pq_reconstruction_stats(emb, books))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert node not in plan, node
+    kinds = re.findall(r"Exchange (\w+)", plan)
+    assert kinds.count("hashpartitioning") == 1, kinds
+    assert plan.count("FileScan") <= 1, plan.count("FileScan")
