@@ -1233,3 +1233,153 @@ def q256_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("sel_rank", "doc_id", "source", "n_chars", "aes_key")
         .orderBy("sel_rank")
     )
+
+# ---------------------------------------------------------------------------
+# q257 — dedup-aware split leakage audit: assign every document to a
+# deterministic train/eval split (reduced id-hash, 80/20), find all
+# EXACT near-duplicate pairs at Jaccard ≥ 1/2 via the lossless
+# prefix-filter join (q249's operator — zero recall loss, so the
+# leakage count is exact, not an LSH estimate), and report how many
+# pairs land within-train / within-eval / ACROSS the split — the
+# cross-split count is precisely the train→eval contamination a naive
+# random split leaks and dedup-aware splitting must drive to zero.
+# Scale: the pair frame is the prefix-filter join's output (bounded
+# by true near-dup density), labels attach via two hash expressions —
+# no extra corpus scan beyond the operator's own.
+# ---------------------------------------------------------------------------
+
+
+def _split_sql(col: str) -> str:
+    return (
+        f"CASE WHEN ((({col} % {_KM_HASH_MOD}) * {_KM_HASH_MULT})"
+        f" % {_KM_HASH_MOD}) % 10 < 8 THEN 'train' ELSE 'eval' END"
+    )
+
+
+@query(
+    "q257_split_leakage",
+    oracle=f"""
+    WITH t AS (SELECT doc_id,
+                      string_split_regex(lower(trim(text)), '\\s+') AS toks
+               FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS s
+           FROM t, unnest(range(greatest(len(toks) - 2, 1))) AS u(i)),
+    sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      count(*)::BIGINT AS n_common
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+    pairs AS (
+        SELECT doc_a, doc_b,
+               ROUND(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6)
+                 AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_common * 2 >= 1 * (sa.n_sh + sb.n_sh - n_common)),
+    labeled AS (
+        SELECT CASE
+                 WHEN ({_split_sql('doc_a')}) = ({_split_sql('doc_b')})
+                   THEN 'within_' || ({_split_sql('doc_a')})
+                 ELSE 'cross_split'
+               END AS pair_class,
+               jaccard
+        FROM pairs)
+    SELECT pair_class, COUNT(*)::BIGINT AS n_pairs,
+           ROUND(CAST(SUM(CAST(jaccard AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_jaccard
+    FROM labeled GROUP BY pair_class ORDER BY pair_class
+    """,
+)
+def q257_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.determinism import DEC
+    from ..operators.dedup import prefix_filter_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = prefix_filter_jaccard_pairs(
+        d, id_col="doc_id", n=3, threshold=(1, 2)
+    )
+    sa = F.expr(_split_sql("doc_a"))
+    sb = F.expr(_split_sql("doc_b"))
+    return (
+        pairs.select(
+            F.when(sa == sb, F.concat(F.lit("within_"), sa))
+            .otherwise(F.lit("cross_split"))
+            .alias("pair_class"),
+            "jaccard",
+        )
+        .groupBy("pair_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(
+                F.sum(F.col("jaccard").cast(DEC)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_jaccard"),
+        )
+        .orderBy("pair_class")
+    )
+
+# ---------------------------------------------------------------------------
+# q258 — effective corpus size after exact dedup: per source, how
+# much of the raw document/token mass survives one-row-per-distinct-
+# text dedup (min-doc_id winner, q50 semantics — a cross-source
+# duplicate is credited to its winner's source). THE pipeline sizing
+# question: raw token counts overstate usable training mass by the
+# duplicate ratio. All-integer sums, one final division. Scale: one
+# text-key exchange (the dedup window) + one source rollup.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q258_effective_corpus_size",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source,
+               len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT
+                 AS n_toks,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id)
+                 AS rn
+        FROM documents)
+    SELECT source,
+           COUNT(*)::BIGINT AS raw_docs,
+           SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS kept_docs,
+           SUM(n_toks)::BIGINT AS raw_tokens,
+           SUM(CASE WHEN rn = 1 THEN n_toks ELSE 0 END)::BIGINT
+             AS kept_tokens,
+           ROUND(1.0 - SUM(CASE WHEN rn = 1 THEN n_toks ELSE 0 END)::DOUBLE
+                       / SUM(n_toks), 6) AS dup_token_ratio
+    FROM t GROUP BY source ORDER BY source
+    """,
+)
+def q258_effective_corpus_size(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        .cast("long")
+        .alias("n_toks"),
+        F.row_number()
+        .over(Window.partitionBy("text").orderBy("doc_id"))
+        .alias("rn"),
+    )
+    kept = F.when(F.col("rn") == 1, F.col("n_toks")).otherwise(0)
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("raw_docs"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("kept_docs"),
+            F.sum("n_toks").cast("long").alias("raw_tokens"),
+            F.sum(kept).cast("long").alias("kept_tokens"),
+            F.round(
+                1.0 - F.sum(kept).cast("double") / F.sum("n_toks"), 6
+            ).alias("dup_token_ratio"),
+        )
+        .orderBy("source")
+    )
