@@ -549,6 +549,39 @@ def ivfpq_topk(
     product, so the scan floor is nprobe/n_cells of the corpus in the
     COMPRESSED domain. Exact re-rank = |Q|·rerank rows broadcast
     against one corpus scan (the pq_topk_with_index tail)."""
+    cents_norm, books, coded = ivfpq_build(
+        corpus,
+        n_cells=n_cells,
+        m=m,
+        ksub=ksub,
+        iterations=iterations,
+        id_col=id_col,
+        vec_col=vec_col,
+        dims=dims,
+    )
+    return ivfpq_topk_with_index(
+        queries, cents_norm, books, coded, corpus,
+        k=k, nprobe=nprobe, rerank=rerank,
+        id_col=id_col, vec_col=vec_col, dims=dims, round_dp=round_dp,
+    )
+
+
+def ivfpq_build(
+    corpus: DataFrame,
+    n_cells: int = 32,
+    m: int = 8,
+    ksub: int = 16,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> tuple[dict[int, list[float]], Codebooks, DataFrame]:
+    """The EXPENSIVE phase of IVF-PQ: coarse quantizer training,
+    PQ codebook training, and the one zero-shuffle codegen scan that
+    codes the corpus as (id, cell, codes). Returns
+    (normalized centroids, codebooks, coded corpus); persist with
+    ``save_ivfpq_index`` so query batches reuse the index (the
+    build-nightly / query-all-day shape)."""
     from .similarity import ivf_build_index
 
     cents, _ = ivf_build_index(
@@ -588,6 +621,65 @@ def ivfpq_topk(
         "cell",
         F.expr(f"array({codes_expr})").cast("array<int>").alias("codes"),
     )
+    return cents_norm, books, coded
+
+
+def save_ivfpq_index(
+    spark,
+    cents_norm: Mapping[int, Sequence[float]],
+    codebooks: Codebooks,
+    coded: DataFrame,
+    path: str,
+) -> None:
+    """Persist an IVF-PQ index (normalized coarse centroids + PQ
+    codebooks + coded corpus) as parquet."""
+    spark.createDataFrame(
+        [(c, list(v)) for c, v in sorted(cents_norm.items())],
+        "cell int, c_vec array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/cells")
+    rows = [
+        (sub, cid, book[cid])
+        for sub, book in sorted(codebooks.items())
+        for cid in sorted(book)
+    ]
+    spark.createDataFrame(
+        rows, "sub int, cid int, codeword array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    coded.write.mode("overwrite").parquet(f"{path}/coded")
+
+
+def load_ivfpq_index(
+    spark, path: str
+) -> tuple[dict[int, list[float]], Codebooks, DataFrame]:
+    """Reload a persisted IVF-PQ index; reload ≡ rebuild is pinned in
+    tests/test_similarity.py."""
+    cents_norm = {
+        int(r["cell"]): [float(x) for x in r["c_vec"]]
+        for r in spark.read.parquet(f"{path}/cells").collect()
+    }
+    books: Codebooks = {}
+    for r in spark.read.parquet(f"{path}/codebooks").collect():
+        books.setdefault(r["sub"], {})[r["cid"]] = [
+            float(x) for x in r["codeword"]
+        ]
+    return cents_norm, books, spark.read.parquet(f"{path}/coded")
+
+
+def ivfpq_topk_with_index(
+    queries: DataFrame,
+    cents_norm: Mapping[int, Sequence[float]],
+    books: Codebooks,
+    coded: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    nprobe: int = 8,
+    rerank: int = 150,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Top-k against a prebuilt (possibly reloaded) IVF-PQ index."""
     q = with_norm(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col("__norm").alias("q_norm"),

@@ -206,3 +206,43 @@ def test_pq_validation_fails_loud(spark):
         pq_train(df, dims=6, m=4, ksub=4)
     with pytest.raises(ValueError, match="< ksub"):
         pq_train(df, dims=6, m=3, ksub=32)
+
+
+def test_ivfpq_index_save_load_identical_results(spark, sf_dir, tmp_path):
+    """Reload ≡ rebuild for the persisted IVF-PQ index (cells +
+    codebooks + coded corpus) — completes the build-nightly /
+    query-all-day contract for the composed ANN path."""
+    from metadata_ingestion_poc_spark.operators.pq import (
+        ivfpq_build,
+        ivfpq_topk,
+        ivfpq_topk_with_index,
+        load_ivfpq_index,
+        save_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    direct = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in ivfpq_topk(
+            queries, emb, k=5, n_cells=8, nprobe=4, ksub=8,
+            iterations=1, rerank=40,
+        ).collect()
+    }
+
+    cents, books, coded = ivfpq_build(
+        emb, n_cells=8, ksub=8, iterations=1
+    )
+    path = str(tmp_path / "ivfpq_index")
+    save_ivfpq_index(spark, cents, books, coded, path)
+    cents2, books2, coded2 = load_ivfpq_index(spark, path)
+    assert cents2 == cents and books2 == books
+    reloaded = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in ivfpq_topk_with_index(
+            queries, cents2, books2, coded2, emb,
+            k=5, nprobe=4, rerank=40,
+        ).collect()
+    }
+    assert reloaded == direct
