@@ -1477,3 +1477,88 @@ def q259_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+# ---------------------------------------------------------------------------
+# q260 — token dispersion across sources (Gries' DP, public corpus-
+# linguistics measure): for each token, DP = ½ Σ_i |p_i − s_i| where
+# p_i is the token's count share in source i and s_i source i's share
+# of total token mass. DP ≈ 0 = the token is spread exactly like the
+# corpus (function words); DP → 1 = concentrated in few sources
+# (domain markers) — the screen that finds source-specific
+# vocabulary before it leaks into a "general" training mix. The
+# (token × source) grid is DENSIFIED (chi² q230 lesson: absent cells
+# contribute |0 − s_i| = s_i, so dropping them understates DP).
+# Each |p−s| term is 6-dp rounded then decimal-summed (order-free).
+# Scale: one (token, source) rollup; the grid is vocab × sources —
+# bounded by vocabulary, not corpus.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q260_token_dispersion",
+    oracle="""
+    WITH tok AS (
+        SELECT source, u.tok
+        FROM (SELECT source,
+                     string_split_regex(lower(trim(text)), '\\s+') AS toks
+              FROM documents), unnest(toks) AS u(tok)),
+    cnt AS (SELECT tok, source, COUNT(*)::BIGINT AS c
+            FROM tok GROUP BY 1, 2),
+    tot AS (SELECT tok, SUM(c)::BIGINT AS f FROM cnt GROUP BY tok),
+    mass AS (SELECT source, SUM(c)::BIGINT AS m FROM cnt GROUP BY source),
+    grand AS (SELECT SUM(m)::BIGINT AS g FROM mass),
+    grid AS (
+        SELECT t.tok, t.f, s.source, s.m,
+               COALESCE(c.c, 0)::BIGINT AS c
+        FROM tot t CROSS JOIN mass s
+        LEFT JOIN cnt c ON c.tok = t.tok AND c.source = s.source)
+    SELECT tok, MAX(f)::BIGINT AS total_count,
+           SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END)::BIGINT AS n_sources,
+           ROUND(0.5 * CAST(SUM(CAST(ROUND(
+                 abs(c::DOUBLE / f - m::DOUBLE / (SELECT g FROM grand)),
+                 6) AS DECIMAL(28,6))) AS DOUBLE), 6) AS dp
+    FROM grid GROUP BY tok ORDER BY tok
+    """,
+)
+def q260_token_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("tok"),
+    )
+    cnt = d.groupBy("tok", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cnt = cnt.localCheckpoint(eager=False)  # reused: tot, mass, grid
+    tot = cnt.groupBy("tok").agg(F.sum("c").cast("long").alias("f"))
+    mass = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("m"))
+    g = mass.agg(F.sum("m")).first()[0]
+    grid = (
+        tot.crossJoin(F.broadcast(mass))
+        .join(cnt, ["tok", "source"], "left")
+        .select(
+            "tok",
+            "f",
+            "m",
+            F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    term = F.round(
+        F.abs(
+            F.col("c").cast("double") / F.col("f")
+            - F.col("m").cast("double") / F.lit(float(g))
+        ),
+        6,
+    ).cast(DEC)
+    return (
+        grid.groupBy("tok")
+        .agg(
+            F.max("f").cast("long").alias("total_count"),
+            F.sum(F.when(F.col("c") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_sources"),
+            F.round(0.5 * F.sum(term).cast("double"), 6).alias("dp"),
+        )
+        .orderBy("tok")
+    )

@@ -246,3 +246,58 @@ def test_ivfpq_index_save_load_identical_results(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert reloaded == direct
+
+
+def test_pq_codebook_gap_positional_lookup(spark):
+    """A codeword that loses every member drops out of the trained
+    codebook, leaving a GAP below max(cid). The assignment argmin must
+    not see the gap (a zero codeword could win), while the ADC lookup
+    and norm tables must stay POSITIONAL (zero-padded) so codes that
+    reference cids above the gap still land on their own entries.
+    With rerank covering the whole corpus, PQ top-k must then equal
+    exact brute force regardless of ADC quality — a pure plumbing
+    invariant that fails if gap indexing is off by one."""
+    from metadata_ingestion_poc_spark.operators.clustering import (
+        _HASH_MOD,
+        _HASH_MULT,
+    )
+    from metadata_ingestion_poc_spark.operators.pq import (
+        pq_encode,
+        pq_topk_with_index,
+        pq_train,
+    )
+
+    ids = list(range(12))
+    order = sorted(ids, key=lambda i: ((i % _HASH_MOD) * _HASH_MULT) % _HASH_MOD)
+    s0, s1, s2 = order[:3]  # the 3 seed ids, in cid order 1..3
+    rows = []
+    for i in ids:
+        if i == s0 or i == s1:
+            sub2 = [0.0, 0.0]       # cid 1 and cid 2 seeds IDENTICAL
+        elif i == s2:
+            sub2 = [9.0, 9.0]       # cid 3 seed far away
+        elif i % 2 == 0:
+            sub2 = [0.5, 0.5]       # near the 0-cluster
+        else:
+            sub2 = [8.5, 8.5]       # near the 9-cluster
+        rows.append((i, [1.0, float(i) / 10.0] + sub2))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    books = pq_train(df, dims=4, m=2, ksub=3, iterations=1)
+    # the tie rule sends every 0-cluster row to cid 1, so cid 2 must
+    # have dropped out of subspace 2 — a real gap below max(cid)=3
+    assert sorted(books[2]) == [1, 3], books[2]
+
+    q = df.filter(F.col("vec_id") < 3)
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk(q, df, k=3).collect()
+    }
+    codes = pq_encode(df, books, dims=4)
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in pq_topk_with_index(
+            q, codes, books, df, k=3, rerank=12, dims=4
+        ).collect()
+    }
+    assert got == exact
