@@ -416,11 +416,9 @@ def pq_ann_topk(
     )
 
 
-def save_pq_index(
-    spark, codebooks: Codebooks, codes: DataFrame, path: str
-) -> None:
-    """Persist codebooks + codes as parquet (build nightly, query all
-    day — the save_ivf_index operational shape)."""
+def _write_codebooks(spark, codebooks: Codebooks, path: str) -> None:
+    """The ONE codebook wire format (shared by the PQ and IVF-PQ
+    indexes — a format change here changes both, never one)."""
     rows = [
         (sub, cid, book[cid])
         for sub, book in sorted(codebooks.items())
@@ -428,19 +426,34 @@ def save_pq_index(
     ]
     spark.createDataFrame(
         rows, "sub int, cid int, codeword array<double>"
-    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    ).write.mode("overwrite").parquet(path)
+
+
+def _read_codebooks(spark, path: str) -> Codebooks:
+    books: Codebooks = {}
+    for r in spark.read.parquet(path).collect():
+        books.setdefault(r["sub"], {})[r["cid"]] = [
+            float(x) for x in r["codeword"]
+        ]
+    return books
+
+
+def save_pq_index(
+    spark, codebooks: Codebooks, codes: DataFrame, path: str
+) -> None:
+    """Persist codebooks + codes as parquet (build nightly, query all
+    day — the save_ivf_index operational shape)."""
+    _write_codebooks(spark, codebooks, f"{path}/codebooks")
     codes.write.mode("overwrite").parquet(f"{path}/codes")
 
 
 def load_pq_index(spark, path: str) -> tuple[Codebooks, DataFrame]:
     """Reload a persisted PQ index; reload ≡ rebuild is pinned in
     tests/test_similarity.py."""
-    books: Codebooks = {}
-    for r in spark.read.parquet(f"{path}/codebooks").collect():
-        books.setdefault(r["sub"], {})[r["cid"]] = [
-            float(x) for x in r["codeword"]
-        ]
-    return books, spark.read.parquet(f"{path}/codes")
+    return (
+        _read_codebooks(spark, f"{path}/codebooks"),
+        spark.read.parquet(f"{path}/codes"),
+    )
 
 
 def pq_reconstruction_stats(
@@ -637,14 +650,7 @@ def save_ivfpq_index(
         [(c, list(v)) for c, v in sorted(cents_norm.items())],
         "cell int, c_vec array<double>",
     ).write.mode("overwrite").parquet(f"{path}/cells")
-    rows = [
-        (sub, cid, book[cid])
-        for sub, book in sorted(codebooks.items())
-        for cid in sorted(book)
-    ]
-    spark.createDataFrame(
-        rows, "sub int, cid int, codeword array<double>"
-    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    _write_codebooks(spark, codebooks, f"{path}/codebooks")
     coded.write.mode("overwrite").parquet(f"{path}/coded")
 
 
@@ -657,11 +663,7 @@ def load_ivfpq_index(
         int(r["cell"]): [float(x) for x in r["c_vec"]]
         for r in spark.read.parquet(f"{path}/cells").collect()
     }
-    books: Codebooks = {}
-    for r in spark.read.parquet(f"{path}/codebooks").collect():
-        books.setdefault(r["sub"], {})[r["cid"]] = [
-            float(x) for x in r["codeword"]
-        ]
+    books = _read_codebooks(spark, f"{path}/codebooks")
     return cents_norm, books, spark.read.parquet(f"{path}/coded")
 
 

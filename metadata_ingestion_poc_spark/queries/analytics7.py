@@ -1385,100 +1385,6 @@ def q258_effective_corpus_size(
     )
 
 # ---------------------------------------------------------------------------
-# q259 — vocabulary growth curve (Heaps' law): ingest documents in
-# doc_id order, split the stream into 10 equal ntile buckets, and
-# report how many NEVER-SEEN-BEFORE tokens each bucket contributes
-# plus the cumulative vocabulary — the sizing curve that says whether
-# more data still buys new vocabulary or only repeats it. All-integer
-# trajectory. Scale: token first-occurrence is ONE (token)-group
-# min-rollup behind map-side combine (never a sorted scan of the
-# stream); first-occurrence docs map to buckets through the TEN
-# collected bucket boundaries re-entering as a literal CASE (the
-# bounded cut-frame discipline — broadcasting the full doc→bucket map
-# would ship the whole corpus); the cumulative sum is a 10-row window.
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "q259_vocab_growth",
-    oracle="""
-    WITH d AS (
-        SELECT doc_id,
-               ntile(10) OVER (ORDER BY doc_id) AS bucket,
-               string_split_regex(lower(trim(text)), '\\s+') AS toks
-        FROM documents),
-    firsts AS (
-        SELECT u.tok, MIN(d.doc_id) AS first_doc
-        FROM d, unnest(d.toks) AS u(tok)
-        GROUP BY u.tok),
-    fb AS (
-        SELECT b.bucket, COUNT(*)::BIGINT AS new_tokens
-        FROM firsts f
-        JOIN (SELECT doc_id, bucket FROM d) b ON b.doc_id = f.first_doc
-        GROUP BY b.bucket),
-    base AS (
-        SELECT bucket, COUNT(*)::BIGINT AS n_docs FROM d GROUP BY bucket)
-    SELECT base.bucket::INT AS bucket, base.n_docs,
-           COALESCE(fb.new_tokens, 0)::BIGINT AS new_tokens,
-           SUM(COALESCE(fb.new_tokens, 0))
-             OVER (ORDER BY base.bucket
-                   ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_vocab
-    FROM base LEFT JOIN fb ON fb.bucket = base.bucket
-    ORDER BY bucket
-    """,
-)
-def q259_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.ntile(10).over(Window.orderBy("doc_id")).alias("bucket"),
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
-    )
-    d = d.localCheckpoint(eager=False)  # reused: firsts join + base rollup
-    firsts = (
-        d.select("doc_id", F.explode("toks").alias("tok"))
-        .groupBy("tok")
-        .agg(F.min("doc_id").alias("first_doc"))
-    )
-    # ntile boundaries: a BOUNDED 10-row collect re-entering the plan
-    # as one CASE literal — never a join against the doc→bucket map
-    bounds = sorted(
-        (r["bucket"], r["hi"])
-        for r in d.groupBy("bucket")
-        .agg(F.max("doc_id").alias("hi"))
-        .collect()
-    )
-    case = "CASE " + " ".join(
-        f"WHEN first_doc <= {hi} THEN {b}" for b, hi in bounds
-    ) + " END"
-    fb = (
-        firsts.select(F.expr(case).alias("bucket"))
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("new_tokens"))
-    )
-    base = d.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
-    )
-    w = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return (
-        base.join(fb, "bucket", "left")
-        .select(
-            F.col("bucket").cast("int").alias("bucket"),
-            "n_docs",
-            F.coalesce("new_tokens", F.lit(0))
-            .cast("long")
-            .alias("new_tokens"),
-        )
-        .withColumn(
-            "cum_vocab", F.sum("new_tokens").over(w).cast("long")
-        )
-        .orderBy("bucket")
-    )
-
-# ---------------------------------------------------------------------------
 # q260 — token dispersion across sources (Gries' DP, public corpus-
 # linguistics measure): for each token, DP = ½ Σ_i |p_i − s_i| where
 # p_i is the token's count share in source i and s_i source i's share
@@ -1521,11 +1427,22 @@ def q259_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q260_token_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select(
-        "source",
-        F.explode(
-            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-        ).alias("tok"),
+    from ..operators.dedup import _spread
+
+    # _spread: the documents parquet arrives as ONE split, and the
+    # tokenize+explode map side must use every core. explode_outer +
+    # isNotNull, not explode — the _shingle_index lesson (an inferred
+    # size()>0 filter would inline the split() twice). The split of a
+    # trimmed non-NULL string is never NULL, so outer is value-equal.
+    d = (
+        _spread(load_table(spark, sf_dir, "documents"))
+        .select(
+            "source",
+            F.explode_outer(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("tok"),
+        )
+        .filter(F.col("tok").isNotNull())
     )
     cnt = d.groupBy("tok", "source").agg(
         F.count(F.lit(1)).cast("long").alias("c")
