@@ -79,17 +79,52 @@ def _dist_sql(vec_expr: str, centroid: Sequence[float]) -> str:
     )
 
 
+def _centroid_literal(centroids: Mapping[int, Sequence[float]]) -> tuple[str, str]:
+    """(nested array literal of centroids, int array literal of their
+    cids), in ascending-cid order."""
+    cids = sorted(centroids)
+    cb = "array(" + ", ".join(
+        "array(" + ", ".join(repr(float(x)) + "D"
+                             for x in centroids[c]) + ")"
+        for c in cids
+    ) + ")"
+    return cb, "array(" + ", ".join(str(c) for c in cids) + ")"
+
+
+def _struct_dists_expr(
+    vec_col: str, centroids: Mapping[int, Sequence[float]]
+) -> str:
+    """Array of (d2, cid) structs over all centroids — the shared
+    core of the argmin and nearest-two forms.
+
+    The centroids enter as ONE nested-array literal with the exact-
+    decimal distance written ONCE inside a zip_with lambda (round-10,
+    the operators/pq.py lesson): the per-centroid-unrolled form (k
+    separate aggregate expressions) builds thousands of Catalyst
+    nodes at k=8·d=64 and pays seconds of analysis + codegen per
+    Lloyd round; this form is ~50 nodes for identical arithmetic
+    (same 6-dp rounds, same decimal fold, same (d2, cid) order)."""
+    cb, cid_arr = _centroid_literal(centroids)
+    dist = (
+        f"aggregate(zip_with({vec_col}, cw, "
+        f"(x, y) -> round((cast(x as double) - y) * (cast(x as double) - y), 6)), "
+        f"cast(0 as decimal(28,6)), "
+        f"(acc, v) -> cast(acc + cast(v as decimal(28,6)) as decimal(28,6)))"
+    )
+    return (
+        f"zip_with({cb}, sequence(1, {len(centroids)}), "
+        f"(cw, i) -> named_struct('d2', {dist}, "
+        f"'cid', element_at({cid_arr}, i)))"
+    )
+
+
 def _assign_expr(
     vec_col: str, centroids: Mapping[int, Sequence[float]]
 ) -> str:
     """argmin_{cid} dist²(vec, centroid_cid) as a struct (d2, cid):
     struct comparison orders by d2 first, then cid — a total order,
     so ties break deterministically on the lower cluster id."""
-    entries = ", ".join(
-        f"named_struct('d2', {_dist_sql(vec_col, c)}, 'cid', {cid})"
-        for cid, c in sorted(centroids.items())
-    )
-    return f"array_min(array({entries}))"
+    return f"array_min({_struct_dists_expr(vec_col, centroids)})"
 
 
 def nearest_two_expr(
@@ -98,11 +133,7 @@ def nearest_two_expr(
     """Sorted array of (d2, cid) structs over all centroids — element 1
     is the assigned centroid, element 2 the runner-up (silhouette's
     `b`). Same total order as the argmin: (exact decimal d2, cid)."""
-    entries = ", ".join(
-        f"named_struct('d2', {_dist_sql(vec_col, c)}, 'cid', {cid})"
-        for cid, c in sorted(centroids.items())
-    )
-    return f"array_sort(array({entries}))"
+    return f"array_sort({_struct_dists_expr(vec_col, centroids)})"
 
 
 def seed_centroids(
@@ -304,8 +335,17 @@ def kcenter_greedy(
     }
     out: list[tuple[int, int, object]] = [(1, int(first[0][id_col]), None)]
     for r in range(2, k + 1):
-        md2 = f"least({', '.join(_dist_sql(vec_col, c) for c in chosen.values())})" \
-            if len(chosen) > 1 else _dist_sql(vec_col, next(iter(chosen.values())))
+        # min over the literal seeds in ONE nested-literal transform
+        # (the _struct_dists_expr codegen-size rationale); decimal min
+        # is order-independent, so this equals the unrolled least()
+        md2 = (
+            f"array_min(transform("
+            f"{_centroid_literal(dict(enumerate(chosen.values())))[0]}, "
+            f"cw -> aggregate(zip_with({vec_col}, cw, "
+            f"(x, y) -> round((cast(x as double) - y) * (cast(x as double) - y), 6)), "
+            f"cast(0 as decimal(28,6)), "
+            f"(acc, v) -> cast(acc + cast(v as decimal(28,6)) as decimal(28,6)))))"
+        )
         top = (
             base.filter(~F.col(id_col).isin(*chosen.keys()))
             .withColumn("__md2", F.expr(md2))
