@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .components import _cut, _cut_lazy
+from ..functions.determinism import _half_up
 
 # decimal type for order-independent rank-contribution sums: values
 # are < 1, so 10 integer digits is ample, and 18 fractional digits
@@ -287,3 +288,78 @@ def kcore(
     return sym.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     )
+
+
+def densest_subgraph_peel(
+    edges: DataFrame, rounds: int, reliable: bool = False
+) -> list[tuple[int, int, int, float, float]]:
+    """R-round parallel greedy peel toward the densest subgraph
+    (Charikar 2000 greedy, parallel batch form — public literature):
+    each round records the current subgraph's (nodes, edges, density,
+    avg degree), then removes every vertex whose degree is <= the
+    current AVERAGE degree and restricts the edge set to survivors.
+    Density ρ = E/N is non-decreasing along the peel until the core
+    is reached; the best round approximates the maximum-density
+    subgraph — the "find the pathologically dense cluster" screen
+    (spam rings, boilerplate hubs) that a fixed-k k-core can't
+    express because the right k is data-dependent.
+
+    Fixed-round contract (the kcore discipline): the identical
+    deterministic computation replays in unrolled SQL; a round where
+    no vertex survives truncates the trajectory on both engines.
+    Scale: per round one degree rollup + the bounded 2-value stats
+    collect + two semi-joins, lineage cut per round. The adaptive
+    threshold (2.0·E)/N is the same IEEE double on any engine
+    (exact integer inputs, one multiply, one divide).
+
+    Returns [(round, n_nodes, n_edges, density6, avg_degree6)] with
+    stats taken BEFORE each round's peel.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    e = (
+        edges.select("u", "v")
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .distinct()
+    )
+    e = _cut(e, reliable)
+    out: list[tuple[int, int, int, float, float]] = []
+    for r in range(1, rounds + 1):
+        sym = e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        deg = (
+            sym.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .localCheckpoint(eager=False)  # reused: stats + keep
+        )
+        row = deg.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("d").alias("twoe")
+        ).first()
+        if row is None or not row["n"]:
+            break  # a regular subgraph peeled everyone — truncate
+        n, two_e = int(row["n"]), int(row["twoe"])
+        n_edges = two_e // 2
+        avg = (2.0 * n_edges) / n
+        out.append(
+            (
+                r,
+                n,
+                n_edges,
+                _half_up(n_edges / n, 6),
+                _half_up(avg, 6),
+            )
+        )
+        keep = deg.filter(F.col("d") > F.lit(avg)).select(
+            F.col("a").alias("node")
+        )
+        e = _cut_lazy(
+            e.join(
+                keep.withColumnRenamed("node", "a"), "a", "left_semi"
+            ).join(keep.withColumnRenamed("node", "b"), "b", "left_semi"),
+            reliable,
+        )
+    return out

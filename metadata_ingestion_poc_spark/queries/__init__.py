@@ -113,16 +113,16 @@ def _load_all() -> None:
 # Round-10 rotation (window N=50), per the round-9 verdict: (a) the
 # 6 queries whose code or oracle text changed in round 10 (clustering
 # _spread/validation reroute; q249/q245 advisor edge fixes); (b) the
-# 10 round-10-new q250-q258 + q260 (PQ family, RRF, set cover, source
+# 11 round-10-new q250-q258 + q260-q261 (PQ family, RRF, set cover, source
 # overlap, weighted sample, split leakage, effective size, token
-# dispersion — a q259 vocab-growth draft was REMOVED as a degenerate
+# dispersion, densest subgraph — a q259 vocab-growth draft was REMOVED as a degenerate
 # near-duplicate of q133, which already documents that the unigram
 # vocabulary saturates in the first documents); (c) the
 # round-6 refresh tail q176-q196 (judge-verified green in r9); (d)
-# the relational-core refresh head q01-q13. 6 + 10 + 21 + 13 = 50.
+# the relational-core refresh head q01-q12. 6 + 11 + 21 + 12 = 50.
 #
 # Round-11 rotation note: promote whatever round-11 code changes
-# touch, then the rest of the core refresh q14-q49, then q50-q69.
+# touch, then the rest of the core refresh q13-q49, then q50-q69.
 # ---------------------------------------------------------------------------
 _SWEEP_PRIORITY = [
     # -- round-10 code-changed.
@@ -149,6 +149,7 @@ _SWEEP_PRIORITY = [
     "q257_split_leakage",
     "q258_effective_corpus_size",
     "q260_token_dispersion",
+    "q261_densest_subgraph",
     # -- round-6 block refresh tail (judge-verified green in r9 at
     # sf0.01; driver credit due).
     "q176_ks_drift",
@@ -185,7 +186,6 @@ _SWEEP_PRIORITY = [
     "q10_topk_orders",
     "q11_rollup",
     "q12_cube",
-    "q13_grouping_sets",
 ]
 
 

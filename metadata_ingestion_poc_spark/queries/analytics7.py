@@ -1479,3 +1479,76 @@ def q260_token_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tok")
     )
+
+# ---------------------------------------------------------------------------
+# q261 — densest-subgraph greedy peel (Charikar's 2-approximation in
+# parallel batch form) over the uncapped co-purchase graph: per round
+# record (nodes, edges, density, avg degree), then drop every vertex
+# at or below the CURRENT average degree — density climbs toward the
+# densest core, which a fixed-k k-core (q189) cannot find because
+# the right k is data-dependent. Fixed-round contract, adaptive
+# threshold (2.0·E)/N is the identical IEEE double on both engines;
+# a round that peels everyone truncates identically. Scale shape in
+# operators/graph.py densest_subgraph_peel.
+# ---------------------------------------------------------------------------
+
+_DSG_ROUNDS = 4
+
+
+def _densest_oracle(rounds: int) -> str:
+    sql = """
+    WITH li AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        FROM lineitem),
+    e0 AS MATERIALIZED (
+        SELECT DISTINCT a.p AS a, b.p AS b
+        FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p)"""
+    prev = "e0"
+    rows = []
+    for r in range(1, rounds + 1):
+        sql += f""",
+    s{r} AS MATERIALIZED (SELECT a, b FROM {prev}
+                          UNION ALL SELECT b, a FROM {prev}),
+    d{r} AS MATERIALIZED (SELECT a, COUNT(*)::BIGINT AS d
+                          FROM s{r} GROUP BY a),
+    st{r} AS MATERIALIZED (SELECT COUNT(*)::BIGINT AS n,
+                                  COALESCE(SUM(d), 0)::BIGINT AS twoe
+                           FROM d{r}),
+    n{r} AS MATERIALIZED (
+        SELECT a AS node FROM d{r}
+        WHERE d > (2.0 * ((SELECT twoe FROM st{r}) // 2))
+                  / (SELECT n FROM st{r})),
+    e{r} AS MATERIALIZED (SELECT t.a, t.b FROM {prev} t
+        WHERE t.a IN (SELECT node FROM n{r})
+          AND t.b IN (SELECT node FROM n{r}))"""
+        prev = f"e{r}"
+        rows.append(f"""
+    SELECT {r}::BIGINT AS round, n AS n_nodes,
+           (twoe // 2)::BIGINT AS n_edges,
+           ROUND((twoe // 2)::DOUBLE / n, 6) AS density,
+           ROUND((2.0 * (twoe // 2)) / n, 6) AS avg_degree
+    FROM st{r} WHERE n > 0""")
+    return sql + "\n    " + " UNION ALL ".join(rows) + "\n    ORDER BY round"
+
+
+@query("q261_densest_subgraph", oracle=_densest_oracle(_DSG_ROUNDS))
+def q261_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import densest_subgraph_peel
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = li.select(F.col("ok"), F.col("p").alias("u"))
+    b = li.select(F.col("ok"), F.col("p").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    traj = densest_subgraph_peel(edges, rounds=_DSG_ROUNDS)
+    return spark.createDataFrame(
+        traj,
+        "round bigint, n_nodes bigint, n_edges bigint, "
+        "density double, avg_degree double",
+    )
