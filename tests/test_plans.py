@@ -417,3 +417,29 @@ def test_pq_census_single_bounded_exchange(spark, sf_dir):
     kinds = re.findall(r"Exchange (\w+)", plan)
     assert kinds.count("hashpartitioning") == 1, kinds
     assert plan.count("FileScan") <= 1, plan.count("FileScan")
+
+
+def test_ivfpq_coded_scan_no_window_no_join(spark, sf_dir):
+    """Round-10 contract (operators/pq.py ivfpq_build): the corpus
+    coding scan emits (id, cell, codes) with the coarse cells assigned
+    through normalized-centroid LITERALS — no rank window and no join
+    (plain IVF pays a per-row window for the same assignment), and no
+    key-partitioned exchange."""
+    import re
+
+    from metadata_ingestion_poc_spark.operators.pq import ivfpq_build
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, _, coded = ivfpq_build(emb, n_cells=8, ksub=8, iterations=1)
+    plan = physical_plan(coded)
+    for node in (
+        "Window",
+        "SortMergeJoin",
+        "ShuffledHashJoin",
+        "BroadcastHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+    ):
+        assert node not in plan, node
+    kinds = set(re.findall(r"Exchange (\w+)", plan))
+    assert kinds <= {"RoundRobinPartitioning"}, kinds
