@@ -433,3 +433,61 @@ def test_prefix_filter_sf01_zero_recall_vs_brute_force(spark):
     # would vacuously hash-match an equally broken oracle
     assert len(srows) > 0
     assert table_hash(scols, srows) == table_hash(dcols, drows)
+
+
+def _sf01_oracle_differential(spark, name, view_sql):
+    """Shared kcore-style gate: run the registered query at sf0.1 and
+    hash-compare against its own DuckDB oracle on the same parquet."""
+    import duckdb
+
+    from metadata_ingestion_poc_spark.queries import ORACLES
+
+    sdf = QUERIES[name](spark, SF01)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    for stmt in view_sql:
+        con.execute(stmt)
+    res = con.execute(ORACLES[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    assert len(srows) == len(drows), (name, len(srows), len(drows))
+    assert sorted(scols) == sorted(dcols), name
+    assert len(srows) > 0, name
+    assert table_hash(scols, srows) == table_hash(dcols, drows), name
+    return len(srows)
+
+
+def test_greedy_set_cover_sf01_matches_unrolled_rounds(spark):
+    """Round-10 gate: the greedy max-coverage trajectory at 5k docs —
+    where the covered-literal probe and the (gain DESC, doc_id)
+    argmax run against a far larger gain frame than the sweep's 500
+    docs — must replay the oracle's unrolled MATERIALIZED rounds
+    exactly."""
+    n = _sf01_oracle_differential(
+        spark,
+        "q253_greedy_set_cover",
+        [
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF01}/documents.parquet')"
+        ],
+    )
+    assert n == 5  # full-length trajectory, no premature truncation
+
+
+def test_densest_subgraph_sf01_matches_unrolled_rounds(spark):
+    """Round-10 gate: the adaptive avg-degree peel on the uncapped
+    co-purchase graph at sf0.1 (~20k nodes) — the scale where a
+    threshold-comparison or truncation bug would diverge while the
+    toy graph agrees."""
+    n = _sf01_oracle_differential(
+        spark,
+        "q261_densest_subgraph",
+        [
+            "CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{SF01}/lineitem.parquet')"
+        ],
+    )
+    assert n == 4  # all rounds survive on this graph
