@@ -7,6 +7,11 @@ codes through a per-query lookup table (asymmetric distance
 computation, ADC), then re-rank a small candidate set exactly.
 Jégou, Douze & Schmid, "Product Quantization for Nearest Neighbor
 Search" (TPAMI 2011) — public literature; built Spark-first here.
+The composed IVF-PQ path is the classical IVFADC form from the same
+paper: PQ codebooks are trained on RESIDUALS (vector minus its coarse
+cell centroid), which concentrates the quantizer's budget on the
+within-cell geometry and measurably lifts recall over quantizing raw
+vectors (pinned at sf0.1 in tests/test_ann_recall_sf01.py).
 
 The 100-TB shape, stage by stage:
 
@@ -25,27 +30,35 @@ The 100-TB shape, stage by stage:
   kmeans assignment property, m times over slices. Codes are
   `array<int>`, m bytes-ish per vector: the 64-dim float corpus
   compresses ~32×, which is the point — the ADC scan reads codes, not
-  vectors.
+  vectors. Every encode path validates its input through the
+  clustering `_checked_base` discipline first: a ragged, NULL, or
+  NULL-element vector would zip_with-pad with NULL and emit
+  arbitrary codes silently — fail loud instead.
 - **Query (ADC)**: per query, a lookup table of partial dot products
   lut[sub][code] = <q_sub, codeword> is computed ONCE from the literal
   codebooks (m·ksub·dsub work per QUERY, not per corpus row) and
   broadcast with the query; each corpus row is then scored with m
   element_at lookups + one fold — cheaper than a d-term dot product by
-  d/m. Approximate cosine = Σ lut / (‖q‖ · ‖x̂‖), with ‖x̂‖ the norm of
-  the reconstruction, itself m lookups into a literal norm table.
+  d/m. Approximate cosine = (qc + Σ lut) / (‖q‖ · ‖x̂‖): for plain PQ
+  qc = 0 and x̂ is the codeword reconstruction; for IVF-PQ
+  qc = <q, c_cell> (the coarse-centroid term of the residual
+  decomposition x̂ = c_cell + r̂) and ‖x̂‖ comes from a precomputed
+  per-(cell, sub, code) norm table — n_cells·m·ksub doubles, literal.
 - **Re-rank**: the top `rerank` candidates per query (window over the
   scored codes) are broadcast back against the corpus for exact
   cosine — candidates are |Q|·rerank rows, so the join is a broadcast
   hash join with ONE corpus scan. Recall is then P(true top-k ⊂ ADC
-  top-rerank), the standard PQ operating point; the floor is pinned at
-  sf0.1 in tests/test_ann_recall_sf01.py.
+  top-rerank), the standard PQ operating point; the floors are pinned
+  at sf0.1 in tests/test_ann_recall_sf01.py, including the dominance
+  ordering between the PQ dials and IVF/IVF-PQ.
 
 Determinism: seeds come from the same reduced multiplicative id-hash
 as kmeans (overflow-safe form); update sums use exact DECIMAL(28,6)
 accumulation with 6-dp driver-side means, so codebooks/codes are
 bit-identical under any partitioning; ADC and exact scores are
 per-row expressions; every ranking breaks ties on the neighbor id.
-No RNG state anywhere.
+No RNG state anywhere. Residuals are per-row codegen against double
+literals, so the IVF-PQ trajectory is partitioning-invariant too.
 
 Reference parity note: the reference repo (metadata_ingestion, 249
 LoC) has no similarity-search surface; this operator belongs to the
@@ -54,9 +67,10 @@ LoC) has no similarity-search surface; this operator belongs to the
 
 from __future__ import annotations
 
+import math
 from typing import Mapping, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -65,6 +79,7 @@ from .clustering import _checked_base, seed_centroids
 from .similarity import dot, with_norm
 
 Codebooks = dict[int, dict[int, list[float]]]  # sub -> cid -> codeword
+RawCells = dict[int, list[float]]  # cell -> RAW (unnormalized) centroid
 
 
 def _slice_expr(vec_col: str, sub: int, dsub: int) -> str:
@@ -125,29 +140,43 @@ def _sub_assign(vec_expr: str, book: Mapping[int, Sequence[float]]) -> str:
     )
 
 
-def pq_train(
-    df: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    dims: int = 64,
-    m: int = 8,
-    ksub: int = 16,
-    iterations: int = 2,
-    cache: bool = True,
-) -> Codebooks:
-    """Train m per-subspace codebooks of ksub codewords each.
+def _guarded_q_norm(vec_col: str, dims: int, who: str) -> Column:
+    """Query-frame fail-loud guard, mirroring the `_checked_base`
+    discipline without a separate validation job (query sets are
+    per-row-cheap to check inline): a NULL / ragged / wrong-dims /
+    NULL-element / zero-norm query vector trips `assert_true` the
+    moment the ADC stage evaluates, instead of silently NULL-ing its
+    lut (zip_with padding) or its cosine (zero division) and ranking
+    every neighbor of that query arbitrarily. NULL vec → size NULL,
+    NULL element → __norm NULL: both make the condition non-true."""
+    cond = (F.size(F.col(vec_col)) == dims) & (F.col("__norm") > 0)
+    return F.when(
+        F.assert_true(
+            cond,
+            F.lit(
+                f"{who}: query vectors must be non-NULL, NULL-free, "
+                f"exactly {dims}-dim, with norm > 0"
+            ),
+        ).isNull(),
+        F.col("__norm"),
+    )
 
-    Jointly-run Lloyd's: every iteration is one scan + one
-    m·ksub-group exchange + one bounded collect (m·ksub rows), not m
-    separate k-means jobs. Seeds are the ksub lowest-id-hash vectors,
-    sliced — the same spread-seed rule as kmeans_lloyd, shared across
-    subspaces (each subspace immediately re-fits its own geometry).
-    """
-    if dims % m:
-        raise ValueError(f"pq_train: dims={dims} not divisible by m={m}")
+
+def _train_books(
+    base: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims: int,
+    m: int,
+    ksub: int,
+    iterations: int,
+    n: int,
+) -> Codebooks:
+    """Joint-Lloyd training loop over an ALREADY-validated base frame
+    (the `_checked_base` output — pq_train wraps this for raw vectors;
+    ivfpq_build calls it directly on the checkpointed residual frame
+    so validation and materialization are paid once, not per stage)."""
     dsub = dims // m
-    base, _, n = _checked_base(df, id_col, vec_col, cache, "pq_train",
-                               dims=dims)
     if n < ksub:
         raise ValueError(f"pq_train: {n} rows < ksub={ksub}")
     seeds = seed_centroids(base, id_col, vec_col, ksub)
@@ -208,21 +237,42 @@ def pq_train(
     return books
 
 
-def pq_encode(
+def pq_train(
     df: DataFrame,
-    codebooks: Codebooks,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int = 64,
+    m: int = 8,
+    ksub: int = 16,
+    iterations: int = 2,
+    cache: bool = True,
+) -> Codebooks:
+    """Train m per-subspace codebooks of ksub codewords each.
+
+    Jointly-run Lloyd's: every iteration is one scan + one
+    m·ksub-group exchange + one bounded collect (m·ksub rows), not m
+    separate k-means jobs. Seeds are the ksub lowest-id-hash vectors,
+    sliced — the same spread-seed rule as kmeans_lloyd, shared across
+    subspaces (each subspace immediately re-fits its own geometry).
+    """
+    if dims % m:
+        raise ValueError(f"pq_train: dims={dims} not divisible by m={m}")
+    base, _, n = _checked_base(df, id_col, vec_col, cache, "pq_train",
+                               dims=dims)
+    return _train_books(base, id_col, vec_col, dims, m, ksub, iterations, n)
+
+
+def _encode_on_base(
+    base: DataFrame,
+    codebooks: Codebooks,
+    id_col: str,
+    vec_col: str,
+    dims: int,
 ) -> DataFrame:
-    """(id, codes array<int>): each vector's nearest codeword per
-    subspace. Pure codegen against array literals — zero shuffle, no
-    join (the kmeans assignment property, m times over slices)."""
+    """Coding scan over an already-validated base (see pq_encode)."""
     m = len(codebooks)
     dsub = dims // m
-    from .dedup import _spread
-
-    sliced = _spread(df).select(
+    sliced = base.select(
         F.col(id_col).alias("id"),
         *[
             F.expr(_slice_expr(vec_col, sub, dsub)).alias(f"__s{sub}")
@@ -237,6 +287,27 @@ def pq_encode(
         "id",
         F.expr(f"array({codes})").cast("array<int>").alias("codes"),
     )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: Codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    cache: bool = True,
+) -> DataFrame:
+    """(id, codes array<int>): each vector's nearest codeword per
+    subspace. Pure codegen against array literals — zero shuffle, no
+    join (the kmeans assignment property, m times over slices).
+    Routed through `_checked_base(dims=...)` first: a ragged, NULL-
+    element, or wrong-dims frame would zip_with-pad with NULL and
+    silently emit arbitrary codes — the validation aggregate fails
+    loud instead (the same discipline as pq_train / the clustering
+    operators)."""
+    base, _, _ = _checked_base(df, id_col, vec_col, cache, "pq_encode",
+                               dims=dims)
+    return _encode_on_base(base, codebooks, id_col, vec_col, dims)
 
 
 def _norm_table_sql(codebooks: Codebooks) -> str:
@@ -295,14 +366,22 @@ def pq_topk_with_index(
     a real vector again (broadcast join, one corpus scan)."""
     q = with_norm(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
-        F.col("__norm").alias("q_norm"),
+        _guarded_q_norm(vec_col, dims, "pq_topk_with_index").alias(
+            "q_norm"
+        ),
         F.expr(_lut_expr(vec_col, codebooks, dims)).alias("lut"),
+        # plain PQ reconstructs x̂ from the codewords alone: no coarse
+        # term (qc = 0) and a single norm-table "cell" (pos = 1) —
+        # the degenerate one-cell case of the shared IVFADC scorer.
+        F.lit(0.0).alias("qc"),
+        F.lit(1).alias("pos"),
     )
     joined = codes.crossJoin(F.broadcast(q))
     return _adc_rerank(
         joined, codebooks, queries, corpus,
         k=k, rerank=rerank, id_col=id_col, vec_col=vec_col,
         round_dp=round_dp,
+        rnorm3_sql=f"array({_norm_table_sql(codebooks)})",
     )
 
 
@@ -316,34 +395,46 @@ def _adc_rerank(
     id_col: str,
     vec_col: str,
     round_dp: int,
+    rnorm3_sql: str,
 ) -> DataFrame:
     """Shared tail of the PQ query paths (plain PQ and IVF-PQ):
     ADC-score the (candidate row ⋈ query) frame, keep the top
     ``rerank`` per query, then exactly re-rank those candidates
     against the raw corpus. ``joined`` must carry
-    (query_id, q_norm, lut, id, codes); everything downstream —
-    tie order, rounding, rerank semantics — lives HERE once, so the
-    two entry points cannot drift apart."""
+    (query_id, q_norm, lut, qc, pos, id, codes) where `qc` is the
+    coarse-centroid dot term (0 for plain PQ) and `pos` indexes the
+    1-based cell axis of ``rnorm3_sql``, a [pos][sub][code] literal of
+    reconstruction-norm contributions ‖(c_cell)_sub + codeword‖²
+    (plain PQ passes a single-cell table with c = 0). Everything
+    downstream — tie order, rounding, rerank semantics — lives HERE
+    once, so the two entry points cannot drift apart."""
     m = len(codebooks)
-    nsq = _norm_table_sql(codebooks)
-    # approx dot = Σ_sub lut[sub][code_sub]; approx ‖x̂‖ from the norm
-    # table. aggregate over the 1..m index sequence keeps it codegen.
+    # approx dot = qc + Σ_sub lut[sub][code_sub]; approx ‖x̂‖ from the
+    # per-(cell, sub, code) norm table. aggregate over the 1..m index
+    # sequence keeps it codegen.
     adc = (
-        "aggregate(sequence(1, {m}), 0.0D, (a, s) -> "
+        "qc + aggregate(sequence(1, {m}), 0.0D, (a, s) -> "
         "a + element_at(element_at(lut, s), element_at(codes, s)))"
     ).format(m=m)
     rnorm = (
         "sqrt(aggregate(sequence(1, {m}), 0.0D, (a, s) -> "
-        "a + element_at(element_at({nsq}, s), element_at(codes, s))))"
-    ).format(m=m, nsq=nsq)
+        "a + element_at(element_at(element_at({nsq}, pos), s), "
+        "element_at(codes, s))))"
+    ).format(m=m, nsq=rnorm3_sql)
     scored = (
         joined.filter(F.col("id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("id").alias("neighbor_id"),
-            (F.expr(adc) / (F.col("q_norm") * F.expr(rnorm))).alias(
-                "adc_cosine"
-            ),
+            # nullif: an all-zero reconstruction (‖x̂‖ = 0 is possible
+            # for degenerate codebooks even after the query-norm
+            # guard) yields NULL instead of an ANSI divide error;
+            # NULLs sort last under desc, i.e. such rows lose the
+            # candidate race rather than crashing or winning.
+            (
+                F.expr(f"({adc})")
+                / F.expr(f"nullif(q_norm * ({rnorm}), 0.0D)")
+            ).alias("adc_cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -403,14 +494,21 @@ def pq_ann_topk(
     round_dp: int = 6,
 ) -> DataFrame:
     """Train + encode + ADC + re-rank in one call (the q250 shape).
-    For the build-nightly/query-all-day split, use pq_train /
-    pq_encode / save_pq_index and query via pq_topk_with_index."""
-    books = pq_train(
-        corpus, id_col, vec_col, dims, m, ksub, iterations
-    )
-    codes = pq_encode(corpus, books, id_col, vec_col, dims)
+    Validates/checkpoints the corpus projection ONCE and shares it
+    between training and encoding (the public pq_train + pq_encode
+    pair each validates its own input; composing them here would pay
+    the checkpoint twice). For the build-nightly/query-all-day split,
+    use pq_train / pq_encode / save_pq_index and query via
+    pq_topk_with_index."""
+    if dims % m:
+        raise ValueError(f"pq_ann_topk: dims={dims} not divisible by m={m}")
+    base, _, n = _checked_base(corpus, id_col, vec_col, True,
+                               "pq_ann_topk", dims=dims)
+    books = _train_books(base, id_col, vec_col, dims, m, ksub,
+                         iterations, n)
+    codes = _encode_on_base(base, books, id_col, vec_col, dims)
     return pq_topk_with_index(
-        queries, codes, books, corpus,
+        queries, codes, books, base,
         k=k, rerank=rerank, id_col=id_col, vec_col=vec_col,
         dims=dims, round_dp=round_dp,
     )
@@ -462,6 +560,7 @@ def pq_reconstruction_stats(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int = 64,
+    cache: bool = True,
 ) -> DataFrame:
     """Per-(subspace, code) assignment census: member count + exact-
     decimal sum of squared quantization error. The training-quality
@@ -469,12 +568,14 @@ def pq_reconstruction_stats(
     codes from :func:`pq_train`, the frame q251's DuckDB oracle
     replays end-to-end, which is what makes the joint-Lloyd trainer
     oracle-provable rather than rows-only. ONE scan (all m argmin
-    structs in codegen), one explode, one m·ksub-group exchange."""
+    structs in codegen), one explode, one m·ksub-group exchange —
+    validated through `_checked_base(dims=...)` like every encode
+    path (a poisoned frame must fail loud, not skew the census)."""
     m = len(codebooks)
     dsub = dims // m
-    from .dedup import _spread
-
-    sliced = _spread(df).select(
+    base, _, _ = _checked_base(df, id_col, vec_col, cache,
+                               "pq_reconstruction_stats", dims=dims)
+    sliced = base.select(
         *[
             F.expr(_slice_expr(vec_col, sub, dsub)).alias(f"__s{sub}")
             for sub in range(1, m + 1)
@@ -503,16 +604,44 @@ def pq_reconstruction_stats(
     )
 
 
+def _prepared_cells(
+    cents_raw: Mapping[int, Sequence[float]]
+) -> tuple[list[int], dict[int, list[float]], str, str]:
+    """Derive everything the literal plans need from the RAW coarse
+    centroids: (sorted cell ids, normalized centroids for cosine
+    ranking, raw-centroid nested literal, raw-norm literal) — all in
+    the same sorted-cell order, so the struct `pos` emitted by
+    `_cell_topn_expr` indexes every table consistently. Zero-norm
+    cells were dropped at build time, so the normalization is safe."""
+    cells = sorted(cents_raw)
+    norms = {
+        c: math.sqrt(sum(float(x) * float(x) for x in cents_raw[c]))
+        for c in cells
+    }
+    cents_norm = {
+        c: [float(x) / norms[c] for x in cents_raw[c]] for c in cells
+    }
+    craw = "array(" + ", ".join(
+        "array(" + ", ".join(repr(float(x)) + "D" for x in cents_raw[c])
+        + ")"
+        for c in cells
+    ) + ")"
+    cnorm = "array(" + ", ".join(repr(norms[c]) + "D" for c in cells) + ")"
+    return cells, cents_norm, craw, cnorm
+
+
 def _cell_topn_expr(
     vec_col: str, cents_norm: Mapping[int, Sequence[float]], nprobe: int
 ) -> str:
     """Top-`nprobe` coarse cells by cosine, as a sliced sorted array of
-    (negdot, cell) structs — the centroids enter as ONE nested-array
-    literal of PRE-NORMALIZED vectors (so ranking by raw dot equals
-    ranking by cosine; the row's own norm is a per-row constant), and
-    the dot product is written once inside the lambda. Zero shuffle,
-    no join: the kmeans literal-assignment property applied to the
-    IVF coarse quantizer."""
+    (negdot, cell, pos) structs — the centroids enter as ONE
+    nested-array literal of PRE-NORMALIZED vectors (so ranking by raw
+    dot equals ranking by cosine; the row's own norm is a per-row
+    constant), and the dot product is written once inside the lambda.
+    `pos` is the 1-based index into the sorted-cell literal tables
+    (cell ids can be non-contiguous after empty-cell drops). Zero
+    shuffle, no join: the kmeans literal-assignment property applied
+    to the IVF coarse quantizer."""
     cells = sorted(cents_norm)
     cb = "array(" + ", ".join(
         "array(" + ", ".join(repr(float(x)) + "D"
@@ -527,8 +656,44 @@ def _cell_topn_expr(
     return (
         f"slice(array_sort(zip_with({cb}, sequence(1, {len(cells)}), "
         f"(cw, i) -> named_struct('nd', -({dotq}), "
-        f"'cell', element_at({cell_arr}, i)))), 1, {nprobe})"
+        f"'cell', element_at({cell_arr}, i), 'pos', i))), 1, {nprobe})"
     )
+
+
+def _ivfpq_norm3_sql(
+    cents_raw: Mapping[int, Sequence[float]],
+    books: Codebooks,
+    dims: int,
+) -> str:
+    """IVFADC reconstruction-norm table as ONE nested literal:
+    rn[pos][sub][code] = ‖(c_cell)_sub + codeword(sub, code)‖², the
+    per-subspace squared norm of the residual reconstruction
+    x̂ = c_cell + r̂. n_cells·m·ksub doubles computed driver-side from
+    already-collected state — a fully-literal CreateArray constant-
+    folds to a single array literal, so plan cost is parse-once.
+    Gap codes (codewords that lost all members) pad with ‖c_sub‖²
+    (codeword = 0) to stay positional; codes never reference them."""
+    m = len(books)
+    dsub = dims // m
+    cells = sorted(cents_raw)
+    per_cell = []
+    for cell in cells:
+        c = [float(x) for x in cents_raw[cell]]
+        subs = []
+        for sub in range(1, m + 1):
+            sl = c[(sub - 1) * dsub:(sub - 1) * dsub + dsub]
+            book = books[sub]
+            vals = []
+            for cid in range(1, max(book) + 1):
+                cw = book.get(cid)
+                if cw is None:
+                    v = sum(x * x for x in sl)
+                else:
+                    v = sum((x + w) * (x + w) for x, w in zip(sl, cw))
+                vals.append(repr(float(v)) + "D")
+            subs.append("array(" + ", ".join(vals) + ")")
+        per_cell.append(f"array({', '.join(subs)})")
+    return f"array({', '.join(per_cell)})"
 
 
 def ivfpq_topk(
@@ -546,23 +711,30 @@ def ivfpq_topk(
     dims: int = 64,
     round_dp: int = 6,
 ) -> DataFrame:
-    """IVF-PQ: the composed production ANN architecture (FAISS IVFPQ
-    shape, public literature) — coarse inverted-file cells restrict
-    WHICH rows are scored, PQ codes make scoring each of them cheap,
-    and a small exact re-rank restores precision.
+    """IVF-PQ: the composed production ANN architecture (the IVFADC
+    form of Jégou et al., public literature) — coarse inverted-file
+    cells restrict WHICH rows are scored, RESIDUAL-trained PQ codes
+    make scoring each of them cheap, and a small exact re-rank
+    restores precision.
 
     100-TB shape: the coarse quantizer is trained by the existing
     ivf_build_index Lloyd refinement, then its n_cells centroids are
-    collected (bounded) and NORMALIZED into literals, so the
-    corpus-side build is ONE zero-shuffle codegen scan emitting
-    (id, cell, codes) — no window, no join (plain IVF pays a per-row
-    rank window for the same assignment). Queries explode to nprobe
-    (query, cell) rows and broadcast-join the coded corpus on cell:
-    each probed row costs m lookups + a fold instead of a d-term dot
-    product, so the scan floor is nprobe/n_cells of the corpus in the
-    COMPRESSED domain. Exact re-rank = |Q|·rerank rows broadcast
-    against one corpus scan (the pq_topk_with_index tail)."""
-    cents_norm, books, coded = ivfpq_build(
+    collected (bounded) into literals, so the corpus-side build is ONE
+    zero-shuffle codegen scan emitting (id, cell, residual) — no
+    window, no join (plain IVF pays a per-row rank window for the same
+    assignment). PQ codebooks are trained ON the residuals (vector
+    minus its cell centroid — the codebooks spend their whole budget
+    on within-cell geometry, the measured recall lever vs quantizing
+    raw vectors), and the codes come off the same checkpointed
+    residual scan. Queries explode to nprobe (query, cell) rows and
+    broadcast-join the coded corpus on cell: each probed row costs m
+    lookups + a fold instead of a d-term dot product, with the coarse
+    term <q, c_cell> and the reconstruction norm restored from
+    bounded literal tables, so the scan floor is nprobe/n_cells of
+    the corpus in the COMPRESSED domain. Exact re-rank = |Q|·rerank
+    rows broadcast against one corpus scan (the pq_topk_with_index
+    tail)."""
+    cents_raw, books, coded = ivfpq_build(
         corpus,
         n_cells=n_cells,
         m=m,
@@ -573,7 +745,7 @@ def ivfpq_topk(
         dims=dims,
     )
     return ivfpq_topk_with_index(
-        queries, cents_norm, books, coded, corpus,
+        queries, cents_raw, books, coded, corpus,
         k=k, nprobe=nprobe, rerank=rerank,
         id_col=id_col, vec_col=vec_col, dims=dims, round_dp=round_dp,
     )
@@ -588,40 +760,70 @@ def ivfpq_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int = 64,
-) -> tuple[dict[int, list[float]], Codebooks, DataFrame]:
-    """The EXPENSIVE phase of IVF-PQ: coarse quantizer training,
-    PQ codebook training, and the one zero-shuffle codegen scan that
-    codes the corpus as (id, cell, codes). Returns
-    (normalized centroids, codebooks, coded corpus); persist with
+) -> tuple[RawCells, Codebooks, DataFrame]:
+    """The EXPENSIVE phase of IVF-PQ: coarse quantizer training, ONE
+    zero-shuffle codegen scan producing the checkpointed
+    (id, cell, residual) frame, residual PQ codebook training over it,
+    and the coded corpus (id, cell, codes) off the same frame.
+    Returns (RAW centroids, codebooks, coded corpus); persist with
     ``save_ivfpq_index`` so query batches reuse the index (the
-    build-nightly / query-all-day shape)."""
+    build-nightly / query-all-day shape).
+
+    The input is validated/checkpointed once via `_checked_base`
+    (fail-loud on ragged/NULL/wrong-dims vectors — a poisoned vector
+    would otherwise encode silently) and that base feeds BOTH the
+    coarse Lloyd refinement and the residual scan. The residual frame
+    is lazily checkpointed: Lloyd training iterations and the coding
+    scan all read it, so the n·d subtraction + n_cells·d argmax per
+    row is paid once, not per scan (same space class as the base
+    projection checkpoint every trainer already keeps)."""
+    if dims % m:
+        raise ValueError(
+            f"ivfpq_build: dims={dims} not divisible by m={m}"
+        )
     from .similarity import ivf_build_index
 
+    base, _, n = _checked_base(corpus, id_col, vec_col, True,
+                               "ivfpq_build", dims=dims)
     cents, _ = ivf_build_index(
-        corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col
+        base, n_cells=n_cells, id_col=id_col, vec_col=vec_col
     )
-    cents_norm = {
-        int(r["cell"]): [
-            float(x) / float(r["c_norm"]) for x in r["c_vec"]
-        ]
+    cents_raw: RawCells = {
+        int(r["cell"]): [float(x) for x in r["c_vec"]]
         for r in cents.collect()
         if float(r["c_norm"]) > 0
     }
-    books = pq_train(
-        corpus, id_col, vec_col, dims, m, ksub, iterations
+    _, cents_norm, craw, _ = _prepared_cells(cents_raw)
+    # ONE scan of the validated base: coarse cell (literal argmax over
+    # normalized centroids) + residual vs the RAW centroid — all
+    # codegen, zero shuffle. The top-1 struct is projected once and
+    # referenced twice (cell, pos): a multiply-referenced alias stays
+    # single-eval.
+    top1 = f"element_at({_cell_topn_expr(vec_col, cents_norm, 1)}, 1)"
+    resid = (
+        base.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col),
+            F.expr(top1).alias("__a"),
+        )
+        .select(
+            "id",
+            F.col("__a.cell").alias("cell"),
+            F.expr(
+                f"zip_with({vec_col}, element_at({craw}, __a.pos), "
+                f"(x, c) -> cast(x as double) - c)"
+            ).alias("rvec"),
+        )
+        .localCheckpoint(eager=False)
     )
+    books = _train_books(resid, "id", "rvec", dims, m, ksub,
+                         iterations, n)
     dsub = dims // m
-    from .dedup import _spread
-
-    # ONE corpus scan: coarse cell (literal argmax) + PQ codes
-    # (literal argmins) — all codegen, zero shuffle.
-    sliced = _spread(corpus).select(
-        F.col(id_col).alias("id"),
-        F.expr(
-            f"element_at({_cell_topn_expr(vec_col, cents_norm, 1)}, 1).cell"
-        ).alias("cell"),
+    sliced = resid.select(
+        "id",
+        "cell",
         *[
-            F.expr(_slice_expr(vec_col, sub, dsub)).alias(f"__s{sub}")
+            F.expr(_slice_expr("rvec", sub, dsub)).alias(f"__s{sub}")
             for sub in range(1, m + 1)
         ],
     )
@@ -634,20 +836,22 @@ def ivfpq_build(
         "cell",
         F.expr(f"array({codes_expr})").cast("array<int>").alias("codes"),
     )
-    return cents_norm, books, coded
+    return cents_raw, books, coded
 
 
 def save_ivfpq_index(
     spark,
-    cents_norm: Mapping[int, Sequence[float]],
+    cents_raw: Mapping[int, Sequence[float]],
     codebooks: Codebooks,
     coded: DataFrame,
     path: str,
 ) -> None:
-    """Persist an IVF-PQ index (normalized coarse centroids + PQ
-    codebooks + coded corpus) as parquet."""
+    """Persist an IVF-PQ index (RAW coarse centroids + residual PQ
+    codebooks + coded corpus) as parquet. Raw centroids are the wire
+    format: normalized ranking vectors, norms, and the reconstruction
+    tables are all derived from them deterministically on load."""
     spark.createDataFrame(
-        [(c, list(v)) for c, v in sorted(cents_norm.items())],
+        [(c, list(v)) for c, v in sorted(cents_raw.items())],
         "cell int, c_vec array<double>",
     ).write.mode("overwrite").parquet(f"{path}/cells")
     _write_codebooks(spark, codebooks, f"{path}/codebooks")
@@ -656,20 +860,20 @@ def save_ivfpq_index(
 
 def load_ivfpq_index(
     spark, path: str
-) -> tuple[dict[int, list[float]], Codebooks, DataFrame]:
+) -> tuple[RawCells, Codebooks, DataFrame]:
     """Reload a persisted IVF-PQ index; reload ≡ rebuild is pinned in
     tests/test_similarity.py."""
-    cents_norm = {
+    cents_raw = {
         int(r["cell"]): [float(x) for x in r["c_vec"]]
         for r in spark.read.parquet(f"{path}/cells").collect()
     }
     books = _read_codebooks(spark, f"{path}/codebooks")
-    return cents_norm, books, spark.read.parquet(f"{path}/coded")
+    return cents_raw, books, spark.read.parquet(f"{path}/coded")
 
 
 def ivfpq_topk_with_index(
     queries: DataFrame,
-    cents_norm: Mapping[int, Sequence[float]],
+    cents_raw: Mapping[int, Sequence[float]],
     books: Codebooks,
     coded: DataFrame,
     corpus: DataFrame,
@@ -681,17 +885,34 @@ def ivfpq_topk_with_index(
     dims: int = 64,
     round_dp: int = 6,
 ) -> DataFrame:
-    """Top-k against a prebuilt (possibly reloaded) IVF-PQ index."""
+    """Top-k against a prebuilt (possibly reloaded) IVF-PQ index.
+
+    IVFADC scoring: codes quantize residuals, so the approximate dot
+    decomposes as <q, x̂> = <q, c_cell> + Σ_sub lut[sub][code] with
+    lut built from the residual codebooks, and ‖x̂‖ comes from the
+    per-(cell, sub, code) literal table. <q, c_cell> falls out of the
+    probe ranking for free: the probe sorts by the normalized-centroid
+    dot, so the raw dot is that value times the (literal) raw norm."""
+    _, cents_norm, _, cnorm = _prepared_cells(cents_raw)
     q = with_norm(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
-        F.col("__norm").alias("q_norm"),
+        _guarded_q_norm(vec_col, dims, "ivfpq_topk_with_index").alias(
+            "q_norm"
+        ),
         F.expr(_lut_expr(vec_col, books, dims)).alias("lut"),
         F.explode(
-            F.expr(
-                f"transform({_cell_topn_expr(vec_col, cents_norm, nprobe)}, "
-                f"s -> s.cell)"
-            )
-        ).alias("cell"),
+            F.expr(_cell_topn_expr(vec_col, cents_norm, nprobe))
+        ).alias("p"),
+    ).select(
+        "query_id",
+        "q_norm",
+        "lut",
+        F.col("p.cell").alias("cell"),
+        F.col("p.pos").alias("pos"),
+        # nd = -<q, c/‖c‖>  ⇒  <q, c_raw> = -nd · ‖c_raw‖
+        (-F.col("p.nd") * F.expr(f"element_at({cnorm}, p.pos)")).alias(
+            "qc"
+        ),
     )
     # no dedup needed on the cell join: each corpus row lives in
     # exactly ONE cell, so a (query, row) pair matches at most one
@@ -701,4 +922,5 @@ def ivfpq_topk_with_index(
         joined, books, queries, corpus,
         k=k, rerank=rerank, id_col=id_col, vec_col=vec_col,
         round_dp=round_dp,
+        rnorm3_sql=_ivfpq_norm3_sql(cents_raw, books, dims),
     )

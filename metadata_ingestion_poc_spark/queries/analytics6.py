@@ -493,9 +493,9 @@ _OOV_VOCAB_K = 15
 
 @query(
     "q234_oov_rate",
-    oracle=f"""
+    oracle=rf"""
     WITH toks AS (SELECT source, unnest(string_split_regex(
-                      lower(trim(text)), '\\s+')) AS tok
+                      lower(trim(text)), '\s+')) AS tok
                   FROM documents),
     tc AS (SELECT source, tok, COUNT(*)::BIGINT AS n
            FROM toks GROUP BY source, tok),

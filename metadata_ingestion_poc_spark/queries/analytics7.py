@@ -878,7 +878,7 @@ def q251_pq_train_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q252_rrf_hybrid_retrieval",
-    oracle="""
+    oracle=r"""
     WITH base AS MATERIALIZED (
         SELECT d.doc_id,
                -- string_split_regex, not string_split(' '): Spark
@@ -1019,7 +1019,7 @@ _SC_ROUNDS = 5
 
 
 def _set_cover_oracle(rounds: int) -> str:
-    sql = """
+    sql = r"""
     WITH t AS MATERIALIZED (
         SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
         FROM documents),
@@ -1073,15 +1073,18 @@ def q253_greedy_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 # ---------------------------------------------------------------------------
-# q254 — IVF-PQ composed ANN (operators/pq.py ivfpq_topk): coarse
-# inverted-file cells restrict WHICH rows are scored (nprobe/n_cells
-# of the corpus), PQ codes make scoring them cheap (m lookups + a
-# fold per row, in the compressed domain), and a bounded exact
-# re-rank restores precision — the production ANN architecture.
-# rows-only (approximate by design); the sf0.1 floor pinned in
-# tests/test_ann_recall_sf01.py shows the composition loses almost
-# nothing over plain IVF at the same nprobe (0.7793 vs 0.8173) while
-# never touching a raw vector outside the re-rank.
+# q254 — IVF-PQ composed ANN (operators/pq.py ivfpq_topk, the
+# residual-encoded IVFADC form): coarse inverted-file cells restrict
+# WHICH rows are scored (nprobe/n_cells of the corpus), PQ codes
+# trained on residuals (vector minus its cell centroid) make scoring
+# them cheap (m lookups + a fold per row, in the compressed domain),
+# and a bounded exact re-rank restores precision — the production ANN
+# architecture. rows-only (approximate by design); the sf0.1 floor
+# pinned in tests/test_ann_recall_sf01.py shows residual encoding at
+# this dial reaches the probed-cell ceiling EXACTLY — recall equals
+# plain IVF at the same nprobe (0.8173) — while never touching a raw
+# vector outside the re-rank (round 11; raw-vector codebooks measured
+# 0.7793 at an equal-cost dial in round 10).
 # ---------------------------------------------------------------------------
 
 
@@ -1093,7 +1096,7 @@ def q254_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 20)
     return ivfpq_topk(
         queries_df, emb, k=10,
-        nprobe=16, ksub=32, iterations=1, rerank=300,
+        nprobe=16, m=16, ksub=32, iterations=1, rerank=400,
     ).orderBy("query_id", "rank")
 
 # ---------------------------------------------------------------------------
@@ -1112,7 +1115,7 @@ def q254_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q255_source_overlap_matrix",
-    oracle="""
+    oracle=r"""
     WITH t AS (SELECT source, string_split_regex(lower(trim(text)), '\s+') AS toks
                FROM documents),
     ss AS MATERIALIZED (
@@ -1258,9 +1261,9 @@ def _split_sql(col: str) -> str:
 
 @query(
     "q257_split_leakage",
-    oracle=f"""
+    oracle=rf"""
     WITH t AS (SELECT doc_id,
-                      string_split_regex(lower(trim(text)), '\\s+') AS toks
+                      string_split_regex(lower(trim(text)), '\s+') AS toks
                FROM documents),
     sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS s
            FROM t, unnest(range(greatest(len(toks) - 2, 1))) AS u(i)),
@@ -1333,10 +1336,10 @@ def q257_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q258_effective_corpus_size",
-    oracle="""
+    oracle=r"""
     WITH t AS (
         SELECT doc_id, source,
-               len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT
+               len(string_split_regex(lower(trim(text)), '\s+'))::BIGINT
                  AS n_toks,
                row_number() OVER (PARTITION BY text ORDER BY doc_id)
                  AS rn
@@ -1402,11 +1405,11 @@ def q258_effective_corpus_size(
 
 @query(
     "q260_token_dispersion",
-    oracle="""
+    oracle=r"""
     WITH tok AS (
         SELECT source, u.tok
         FROM (SELECT source,
-                     string_split_regex(lower(trim(text)), '\\s+') AS toks
+                     string_split_regex(lower(trim(text)), '\s+') AS toks
               FROM documents), unnest(toks) AS u(tok)),
     cnt AS (SELECT tok, source, COUNT(*)::BIGINT AS c
             FROM tok GROUP BY 1, 2),

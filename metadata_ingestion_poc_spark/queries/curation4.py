@@ -69,9 +69,9 @@ _PROBE_SQL = (
 
 @query(
     "q139_duplicated_spans",
-    oracle=f"""
+    oracle=rf"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
       FROM documents),
     grams AS (
       SELECT doc_id, i AS pos, array_to_string(l[i:i+{_K - 1}], ' ') AS g
@@ -145,24 +145,24 @@ def q140_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPARK_AUG = (
     "CASE WHEN doc_id % 7 = 0 THEN "
     "concat(text, ' ', concat_ws(' ', "
-    "  slice(split(trim(text), '\\\\s+'), 1, 20))) "
+    r"  slice(split(trim(text), '\\s+'), 1, 20))) "
     "ELSE text END"
 )
 _DUCK_AUG = (
     "CASE WHEN doc_id % 7 = 0 THEN "
     "concat(text, ' ', array_to_string("
-    "  (string_split_regex(trim(text), '\\s+'))[1:20], ' ')) "
+    r"  (string_split_regex(trim(text), '\s+'))[1:20], ' ')) "
     "ELSE text END"
 )
 
 
 @query(
     "q141_self_repeated_spans",
-    oracle=f"""
+    oracle=rf"""
     WITH aug AS (
       SELECT doc_id, {_DUCK_AUG} AS text FROM documents),
     toks AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
       FROM aug),
     grams AS (
       SELECT doc_id, i AS pos, array_to_string(l[i:i+{_K - 1}], ' ') AS g
@@ -280,13 +280,13 @@ def q142_neardup_degree_histogram(
 # long page, exact spans do not.
 @query(
     "q143_eval_decontamination",
-    oracle=f"""
+    oracle=rf"""
     WITH s AS (
       SELECT doc_id, text,
              (doc_id % {_c3._SPLIT_PRIME}) * {_c3._SPLIT_MULT} % 1000 AS r
       FROM documents),
     toks AS (
-      SELECT doc_id, r, string_split_regex(lower(trim(text)), '\\s+') AS l
+      SELECT doc_id, r, string_split_regex(lower(trim(text)), '\s+') AS l
       FROM s),
     grams AS (
       SELECT doc_id, r, i AS pos, array_to_string(l[i:i+{_K - 1}], ' ') AS g

@@ -48,16 +48,62 @@ def exact_topk(spark, emb01):
     }
 
 
-def test_ivf_recall_floor_sf01(spark, emb01, exact_topk):
+@pytest.fixture(scope="module")
+def ivf_recall(spark, emb01, exact_topk):
     # q90's path: ann_topk defaults (ivf, 32 cells, nprobe 16).
-    # Measured 0.8173 on 2026-08-14.
     q = emb01.filter(F.col("vec_id") < 300)
     approx = {
         (r.query_id, r.neighbor_id)
         for r in ann_topk(q, emb01, k=10).collect()
     }
-    recall = len(exact_topk & approx) / len(exact_topk)
-    assert recall >= 0.8, f"IVF sf0.1 recall regressed: {recall}"
+    return len(exact_topk & approx) / len(exact_topk)
+
+
+@pytest.fixture(scope="module")
+def pq_recalls(spark, emb01, exact_topk):
+    """(speed-dial recall, quality-dial recall) for plain PQ — shared
+    by the floor test and the dominance-ordering test."""
+    from metadata_ingestion_poc_spark.operators.pq import (
+        pq_encode,
+        pq_topk_with_index,
+        pq_train,
+    )
+
+    q = emb01.filter(F.col("vec_id") < 300)
+    out = []
+    for ksub, iters, rerank in ((16, 1, 150), (32, 2, 400)):
+        books = pq_train(emb01, ksub=ksub, iterations=iters)
+        codes = pq_encode(emb01, books).localCheckpoint(eager=True)
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in pq_topk_with_index(
+                q, codes, books, emb01, k=10, rerank=rerank
+            ).collect()
+        }
+        out.append(len(exact_topk & got) / len(exact_topk))
+    return tuple(out)
+
+
+@pytest.fixture(scope="module")
+def ivfpq_recall(spark, emb01, exact_topk):
+    """Recall at the registered q254 dial (residual-encoded IVFADC:
+    32 cells, nprobe 16, m=16, ksub=32, 1 train iter, rerank 400)."""
+    from metadata_ingestion_poc_spark.operators.pq import ivfpq_topk
+
+    q = emb01.filter(F.col("vec_id") < 300)
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivfpq_topk(
+            q, emb01, k=10, nprobe=16, m=16, ksub=32,
+            iterations=1, rerank=400,
+        ).collect()
+    }
+    return len(exact_topk & approx) / len(exact_topk)
+
+
+def test_ivf_recall_floor_sf01(ivf_recall):
+    # Measured 0.8173 on 2026-08-14.
+    assert ivf_recall >= 0.8, f"IVF sf0.1 recall regressed: {ivf_recall}"
 
 
 def test_lsh_topk_recall_floor_sf01(spark, emb01, exact_topk):
@@ -92,7 +138,7 @@ def test_embedding_near_dup_recall_floor_sf01(spark):
     assert recall >= 0.6, f"near-dup sf0.1 recall regressed: {recall}"
 
 
-def test_pq_recall_floors_sf01(spark, emb01, exact_topk):
+def test_pq_recall_floors_sf01(pq_recalls):
     """PQ ADC + exact re-rank recall vs brute force (round 10).
 
     Two pinned operating points, both deterministic (id-hash seeds,
@@ -103,51 +149,50 @@ def test_pq_recall_floors_sf01(spark, emb01, exact_topk):
       0.9457 — the recall/cost dial's other end, still scanning only
       codes + re-ranking 0.4% of the corpus per query.
     """
-    from metadata_ingestion_poc_spark.operators.pq import (
-        pq_encode,
-        pq_topk_with_index,
-        pq_train,
+    cheap, hq = pq_recalls
+    assert cheap >= 0.6, f"PQ registered-dial recall regressed: {cheap}"
+    assert hq >= 0.9, f"PQ quality-dial recall regressed: {hq}"
+
+
+def test_ivfpq_recall_floor_sf01(ivfpq_recall):
+    """IVF-PQ composed floor (round 11, residual-encoded IVFADC): at
+    the registered q254 dial (32 cells, nprobe 16, m=16, ksub=32,
+    1 train iter, rerank 400) the composition measured 0.8173 on
+    2026-08-15 — EXACTLY the probed-cell ceiling, i.e. the ADC
+    candidate stage loses nothing at all over plain IVF at the same
+    nprobe. (Round 10's raw-vector codebooks measured 0.7793; the
+    residual rewrite is what closed the gap.)"""
+    assert ivfpq_recall >= 0.81, (
+        f"IVF-PQ sf0.1 recall regressed: {ivfpq_recall}"
     )
 
-    q = emb01.filter(F.col("vec_id") < 300)
 
-    books = pq_train(emb01, ksub=16, iterations=1)
-    codes = pq_encode(emb01, books).localCheckpoint(eager=True)
-    cheap = {
-        (r.query_id, r.neighbor_id)
-        for r in pq_topk_with_index(
-            q, codes, books, emb01, k=10, rerank=150
-        ).collect()
-    }
-    recall = len(exact_topk & cheap) / len(exact_topk)
-    assert recall >= 0.6, f"PQ registered-dial recall regressed: {recall}"
+def test_ann_recall_dominance_ordering_sf01(
+    ivf_recall, pq_recalls, ivfpq_recall
+):
+    """The RELATIONSHIP pins, not just magnitudes (round 11): three
+    independent floor constants can drift apart one at a time without
+    any single magnitude assert tripping, while a codebook regression
+    that inverts an expected dominance is exactly the signal worth
+    failing on.
 
-    books_hq = pq_train(emb01, ksub=32, iterations=2)
-    codes_hq = pq_encode(emb01, books_hq).localCheckpoint(eager=True)
-    hq = {
-        (r.query_id, r.neighbor_id)
-        for r in pq_topk_with_index(
-            q, codes_hq, books_hq, emb01, k=10, rerank=400
-        ).collect()
-    }
-    recall_hq = len(exact_topk & hq) / len(exact_topk)
-    assert recall_hq >= 0.9, f"PQ quality-dial recall regressed: {recall_hq}"
+    - IVF-PQ ≥ plain IVF at equal nprobe: probed cells bound IVF-PQ's
+      candidates, so plain IVF's recall is a hard CEILING; residual
+      encoding + rerank=400 is supposed to reach it exactly (measured
+      equal, 0.8173). Any gap means the residual ADC stage started
+      dropping true in-cell neighbors from the rerank set.
+    - PQ quality dial ≥ PQ speed dial: more codewords, more training,
+      deeper re-rank must not lose recall; an inversion means the
+      trainer stopped converging monotonically in its budget.
 
-
-def test_ivfpq_recall_floor_sf01(spark, emb01, exact_topk):
-    """IVF-PQ composed floor (round 10): at the registered q254 dial
-    (32 cells, nprobe 16, ksub=32, 1 train iter, rerank 300) the
-    composition measured 0.7793 on 2026-08-15 — within 0.04 of plain
-    IVF at the same nprobe (0.8173), i.e. compressed-domain scoring
-    plus the bounded re-rank costs almost no recall."""
-    from metadata_ingestion_poc_spark.operators.pq import ivfpq_topk
-
-    q = emb01.filter(F.col("vec_id") < 300)
-    approx = {
-        (r.query_id, r.neighbor_id)
-        for r in ivfpq_topk(
-            q, emb01, k=10, nprobe=16, ksub=32, iterations=1, rerank=300
-        ).collect()
-    }
-    recall = len(exact_topk & approx) / len(exact_topk)
-    assert recall >= 0.75, f"IVF-PQ sf0.1 recall regressed: {recall}"
+    Every path is deterministic (id-hash seeds, decimal sums), so
+    these compare exact reproducible quantities — no flake margin
+    needed."""
+    assert ivfpq_recall >= ivf_recall, (
+        f"residual IVF-PQ ({ivfpq_recall}) fell below its plain-IVF "
+        f"ceiling ({ivf_recall}) at equal nprobe"
+    )
+    cheap, hq = pq_recalls
+    assert hq >= cheap, (
+        f"PQ quality dial ({hq}) lost to the speed dial ({cheap})"
+    )

@@ -208,6 +208,75 @@ def test_pq_validation_fails_loud(spark):
         pq_train(df, dims=6, m=3, ksub=32)
 
 
+def test_pq_encode_validation_fails_loud(spark):
+    """Round-11 (advisor): pq_encode / pq_reconstruction_stats /
+    ivfpq_build route through _checked_base — a ragged, NULL-element,
+    or wrong-dims frame would zip_with-pad with NULL and silently emit
+    arbitrary codes (d2 goes NULL under array_min); every encode path
+    must fail loud instead."""
+    from metadata_ingestion_poc_spark.operators.pq import (
+        ivfpq_build,
+        pq_encode,
+        pq_reconstruction_stats,
+        pq_train,
+    )
+
+    good = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(6)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    books = pq_train(good, dims=6, m=3, ksub=4)
+
+    ragged = spark.createDataFrame(
+        [(0, [1.0] * 6), (1, [1.0] * 5)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        pq_encode(ragged, books, dims=6)
+
+    null_elem = spark.createDataFrame(
+        [(0, [1.0] * 6), (1, [1.0, None, 1.0, 1.0, 1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="NULL element"):
+        pq_reconstruction_stats(null_elem, books, dims=6)
+
+    wrong_dims = spark.createDataFrame(
+        [(i, [1.0] * 8) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="caller declared"):
+        pq_encode(wrong_dims, books, dims=6)
+    with pytest.raises(ValueError, match="caller declared"):
+        ivfpq_build(wrong_dims, n_cells=4, m=3, ksub=4, dims=6)
+
+
+def test_pq_zero_norm_query_fails_loud(spark):
+    """Round-11 (advisor): the ADC cosine denominator is
+    q_norm · ‖x̂‖ — a zero-norm (or ragged) query vector must trip the
+    query-frame guard instead of silently NULL-ing its cosine and
+    ranking that query's neighbors arbitrarily."""
+    from metadata_ingestion_poc_spark.operators.pq import (
+        pq_encode,
+        pq_topk_with_index,
+        pq_train,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i + j + 1) for j in range(6)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    books = pq_train(corpus, dims=6, m=3, ksub=4)
+    codes = pq_encode(corpus, books, dims=6)
+    zq = spark.createDataFrame(
+        [(99, [0.0] * 6)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="norm > 0"):
+        pq_topk_with_index(
+            zq, codes, books, corpus, k=3, rerank=10, dims=6
+        ).collect()
+
+
 def test_ivfpq_index_save_load_identical_results(spark, sf_dir, tmp_path):
     """Reload ≡ rebuild for the persisted IVF-PQ index (cells +
     codebooks + coded corpus) — completes the build-nightly /
