@@ -14,11 +14,17 @@ practical algorithm for this family.
   explode_outer, the _shingle_index lesson) and localCheckpointed;
   every round scans that compact copy.
 - The covered set is BOUNDED by construction — at most R · (shingles
-  per doc) strings — so it rides into each round's plan as one array
-  literal probed with array_contains: no join against a covered
-  frame, no growing lineage, and the only per-round exchange is the
-  doc-grouped gain rollup behind map-side combine, followed by a
-  top-1 reduction (never a global sort of the corpus).
+  per doc) strings — so while it stays small it rides into each
+  round's plan as one array literal probed with array_contains: no
+  join against a covered frame, no growing lineage, and the only
+  per-round exchange is the doc-grouped gain rollup behind map-side
+  combine, followed by a top-1 reduction (never a global sort of the
+  corpus). The bound is DATA-dependent though (one picked document
+  with ~100k shingles would inline a ~100k-element literal into every
+  later round's plan), so past `_COVERED_LITERAL_CAP` entries the
+  probe switches to a broadcast LEFT ANTI join against the covered
+  set — identical semantics, and the driver ships the set once per
+  round as a broadcast table instead of re-parsing it as plan text.
 - Per round exactly TWO bounded collects: the 1-row argmax and the
   winner's ≤ shingles-per-doc shingle set.
 
@@ -34,6 +40,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import _spread, shingles
+
+# Above this many covered shingles, the per-round "not yet covered"
+# probe switches from an inlined array literal to a broadcast anti
+# join — a literal this large costs driver-side parse/plan time in
+# EVERY subsequent round, while a broadcast table ships once.
+_COVERED_LITERAL_CAP = 4096
 
 
 def _covered_literal(covered: set[str]) -> str:
@@ -72,10 +84,15 @@ def greedy_set_cover(
         cand = sh
         if picked:
             cand = cand.filter(~F.col(id_col).isin(*picked))
-        if covered:
+        if covered and len(covered) <= _COVERED_LITERAL_CAP:
             cand = cand.filter(
                 ~F.expr(f"array_contains({_covered_literal(covered)}, s)")
             )
+        elif covered:
+            cov = df.sparkSession.createDataFrame(
+                [(s,) for s in sorted(covered)], "s string"
+            )
+            cand = cand.join(F.broadcast(cov), "s", "left_anti")
         top = (
             cand.groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("__gain"))

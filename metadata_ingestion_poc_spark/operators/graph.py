@@ -298,11 +298,13 @@ def densest_subgraph_peel(
     each round records the current subgraph's (nodes, edges, density,
     avg degree), then removes every vertex whose degree is <= the
     current AVERAGE degree and restricts the edge set to survivors.
-    Density ρ = E/N is non-decreasing along the peel until the core
-    is reached; the best round approximates the maximum-density
-    subgraph — the "find the pathologically dense cluster" screen
-    (spam rings, boilerplate hubs) that a fixed-k k-core can't
-    express because the right k is data-dependent.
+    Density ρ = E/N typically climbs along the peel, but average-
+    degree batch peeling does NOT guarantee monotonicity — only the
+    BEST round carries Charikar's 2-approximation, so consumers must
+    take the max-density trajectory row, never the last one. This is
+    the "find the pathologically dense cluster" screen (spam rings,
+    boilerplate hubs) that a fixed-k k-core can't express because the
+    right k is data-dependent.
 
     Fixed-round contract (the kcore discipline): the identical
     deterministic computation replays in unrolled SQL; a round where

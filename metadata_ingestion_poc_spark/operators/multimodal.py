@@ -160,3 +160,162 @@ def sample_frames(blobs: DataFrame, every_n_bytes: int = 32) -> DataFrame:
 
     videos = blobs.filter(F.col("media_type").startswith("video/"))
     return videos.mapInPandas(frames, schema=FRAME_SCHEMA)
+
+
+def _gray32(content: bytes):
+    """STUB decode to a 32×32 grayscale float matrix. Tries a real
+    codec (PIL, absent in this container); otherwise a deterministic
+    fake — the byte stream resampled to a 1024-pixel intensity grid —
+    so near-identical blobs land on near-identical matrices and the
+    perceptual-hash plumbing is testable without media files. Swap
+    this for a real decode+resize and nothing downstream changes."""
+    import numpy as np
+
+    try:  # real path, unavailable in this container
+        import io
+
+        from PIL import Image  # type: ignore
+
+        with Image.open(io.BytesIO(content)) as im:
+            g = im.convert("L").resize((32, 32))
+            return np.asarray(g, dtype=np.float64)
+    except Exception:
+        # pad/truncate, NOT resample: a resampled grid shifts EVERY
+        # pixel when the length changes, so a 2-byte append would
+        # scramble the whole hash — the opposite of perceptual. With
+        # a fixed grid a local byte edit stays a local pixel edit
+        # (what a real decoded image gives), at the documented stub
+        # cost that bytes past 1024 don't influence the fake hash.
+        b = np.frombuffer(content[:1024], dtype=np.uint8)
+        img = np.zeros(1024, dtype=np.float64)
+        img[: len(b)] = b
+        return img.reshape(32, 32)
+
+
+def _dct32():
+    """Orthonormal 32-point DCT-II basis matrix (numpy has no dct;
+    one 32×32 cosine table built per executor is free)."""
+    import numpy as np
+
+    i = np.arange(32, dtype=np.float64)
+    k = i.reshape(-1, 1)
+    m = np.cos(np.pi * (2 * i + 1) * k / 64.0)
+    m[0] *= 1.0 / np.sqrt(2.0)
+    return m * np.sqrt(2.0 / 32.0)
+
+
+def phash64(
+    blobs: DataFrame,
+    id_col: str = "blob_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """(id, phash long): 64-bit perceptual hash of each blob.
+
+    The classic pHash construction (public literature: DCT perceptual
+    hashing, e.g. Zauner 2010): decode → 32×32 grayscale → 2-D DCT-II
+    → keep the 8×8 lowest-frequency block → threshold each coefficient
+    against the median of the 63 non-DC values → 64 bits, packed
+    row-major into one signed long (two's complement — Spark's
+    bit_count/bitwiseXOR are bitwise on longs, so sign never matters).
+
+    Arrow-batched pandas UDF over the binary column (the sanctioned
+    UDF case: a DCT matmul has no built-in form); one numpy
+    einsum-free double matmul per blob, vectorized per batch. ZERO
+    shuffle — a pure map over the corpus, like simhash. Hamming
+    distance between hashes tracks perceptual distance, which is what
+    the banded near-dup join below exploits."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    def ph(content):
+        import numpy as np
+        import pandas as pd
+
+        dct = _dct32()
+        weights = (np.int64(1) << np.arange(63, -1, -1, dtype=np.int64))
+        out = []
+        for c in content:
+            img = _gray32(bytes(c))
+            coef = dct @ img @ dct.T
+            block = coef[:8, :8].copy().ravel()
+            med = np.median(block[1:])  # exclude the DC term
+            bits = (block > med).astype(np.int64)
+            # two's-complement pack: numpy int64 multiply wraps, which
+            # IS the desired bit pattern for the sign bit
+            out.append(int((bits * weights).sum()))
+        return pd.Series(out, dtype="int64")
+
+    udf = pandas_udf(ph, LongType())
+    from .dedup import _spread
+
+    return _spread(blobs).select(
+        F.col(id_col).alias("id"), udf(F.col(content_col)).alias("phash")
+    )
+
+
+def phash_near_dup_pairs(
+    blobs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "blob_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Near-duplicate blob pairs with pHash Hamming distance ≤
+    max_hamming — the multimodal twin of simhash_pairs (dedup.py).
+
+    Band trick (pigeonhole, LOSSLESS for the Hamming metric): split
+    the 64 bits into `bands` equal chunks with bands > max_hamming —
+    any pair within distance max_hamming is identical in ≥ 1 chunk, so
+    banded candidate generation has ZERO recall loss vs the O(n²)
+    brute-force scan (pinned in tests/test_multimodal.py). Candidates
+    are bucket co-members per (band, chunk) — one shuffle via the
+    shared _bucket_pairs rollup — then verified with an exact popcount
+    of the XOR; the binary column never enters the join (hashes are
+    id + one long, tiny at any corpus size).
+    """
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+    for bands, width in ((4, 16), (8, 8), (16, 4)):
+        if max_hamming < bands:
+            break
+    else:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs > 16 bands of a 64-bit "
+            f"hash; use a brute-force scan instead"
+        )
+    from .dedup import _bucket_pairs
+
+    # one materialization: the signature plan (decode + DCT UDF) feeds
+    # banding AND both verification sides — without the cut the UDF
+    # would run three times over the corpus.
+    sig = phash64(blobs, id_col, content_col).localCheckpoint(eager=False)
+    mask = (1 << width) - 1
+    banded = sig.select(
+        F.col("id").alias("doc"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("phash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.chunk")
+    candidates = _bucket_pairs(banded, ["band", "chunk"], "doc").distinct()
+    fa = sig.select(F.col("id").alias("doc_a"), F.col("phash").alias("pa"))
+    fb = sig.select(F.col("id").alias("doc_b"), F.col("phash").alias("pb"))
+    return (
+        candidates.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select(
+            F.col("doc_a").alias("id_a"),
+            F.col("doc_b").alias("id_b"),
+            F.bit_count(
+                F.col("pa").bitwiseXOR(F.col("pb"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1555,3 +1555,49 @@ def q261_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round bigint, n_nodes bigint, n_edges bigint, "
         "density double, avg_degree double",
     )
+
+# ---------------------------------------------------------------------------
+# q262 — multimodal perceptual-hash near-dup join (round 11:
+# operators/multimodal.py phash64 + phash_near_dup_pairs): a 64-bit
+# DCT pHash per binary blob (Arrow-batched mapInPandas over the
+# content column, the q65 decode plumbing; codec stubbed, hash math
+# real), then Hamming-banded candidate buckets (the q53 simhash band
+# pattern — pigeonhole-LOSSLESS at max_hamming < bands) + exact
+# popcount verification. The corpus is the synthetic blob table PLUS
+# a planted 2-char-edit variant of every 7th document (the q141
+# augmentation discipline: the synthetic corpus needs known
+# near-dups), so the detector must surface the planted edits and the
+# corpus's natural exact-dup blobs (hamming 0). rows-only: the DCT
+# matmul has no faithful SQL replay; determinism, banded-vs-brute
+# zero recall loss, and partitioning invariance are pinned in
+# tests/test_multimodal.py instead (the q65/q56 pattern).
+# ---------------------------------------------------------------------------
+
+
+def _planted_blob_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import synthetic_blob_table
+
+    d = load_table(spark, sf_dir, "documents")
+    base = synthetic_blob_table(d)
+    edited = synthetic_blob_table(
+        d.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(
+                F.substring("text", 1, 10),
+                F.lit("qq"),
+                F.expr("substring(text, 13)"),
+            ).alias("text"),
+        )
+    )
+    return base.unionByName(edited)
+
+
+@query("q262_phash_near_dup")
+def q262_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import phash_near_dup_pairs
+
+    blobs = _planted_blob_corpus(spark, sf_dir)
+    return (
+        phash_near_dup_pairs(blobs, max_hamming=3)
+        .orderBy("id_a", "id_b")
+    )

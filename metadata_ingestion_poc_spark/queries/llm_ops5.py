@@ -255,6 +255,17 @@ def q184_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows you keep); at scale the same operator projects the whole
     corpus in one map stage and the existing ANN machinery runs on
     vectors 4x shorter.
+
+    Bench-timing note (round 11, closing the round-10 drift flag):
+    this is the first PANDAS_UDF query in bench order, so its wall
+    time carries the session's one-time Python/Arrow worker spin-up —
+    measured 2.75 s first execution vs 0.6 s steady-state in the same
+    warm session, plan unchanged (1 range-partition exchange from the
+    final ORDER BY, 1 ArrowEval, PLANS_r10 ≡ PLANS_r11). The 1.9–3.6 s
+    spread across bench reruns is that spin-up under varying host
+    load, not a plan or operator regression; at cluster scale the
+    worker pool is reused across the whole job, so folding the matmul
+    into codegen would optimize the local bench, not the design.
     """
     from ..operators.similarity import rp_project
 

@@ -45,3 +45,24 @@ def test_greedy_truncates_when_corpus_exhausted(spark):
     rows = [(0, "a b c"), (1, "d e f")]
     sel = greedy_set_cover(_docs(spark, rows), rounds=6)
     assert len(sel) == 2
+
+
+def test_greedy_anti_join_path_matches_literal_path(spark, monkeypatch):
+    """Round-11 (advisor): past _COVERED_LITERAL_CAP covered shingles
+    the per-round probe switches from an inlined array literal to a
+    broadcast LEFT ANTI join. Forcing the cap to 0 must produce the
+    IDENTICAL trajectory — the two probe forms are the same predicate,
+    and a divergence means the fallback changed semantics."""
+    from metadata_ingestion_poc_spark.operators import coverage
+
+    rows = [
+        (0, "a b c d e f"),
+        (1, "a b c d x y z"),
+        (2, "x y z w q r"),
+        (3, "m n o p"),
+    ]
+    lit_path = greedy_set_cover(_docs(spark, rows), rounds=4)
+    monkeypatch.setattr(coverage, "_COVERED_LITERAL_CAP", 0)
+    anti_path = greedy_set_cover(_docs(spark, rows), rounds=4)
+    assert anti_path == lit_path
+    assert len(lit_path) >= 3
