@@ -793,31 +793,46 @@ def ivfpq_build(
         for r in cents.collect()
         if float(r["c_norm"]) > 0
     }
-    _, cents_norm, craw, _ = _prepared_cells(cents_raw)
-    # ONE scan of the validated base: coarse cell (literal argmax over
-    # normalized centroids) + residual vs the RAW centroid — all
-    # codegen, zero shuffle. The top-1 struct is projected once and
-    # referenced twice (cell, pos): a multiply-referenced alias stays
-    # single-eval.
-    top1 = f"element_at({_cell_topn_expr(vec_col, cents_norm, 1)}, 1)"
-    resid = (
-        base.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col),
-            F.expr(top1).alias("__a"),
-        )
-        .select(
-            "id",
-            F.col("__a.cell").alias("cell"),
-            F.expr(
-                f"zip_with({vec_col}, element_at({craw}, __a.pos), "
-                f"(x, c) -> cast(x as double) - c)"
-            ).alias("rvec"),
-        )
-        .localCheckpoint(eager=False)
-    )
+    resid = _residual_frame(base, cents_raw, id_col, vec_col)
+    resid = resid.localCheckpoint(eager=False)
     books = _train_books(resid, "id", "rvec", dims, m, ksub,
                          iterations, n)
+    return cents_raw, books, _codes_from_resid(resid, books, dims)
+
+
+def _residual_frame(
+    base: DataFrame,
+    cents_raw: Mapping[int, Sequence[float]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, cell, rvec): ONE scan of a validated base — coarse cell
+    (literal argmax over normalized centroids) + residual vs the RAW
+    centroid, all codegen, zero shuffle. The top-1 struct is projected
+    once and referenced twice (cell, pos): a multiply-referenced alias
+    stays single-eval."""
+    _, cents_norm, craw, _ = _prepared_cells(cents_raw)
+    top1 = f"element_at({_cell_topn_expr(vec_col, cents_norm, 1)}, 1)"
+    return base.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col),
+        F.expr(top1).alias("__a"),
+    ).select(
+        "id",
+        F.col("__a.cell").alias("cell"),
+        F.expr(
+            f"zip_with({vec_col}, element_at({craw}, __a.pos), "
+            f"(x, c) -> cast(x as double) - c)"
+        ).alias("rvec"),
+    )
+
+
+def _codes_from_resid(
+    resid: DataFrame, books: Codebooks, dims: int
+) -> DataFrame:
+    """(id, cell, codes) off a residual frame — pure codegen argmins
+    against the codebook literals, zero shuffle."""
+    m = len(books)
     dsub = dims // m
     sliced = resid.select(
         "id",
@@ -831,12 +846,78 @@ def ivfpq_build(
         f"{_sub_assign(f'__s{sub}', books[sub])}.cid"
         for sub in range(1, m + 1)
     )
-    coded = sliced.select(
+    return sliced.select(
         "id",
         "cell",
         F.expr(f"array({codes_expr})").cast("array<int>").alias("codes"),
     )
-    return cents_raw, books, coded
+
+
+def ivfpq_encode_with_index(
+    df: DataFrame,
+    cents_raw: Mapping[int, Sequence[float]],
+    books: Codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    cache: bool = False,
+) -> DataFrame:
+    """Code rows against an EXISTING index (no retraining): the
+    incremental-ingest primitive — cell assignment, residual, and PQ
+    codes are a pure per-row function of (centroids, codebooks), so
+    new batches encode in ONE zero-shuffle codegen scan and the result
+    is bit-identical to what ivfpq_build would have produced for the
+    same rows (pinned in tests/test_similarity.py). Validation runs
+    through `_checked_base(dims=...)` like every encode path."""
+    if dims % len(books):
+        raise ValueError(
+            f"ivfpq_encode_with_index: dims={dims} not divisible by "
+            f"m={len(books)}"
+        )
+    base, _, _ = _checked_base(df, id_col, vec_col, cache,
+                               "ivfpq_encode_with_index", dims=dims)
+    return _codes_from_resid(
+        _residual_frame(base, cents_raw, id_col, vec_col), books, dims
+    )
+
+
+def ivfpq_index_append(
+    coded: DataFrame,
+    new_rows: DataFrame,
+    cents_raw: Mapping[int, Sequence[float]],
+    books: Codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """Append a batch to a built IVF-PQ index WITHOUT retraining —
+    the build-nightly / append-hourly operational shape: quantizer
+    quality drifts only as the data distribution drifts, so
+    deployments append between (re)builds. Returns the new coded
+    corpus; persist with save_ivfpq_index. (The plain-PQ equivalent
+    is just ``codes.union(pq_encode(new, books))`` — no cell axis.)"""
+    return coded.unionByName(
+        ivfpq_encode_with_index(
+            new_rows, cents_raw, books, id_col, vec_col, dims
+        )
+    )
+
+
+def ivfpq_index_delete(
+    coded: DataFrame, ids: DataFrame | Sequence[int]
+) -> DataFrame:
+    """Tombstone-delete rows from a coded corpus — the takedown /
+    right-to-be-forgotten primitive: ANN indexes must drop documents
+    without a rebuild. A bounded Python list filters inline (no
+    shuffle); a DataFrame of ids anti-joins (broadcast when small).
+    Codes of surviving rows are untouched, so delete-then-query needs
+    no requantization."""
+    if isinstance(ids, DataFrame):
+        victims = ids.select(F.col(ids.columns[0]).alias("id"))
+        return coded.join(F.broadcast(victims), "id", "left_anti")
+    if len(ids) == 0:
+        return coded
+    return coded.filter(~F.col("id").isin(*[int(i) for i in ids]))
 
 
 def save_ivfpq_index(

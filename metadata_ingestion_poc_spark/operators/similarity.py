@@ -565,3 +565,115 @@ def rp_project_sql(
         )
         exprs.append(f"ROUND({dot_terms}, {round_to})")
     return exprs
+
+
+MMR_SCHEMA = (
+    "query_id long, neighbor_id long, mmr_rank int, relevance double"
+)
+
+
+def mmr_diverse_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 8,
+    n_candidates: int = 20,
+    w_rel: int = 7,
+    w_div: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diverse top-k (Carbonell & Goldstein
+    1998, public literature) — the standard diversity re-ranker next
+    to q252's RRF fusion: round 1 picks the most relevant candidate;
+    every later round picks argmax of w_rel·relevance − w_div·max-sim-
+    to-already-selected, so near-duplicates of an already-picked
+    result are pushed down in favor of coverage.
+
+    100-TB shape: the heavy distributed stage is candidate generation
+    (the existing exact/ANN top-k machinery — swap in ann_topk for
+    billion-row corpora); MMR itself then touches only |Q|·n_candidates
+    rows. The greedy loop is inherently sequential WITHIN a query but
+    independent ACROSS queries, so it runs as one grouped applyInPandas
+    over query_id (the q69 sequence-packing precedent): state never
+    leaves the executor, no per-round driver coordination, no shuffle
+    beyond the candidate join.
+
+    Cross-engine determinism: relevance is the 6-dp rounded cosine;
+    pairwise candidate sims are rounded HALF_UP at 6 dp the moment
+    they are computed (sequential left-fold dot, the F.aggregate
+    order); MMR scores are EXACT integers in decimal micro-units
+    (w_rel·rel − w_div·maxsim over 6-dp decimals), ties break on the
+    lower candidate id — so the full selection trajectory replays in
+    unrolled SQL (q263's oracle).
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    cands = cosine_topk(
+        queries, corpus, k=n_candidates, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id", F.col("cosine").alias("rel"))
+    vecs = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__vec").alias("n_vec"),
+        F.col("__norm").alias("n_norm"),
+    )
+    # candidates are |Q|·n_candidates rows — broadcast them into ONE
+    # corpus scan to fetch the candidate vectors.
+    enriched = vecs.join(F.broadcast(cands), "neighbor_id")
+
+    q6 = Decimal("0.000001")
+
+    def _mmr(pdf):
+        import pandas as pd
+
+        out_q, out_n, out_r, out_rel = [], [], [], []
+        rows = sorted(
+            zip(pdf["neighbor_id"], pdf["rel"], pdf["n_vec"], pdf["n_norm"]),
+            key=lambda t: int(t[0]),
+        )
+        remaining = {
+            int(nid): (Decimal(repr(float(rel))), list(vec), float(nrm), float(rel))
+            for nid, rel, vec, nrm in rows
+        }
+        qid = int(pdf["query_id"].iloc[0])
+        maxsim: dict[int, Decimal] = {}
+        for rank in range(1, k + 1):
+            if not remaining:
+                break
+            best_id, best_score = None, None
+            for nid, (rel_d, _, _, _) in remaining.items():
+                score = (
+                    rel_d
+                    if rank == 1
+                    else w_rel * rel_d - w_div * maxsim[nid]
+                )
+                if best_id is None or score > best_score or (
+                    score == best_score and nid < best_id
+                ):
+                    best_id, best_score = nid, score
+            _, pvec, pnorm, prel = remaining.pop(best_id)
+            out_q.append(qid)
+            out_n.append(best_id)
+            out_r.append(rank)
+            out_rel.append(prel)
+            for nid, (_, vec, nrm, _) in remaining.items():
+                # sequential left-fold dot: the F.aggregate order,
+                # rounded HALF_UP at 6 dp the moment it exists (the
+                # repo-wide double discipline)
+                d = 0.0
+                for x, y in zip(vec, pvec):
+                    d += x * y
+                s = Decimal(repr(d / (nrm * pnorm))).quantize(
+                    q6, rounding=ROUND_HALF_UP
+                )
+                if nid not in maxsim or s > maxsim[nid]:
+                    maxsim[nid] = s
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(out_q, dtype="int64"),
+                "neighbor_id": pd.Series(out_n, dtype="int64"),
+                "mmr_rank": pd.Series(out_r, dtype="int32"),
+                "relevance": pd.Series(out_rel, dtype="float64"),
+            }
+        )
+
+    return enriched.groupBy("query_id").applyInPandas(_mmr, MMR_SCHEMA)

@@ -1601,3 +1601,145 @@ def q262_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         phash_near_dup_pairs(blobs, max_hamming=3)
         .orderBy("id_a", "id_b")
     )
+
+# ---------------------------------------------------------------------------
+# q263 — MMR diverse re-ranking (round 11: operators/similarity.py
+# mmr_diverse_topk): exact top-20 candidates per query, then 8 greedy
+# maximal-marginal-relevance rounds (7·relevance − 3·max-sim-to-
+# selected, ties to the lower id) — the standard diversity re-ranker
+# next to q252's RRF fusion. The grouped-map stage is the q69 packing
+# precedent (sequential WITHIN a query, parallel ACROSS queries; all
+# state executor-local); scores are exact integers over 6-dp decimals
+# so the DuckDB oracle replays the FULL selection trajectory as
+# unrolled MATERIALIZED rounds (the q253 set-cover pattern) — the
+# greedy argmax is oracle-proven, not rows-only.
+# ---------------------------------------------------------------------------
+
+_MMR_K = 8
+_MMR_N = 20
+_MMR_WREL = 7
+_MMR_WDIV = 3
+
+
+def _mmr_oracle(k: int, n: int, w_rel: int, w_div: int) -> str:
+    head = f"""
+    WITH v AS MATERIALIZED (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    nv AS MATERIALIZED (
+        SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+    rel AS MATERIALIZED (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               ROUND(list_dot_product(q.e, c.e) / (q.nrm * c.nrm), 6)
+                 AS rel
+        FROM nv q JOIN nv c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 5),
+    cand AS MATERIALIZED (
+        SELECT query_id, cand_id, rel FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rn
+            FROM rel) WHERE rn <= {n}),
+    sim AS MATERIALIZED (
+        SELECT a.query_id, a.cand_id AS ia, b.cand_id AS ib,
+               ROUND(list_dot_product(na.e, nb.e) / (na.nrm * nb.nrm), 6)
+                 AS s
+        FROM cand a
+        JOIN cand b ON b.query_id = a.query_id AND b.cand_id != a.cand_id
+        JOIN nv na ON na.vec_id = a.cand_id
+        JOIN nv nb ON nb.vec_id = b.cand_id),
+    s1 AS MATERIALIZED (
+        SELECT query_id, cand_id, rel, 1 AS r FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rn
+            FROM cand) WHERE rn = 1),
+    sel1 AS MATERIALIZED (SELECT query_id, cand_id FROM s1)"""
+    rounds = []
+    for r in range(2, k + 1):
+        rounds.append(f""",
+    s{r} AS MATERIALIZED (
+        SELECT query_id, cand_id, rel, {r} AS r FROM (
+            SELECT c.query_id, c.cand_id, c.rel,
+                   row_number() OVER (PARTITION BY c.query_id ORDER BY
+                       {w_rel} * CAST(c.rel AS DECIMAL(28,6))
+                     - {w_div} * CAST(mx.m AS DECIMAL(28,6)) DESC,
+                       c.cand_id) AS rn
+            FROM cand c
+            JOIN (SELECT s.query_id AS qid, s.ia AS cid, MAX(s.s) AS m
+                  FROM sim s JOIN sel{r - 1} p
+                    ON p.query_id = s.query_id AND p.cand_id = s.ib
+                  GROUP BY 1, 2) mx
+              ON mx.qid = c.query_id AND mx.cid = c.cand_id
+            WHERE NOT EXISTS (
+                SELECT 1 FROM sel{r - 1} p2
+                WHERE p2.query_id = c.query_id
+                  AND p2.cand_id = c.cand_id)
+        ) WHERE rn = 1),
+    sel{r} AS MATERIALIZED (
+        SELECT query_id, cand_id FROM sel{r - 1}
+        UNION ALL SELECT query_id, cand_id FROM s{r})""")
+    union = "\n        UNION ALL ".join(
+        f"SELECT * FROM s{r}" for r in range(1, k + 1)
+    )
+    return (
+        head + "".join(rounds) + f"""
+    SELECT query_id, cand_id AS neighbor_id, r AS mmr_rank,
+           rel AS relevance
+    FROM ({union})
+    ORDER BY query_id, mmr_rank
+    """
+    )
+
+
+@query(
+    "q263_mmr_diverse_topk",
+    oracle=_mmr_oracle(_MMR_K, _MMR_N, _MMR_WREL, _MMR_WDIV),
+)
+def q263_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import mmr_diverse_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_diverse_topk(
+        emb.filter(F.col("vec_id") < 5), emb,
+        k=_MMR_K, n_candidates=_MMR_N,
+        w_rel=_MMR_WREL, w_div=_MMR_WDIV,
+    ).orderBy("query_id", "mmr_rank")
+
+# ---------------------------------------------------------------------------
+# q264 — ANN index maintenance (round 11: operators/pq.py
+# ivfpq_encode_with_index / ivfpq_index_append / ivfpq_index_delete):
+# build an IVF-PQ index on the old corpus half, append a new batch
+# WITHOUT retraining (coding is a pure per-row function of the frozen
+# centroids+codebooks — one zero-shuffle codegen scan), tombstone-
+# delete a takedown list (broadcast anti-join; right-to-be-forgotten
+# without a rebuild), then serve top-k against the maintained index.
+# rows-only (the served ranking is approximate by design); the
+# maintenance algebra is pinned in tests/test_similarity.py:
+# encode-with-index ≡ build's own coding scan, and full-probe/full-
+# rerank over the maintained index ≡ exact brute force over the
+# maintained corpus.
+# ---------------------------------------------------------------------------
+
+
+@query("q264_ann_index_maintenance")
+def q264_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import (
+        ivfpq_build,
+        ivfpq_index_append,
+        ivfpq_index_delete,
+        ivfpq_topk_with_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") >= 100)
+    new = emb.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 100))
+    cents, books, coded = ivfpq_build(
+        old, n_cells=16, m=8, ksub=16, iterations=1
+    )
+    coded = ivfpq_index_append(coded, new, cents, books)
+    maintained = old.unionByName(new)
+    takedown = maintained.filter(F.col("vec_id") % 10 == 0).select("vec_id")
+    coded = ivfpq_index_delete(coded, takedown)
+    kept = maintained.filter(F.col("vec_id") % 10 != 0)
+    return ivfpq_topk_with_index(
+        emb.filter(F.col("vec_id") < 5), cents, books, coded, kept,
+        k=10, nprobe=8, rerank=200,
+    ).orderBy("query_id", "rank")

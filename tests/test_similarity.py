@@ -370,3 +370,69 @@ def test_pq_codebook_gap_positional_lookup(spark):
         ).collect()
     }
     assert got == exact
+
+
+def test_ivfpq_encode_with_index_matches_build_coding(spark, sf_dir):
+    """Round-11 contract: coding is a pure per-row function of the
+    frozen (centroids, codebooks) — encoding the SAME rows through
+    ivfpq_encode_with_index must reproduce the build's own coded
+    corpus bit-for-bit, which is what makes append-without-retrain
+    sound."""
+    from metadata_ingestion_poc_spark.operators.pq import (
+        ivfpq_build,
+        ivfpq_encode_with_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, books, coded = ivfpq_build(emb, n_cells=8, ksub=8, iterations=1)
+    built = {(r.id, r.cell, tuple(r.codes)) for r in coded.collect()}
+    recoded = {
+        (r.id, r.cell, tuple(r.codes))
+        for r in ivfpq_encode_with_index(emb, cents, books).collect()
+    }
+    assert recoded == built
+
+
+def test_ivfpq_maintained_index_full_probe_equals_brute_force(spark, sf_dir):
+    """Round-11 plumbing invariant (the gap-positional-lookup
+    pattern): after append + tombstone delete, probing EVERY cell and
+    re-ranking every candidate must reduce the maintained index to
+    exact brute force over the maintained corpus — regardless of ADC
+    quality. Fails if append misroutes cells, delete leaves ghosts,
+    or the rerank corpus drifts from the coded corpus."""
+    import pyspark.sql.functions as SF
+
+    from metadata_ingestion_poc_spark.operators.pq import (
+        ivfpq_build,
+        ivfpq_index_append,
+        ivfpq_index_delete,
+        ivfpq_topk_with_index,
+    )
+    from metadata_ingestion_poc_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(SF.col("vec_id") >= 60)
+    new = emb.filter((SF.col("vec_id") >= 20) & (SF.col("vec_id") < 60))
+    cents, books, coded = ivfpq_build(old, n_cells=8, ksub=8, iterations=1)
+    coded = ivfpq_index_append(coded, new, cents, books)
+    coded = ivfpq_index_delete(coded, [i for i in range(20, 200, 10)])
+    kept = emb.filter(
+        (SF.col("vec_id") >= 20) & (SF.col("vec_id") % 10 != 0)
+    )
+    queries = emb.filter(SF.col("vec_id") < 5)
+    served = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in ivfpq_topk_with_index(
+            queries, cents, books, coded, kept,
+            k=5, nprobe=10_000, rerank=1_000_000,
+        ).collect()
+    }
+    exact = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in cosine_topk(queries, kept, k=5).collect()
+    }
+    assert served == exact
+    deleted_ids = {i for i in range(20, 200, 10)}
+    assert not {v[0] for v in served.values()} & deleted_ids
