@@ -171,6 +171,7 @@ def _train_books(
     ksub: int,
     iterations: int,
     n: int,
+    who: str = "pq_train",
 ) -> Codebooks:
     """Joint-Lloyd training loop over an ALREADY-validated base frame
     (the `_checked_base` output — pq_train wraps this for raw vectors;
@@ -178,7 +179,7 @@ def _train_books(
     so validation and materialization are paid once, not per stage)."""
     dsub = dims // m
     if n < ksub:
-        raise ValueError(f"pq_train: {n} rows < ksub={ksub}")
+        raise ValueError(f"{who}: {n} rows < ksub={ksub}")
     seeds = seed_centroids(base, id_col, vec_col, ksub)
     books: Codebooks = {
         sub: {
@@ -505,7 +506,7 @@ def pq_ann_topk(
     base, _, n = _checked_base(corpus, id_col, vec_col, True,
                                "pq_ann_topk", dims=dims)
     books = _train_books(base, id_col, vec_col, dims, m, ksub,
-                         iterations, n)
+                         iterations, n, who="pq_ann_topk")
     codes = _encode_on_base(base, books, id_col, vec_col, dims)
     return pq_topk_with_index(
         queries, codes, books, base,
@@ -571,10 +572,18 @@ def pq_reconstruction_stats(
     structs in codegen), one explode, one m·ksub-group exchange —
     validated through `_checked_base(dims=...)` like every encode
     path (a poisoned frame must fail loud, not skew the census)."""
-    m = len(codebooks)
-    dsub = dims // m
     base, _, _ = _checked_base(df, id_col, vec_col, cache,
                                "pq_reconstruction_stats", dims=dims)
+    return _census_on_base(base, codebooks, vec_col, dims)
+
+
+def _census_on_base(
+    base: DataFrame, codebooks: Codebooks, vec_col: str, dims: int
+) -> DataFrame:
+    """Census scan over an already-validated base (see
+    pq_reconstruction_stats)."""
+    m = len(codebooks)
+    dsub = dims // m
     sliced = base.select(
         *[
             F.expr(_slice_expr(vec_col, sub, dsub)).alias(f"__s{sub}")
@@ -602,6 +611,32 @@ def pq_reconstruction_stats(
         )
         .orderBy("sub", "code")
     )
+
+
+def pq_train_with_stats(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    m: int = 8,
+    ksub: int = 16,
+    iterations: int = 2,
+    cache: bool = True,
+) -> tuple[Codebooks, DataFrame]:
+    """Train codebooks AND return the post-training census off ONE
+    validated/checkpointed projection — the q251 shape. Composing the
+    public pq_train + pq_reconstruction_stats pays _checked_base
+    (checkpoint + validation aggregate) twice for the identical frame;
+    this is the shared-base path, like pq_ann_topk for train+encode."""
+    if dims % m:
+        raise ValueError(
+            f"pq_train_with_stats: dims={dims} not divisible by m={m}"
+        )
+    base, _, n = _checked_base(df, id_col, vec_col, cache,
+                               "pq_train_with_stats", dims=dims)
+    books = _train_books(base, id_col, vec_col, dims, m, ksub,
+                         iterations, n, who="pq_train_with_stats")
+    return books, _census_on_base(base, books, vec_col, dims)
 
 
 def _prepared_cells(
@@ -796,7 +831,7 @@ def ivfpq_build(
     resid = _residual_frame(base, cents_raw, id_col, vec_col)
     resid = resid.localCheckpoint(eager=False)
     books = _train_books(resid, "id", "rvec", dims, m, ksub,
-                         iterations, n)
+                         iterations, n, who="ivfpq_build")
     return cents_raw, books, _codes_from_resid(resid, books, dims)
 
 
@@ -913,6 +948,13 @@ def ivfpq_index_delete(
     Codes of surviving rows are untouched, so delete-then-query needs
     no requantization."""
     if isinstance(ids, DataFrame):
+        if len(ids.columns) != 1:
+            raise ValueError(
+                f"ivfpq_index_delete: takedown frame must have exactly "
+                f"one id column, got {ids.columns} — select the id "
+                f"column explicitly (a silent wrong-column anti-join "
+                f"would no-op the delete)"
+            )
         victims = ids.select(F.col(ids.columns[0]).alias("id"))
         return coded.join(F.broadcast(victims), "id", "left_anti")
     if len(ids) == 0:

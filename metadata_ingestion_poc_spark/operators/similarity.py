@@ -617,8 +617,25 @@ def mmr_diverse_topk(
         F.col("__norm").alias("n_norm"),
     )
     # candidates are |Q|·n_candidates rows — broadcast them into ONE
-    # corpus scan to fetch the candidate vectors.
-    enriched = vecs.join(F.broadcast(cands), "neighbor_id")
+    # corpus scan to fetch the candidate vectors. Fail loud BEFORE the
+    # grouped map: a zero-norm candidate (or the NULL relevance a
+    # zero-norm query produces) would otherwise surface as an opaque
+    # ZeroDivisionError inside the pandas worker — the _guarded_q_norm
+    # discipline from the PQ query paths applies here too.
+    guard = F.when(
+        F.assert_true(
+            F.col("rel").isNotNull() & (F.col("n_norm") > 0),
+            F.lit(
+                "mmr_diverse_topk: zero-norm or NULL-relevance "
+                "candidate — queries and corpus vectors must be "
+                "non-NULL with norm > 0"
+            ),
+        ).isNull(),
+        F.col("rel"),
+    ).alias("rel")
+    enriched = vecs.join(F.broadcast(cands), "neighbor_id").select(
+        "neighbor_id", "query_id", guard, "n_vec", "n_norm"
+    )
 
     q6 = Decimal("0.000001")
 

@@ -851,13 +851,16 @@ def _pq_train_oracle(m: int, ksub: int, iters: int, dims: int) -> str:
     oracle=_pq_train_oracle(_PQ_M, _PQ_KSUB, _PQ_ITERS, _KM_DIMS),
 )
 def q251_pq_train_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.pq import pq_reconstruction_stats, pq_train
+    from ..operators.pq import pq_train_with_stats
 
     emb = load_table(spark, sf_dir, "embeddings")
-    books = pq_train(
+    # shared-base path: train + census validate/checkpoint the
+    # projection ONCE (round 11 — composing pq_train +
+    # pq_reconstruction_stats paid _checked_base twice)
+    _, census = pq_train_with_stats(
         emb, dims=_KM_DIMS, m=_PQ_M, ksub=_PQ_KSUB, iterations=_PQ_ITERS
     )
-    return pq_reconstruction_stats(emb, books, dims=_KM_DIMS)
+    return census
 
 # ---------------------------------------------------------------------------
 # q252 — hybrid retrieval with reciprocal-rank fusion (RRF, the

@@ -436,3 +436,54 @@ def test_ivfpq_maintained_index_full_probe_equals_brute_force(spark, sf_dir):
     assert served == exact
     deleted_ids = {i for i in range(20, 200, 10)}
     assert not {v[0] for v in served.values()} & deleted_ids
+
+
+def test_mmr_zero_norm_fails_loud(spark):
+    """Round-11 review: a zero-norm vector in the candidate set (or a
+    zero-norm query NULL-ing every relevance) must trip the guard
+    before the grouped map, not surface as a ZeroDivisionError inside
+    the pandas worker."""
+    from metadata_ingestion_poc_spark.operators.similarity import (
+        mmr_diverse_topk,
+    )
+
+    rows = [(i, [float(i + j + 1) for j in range(4)]) for i in range(10)]
+    rows.append((99, [0.0] * 4))  # zero-norm corpus row
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # under ANSI the zero division already throws inside the candidate
+    # stage (cosine_topk); in non-ANSI sessions the NULL relevance
+    # reaches the guard instead — both are loud, neither reaches the
+    # pandas worker
+    with pytest.raises(Exception, match="norm > 0|DIVIDE_BY_ZERO"):
+        mmr_diverse_topk(
+            df.filter(F.col("vec_id") < 2), df, k=3, n_candidates=11
+        ).collect()
+
+
+def test_mmr_prefers_diversity_over_pure_relevance(spark):
+    """The defining MMR property on a constructed geometry: with two
+    near-identical highly-relevant candidates and one moderately
+    relevant diverse candidate, rank 2 must go to the diverse one
+    (pure relevance would pick the near-duplicate)."""
+    from metadata_ingestion_poc_spark.operators.similarity import (
+        mmr_diverse_topk,
+    )
+
+    # the query sits between two orthogonal directions; candidates 1
+    # and 2 are near-duplicates along the first, candidate 3 is the
+    # second direction — equally relevant, orthogonal to pick 1
+    rows = [
+        (0, [1.0, 1.0, 0.0, 0.0]),       # query
+        (1, [1.0, 0.01, 0.0, 0.0]),      # most relevant
+        (2, [1.0, -0.02, 0.0, 0.0]),     # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),       # diverse, equally relevant
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = (
+        mmr_diverse_topk(
+            df.filter(F.col("vec_id") == 0), df, k=3, n_candidates=3
+        )
+        .orderBy("mmr_rank")
+        .collect()
+    )
+    assert [r.neighbor_id for r in got] == [1, 3, 2]
