@@ -42,8 +42,10 @@ The 100-TB shape, stage by stage:
   d/m. Approximate cosine = (qc + Σ lut) / (‖q‖ · ‖x̂‖): for plain PQ
   qc = 0 and x̂ is the codeword reconstruction; for IVF-PQ
   qc = <q, c_cell> (the coarse-centroid term of the residual
-  decomposition x̂ = c_cell + r̂) and ‖x̂‖ comes from a precomputed
-  per-(cell, sub, code) norm table — n_cells·m·ksub doubles, literal.
+  decomposition x̂ = c_cell + r̂) and ‖x̂‖ is the `rn2` column the
+  coding scan precomputed into the index — a pure function of
+  (cell, codes), stored once so query plans never carry the
+  n_cells·m·ksub norm table as literal text.
 - **Re-rank**: the top `rerank` candidates per query (window over the
   scored codes) are broadcast back against the corpus for exact
   cosine — candidates are |Q|·rerank rows, so the join is a broadcast
@@ -372,17 +374,23 @@ def pq_topk_with_index(
         ),
         F.expr(_lut_expr(vec_col, codebooks, dims)).alias("lut"),
         # plain PQ reconstructs x̂ from the codewords alone: no coarse
-        # term (qc = 0) and a single norm-table "cell" (pos = 1) —
-        # the degenerate one-cell case of the shared IVFADC scorer.
+        # term (qc = 0) — the one-cell degenerate case of the shared
+        # IVFADC scorer. ‖x̂‖ comes from the small m·ksub norm-table
+        # literal here; the IVF-PQ path precomputes it per row at
+        # CODING time instead (its table is n_cells× bigger).
         F.lit(0.0).alias("qc"),
-        F.lit(1).alias("pos"),
     )
+    m = len(codebooks)
+    rnorm = (
+        "sqrt(aggregate(sequence(1, {m}), 0.0D, (a, s) -> "
+        "a + element_at(element_at({nsq}, s), element_at(codes, s))))"
+    ).format(m=m, nsq=_norm_table_sql(codebooks))
     joined = codes.crossJoin(F.broadcast(q))
     return _adc_rerank(
         joined, codebooks, queries, corpus,
         k=k, rerank=rerank, id_col=id_col, vec_col=vec_col,
         round_dp=round_dp,
-        rnorm3_sql=f"array({_norm_table_sql(codebooks)})",
+        rnorm_sql=rnorm,
     )
 
 
@@ -396,32 +404,28 @@ def _adc_rerank(
     id_col: str,
     vec_col: str,
     round_dp: int,
-    rnorm3_sql: str,
+    rnorm_sql: str,
 ) -> DataFrame:
     """Shared tail of the PQ query paths (plain PQ and IVF-PQ):
     ADC-score the (candidate row ⋈ query) frame, keep the top
     ``rerank`` per query, then exactly re-rank those candidates
     against the raw corpus. ``joined`` must carry
-    (query_id, q_norm, lut, qc, pos, id, codes) where `qc` is the
-    coarse-centroid dot term (0 for plain PQ) and `pos` indexes the
-    1-based cell axis of ``rnorm3_sql``, a [pos][sub][code] literal of
-    reconstruction-norm contributions ‖(c_cell)_sub + codeword‖²
-    (plain PQ passes a single-cell table with c = 0). Everything
-    downstream — tie order, rounding, rerank semantics — lives HERE
-    once, so the two entry points cannot drift apart."""
+    (query_id, q_norm, lut, qc, id, codes) plus whatever columns
+    ``rnorm_sql`` — the caller's SQL expression for the reconstruction
+    norm ‖x̂‖ — reads: plain PQ folds the small m·ksub norm-table
+    literal over `codes`; IVF-PQ reads the `rn2` column its coding
+    scan precomputed (sqrt(rn2)). `qc` is the coarse-centroid dot term
+    (0 for plain PQ). Everything downstream — tie order, rounding,
+    rerank semantics — lives HERE once, so the two entry points cannot
+    drift apart."""
     m = len(codebooks)
-    # approx dot = qc + Σ_sub lut[sub][code_sub]; approx ‖x̂‖ from the
-    # per-(cell, sub, code) norm table. aggregate over the 1..m index
-    # sequence keeps it codegen.
+    # approx dot = qc + Σ_sub lut[sub][code_sub]; aggregate over the
+    # 1..m index sequence keeps it codegen.
     adc = (
         "qc + aggregate(sequence(1, {m}), 0.0D, (a, s) -> "
         "a + element_at(element_at(lut, s), element_at(codes, s)))"
     ).format(m=m)
-    rnorm = (
-        "sqrt(aggregate(sequence(1, {m}), 0.0D, (a, s) -> "
-        "a + element_at(element_at(element_at({nsq}, pos), s), "
-        "element_at(codes, s))))"
-    ).format(m=m, nsq=rnorm3_sql)
+    rnorm = rnorm_sql
     scored = (
         joined.filter(F.col("id") != F.col("query_id"))
         .select(
@@ -832,7 +836,8 @@ def ivfpq_build(
     resid = resid.localCheckpoint(eager=False)
     books = _train_books(resid, "id", "rvec", dims, m, ksub,
                          iterations, n, who="ivfpq_build")
-    return cents_raw, books, _codes_from_resid(resid, books, dims)
+    return cents_raw, books, _codes_from_resid(resid, books, dims,
+                                                cents_raw)
 
 
 def _residual_frame(
@@ -855,6 +860,7 @@ def _residual_frame(
     ).select(
         "id",
         F.col("__a.cell").alias("cell"),
+        F.col("__a.pos").alias("pos"),
         F.expr(
             f"zip_with({vec_col}, element_at({craw}, __a.pos), "
             f"(x, c) -> cast(x as double) - c)"
@@ -863,15 +869,26 @@ def _residual_frame(
 
 
 def _codes_from_resid(
-    resid: DataFrame, books: Codebooks, dims: int
+    resid: DataFrame,
+    books: Codebooks,
+    dims: int,
+    cents_raw: Mapping[int, Sequence[float]],
 ) -> DataFrame:
-    """(id, cell, codes) off a residual frame — pure codegen argmins
-    against the codebook literals, zero shuffle."""
+    """(id, cell, codes, rn2) off a residual frame — pure codegen
+    argmins against the codebook literals, zero shuffle. `rn2` is the
+    reconstruction norm² ‖c_cell + r̂‖², a pure function of
+    (cell, codes), PRECOMPUTED here and stored in the index (8 bytes
+    per row) so the ADC query scan reads a column instead of folding
+    the n_cells·m·ksub norm-table literal — that table is plan text,
+    and re-parsing ~16k double literals per query plan measurably
+    costs driver time at m=16/ksub=32 (the q254 dial); amortizing it
+    into the one-time coding scan is the FAISS store-the-norm shape."""
     m = len(books)
     dsub = dims // m
     sliced = resid.select(
         "id",
         "cell",
+        "pos",
         *[
             F.expr(_slice_expr("rvec", sub, dsub)).alias(f"__s{sub}")
             for sub in range(1, m + 1)
@@ -881,11 +898,18 @@ def _codes_from_resid(
         f"{_sub_assign(f'__s{sub}', books[sub])}.cid"
         for sub in range(1, m + 1)
     )
+    norm3 = _ivfpq_norm3_sql(cents_raw, books, dims)
+    rn2 = (
+        "aggregate(sequence(1, {m}), 0.0D, (a, s) -> "
+        "a + element_at(element_at(element_at({nsq}, pos), s), "
+        "element_at(codes, s)))"
+    ).format(m=m, nsq=norm3)
     return sliced.select(
         "id",
         "cell",
+        "pos",
         F.expr(f"array({codes_expr})").cast("array<int>").alias("codes"),
-    )
+    ).select("id", "cell", "codes", F.expr(rn2).alias("rn2"))
 
 
 def ivfpq_encode_with_index(
@@ -912,7 +936,8 @@ def ivfpq_encode_with_index(
     base, _, _ = _checked_base(df, id_col, vec_col, cache,
                                "ivfpq_encode_with_index", dims=dims)
     return _codes_from_resid(
-        _residual_frame(base, cents_raw, id_col, vec_col), books, dims
+        _residual_frame(base, cents_raw, id_col, vec_col), books, dims,
+        cents_raw,
     )
 
 
@@ -1012,10 +1037,11 @@ def ivfpq_topk_with_index(
 
     IVFADC scoring: codes quantize residuals, so the approximate dot
     decomposes as <q, x̂> = <q, c_cell> + Σ_sub lut[sub][code] with
-    lut built from the residual codebooks, and ‖x̂‖ comes from the
-    per-(cell, sub, code) literal table. <q, c_cell> falls out of the
-    probe ranking for free: the probe sorts by the normalized-centroid
-    dot, so the raw dot is that value times the (literal) raw norm."""
+    lut built from the residual codebooks, and ‖x̂‖ is the `rn2`
+    column the coding scan precomputed (see _codes_from_resid).
+    <q, c_cell> falls out of the probe ranking for free: the probe
+    sorts by the normalized-centroid dot, so the raw dot is that
+    value times the (literal) raw norm."""
     _, cents_norm, _, cnorm = _prepared_cells(cents_raw)
     q = with_norm(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
@@ -1031,7 +1057,6 @@ def ivfpq_topk_with_index(
         "q_norm",
         "lut",
         F.col("p.cell").alias("cell"),
-        F.col("p.pos").alias("pos"),
         # nd = -<q, c/‖c‖>  ⇒  <q, c_raw> = -nd · ‖c_raw‖
         (-F.col("p.nd") * F.expr(f"element_at({cnorm}, p.pos)")).alias(
             "qc"
@@ -1045,5 +1070,5 @@ def ivfpq_topk_with_index(
         joined, books, queries, corpus,
         k=k, rerank=rerank, id_col=id_col, vec_col=vec_col,
         round_dp=round_dp,
-        rnorm3_sql=_ivfpq_norm3_sql(cents_raw, books, dims),
+        rnorm_sql="sqrt(rn2)",
     )
