@@ -121,71 +121,78 @@ def _load_all() -> None:
 # round-6 refresh tail q176-q196 (judge-verified green in r9); (d)
 # the relational-core refresh head q01-q12. 6 + 11 + 21 + 12 = 50.
 #
-# Round-11 rotation note: promote whatever round-11 code changes
-# touch, then the rest of the core refresh q13-q49, then q50-q69.
+# Round-11 rotation (window N=50), per the round-10 verdict: (a) the
+# 3 PQ-family queries round 11's residual-IVFADC rewrite + shared-base
+# census re-touched (q250/q251/q254 — the raw-string oracle
+# normalization elsewhere renders byte-identical SQL, so those queries
+# are NOT re-promoted); (b) the 3 round-11-new q262-q264 (pHash
+# near-dup, MMR diverse re-ranking, ANN index maintenance); (c) the
+# full core refresh block q13-q49 (all 36 oracle-bearing entries
+# judge-verified green at sf0.01 in round 10 — driver credit due);
+# (d) the q50-q69 head q50-q56 as fits. 3 + 3 + 37 + 7 = 50.
+#
+# Round-12 rotation note: promote whatever round-12 code changes
+# touch, then the q50-q69 remainder (q57-q69, judge-verified in
+# round 10), then the round-3 block q70-q118 by staleness.
 # ---------------------------------------------------------------------------
 _SWEEP_PRIORITY = [
-    # -- round-10 code-changed.
-    # (clustering family re-routed through _spread + lazy checkpoint
-    # and element-null validation: q242/q246/q247/q248; advisor edge
-    # fixes to the q249 oracle's partial-shingle semantics and q245's
-    # zero-budget guard — all value-identical on this data by design,
-    # swept anyway because their code/oracle text changed)
-    "q242_kmeans_clusters",
-    "q245_budget_capped_selection",
-    "q246_pca_top_component",
-    "q247_centroid_silhouette",
-    "q248_kcenter_coreset",
-    "q249_prefix_filter_jaccard",
-    # -- new in round 10 — never swept (PQ family, RRF fusion, greedy
-    # set cover, source overlap matrix, A-ES weighted sample).
+    # -- round-11 code-changed (residual-encoded IVFADC + stored-rn2
+    # index + shared-base train/census; q250's shared-base pq_ann_topk
+    # plumbing changed even though its registered dial did not).
     "q250_pq_ann_topk",
     "q251_pq_train_census",
-    "q252_rrf_hybrid_retrieval",
-    "q253_greedy_set_cover",
     "q254_ivfpq_ann_topk",
-    "q255_source_overlap_matrix",
-    "q256_weighted_sample",
-    "q257_split_leakage",
-    "q258_effective_corpus_size",
-    "q260_token_dispersion",
-    "q261_densest_subgraph",
-    # -- round-6 block refresh tail (judge-verified green in r9 at
-    # sf0.01; driver credit due).
-    "q176_ks_drift",
-    "q177_pmi_collocations",
-    "q178_global_row_number",
-    "q179_gap_fill_interpolate",
-    "q180_decile_lift",
-    "q181_bm25_topk",
-    "q182_zorder_buckets",
-    "q183_quantile_sketch",
-    "q184_random_projection",
-    "q185_referential_integrity",
-    "q186_activity_streaks",
-    "q187_mixture_temperature",
-    "q188_decayed_user_value",
-    "q189_kcore_decomposition",
-    "q190_tfidf_cosine_pairs",
-    "q191_price_histogram",
-    "q192_sessionize_events",
-    "q193_pii_redaction",
-    "q194_rolling_iqr_outliers",
-    "q195_user_burstiness",
-    "q196_zipf_fit",
-    # -- relational-core refresh head (last swept in D1/D2).
-    "q01_pricing_summary",
-    "q02_filter_predicates",
-    "q03_projection_compute",
-    "q04_join_inner_broadcast",
-    "q05_join_left_outer",
-    "q06_join_semi",
-    "q07_join_anti",
-    "q08_join_star_multiway",
-    "q09_agg_global",
-    "q10_topk_orders",
-    "q11_rollup",
-    "q12_cube",
+    # -- new in round 11 — never swept.
+    "q262_phash_near_dup",
+    "q263_mmr_diverse_topk",
+    "q264_ann_index_maintenance",
+    # -- core refresh block q13-q49 (judge-verified green at sf0.01 in
+    # round 10; driver credit due).
+    "q13_grouping_sets",
+    "q14_percentiles",
+    "q15_variance_stats",
+    "q16_argmax_per_group",
+    "q17_collect_sorted",
+    "q17b_collect_array",
+    "q18_approx_count_distinct",
+    "q19_pivot",
+    "q19b_unpivot",
+    "q20_topk_per_group",
+    "q21_rank_dense_ntile",
+    "q22_lag_lead",
+    "q23_running_sum",
+    "q24_range_frame",
+    "q25_first_last_frame",
+    "q26_union_distinct",
+    "q27_union_all_counts",
+    "q28_intersect",
+    "q29_except",
+    "q30_string_funcs",
+    "q31_datetime_funcs",
+    "q32_math_funcs",
+    "q33_conditional_funcs",
+    "q34_array_funcs",
+    "q35_json_funcs",
+    "q36_explode_tokens",
+    "q37_map_struct_funcs",
+    "q40_asof_join",
+    "q41_theta_band_join",
+    "q42_cross_join_grid",
+    "q43_self_join_copurchase",
+    "q44_tpch_q3_shipping_priority",
+    "q45_tpch_q6_forecast_revenue",
+    "q46_tpch_q18_large_orders",
+    "q47_correlated_scalar_subquery",
+    "q48_exists_subquery",
+    "q49_scalar_in_subquery",
+    # -- q50-q69 head (judge-verified green at sf0.01 in round 10).
+    "q50_dedup_exact",
+    "q51_ngram_jaccard_pairs",
+    "q52_minhash_lsh_pairs",
+    "q53_simhash_pairs",
+    "q54_dedup_clusters",
+    "q55_cosine_topk",
+    "q56_lsh_ann_topk",
 ]
 
 
