@@ -125,14 +125,15 @@ def _load_all() -> None:
 # 3 PQ-family queries round 11's residual-IVFADC rewrite + shared-base
 # census re-touched (q250/q251/q254 — the raw-string oracle
 # normalization elsewhere renders byte-identical SQL, so those queries
-# are NOT re-promoted); (b) the 3 round-11-new q262-q264 (pHash
-# near-dup, MMR diverse re-ranking, ANN index maintenance); (c) the
-# full core refresh block q13-q49 (all 36 oracle-bearing entries
-# judge-verified green at sf0.01 in round 10 — driver credit due);
-# (d) the q50-q69 head q50-q56 as fits. 3 + 3 + 37 + 7 = 50.
+# are NOT re-promoted); (b) the 4 round-11-new q262-q265 (pHash
+# near-dup, MMR diverse re-ranking, ANN index maintenance, Poisson-
+# bootstrap CI); (c) the full core refresh block q13-q49 (all 36
+# oracle-bearing entries judge-verified green at sf0.01 in round 10 —
+# driver credit due); (d) the q50-q69 head q50-q55 as fits.
+# 3 + 4 + 37 + 6 = 50.
 #
 # Round-12 rotation note: promote whatever round-12 code changes
-# touch, then the q50-q69 remainder (q57-q69, judge-verified in
+# touch, then the q50-q69 remainder (q56-q69, judge-verified in
 # round 10), then the round-3 block q70-q118 by staleness.
 # ---------------------------------------------------------------------------
 _SWEEP_PRIORITY = [
@@ -146,6 +147,7 @@ _SWEEP_PRIORITY = [
     "q262_phash_near_dup",
     "q263_mmr_diverse_topk",
     "q264_ann_index_maintenance",
+    "q265_bootstrap_ci",
     # -- core refresh block q13-q49 (judge-verified green at sf0.01 in
     # round 10; driver credit due).
     "q13_grouping_sets",
@@ -192,7 +194,6 @@ _SWEEP_PRIORITY = [
     "q53_simhash_pairs",
     "q54_dedup_clusters",
     "q55_cosine_topk",
-    "q56_lsh_ann_topk",
 ]
 
 

@@ -1746,3 +1746,113 @@ def q264_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 5), cents, books, coded, kept,
         k=10, nprobe=8, rerank=200,
     ).orderBy("query_id", "rank")
+
+# ---------------------------------------------------------------------------
+# q265 — Poisson-bootstrap confidence intervals (round 11): per-source
+# mean tokens/doc with a deterministic 20-resample bootstrap envelope.
+# The SCALABLE bootstrap (Poisson(1) weights per (doc, resample) —
+# public literature: Chamandy et al., "Estimating Uncertainty for
+# Massive Data Streams", Google 2012): classic resample-n-with-
+# replacement needs n draws per resample coordinated globally, which
+# doesn't shard; Poisson weights are per-row independent, so ALL B
+# resamples ride one explode(sequence(1,B)) + ONE (source, b) rollup
+# behind map-side combine — no per-resample scan, no shuffle growth
+# beyond ×B rows. Weights come from the repo's reduced multiplicative
+# id-hash pushed through the exact Poisson(1) inverse CDF at 1e-6
+# resolution, so both engines draw IDENTICAL integer weights and every
+# resample mean is one bigint/bigint division — the whole envelope is
+# oracle-exact (no RNG, no float accumulation).
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 20
+# Poisson(1) CDF at 1e-6 resolution: P(X<=k)*1e6 for k = 0..4; u above
+# the last threshold caps at weight 5 (P ~ 0.06%).
+_BOOT_CDF = (367879, 735759, 919699, 981012, 996340)
+
+
+def _boot_w_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_BOOT_CDF)
+    )
+    return f"(CASE {cases} ELSE {len(_BOOT_CDF)} END)"
+
+
+@query(
+    "q265_bootstrap_ci",
+    oracle=rf"""
+    WITH d AS (
+        SELECT doc_id, source,
+               len(string_split_regex(lower(trim(text)), '\s+'))::BIGINT
+                 AS n_toks
+        FROM documents),
+    w AS (
+        SELECT source, b.b, n_toks,
+               {_boot_w_sql(f"((((doc_id % {_KM_HASH_MOD}) * {_BOOT_B} + b.b) "
+                            f"% {_KM_HASH_MOD}) * {_KM_HASH_MULT}) "
+                            f"% {_KM_HASH_MOD} % 1000000")}::BIGINT AS w
+        FROM d, (SELECT unnest(range(1, {_BOOT_B} + 1)) AS b) b),
+    bm AS (
+        SELECT source, b,
+               ROUND(SUM(w * n_toks)::DOUBLE / NULLIF(SUM(w), 0), 6)
+                 AS mean_b
+        FROM w GROUP BY source, b),
+    pt AS (
+        SELECT source, COUNT(*)::BIGINT AS n_docs,
+               ROUND(SUM(n_toks)::DOUBLE / COUNT(*), 6) AS mean_tokens
+        FROM d GROUP BY source)
+    SELECT pt.source, pt.n_docs, pt.mean_tokens,
+           MIN(bm.mean_b) AS boot_lo, MAX(bm.mean_b) AS boot_hi
+    FROM pt JOIN bm ON bm.source = pt.source
+    GROUP BY pt.source, pt.n_docs, pt.mean_tokens
+    ORDER BY pt.source
+    """,
+)
+def q265_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.lower(F.trim("text")), r"\s+"))
+        .cast("long")
+        .alias("n_toks"),
+    )
+    w = d.select(
+        "source",
+        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"),
+        "n_toks",
+        "doc_id",
+    ).select(
+        "source",
+        "b",
+        "n_toks",
+        F.expr(
+            _boot_w_sql(
+                f"((((doc_id % {_KM_HASH_MOD}) * {_BOOT_B} + b) "
+                f"% {_KM_HASH_MOD}) * {_KM_HASH_MULT}) "
+                f"% {_KM_HASH_MOD} % 1000000"
+            )
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    bm = w.groupBy("source", "b").agg(
+        F.round(
+            F.sum(F.col("w") * F.col("n_toks")).cast("double")
+            / F.nullif(F.sum("w"), F.lit(0)),
+            6,
+        ).alias("mean_b")
+    )
+    pt = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.sum("n_toks").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_tokens"),
+    )
+    return (
+        pt.join(bm, "source")
+        .groupBy("source", "n_docs", "mean_tokens")
+        .agg(
+            F.min("mean_b").alias("boot_lo"),
+            F.max("mean_b").alias("boot_hi"),
+        )
+        .orderBy("source")
+    )

@@ -345,3 +345,22 @@ def test_geo_hotspots_conservation_and_merging(spark, sf_dir):
     for r in rows:
         assert r.n_cells >= 1
         assert 0 <= r.cluster_id < (1 << _HOT_BITS) ** 2
+
+
+def test_bootstrap_ci_envelope_contract(spark, sf_dir):
+    """q265 algebra pins beyond the oracle hash-match: every source's
+    point estimate sits inside its bootstrap envelope (a Poisson(1)
+    resample mean can stray but their min/max must bracket the plain
+    mean for 20 resamples on this data), the envelope is non-degenerate
+    (lo < hi — a constant envelope means the weights collapsed), and
+    the whole frame is partitioning-invariant."""
+    from metadata_ingestion_poc_spark.queries import QUERIES
+
+    rows = QUERIES["q265_bootstrap_ci"](spark, sf_dir).collect()
+    assert rows, "no sources"
+    for r in rows:
+        assert r.boot_lo is not None and r.boot_hi is not None
+        assert r.boot_lo <= r.mean_tokens <= r.boot_hi, r
+        assert r.boot_lo < r.boot_hi, f"degenerate envelope: {r}"
+    again = QUERIES["q265_bootstrap_ci"](spark, sf_dir).collect()
+    assert [tuple(x) for x in rows] == [tuple(x) for x in again]
