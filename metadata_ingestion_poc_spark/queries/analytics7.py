@@ -1792,13 +1792,17 @@ def _boot_w_sql(u: str) -> str:
                             f"% {_KM_HASH_MOD} % 1000000")}::BIGINT AS w
         FROM d, (SELECT unnest(range(1, {_BOOT_B} + 1)) AS b) b),
     bm AS (
+        -- RAW doubles, deliberately un-ROUNDed: each mean is ONE
+        -- bigint/bigint IEEE division (bit-identical on both engines),
+        -- while ROUND of a ratio whose denominator has only 2/5
+        -- factors can land exactly on the 5e-7 half-grid where the
+        -- engines round 1 ulp apart (the q256 lesson)
         SELECT source, b,
-               ROUND(SUM(w * n_toks)::DOUBLE / NULLIF(SUM(w), 0), 6)
-                 AS mean_b
+               SUM(w * n_toks)::DOUBLE / NULLIF(SUM(w), 0) AS mean_b
         FROM w GROUP BY source, b),
     pt AS (
         SELECT source, COUNT(*)::BIGINT AS n_docs,
-               ROUND(SUM(n_toks)::DOUBLE / COUNT(*), 6) AS mean_tokens
+               SUM(n_toks)::DOUBLE / COUNT(*) AS mean_tokens
         FROM d GROUP BY source)
     SELECT pt.source, pt.n_docs, pt.mean_tokens,
            MIN(bm.mean_b) AS boot_lo, MAX(bm.mean_b) AS boot_hi
@@ -1834,18 +1838,20 @@ def q265_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("w"),
     )
+    # raw doubles, no ROUND: one bigint/bigint IEEE division per mean
+    # is bit-identical cross-engine, while ROUND of a ratio risks the
+    # exact half-grid tie class the q256 A-ES key documents
     bm = w.groupBy("source", "b").agg(
-        F.round(
+        (
             F.sum(F.col("w") * F.col("n_toks")).cast("double")
-            / F.nullif(F.sum("w"), F.lit(0)),
-            6,
+            / F.nullif(F.sum("w"), F.lit(0))
         ).alias("mean_b")
     )
     pt = d.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.round(
-            F.sum("n_toks").cast("double") / F.count(F.lit(1)), 6
-        ).alias("mean_tokens"),
+        (F.sum("n_toks").cast("double") / F.count(F.lit(1))).alias(
+            "mean_tokens"
+        ),
     )
     return (
         pt.join(bm, "source")

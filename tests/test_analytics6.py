@@ -353,7 +353,9 @@ def test_bootstrap_ci_envelope_contract(spark, sf_dir):
     resample mean can stray but their min/max must bracket the plain
     mean for 20 resamples on this data), the envelope is non-degenerate
     (lo < hi — a constant envelope means the weights collapsed), and
-    the whole frame is partitioning-invariant."""
+    rerunning the query reproduces the frame exactly (all-integer
+    weights + single IEEE divisions make it partitioning-invariant by
+    construction; the rerun pins determinism, the oracle pins values)."""
     from metadata_ingestion_poc_spark.queries import QUERIES
 
     rows = QUERIES["q265_bootstrap_ci"](spark, sf_dir).collect()
