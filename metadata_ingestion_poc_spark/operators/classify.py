@@ -1,0 +1,173 @@
+"""Distributed text classifiers trained as pure aggregations.
+
+The fasttext-style quality/language screens of LLM data pipelines
+reduce, for a bag-of-words model, to count tables — no model binary,
+no Python in the row path. Two trainers live here:
+
+- ``naive_bayes_model``: multinomial Naive Bayes with add-alpha
+  smoothing. Training is ONE token-explode scan + two bounded
+  groupBys (per-(label, token) counts and per-label totals); the
+  model is the densified label × vocabulary grid of 6-dp-rounded
+  log conditionals plus per-label log priors.
+- ``naive_bayes_score``: scores a corpus against the model — one
+  per-(doc, token) count aggregation, one equi-join on the token key
+  (broadcast when the model fits, the usual shuffle join otherwise),
+  one per-(doc, label) sum, and a 5-rows-per-doc ranking window.
+
+Cross-engine determinism (the q219 bigram-LM discipline,
+queries/analytics5.py:436): every ln() is computed on an exact
+integer-ratio double and ROUNDed at 6 dp, token-count × log-prob
+products are DECIMAL × DECIMAL (exact, no double drift), and scores
+are exact decimal sums — so the full posterior table, the argmax and
+the runner-up margin are engine-independent.
+
+Scale shape (100 TB): the token explode is the map side of one scan;
+(label, token) counts are a map-combined groupBy bounded by
+|labels| × |vocab|; scoring shuffles once on the token key and once
+on (doc, label); the ranking window partitions by doc over |labels|
+rows. Nothing is driver-side except the scalar vocabulary size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.determinism import DEC
+
+# product widths chosen so Spark never hits the 38-digit cap
+# (which would trigger allowPrecisionLoss rounding): 12+20+1=33.
+_CNT_DEC = "decimal(12,0)"
+_LP_DEC = "decimal(20,6)"
+
+
+def _tokens(df: DataFrame, text_col: str, keep: list[str]) -> DataFrame:
+    """One row per token occurrence: keep-columns + ``tok``.
+
+    explode_outer + isNotNull, not explode — a plain explode after a
+    computed array projection gets an inferred size()>0 filter pushed
+    below the projection with the whole split() inlined twice (the
+    _shingle_index lesson, operators/dedup.py). The split of a trimmed
+    non-NULL string is never NULL, so outer is value-equal.
+    """
+    return (
+        df.select(
+            *keep,
+            F.explode_outer(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("tok"),
+        )
+        .filter(F.col("tok").isNotNull())
+    )
+
+
+def naive_bayes_model(
+    docs: DataFrame,
+    text_col: str,
+    label_col: str,
+    alpha: float = 1.0,
+) -> tuple[DataFrame, DataFrame]:
+    """Train add-alpha multinomial NB; returns (model, priors).
+
+    model:  (label, tok, lp DECIMAL(20,6))  — densified over the full
+            label × vocabulary grid so a zero-count (label, token)
+            pair contributes its smoothing floor, not nothing.
+    priors: (label, pr DECIMAL(28,6))       — ln(docs_c / docs).
+
+    lp = ROUND(ln((c + alpha) / (total_c + alpha·V)), 6) with exact
+    integer-ratio operands (alpha=1 keeps them integer), cast to
+    decimal once so downstream arithmetic never re-rounds.
+    """
+    toks = _tokens(docs, text_col, [label_col])
+    ct = toks.groupBy(label_col, "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ct = ct.localCheckpoint(eager=False)  # reused: totals + grid
+    tot = ct.groupBy(label_col).agg(F.sum("c").cast("long").alias("t"))
+    vocab = ct.select("tok").distinct()
+    v = vocab.count()  # one scalar, bounded by |vocab|
+    grid = (
+        tot.crossJoin(vocab)
+        .join(ct, [label_col, "tok"], "left")
+        .select(
+            label_col,
+            "tok",
+            "t",
+            F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    lp = F.round(
+        F.log(
+            (F.col("c").cast("double") + F.lit(alpha))
+            / (F.col("t").cast("double") + F.lit(alpha) * F.lit(float(v)))
+        ),
+        6,
+    ).cast(_LP_DEC)
+    model = grid.select(label_col, "tok", lp.alias("lp"))
+
+    n_docs = docs.count()
+    priors = docs.groupBy(label_col).agg(
+        F.round(
+            F.log(
+                F.count(F.lit(1)).cast("double") / F.lit(float(n_docs))
+            ),
+            6,
+        )
+        .cast(DEC)
+        .alias("pr")
+    )
+    return model, priors
+
+
+def naive_bayes_score(
+    docs: DataFrame,
+    model: DataFrame,
+    priors: DataFrame,
+    text_col: str,
+    id_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-document posterior argmax over the model's label set.
+
+    Returns (id_col, pred_<label_col>, score, margin): the winning
+    label under (score DESC, label ASC) — the ranking is on exact
+    decimals, so the tiebreak order is engine-independent — its
+    6-dp log-posterior, and the exact-decimal gap to the runner-up.
+
+    Every token seen at scoring time must be in the model's
+    vocabulary (train corpus ⊇ score corpus); the inner join below
+    silently drops anything else, which is the correct contract for
+    the self-train quality screen this backs. OOV-robust scoring
+    would left-join and coalesce to the per-label smoothing floor.
+    """
+    dtok = _tokens(docs, text_col, [id_col]).groupBy(id_col, "tok").agg(
+        F.count(F.lit(1)).cast(_CNT_DEC).alias("c")
+    )
+    scores = (
+        dtok.join(F.broadcast(model), "tok")
+        .groupBy(id_col, label_col)
+        .agg(F.sum(F.col("c") * F.col("lp")).alias("s_cond"))
+        .join(F.broadcast(priors), label_col)
+        .select(
+            id_col,
+            label_col,
+            (F.col("pr") + F.col("s_cond")).alias("s"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("s").desc(), F.col(label_col).asc()
+    )
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .withColumn("s2", F.lead("s").over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            id_col,
+            F.col(label_col).alias(f"pred_{label_col}"),
+            F.round(F.col("s").cast("double"), 6).alias("score"),
+            F.round((F.col("s") - F.col("s2")).cast("double"), 6).alias(
+                "margin"
+            ),
+        )
+    )

@@ -86,6 +86,7 @@ def _load_all() -> None:
         geo_queries,
         analytics6,
         analytics7,
+        analytics8,
         llm_ops5,
         # -- embedding similarity + near-dup (most expensive) --
         llm_ops2,

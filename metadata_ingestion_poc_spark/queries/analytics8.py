@@ -1,0 +1,117 @@
+"""Eleventh analytics batch (round 11, late): distributed model
+training reduced to aggregations — multinomial Naive Bayes language
+identification (q266).
+
+Cross-engine discipline notes for this batch:
+
+- q266 follows the q219 bigram-LM ln() discipline: every log
+  conditional and log prior is an ln() of an exact integer-ratio
+  double ROUNDed at 6 dp and cast to decimal ONCE; token-count ×
+  log-prob products are DECIMAL(12,0) × DECIMAL(20,6) (exact — the
+  widths keep Spark's product precision at 33 < 38, clear of the
+  allowPrecisionLoss cap), and per-(doc, label) posteriors are exact
+  decimal sums, so argmax, runner-up and margin are engine-
+  independent. The ranking tiebreak (score DESC, label ASC) compares
+  exact decimals on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import query
+from ..catalog import load_table
+
+# ---------------------------------------------------------------------------
+# q266 — Naive Bayes language identification, self-trained on the
+# corpus: the fasttext-style lang-ID screen of LLM data pipelines
+# reduced to count tables (operators/classify.py). Train = one token
+# explode + two bounded groupBys; model = |langs| × |vocab| grid of
+# 6-dp log conditionals; score = one token-key join + one
+# (doc, lang) exchange + a |langs|-rows-per-doc ranking window.
+# Output: per-doc predicted language, exact posterior score, margin
+# to the runner-up, and whether the argmax recovers the labeled lang
+# (the vocabulary is near-uniform across langs on this synthetic
+# corpus, so accuracy is weak — the contract under test is the exact
+# posterior table, not the classifier's skill).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q266_naive_bayes_langid",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, lang,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    ct AS (SELECT lang, tok, COUNT(*)::BIGINT AS c FROM tk GROUP BY lang, tok),
+    tot AS (SELECT lang, SUM(c)::BIGINT AS t FROM ct GROUP BY lang),
+    vcb AS (SELECT DISTINCT tok FROM ct),
+    v AS (SELECT COUNT(*)::BIGINT AS v FROM vcb),
+    grid AS (
+      SELECT tot.lang, vcb.tok, tot.t, COALESCE(ct.c, 0)::BIGINT AS c
+      FROM tot CROSS JOIN vcb
+      LEFT JOIN ct ON ct.lang = tot.lang AND ct.tok = vcb.tok
+    ),
+    model AS (
+      SELECT lang, tok,
+             CAST(ROUND(LN((c::DOUBLE + 1.0)
+                           / (t::DOUBLE + 1.0 * v.v::DOUBLE)), 6)
+                  AS DECIMAL(20,6)) AS lp
+      FROM grid, v
+    ),
+    pri AS (
+      SELECT lang,
+             CAST(ROUND(LN(COUNT(*)::DOUBLE
+                           / (SELECT COUNT(*) FROM documents)::DOUBLE), 6)
+                  AS DECIMAL(28,6)) AS pr
+      FROM documents GROUP BY lang
+    ),
+    dt AS (SELECT doc_id, tok, COUNT(*)::DECIMAL(12,0) AS c
+           FROM tk GROUP BY doc_id, tok),
+    sc AS (
+      SELECT dt.doc_id, m.lang, pri.pr + SUM(dt.c * m.lp) AS s
+      FROM dt JOIN model m USING (tok) JOIN pri ON pri.lang = m.lang
+      GROUP BY dt.doc_id, m.lang, pri.pr
+    ),
+    rk AS (SELECT doc_id, lang AS pred_lang, s,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY s DESC, lang) AS rn,
+                  LEAD(s) OVER (PARTITION BY doc_id
+                                ORDER BY s DESC, lang) AS s2
+           FROM sc)
+    SELECT d.doc_id,
+           d.lang,
+           rk.pred_lang,
+           ROUND(rk.s::DOUBLE, 6) AS score,
+           ROUND((rk.s - rk.s2)::DOUBLE, 6) AS margin,
+           (d.lang = rk.pred_lang) AS correct
+    FROM rk JOIN documents d USING (doc_id)
+    WHERE rk.rn = 1
+    ORDER BY d.doc_id
+    """,
+)
+def q266_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classify import naive_bayes_model, naive_bayes_score
+    from ..operators.dedup import _spread
+
+    docs = _spread(load_table(spark, sf_dir, "documents")).localCheckpoint(
+        eager=False
+    )  # reused: train counts, priors, scoring, and the label join-back
+    model, priors = naive_bayes_model(docs, "text", "lang", alpha=1.0)
+    pred = naive_bayes_score(docs, model, priors, "text", "doc_id", "lang")
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "pred_lang",
+            "score",
+            "margin",
+            (F.col("lang") == F.col("pred_lang")).alias("correct"),
+        )
+        .orderBy("doc_id")
+    )
