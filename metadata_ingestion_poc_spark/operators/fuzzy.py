@@ -96,3 +96,109 @@ def fuzzy_join_blocked(
         .distinct()
     )
     return out
+
+
+def qgram_edit_join(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    max_dist: int = 2,
+    q: int = 2,
+) -> DataFrame:
+    """ALL unordered pairs with levenshtein <= max_dist — lossless.
+
+    The wider-distance complement to ``fuzzy_join_blocked`` (complete
+    only at distance 1 on two-token strings): candidate generation by
+    positional q-gram count filtering (Gravano et al., "Approximate
+    String Joins in a Database (Almost) for Free", VLDB 2001) is
+    lossless for ANY max_dist:
+
+    1. each string of length L emits its L-q+1 positional q-grams;
+    2. candidate pairs = equi-join on xxhash64(gram) restricted to
+       |Δposition| <= max_dist and ||L1|-|L2|| <= max_dist (hash
+       collisions only ADD candidates, which verification discards);
+    3. count filter: a pair within edit distance k shares a 1-1
+       matching of >= max(L1, L2) - q + 1 - k·q position-compatible
+       q-grams, and the join's pair count is >= any matching size, so
+       dropping pairs below the bound loses nothing;
+    4. exact levenshtein verification on the survivors.
+
+    Completeness requires the count bound to stay >= 1, i.e. every
+    string at least q·(max_dist+1) chars — shorter strings can be at
+    distance k while sharing zero q-grams, so the contract fails loud
+    (inline assert_true, no extra job) instead of silently dropping
+    pairs.
+
+    Returns (id_1, id_2, dist) with id_1 < id_2. Scale shape: one
+    gram explode (fan-out ×L), one equi-join on the gram hash whose
+    cost is Σ df(gram)² bounded by gram selectivity (df-cap rare-first
+    pruning is the standard dial if a gram goes stop-word dense), one
+    (id_1, id_2) count exchange, and a broadcast-or-shuffle join back
+    to the two strings for the O(L²) DP on candidates only.
+    """
+    min_len = q * (max_dist + 1)
+    guarded = F.when(
+        F.assert_true(
+            F.length(F.col(str_col)) >= min_len,
+            F.lit(
+                f"qgram_edit_join: strings must be >= {min_len} chars "
+                f"for lossless q={q}, max_dist={max_dist} filtering"
+            ),
+        ).isNull(),
+        F.col(str_col),
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        guarded.alias("__s"),
+        F.length(F.col(str_col)).alias("__len"),
+    ).localCheckpoint(eager=False)  # reused: gram emit + both verify sides
+
+    grams = base.select(
+        "__id",
+        "__len",
+        F.explode_outer(
+            F.expr(
+                f"transform(sequence(1, __len - {q} + 1), "
+                f"i -> struct(xxhash64(substring(__s, i, {q})) AS k, "
+                f"i AS p))"
+            )
+        ).alias("__g"),
+    ).filter(F.col("__g").isNotNull())
+
+    a = grams.select(
+        F.col("__id").alias("id_1"),
+        F.col("__len").alias("l1"),
+        F.col("__g.k").alias("k"),
+        F.col("__g.p").alias("p1"),
+    )
+    b = grams.select(
+        F.col("__id").alias("id_2"),
+        F.col("__len").alias("l2"),
+        F.col("__g.k").alias("k"),
+        F.col("__g.p").alias("p2"),
+    )
+    cand = (
+        a.join(
+            b,
+            (a["k"] == b["k"])
+            & (F.col("id_1") < F.col("id_2"))
+            & (F.abs(F.col("p1") - F.col("p2")) <= max_dist)
+            & (F.abs(F.col("l1") - F.col("l2")) <= max_dist),
+        )
+        .groupBy("id_1", "id_2", "l1", "l2")
+        .agg(F.count(F.lit(1)).alias("__shared"))
+        .filter(
+            F.col("__shared")
+            >= F.greatest("l1", "l2") - F.lit(q - 1) - F.lit(max_dist * q)
+        )
+        .select("id_1", "id_2")
+    )
+    s1 = base.select(F.col("__id").alias("id_1"), F.col("__s").alias("__s1"))
+    s2 = base.select(F.col("__id").alias("id_2"), F.col("__s").alias("__s2"))
+    return (
+        cand.join(s1, "id_1")
+        .join(s2, "id_2")
+        .withColumn("dist", F.levenshtein("__s1", "__s2").cast("int"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_1", "id_2", "dist")
+    )

@@ -115,3 +115,87 @@ def q266_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q267 — lossless q-gram edit-distance join (entity resolution over a
+# dirty catalog): 40-char document prefixes + deterministically
+# planted typo variants (one substitution / one deletion / two
+# substitutions — all pure substring/concat arithmetic both engines
+# replay verbatim), then EVERY pair within levenshtein <= 2 via
+# positional q-gram count filtering (operators/fuzzy.py
+# qgram_edit_join — Gravano et al. VLDB'01, zero recall loss by
+# construction). The oracle is the brute-force levenshtein join, so
+# the sweep differentially proves the filter lossless on real data.
+# All-integer except the final int distance — no float discipline
+# needed.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q267_qgram_edit_join",
+    oracle=r"""
+    WITH b AS (
+      SELECT doc_id AS id, substring(lower(trim(text)), 1, 40) AS s
+      FROM documents
+      WHERE doc_id % 4 = 0 AND length(lower(trim(text))) >= 40
+    ),
+    p AS (SELECT id, s, (id % 38) + 2 AS pos, id % 8 AS m FROM b),
+    v1 AS (SELECT id + 100000000 AS id,
+                  substring(s, 1, pos - 1) || '#' || substring(s, pos + 1)
+                      AS s
+           FROM p WHERE m = 0),
+    vd AS (SELECT id + 100000000 AS id,
+                  substring(s, 1, pos - 1) || substring(s, pos + 1) AS s
+           FROM p WHERE m = 4),
+    w AS (SELECT id, s, (id % 19) + 2 AS p1, (id % 19) + 21 AS p2
+          FROM b WHERE id % 8 = 2),
+    v2 AS (SELECT id + 100000000 AS id,
+                  substring(s, 1, p1 - 1) || '#'
+                  || substring(s, p1 + 1, p2 - p1 - 1) || '%'
+                  || substring(s, p2 + 1) AS s
+           FROM w),
+    c AS (SELECT id, s FROM b
+          UNION ALL SELECT id, s FROM v1
+          UNION ALL SELECT id, s FROM vd
+          UNION ALL SELECT id, s FROM v2)
+    SELECT a.id AS id_1, b2.id AS id_2,
+           levenshtein(a.s, b2.s)::INT AS dist
+    FROM c a JOIN c b2
+      ON a.id < b2.id AND abs(length(a.s) - length(b2.s)) <= 2
+    WHERE levenshtein(a.s, b2.s) <= 2
+    ORDER BY id_1, id_2
+    """,
+)
+def q267_qgram_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fuzzy import qgram_edit_join
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.lower(F.trim("text")).alias("t"))
+        .filter((F.col("doc_id") % 4 == 0) & (F.length("t") >= 40))
+        .select(
+            F.col("doc_id").alias("id"), F.substring("t", 1, 40).alias("s")
+        )
+    )
+    p = base.selectExpr("id", "s", "(id % 38) + 2 AS pos", "id % 8 AS m")
+    v1 = p.filter("m = 0").selectExpr(
+        "id + 100000000 AS id",
+        "substring(s, 1, pos - 1) || '#' || substring(s, pos + 1) AS s",
+    )
+    vd = p.filter("m = 4").selectExpr(
+        "id + 100000000 AS id",
+        "substring(s, 1, pos - 1) || substring(s, pos + 1) AS s",
+    )
+    v2 = base.filter("id % 8 = 2").selectExpr(
+        "id", "s", "(id % 19) + 2 AS p1", "(id % 19) + 21 AS p2"
+    ).selectExpr(
+        "id + 100000000 AS id",
+        "substring(s, 1, p1 - 1) || '#' "
+        "|| substring(s, p1 + 1, p2 - p1 - 1) || '%' "
+        "|| substring(s, p2 + 1) AS s",
+    )
+    corpus = base.unionAll(v1).unionAll(vd).unionAll(v2)
+    return qgram_edit_join(corpus, "id", "s", max_dist=2, q=2).orderBy(
+        "id_1", "id_2"
+    )
