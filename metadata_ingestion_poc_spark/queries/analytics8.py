@@ -199,3 +199,144 @@ def q267_qgram_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qgram_edit_join(corpus, "id", "s", max_dist=2, q=2).orderBy(
         "id_1", "id_2"
     )
+
+
+# ---------------------------------------------------------------------------
+# q268 — closed-form ridge regression (normal equations) of
+# l_extendedprice on (l_quantity, l_discount): the one-pass
+# sufficient-statistics pattern — the ONLY scalable shape for linear
+# models at 100 TB (one scan, one 9-value map-combined aggregate,
+# zero driver collect; the 3×3 solve is scalar expressions on the
+# 1-row stats frame). Float discipline: every input is a true 2-dp
+# value, so DECIMAL(14,2) casts are exact, products are exact 4-dp
+# decimals, sums are exact — the Gram matrix reaches the solver as
+# identical doubles on both engines with NO rounding anywhere, and
+# the Cramer/cofactor solve + probe predictions are a fixed scalar
+# expression tree (same string on both engines) evaluated in IEEE
+# double — bit-identical, emitted RAW (the q265 never-round-a-ratio
+# rule, generalized: never round a pure-IEEE-derived output).
+# λ penalizes slopes only (intercept row/col of A is unpenalized).
+# ---------------------------------------------------------------------------
+
+_RIDGE_L = "CAST(1000.0 AS DOUBLE)"
+
+
+def _ridge_w() -> dict[str, str]:
+    a11 = f"(s11 + {_RIDGE_L})"
+    a22 = f"(s22 + {_RIDGE_L})"
+    det = (
+        f"(n * ({a11} * {a22} - s12 * s12)"
+        f" - s1 * (s1 * {a22} - s12 * s2)"
+        f" + s2 * (s1 * s12 - {a11} * s2))"
+    )
+    det0 = (
+        f"(sy * ({a11} * {a22} - s12 * s12)"
+        f" - s1 * (s1y * {a22} - s12 * s2y)"
+        f" + s2 * (s1y * s12 - {a11} * s2y))"
+    )
+    det1 = (
+        f"(n * (s1y * {a22} - s12 * s2y)"
+        f" - sy * (s1 * {a22} - s12 * s2)"
+        f" + s2 * (s1 * s2y - s1y * s2))"
+    )
+    det2 = (
+        f"(n * ({a11} * s2y - s1y * s12)"
+        f" - s1 * (s1 * s2y - s1y * s2)"
+        f" + sy * (s1 * s12 - {a11} * s2))"
+    )
+    return {
+        "w0": f"({det0} / {det})",
+        "w1": f"({det1} / {det})",
+        "w2": f"({det2} / {det})",
+    }
+
+
+_RIDGE_PROBES = [
+    ("pred_q10_d05", "10.0", "0.05"),
+    ("pred_q25_d00", "25.0", "0.0"),
+    ("pred_q50_d10", "50.0", "0.10"),
+]
+
+
+def _ridge_pred(qty: str, disc: str) -> str:
+    return (
+        f"w0 + w1 * CAST({qty} AS DOUBLE) + w2 * CAST({disc} AS DOUBLE)"
+    )
+
+
+_W = _ridge_w()
+
+
+def _ridge_fit(xy: DataFrame) -> DataFrame:
+    """1-row (w0, w1, w2) frame from an (x1, x2, y) decimal frame.
+
+    NOTE: the q268 oracle replays the same formula strings, so a
+    cofactor sign error would pass the sweep on both engines at once —
+    tests/test_ridge.py cross-checks the solve against numpy."""
+    st = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").cast("double").alias("s1"),
+        F.sum("x2").cast("double").alias("s2"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).cast("double").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("double").alias("s2y"),
+    )
+    return st.selectExpr(
+        f"{_W['w0']} AS w0", f"{_W['w1']} AS w1", f"{_W['w2']} AS w2"
+    )
+
+
+@query(
+    "q268_ridge_closed_form",
+    oracle=f"""
+    WITH r AS (SELECT l_quantity::DECIMAL(14,2) AS x1,
+                      l_discount::DECIMAL(14,2) AS x2,
+                      l_extendedprice::DECIMAL(14,2) AS y
+               FROM lineitem),
+    st AS (SELECT COUNT(*)::DOUBLE AS n,
+                  (SUM(x1))::DOUBLE AS s1,
+                  (SUM(x2))::DOUBLE AS s2,
+                  (SUM(y))::DOUBLE AS sy,
+                  (SUM(x1 * x1))::DOUBLE AS s11,
+                  (SUM(x1 * x2))::DOUBLE AS s12,
+                  (SUM(x2 * x2))::DOUBLE AS s22,
+                  (SUM(x1 * y))::DOUBLE AS s1y,
+                  (SUM(x2 * y))::DOUBLE AS s2y
+           FROM r),
+    w AS (SELECT {_W["w0"]} AS w0, {_W["w1"]} AS w1, {_W["w2"]} AS w2
+          FROM st)
+    SELECT 'intercept' AS term, w0 AS value FROM w
+    UNION ALL SELECT 'l_quantity', w1 FROM w
+    UNION ALL SELECT 'l_discount', w2 FROM w
+    UNION ALL SELECT '{_RIDGE_PROBES[0][0]}',
+                     {_ridge_pred(_RIDGE_PROBES[0][1], _RIDGE_PROBES[0][2])}
+              FROM w
+    UNION ALL SELECT '{_RIDGE_PROBES[1][0]}',
+                     {_ridge_pred(_RIDGE_PROBES[1][1], _RIDGE_PROBES[1][2])}
+              FROM w
+    UNION ALL SELECT '{_RIDGE_PROBES[2][0]}',
+                     {_ridge_pred(_RIDGE_PROBES[2][1], _RIDGE_PROBES[2][2])}
+              FROM w
+    ORDER BY term
+    """,
+)
+def q268_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("decimal(14,2)").alias("x1"),
+        F.col("l_discount").cast("decimal(14,2)").alias("x2"),
+        F.col("l_extendedprice").cast("decimal(14,2)").alias("y"),
+    )
+    w = _ridge_fit(li)
+    stack_args = [
+        "'intercept', w0",
+        "'l_quantity', w1",
+        "'l_discount', w2",
+    ] + [
+        f"'{name}', {_ridge_pred(q, d)}" for name, q, d in _RIDGE_PROBES
+    ]
+    return w.selectExpr(
+        f"stack(6, {', '.join(stack_args)}) AS (term, value)"
+    ).orderBy("term")
