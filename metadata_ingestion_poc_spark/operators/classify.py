@@ -171,3 +171,104 @@ def naive_bayes_score(
             ),
         )
     )
+
+
+def logreg_gd(
+    base: DataFrame,
+    x1_expr: str,
+    x2_expr: str,
+    y_expr: str,
+    eta: float,
+    iters: int,
+) -> DataFrame:
+    """Logistic regression by full-batch gradient descent, returning
+    the per-iteration census (iter, w0, w1, w2, tp, fp, tn, fn,
+    accuracy) — weights AFTER i updates, confusion counts AT those
+    weights.
+
+    The iterative shape is the kmeans_lloyd literal-re-feed pattern
+    (operators/clustering.py): per iteration ONE map-combined
+    aggregate over the checkpointed projection computes the three
+    gradient sums AND the confusion counts in the same scan; the
+    3-value weight state is collected (bounded), updated driver-side
+    with HALF_UP 6-dp decimals, and re-literalized into the next
+    plan — every iteration's plan stays flat, assignment is pure
+    codegen, and nothing data-sized ever reaches the driver.
+
+    Cross-engine determinism: x/y expressions are SQL strings shared
+    verbatim with the DuckDB oracle; sigmoid terms are ROUNDed at
+    6 dp before the exact decimal sum (exp's 1-ulp divergence is
+    absorbed, the q219 ln discipline); the weight update
+    w - eta·(g/n) is the identical IEEE double expression driver-side
+    and oracle-side, rounded HALF_UP at 6 dp (matching SQL ROUND);
+    predictions compare the identical double z against 0; accuracy is
+    a RAW bigint/bigint double division (never round a ratio).
+    """
+    from ..functions.determinism import DEC, _half_up
+
+    b = base.selectExpr(
+        f"{x1_expr} AS x1", f"{x2_expr} AS x2", f"{y_expr} AS y"
+    ).localCheckpoint(eager=False)  # reused by iters+1 scans
+    n = None
+    w = [0.0, 0.0, 0.0]
+    census: list[tuple] = []
+    for it in range(iters + 1):
+        z = (
+            F.lit(w[0])
+            + F.lit(w[1]) * F.col("x1")
+            + F.lit(w[2]) * F.col("x2")
+        )
+        sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        err = sig - F.col("y")
+
+        def g(xc, alias):
+            return F.sum(
+                F.round(err * xc, 6).cast(DEC)
+            ).alias(alias)
+
+        def conf(pred, lab, alias):
+            cond = (z > 0) if pred else ~(z > 0)
+            return (
+                F.sum(
+                    F.when(cond & (F.col("y") == F.lit(lab)), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias(alias)
+            )
+
+        row = b.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            g(F.lit(1.0), "g0"),
+            g(F.col("x1"), "g1"),
+            g(F.col("x2"), "g2"),
+            conf(True, 1.0, "tp"),
+            conf(True, 0.0, "fp"),
+            conf(False, 0.0, "tn"),
+            conf(False, 1.0, "fn"),
+        ).first()
+        n = row["n"]
+        census.append(
+            (
+                it,
+                w[0],
+                w[1],
+                w[2],
+                row["tp"],
+                row["fp"],
+                row["tn"],
+                row["fn"],
+                (row["tp"] + row["tn"]) / n,  # raw IEEE division
+            )
+        )
+        if it < iters:
+            w = [
+                _half_up(wj - eta * (float(gj) / n), 6)
+                for wj, gj in zip(
+                    w, (row["g0"], row["g1"], row["g2"])
+                )
+            ]
+    return base.sparkSession.createDataFrame(
+        census,
+        "iter int, w0 double, w1 double, w2 double, tp long, fp long,"
+        " tn long, fn long, accuracy double",
+    ).orderBy("iter")

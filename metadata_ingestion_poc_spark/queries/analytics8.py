@@ -340,3 +340,85 @@ def q268_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.selectExpr(
         f"stack(6, {', '.join(stack_args)}) AS (term, value)"
     ).orderBy("term")
+
+
+# ---------------------------------------------------------------------------
+# q269 — logistic regression by full-batch gradient descent
+# (operators/classify.py logreg_gd): learn a planted linear decision
+# boundary over lineitem features. Every numeric column in this
+# generator is hash-uniform (corr(qty, price) ≈ 0.003 — probed before
+# writing, the q259 rule), so the label is PLANTED: the sign of a
+# known linear score of the features plus deterministic integer-grid
+# noise, computed from the identical expression string on both
+# engines — GD then genuinely learns the boundary (accuracy 0.50 →
+# 0.93 across the census). The oracle replays all four iterations as
+# unrolled MATERIALIZED CTEs (the q242 Lloyd pattern): per-row
+# sigmoid terms ROUNDed at 6 dp before exact decimal gradient sums,
+# weight updates as the identical IEEE expression ROUNDed at 6 dp,
+# confusion counts on the sign of the identical double z, accuracy
+# as a RAW bigint/bigint division.
+# ---------------------------------------------------------------------------
+
+_LR_X1 = "((l_quantity - 25.5) / 25.0)"
+_LR_X2 = "((l_discount - 0.05) * 20.0)"
+_LR_Y = (
+    "CASE WHEN 2.0 * ((l_quantity - 25.5) / 25.0)"
+    " - ((l_discount - 0.05) * 20.0)"
+    " + CAST((l_orderkey * 7 + l_linenumber) % 11 - 5 AS DOUBLE) / 10.0"
+    " > 0 THEN 1.0 ELSE 0.0 END"
+)
+_LR_ETA = 0.5
+_LR_ITERS = 4
+
+
+def _logreg_oracle(iters: int) -> str:
+    sql = f"""
+    WITH base AS MATERIALIZED (
+        SELECT {_LR_X1} AS x1, {_LR_X2} AS x2, {_LR_Y} AS y
+        FROM lineitem),
+    nn AS (SELECT COUNT(*)::BIGINT AS n FROM base),
+    t0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
+                  CAST(0.0 AS DOUBLE) AS w2)"""
+    for i in range(iters + 1):
+        z = "(w.w0 + w.w1 * b.x1 + w.w2 * b.x2)"
+        sig = f"(1.0 / (1.0 + exp(-{z})))"
+        sql += f""",
+    s{i} AS MATERIALIZED (
+        SELECT SUM(CAST(ROUND(({sig} - b.y) * 1.0, 6)
+                        AS DECIMAL(28,6))) AS g0,
+               SUM(CAST(ROUND(({sig} - b.y) * b.x1, 6)
+                        AS DECIMAL(28,6))) AS g1,
+               SUM(CAST(ROUND(({sig} - b.y) * b.x2, 6)
+                        AS DECIMAL(28,6))) AS g2,
+               SUM(CASE WHEN {z} > 0 AND b.y = 1.0
+                        THEN 1 ELSE 0 END)::BIGINT AS tp,
+               SUM(CASE WHEN {z} > 0 AND b.y = 0.0
+                        THEN 1 ELSE 0 END)::BIGINT AS fp,
+               SUM(CASE WHEN NOT ({z} > 0) AND b.y = 0.0
+                        THEN 1 ELSE 0 END)::BIGINT AS tn,
+               SUM(CASE WHEN NOT ({z} > 0) AND b.y = 1.0
+                        THEN 1 ELSE 0 END)::BIGINT AS fn
+        FROM base b, t{i} w)"""
+        if i < iters:
+            sql += f""",
+    t{i + 1} AS (
+        SELECT ROUND(w.w0 - {_LR_ETA} * (s.g0::DOUBLE / nn.n), 6) AS w0,
+               ROUND(w.w1 - {_LR_ETA} * (s.g1::DOUBLE / nn.n), 6) AS w1,
+               ROUND(w.w2 - {_LR_ETA} * (s.g2::DOUBLE / nn.n), 6) AS w2
+        FROM t{i} w, s{i} s, nn)"""
+    rows = [
+        f"""
+    SELECT {i}::INT AS iter, w.w0, w.w1, w.w2, s.tp, s.fp, s.tn, s.fn,
+           CAST(s.tp + s.tn AS DOUBLE) / CAST(nn.n AS DOUBLE) AS accuracy
+    FROM t{i} w, s{i} s, nn"""
+        for i in range(iters + 1)
+    ]
+    return sql + "\n    UNION ALL".join(rows) + "\n    ORDER BY iter"
+
+
+@query("q269_logreg_gd", oracle=_logreg_oracle(_LR_ITERS))
+def q269_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classify import logreg_gd
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return logreg_gd(li, _LR_X1, _LR_X2, _LR_Y, _LR_ETA, _LR_ITERS)

@@ -68,3 +68,50 @@ def test_scores_partitioning_invariant(spark):
         )
 
     assert run(docs.repartition(1)) == run(docs.repartition(13, "id"))
+
+
+def _lr_frame(spark, n=400):
+    """Planted boundary y = [x1 - x2 > 0] on a deterministic grid."""
+    rows = [
+        (float(i % 20 - 10) / 10.0, float((i * 7) % 20 - 10) / 10.0)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "a double, b double")
+
+
+def test_logreg_learns_planted_boundary(spark):
+    from metadata_ingestion_poc_spark.operators.classify import logreg_gd
+
+    df = _lr_frame(spark)
+    out = logreg_gd(
+        df,
+        "a",
+        "b",
+        "CASE WHEN a - b > 0 THEN 1.0 ELSE 0.0 END",
+        eta=1.0,
+        iters=3,
+    ).collect()
+    assert [r["iter"] for r in out] == [0, 1, 2, 3]
+    # iter 0 is the all-zero model; accuracy must improve materially
+    assert out[0]["w0"] == out[0]["w1"] == out[0]["w2"] == 0.0
+    assert out[-1]["accuracy"] > out[0]["accuracy"] + 0.2
+    # learned slopes must carry the planted signs (+a, -b)
+    assert out[-1]["w1"] > 0 and out[-1]["w2"] < 0
+    # confusion counts always partition the corpus
+    for r in out:
+        assert r["tp"] + r["fp"] + r["tn"] + r["fn"] == 400
+
+
+def test_logreg_partitioning_invariant(spark):
+    from metadata_ingestion_poc_spark.operators.classify import logreg_gd
+
+    df = _lr_frame(spark, n=120)
+    y = "CASE WHEN a - b > 0 THEN 1.0 ELSE 0.0 END"
+
+    def run(d):
+        return [
+            tuple(r)
+            for r in logreg_gd(d, "a", "b", y, eta=1.0, iters=2).collect()
+        ]
+
+    assert run(df.repartition(1)) == run(df.repartition(11))
