@@ -22,6 +22,10 @@ from pyspark.sql import functions as F
 
 from . import query
 from ..catalog import load_table
+from ..operators.clustering import (
+    _HASH_MOD as _KM_HASH_MOD,
+    _HASH_MULT as _KM_HASH_MULT,
+)
 
 # ---------------------------------------------------------------------------
 # q266 — Naive Bayes language identification, self-trained on the
@@ -422,3 +426,151 @@ def q269_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return logreg_gd(li, _LR_X1, _LR_X2, _LR_Y, _LR_ETA, _LR_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# q270 — split-conformal prediction intervals for order totals: a
+# per-priority mean model fit on the train split, the conformal
+# radius = ceil(0.9·(n_cal+1))-th smallest |residual| on the
+# calibration split (the standard finite-sample-valid split-conformal
+# quantile), and empirical coverage measured on the held-out test
+# split. Splits are 60/20/20 by the audited id hash. Float
+# discipline: o_totalprice is true 2-dp, so the train mean is an
+# exact decimal sum over one IEEE division (raw double, identical
+# both engines); |y − mu| and the radius are identical raw doubles;
+# the rank k is pure integer arithmetic; coverage is a RAW
+# bigint/bigint division. Scale shape: the per-group order statistic
+# uses global_row_number's range-partitioned sort over
+# (grp, absres) — EVERY group spreads across all partitions, so
+# there is no per-group single-task sort cliff (the q226 lesson) —
+# plus one bounded per-group (rn0, n_cal) rollup; train/test passes
+# are map-combined aggregates against broadcast per-group frames.
+# Truncation contract: a group whose calibration rank exceeds n_cal
+# drops out on both engines (never happens at these SFs: k <= n_cal
+# whenever n_cal >= 9).
+# ---------------------------------------------------------------------------
+
+
+def _cf_split(col: str) -> str:
+    return (
+        f"CASE WHEN ((({col} % {_KM_HASH_MOD}) * {_KM_HASH_MULT})"
+        f" % {_KM_HASH_MOD}) % 10 < 6 THEN 'train'"
+        f" WHEN ((({col} % {_KM_HASH_MOD}) * {_KM_HASH_MULT})"
+        f" % {_KM_HASH_MOD}) % 10 < 8 THEN 'cal' ELSE 'test' END"
+    )
+
+
+@query(
+    "q270_conformal_interval",
+    oracle=f"""
+    WITH o AS (SELECT o_orderpriority AS grp, o_orderkey AS k,
+                      o_totalprice AS y,
+                      {_cf_split('o_orderkey')} AS split
+               FROM orders),
+    tr AS (SELECT grp, COUNT(*)::BIGINT AS n_train,
+                  (SUM(y::DECIMAL(18,2)))::DOUBLE / COUNT(*) AS mu
+           FROM o WHERE split = 'train' GROUP BY grp),
+    cal AS (SELECT o.grp, abs(o.y - tr.mu) AS absres, o.k
+            FROM o JOIN tr ON tr.grp = o.grp WHERE o.split = 'cal'),
+    rk AS (SELECT grp, absres,
+                  ROW_NUMBER() OVER (PARTITION BY grp
+                                     ORDER BY absres, k) AS rn,
+                  COUNT(*) OVER (PARTITION BY grp)::BIGINT AS n_cal
+           FROM cal),
+    rad AS (SELECT grp, n_cal, absres AS radius
+            FROM rk WHERE rn = (9 * (n_cal + 1) + 9) // 10),
+    te AS (SELECT o.grp, abs(o.y - tr.mu) AS absres
+           FROM o JOIN tr ON tr.grp = o.grp WHERE o.split = 'test'),
+    agg AS (SELECT t.grp, COUNT(*)::BIGINT AS n_test,
+                   SUM(CASE WHEN t.absres <= rad.radius
+                            THEN 1 ELSE 0 END)::BIGINT AS covered
+            FROM te t JOIN rad ON rad.grp = t.grp GROUP BY t.grp)
+    SELECT tr.grp AS o_orderpriority, tr.n_train, rad.n_cal, a.n_test,
+           tr.mu, rad.radius, a.covered,
+           CAST(a.covered AS DOUBLE) / CAST(a.n_test AS DOUBLE)
+               AS coverage
+    FROM tr JOIN rad ON rad.grp = tr.grp JOIN agg a ON a.grp = tr.grp
+    ORDER BY o_orderpriority
+    """,
+)
+def q270_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.indexing import global_row_number
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .selectExpr(
+            "o_orderpriority AS grp",
+            "o_orderkey AS k",
+            "o_totalprice AS y",
+            f"{_cf_split('o_orderkey')} AS split",
+        )
+        .localCheckpoint(eager=False)  # reused by all three splits
+    )
+    tr = (
+        o.filter("split = 'train'")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_train"),
+            (
+                F.sum(F.col("y").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mu"),
+        )
+    )
+    cal = (
+        o.filter("split = 'cal'")
+        .join(F.broadcast(tr.select("grp", "mu")), "grp")
+        .select("grp", F.abs(F.col("y") - F.col("mu")).alias("absres"), "k")
+    )
+    rk = global_row_number(cal, ["grp", "absres", "k"], "rn")
+    targets = (
+        rk.groupBy("grp")
+        .agg(
+            F.min("rn").alias("rn0"),
+            F.count(F.lit(1)).cast("long").alias("n_cal"),
+        )
+        .selectExpr(
+            "grp",
+            "n_cal",
+            "rn0 + ((9 * (n_cal + 1) + 9) DIV 10) - 1 AS target_rn",
+        )
+    )
+    rad = (
+        rk.join(F.broadcast(targets), "grp")
+        .filter(F.col("rn") == F.col("target_rn"))
+        .select("grp", "n_cal", F.col("absres").alias("radius"))
+    )
+    te = (
+        o.filter("split = 'test'")
+        .join(F.broadcast(tr.select("grp", "mu")), "grp")
+        .join(F.broadcast(rad), "grp")
+    )
+    return (
+        te.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("y") - F.col("mu")) <= F.col("radius"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("covered"),
+        )
+        .join(F.broadcast(tr), "grp")
+        .join(F.broadcast(rad.select("grp", "n_cal", "radius")), "grp")
+        .select(
+            F.col("grp").alias("o_orderpriority"),
+            "n_train",
+            "n_cal",
+            "n_test",
+            "mu",
+            "radius",
+            "covered",
+            (
+                F.col("covered").cast("double")
+                / F.col("n_test").cast("double")
+            ).alias("coverage"),
+        )
+        .orderBy("o_orderpriority")
+    )
