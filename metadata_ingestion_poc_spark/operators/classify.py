@@ -204,6 +204,25 @@ def logreg_gd(
     predictions compare the identical double z against 0; accuracy is
     a RAW bigint/bigint double division (never round a ratio).
     """
+    census, _, _, _ = gd_train(base, x1_expr, x2_expr, y_expr, eta, iters)
+    return base.sparkSession.createDataFrame(
+        census,
+        "iter int, w0 double, w1 double, w2 double, tp long, fp long,"
+        " tn long, fn long, accuracy double",
+    ).orderBy("iter")
+
+
+def gd_train(
+    base: DataFrame,
+    x1_expr: str,
+    x2_expr: str,
+    y_expr: str,
+    eta: float,
+    iters: int,
+) -> tuple[list[tuple], list[float], int, DataFrame]:
+    """The logreg_gd training loop, exposed for consumers that need
+    the trained weights (AUC, calibration): returns (census rows,
+    final weights, n, the checkpointed (x1, x2, y) projection)."""
     from ..functions.determinism import DEC, _half_up
 
     b = base.selectExpr(
@@ -267,8 +286,65 @@ def logreg_gd(
                     w, (row["g0"], row["g1"], row["g2"])
                 )
             ]
-    return base.sparkSession.createDataFrame(
-        census,
-        "iter int, w0 double, w1 double, w2 double, tp long, fp long,"
-        " tn long, fn long, accuracy double",
-    ).orderBy("iter")
+    return census, w, n, b
+
+
+def auc_rank_sum(
+    scored: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """Exact ROC AUC via the Mann-Whitney rank-sum identity, with
+    midrank tie handling — 1 row: (n_pos, n_neg, n_scores, auc).
+
+    AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻) where R⁺ is the sum of the
+    (mid)ranks of the positives. Grouping by score value makes ties
+    explicit: a tied group at cumulative offset c of size s
+    contributes n⁺_g · (2c + s + 1)/2 to R⁺, so 2·R⁺ is an INTEGER —
+    everything stays integer until ONE raw double division (the
+    never-round-a-ratio rule). Scores must be identical doubles on
+    both engines (they are: fixed IEEE expressions of literal
+    weights), so the group-by keys and the ordering match exactly.
+
+    Scale shape: one (score → pos/neg counts) map-combined groupBy,
+    then a prefix sum over the DISTINCT-score frame — bounded by the
+    score grid (≤ |x1 grid| × |x2 grid| for a linear model on gridded
+    features), so the single-partition window below is over a tiny
+    frame; for a continuous score at 100 TB swap in
+    operators/indexing.py global_running_sum, same arithmetic.
+    """
+    g = scored.groupBy(F.col(score_col).alias("p")).agg(
+        F.sum(F.when(F.col(label_col) == F.lit(1.0), 1).otherwise(0))
+        .cast("long")
+        .alias("np"),
+        F.sum(F.when(F.col(label_col) == F.lit(1.0), 0).otherwise(1))
+        .cast("long")
+        .alias("nn"),
+    )
+    w = (
+        Window.orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = g.withColumn(
+        "cumb", F.coalesce(F.sum(F.col("np") + F.col("nn")).over(w), F.lit(0))
+    )
+    s = r.agg(
+        F.sum(
+            F.col("np")
+            * (F.lit(2) * F.col("cumb") + F.col("np") + F.col("nn") + 1)
+        )
+        .cast("long")
+        .alias("rs2"),
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+        F.count(F.lit(1)).cast("long").alias("n_scores"),
+    )
+    return s.select(
+        "n_pos",
+        "n_neg",
+        "n_scores",
+        (
+            (
+                F.col("rs2") - F.col("n_pos") * (F.col("n_pos") + 1)
+            ).cast("double")
+            / (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("double")
+        ).alias("auc"),
+    )

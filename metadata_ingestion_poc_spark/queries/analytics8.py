@@ -375,7 +375,12 @@ _LR_ETA = 0.5
 _LR_ITERS = 4
 
 
-def _logreg_oracle(iters: int) -> str:
+def _logreg_prefix(iters: int) -> str:
+    """Unrolled GD replay through the trained-weights CTE t{iters}.
+
+    q269 appends the census tail; q271/q272 append scoring tails that
+    reference only t{iters} (DuckDB prunes the then-unreferenced
+    final stats CTE)."""
     sql = f"""
     WITH base AS MATERIALIZED (
         SELECT {_LR_X1} AS x1, {_LR_X2} AS x2, {_LR_Y} AS y
@@ -410,6 +415,10 @@ def _logreg_oracle(iters: int) -> str:
                ROUND(w.w1 - {_LR_ETA} * (s.g1::DOUBLE / nn.n), 6) AS w1,
                ROUND(w.w2 - {_LR_ETA} * (s.g2::DOUBLE / nn.n), 6) AS w2
         FROM t{i} w, s{i} s, nn)"""
+    return sql
+
+
+def _logreg_oracle(iters: int) -> str:
     rows = [
         f"""
     SELECT {i}::INT AS iter, w.w0, w.w1, w.w2, s.tp, s.fp, s.tn, s.fn,
@@ -417,7 +426,11 @@ def _logreg_oracle(iters: int) -> str:
     FROM t{i} w, s{i} s, nn"""
         for i in range(iters + 1)
     ]
-    return sql + "\n    UNION ALL".join(rows) + "\n    ORDER BY iter"
+    return (
+        _logreg_prefix(iters)
+        + "\n    UNION ALL".join(rows)
+        + "\n    ORDER BY iter"
+    )
 
 
 @query("q269_logreg_gd", oracle=_logreg_oracle(_LR_ITERS))
@@ -573,4 +586,130 @@ def q270_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q271 — exact ROC AUC of the q269 logistic scorer, by the
+# Mann-Whitney rank-sum identity with midrank ties
+# (operators/classify.py auc_rank_sum): 2·R⁺ is an integer by the
+# tied-group formula n⁺_g·(2·offset + size + 1), so everything stays
+# integer until ONE raw double division. Scores are identical IEEE
+# doubles on both engines (fixed expression of the replayed 6-dp
+# weights), so score-equality groups and their order match exactly.
+# The oracle re-runs the full GD replay prefix and scores with the
+# trained-weights CTE. Scale note in the operator docstring: the
+# distinct-score frame here is bounded by the feature grid
+# (50 quantities × 11 discounts); a continuous score would ride
+# global_running_sum instead of the tiny single-partition window.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q271_logreg_auc",
+    oracle=_logreg_prefix(_LR_ITERS)
+    + f""",
+    sc AS MATERIALIZED (
+        SELECT (1.0 / (1.0 + exp(-(w.w0 + w.w1 * b.x1 + w.w2 * b.x2))))
+                   AS p,
+               b.y
+        FROM base b, t{_LR_ITERS} w),
+    g AS (SELECT p,
+                 SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)::BIGINT AS np,
+                 SUM(CASE WHEN y = 0.0 THEN 1 ELSE 0 END)::BIGINT AS nn2
+          FROM sc GROUP BY p),
+    r AS (SELECT np, nn2,
+                 COALESCE(SUM(np + nn2) OVER (
+                     ORDER BY p
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0)::BIGINT AS cumb
+          FROM g),
+    s AS (SELECT SUM(np * (2 * cumb + np + nn2 + 1))::BIGINT AS rs2,
+                 SUM(np)::BIGINT AS n_pos,
+                 SUM(nn2)::BIGINT AS n_neg,
+                 COUNT(*)::BIGINT AS n_scores
+          FROM r)
+    SELECT n_pos, n_neg, n_scores,
+           CAST(rs2 - n_pos * (n_pos + 1) AS DOUBLE)
+               / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+    FROM s
+    """,
+)
+def q271_logreg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classify import auc_rank_sum, gd_train
+
+    li = load_table(spark, sf_dir, "lineitem")
+    _, w, _, b = gd_train(li, _LR_X1, _LR_X2, _LR_Y, _LR_ETA, _LR_ITERS)
+    z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+    scored = b.select(
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("p"), "y"
+    )
+    return auc_rank_sum(scored, "p", "y")
+
+
+# ---------------------------------------------------------------------------
+# q272 — calibration (reliability) bins of the q269 logistic scorer:
+# predicted probability binned into fixed deciles (floor(p·10)
+# clamped to 9 — an integer function of the identical double p), per
+# bin the observed positive rate vs the mean predicted probability,
+# plus the Brier-style gap. Per-bin mean predictions are exact
+# decimal sums of 6-dp-rounded p over one RAW double division; rates
+# are raw bigint/bigint. One extra scan after training; the bin
+# rollup is a map-combined 10-group aggregate — nothing about this
+# changes at 100 TB.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q272_logreg_calibration",
+    oracle=_logreg_prefix(_LR_ITERS)
+    + f""",
+    sc AS (
+        SELECT (1.0 / (1.0 + exp(-(w.w0 + w.w1 * b.x1 + w.w2 * b.x2))))
+                   AS p,
+               b.y
+        FROM base b, t{_LR_ITERS} w)
+    SELECT LEAST(FLOOR(p * 10.0), 9)::INT AS bin,
+           COUNT(*)::BIGINT AS n,
+           SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+           CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS pos_rate,
+           CAST(SUM(CAST(ROUND(p, 6) AS DECIMAL(28,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS mean_pred
+    FROM sc
+    GROUP BY bin
+    ORDER BY bin
+    """,
+)
+def q272_logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classify import gd_train
+    from ..functions.determinism import DEC
+
+    li = load_table(spark, sf_dir, "lineitem")
+    _, w, _, b = gd_train(li, _LR_X1, _LR_X2, _LR_Y, _LR_ETA, _LR_ITERS)
+    z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+    sc = b.select(
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("p"), "y"
+    )
+    pos = F.sum(F.when(F.col("y") == F.lit(1.0), 1).otherwise(0)).cast(
+        "long"
+    )
+    return (
+        sc.groupBy(
+            F.least(F.floor(F.col("p") * 10.0), F.lit(9))
+            .cast("int")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            pos.alias("n_pos"),
+            (pos.cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "pos_rate"
+            ),
+            (
+                F.sum(F.round(F.col("p"), 6).cast(DEC)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_pred"),
+        )
+        .orderBy("bin")
     )

@@ -115,3 +115,25 @@ def test_logreg_partitioning_invariant(spark):
         ]
 
     assert run(df.repartition(1)) == run(df.repartition(11))
+
+
+def test_auc_rank_sum_exact_cases(spark):
+    from metadata_ingestion_poc_spark.operators.classify import auc_rank_sum
+
+    def auc_of(rows):
+        df = spark.createDataFrame(rows, "p double, y double")
+        return auc_rank_sum(df, "p", "y").first()
+
+    # perfect separation
+    r = auc_of([(0.9, 1.0), (0.8, 1.0), (0.2, 0.0), (0.1, 0.0)])
+    assert r["auc"] == 1.0 and r["n_pos"] == 2 and r["n_neg"] == 2
+    # perfect inversion
+    assert auc_of([(0.1, 1.0), (0.9, 0.0)])["auc"] == 0.0
+    # all scores tied -> midranks give exactly 0.5
+    r = auc_of([(0.5, 1.0), (0.5, 0.0), (0.5, 1.0), (0.5, 0.0)])
+    assert r["auc"] == 0.5 and r["n_scores"] == 1
+    # hand-computed mixed-tie case: pos ranks (midrank) sum
+    #   scores: 0.1(neg), 0.4(pos,neg tie -> midrank 2.5), 0.7(pos)
+    #   R+ = 2.5 + 4 = 6.5, AUC = (6.5 - 3) / (2*2) = 0.875
+    r = auc_of([(0.1, 0.0), (0.4, 1.0), (0.4, 0.0), (0.7, 1.0)])
+    assert abs(r["auc"] - 0.875) < 1e-15
