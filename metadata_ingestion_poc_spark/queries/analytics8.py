@@ -713,3 +713,156 @@ def q272_logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# q273 — 5-fold cross-validated ridge regression from ONE data scan:
+# per-fold sufficient statistics (the q268 Gram entries, grouped by
+# the audited id-hash fold) are computed in a single map-combined
+# aggregate; each fold's LEAVE-FOLD-OUT Gram matrix is the exact
+# decimal difference total − fold, so all five training solves fall
+# out of one pass — the only scalable shape for CV at 100 TB (naive
+# CV rescans the corpus k times). The five solves reuse the q268
+# Cramer formulas on a 5-row frame; held-out MSE is a second scan
+# with the fold's weights joined back by fold id (5-row broadcast,
+# never collected). Float discipline: decimal Gram entries subtract
+# exactly, solves and predictions are fixed IEEE expression trees,
+# per-row squared residuals are ROUNDed at 6 dp before the exact
+# decimal sum, and MSE is a RAW double division. Residuals are
+# scaled to THOUSANDS before squaring (mse_k = mean((res/1000)²)):
+# raw squared residuals reach 1e10, where the 6-dp grid sits BELOW
+# the double's ulp and Spark/DuckDB ROUND diverge by 1 ulp (caught
+# by the first sf0.001 differential run of this query — the
+# big-magnitude cousin of the 5e-7 tie trap); at ~50² the grid is
+# eight orders above ulp and the rounding is engine-exact.
+# ---------------------------------------------------------------------------
+
+
+def _cv_fold(col: str) -> str:
+    return (
+        f"(((({col} % {_KM_HASH_MOD}) * {_KM_HASH_MULT})"
+        f" % {_KM_HASH_MOD}) % 5)"
+    )
+
+
+_CV_STATS = [
+    ("n", "COUNT(*)::DECIMAL(20,2)"),
+    ("s1", "SUM(x1)"),
+    ("s2", "SUM(x2)"),
+    ("sy", "SUM(y)"),
+    ("s11", "SUM(x1 * x1)"),
+    ("s12", "SUM(x1 * x2)"),
+    ("s22", "SUM(x2 * x2)"),
+    ("s1y", "SUM(x1 * y)"),
+    ("s2y", "SUM(x2 * y)"),
+]
+
+
+@query(
+    "q273_ridge_cv",
+    oracle=f"""
+    WITH r AS (SELECT l_quantity::DECIMAL(14,2) AS x1,
+                      l_discount::DECIMAL(14,2) AS x2,
+                      l_extendedprice::DECIMAL(14,2) AS y,
+                      {_cv_fold('l_orderkey * 10 + l_linenumber')} AS fold
+               FROM lineitem),
+    fs AS (SELECT fold,
+                  {", ".join(f"{expr} AS {name}" for name, expr in _CV_STATS)}
+           FROM r GROUP BY fold),
+    tot AS (SELECT {", ".join(f"SUM({name}) AS {name}" for name, _ in _CV_STATS)}
+            FROM fs),
+    loo AS (SELECT fs.fold,
+                   {", ".join(
+                       f"CAST(tot.{name} - fs.{name} AS DOUBLE) AS {name}"
+                       for name, _ in _CV_STATS
+                   )}
+            FROM fs, tot),
+    w AS (SELECT fold, {_W["w0"]} AS w0, {_W["w1"]} AS w1, {_W["w2"]} AS w2
+          FROM loo),
+    te AS (SELECT r.fold,
+                  COUNT(*)::BIGINT AS n_test,
+                  SUM(CAST(ROUND(
+                      ((r.y::DOUBLE - (w.w0 + w.w1 * r.x1::DOUBLE
+                                       + w.w2 * r.x2::DOUBLE)) / 1000.0)
+                      * ((r.y::DOUBLE - (w.w0 + w.w1 * r.x1::DOUBLE
+                                         + w.w2 * r.x2::DOUBLE)) / 1000.0),
+                      6) AS DECIMAL(38,6))) AS sse
+           FROM r JOIN w ON w.fold = r.fold
+           GROUP BY r.fold)
+    SELECT te.fold::INT AS fold, te.n_test, w.w0, w.w1, w.w2,
+           CAST(te.sse AS DOUBLE) / CAST(te.n_test AS DOUBLE) AS mse_k
+    FROM te JOIN w ON w.fold = te.fold
+    ORDER BY fold
+    """,
+)
+def q273_ridge_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.determinism import DEC
+
+    r = (
+        load_table(spark, sf_dir, "lineitem")
+        .selectExpr(
+            "l_quantity AS q",
+            "l_discount AS d",
+            "l_extendedprice AS p",
+            f"{_cv_fold('l_orderkey * 10 + l_linenumber')} AS fold",
+        )
+        .select(
+            F.col("q").cast("decimal(14,2)").alias("x1"),
+            F.col("d").cast("decimal(14,2)").alias("x2"),
+            F.col("p").cast("decimal(14,2)").alias("y"),
+            "fold",
+        )
+        .localCheckpoint(eager=False)  # reused: fold stats + eval scan
+    )
+    fs = r.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("decimal(20,2)").alias("n"),
+        *[
+            F.sum(F.expr(expr[4:-1])).alias(name)
+            for name, expr in _CV_STATS[1:]
+        ],
+    )
+    fs = fs.localCheckpoint(eager=False)  # reused: totals + loo
+    tot = fs.agg(
+        *[F.sum(name).alias(name) for name, _ in _CV_STATS]
+    )
+    loo = fs.crossJoin(F.broadcast(tot.select(
+        *[F.col(name).alias(f"t_{name}") for name, _ in _CV_STATS]
+    ))).select(
+        "fold",
+        *[
+            (F.col(f"t_{name}") - F.col(name)).cast("double").alias(name)
+            for name, _ in _CV_STATS
+        ],
+    )
+    w = loo.selectExpr(
+        "fold",
+        f"{_W['w0']} AS w0",
+        f"{_W['w1']} AS w1",
+        f"{_W['w2']} AS w2",
+    )
+    pred = F.col("w0") + F.col("w1") * F.col("x1").cast("double") + F.col(
+        "w2"
+    ) * F.col("x2").cast("double")
+    res = (F.col("y").cast("double") - pred) / F.lit(1000.0)
+    te = (
+        r.join(F.broadcast(w), "fold")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(F.round(res * res, 6).cast("decimal(38,6)")).alias("sse"),
+        )
+    )
+    return (
+        te.join(F.broadcast(w), "fold")
+        .select(
+            F.col("fold").cast("int").alias("fold"),
+            "n_test",
+            "w0",
+            "w1",
+            "w2",
+            (
+                F.col("sse").cast("double") / F.col("n_test").cast("double")
+            ).alias("mse_k"),
+        )
+        .orderBy("fold")
+    )

@@ -64,3 +64,45 @@ def test_logreg_calibration_bins(spark):
     assert n == sum(r["n_pos"] for r in rows) + sum(
         r["n"] - r["n_pos"] for r in rows
     )
+
+
+def test_ridge_cv_matches_numpy_loo_fit(spark):
+    """The leave-fold-out-by-subtraction trick must equal a direct
+    out-of-fold numpy ridge fit (fold 0, sf0.001)."""
+    import numpy as np
+
+    from metadata_ingestion_poc_spark.operators.clustering import (
+        _HASH_MOD,
+        _HASH_MULT,
+    )
+    from metadata_ingestion_poc_spark.queries.analytics8 import q273_ridge_cv
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["fold"]: r for r in q273_ridge_cv(spark, sf).collect()}
+    assert sorted(got) == [0, 1, 2, 3, 4]
+
+    li = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .selectExpr(
+            "l_quantity AS q",
+            "l_discount AS d",
+            "l_extendedprice AS p",
+            "l_orderkey * 10 + l_linenumber AS key",
+        )
+        .collect()
+    )
+    rows = [
+        (r["q"], r["d"], r["p"])
+        for r in li
+        if ((r["key"] % _HASH_MOD) * _HASH_MULT % _HASH_MOD) % 5 != 0
+    ]
+    X = np.array([[1.0, round(q, 2), round(d, 2)] for q, d, _ in rows])
+    y = np.array([round(p, 2) for _, _, p in rows])
+    A = X.T @ X + np.diag([0.0, 1000.0, 1000.0])
+    w = np.linalg.solve(A, X.T @ y)
+    for j, name in enumerate(["w0", "w1", "w2"]):
+        assert abs(got[0][name] - w[j]) < 1e-7 * max(1.0, abs(w[j]))
+    # held-out sizes partition the corpus ~evenly
+    n = sum(r["n_test"] for r in got.values())
+    assert all(0.1 < r["n_test"] / n < 0.3 for r in got.values())
+    assert all(r["mse_k"] > 0 for r in got.values())
