@@ -133,9 +133,10 @@ def _load_all() -> None:
 # calibration, conformal intervals) — never swept, so they outrank
 # judge-verified refresh credit; (c) the core refresh block q13-q47
 # (35 of the 37 q13-q49 entries judge-verified green at sf0.01 in
-# round 10 — driver credit due; q48/q49 and the q50-q55 head defer to
-# round 12 to make room for the never-swept block).
-# 3 + 4 + 8 + 35 = 50.
+# round 10 — driver credit due; q47-q49 and the q50-q55 head defer to
+# round 12 to make room for the never-swept block), capped by the
+# late-round-11 forecasting query q274.
+# 3 + 4 + 8 + 1 + 34 = 50.
 #
 # Round-12 rotation note: promote whatever round-12 code changes
 # touch, then q48/q49 + q50-q69 (judge-verified in round 10), then
@@ -161,6 +162,7 @@ _SWEEP_PRIORITY = [
     "q271_logreg_auc",
     "q272_logreg_calibration",
     "q273_ridge_cv",
+    "q274_holt_forecast",
     # -- core refresh block q13-q47 (judge-verified green at sf0.01 in
     # round 10; driver credit due; q48/q49 deferred to round 12).
     "q13_grouping_sets",
@@ -197,7 +199,6 @@ _SWEEP_PRIORITY = [
     "q44_tpch_q3_shipping_priority",
     "q45_tpch_q6_forecast_revenue",
     "q46_tpch_q18_large_orders",
-    "q47_correlated_scalar_subquery",
 ]
 
 

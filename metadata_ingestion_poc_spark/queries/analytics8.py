@@ -866,3 +866,93 @@ def q273_ridge_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+# ---------------------------------------------------------------------------
+# q274 — Holt linear-trend exponential smoothing of per-priority daily
+# revenue (operators/forecast.py holt_linear): the forecasting member
+# of the time-series family (q224 deseasonalizes, q225 changepoints,
+# q240 autocorrelates — none extrapolates). Sequential in time but
+# parallel across series, so the distributed shape is one
+# (priority, day) rollup + one collect_list per group bounded by the
+# ~2.4k-day orders calendar (the q237 boundedness argument) + one
+# aggregate() codegen fold per group — no UDF, no driver loop; a
+# billion keys scale out linearly. Float discipline: the ENTIRE
+# smoothing state is exact decimal (alpha/beta as DECIMAL(8,6)
+# literals, level/trend re-rounded to DECIMAL(20,6) per step —
+# decimal ROUND is half-away-from-zero on BOTH engines, with no
+# binary-representation tie hazard; a double-state draft of this
+# query lost one 1e-6 grid step to exactly that tie on the sf0.001
+# MAE — see operators/forecast.py); one-step |errors| are exact
+# decimals summed exactly, MAE is ONE raw double division, and the
+# 7-step forecast level + 7·trend is computed in decimal and cast to
+# double once. The oracle replays the identical trajectory as a
+# recursive CTE stepping rn → rn + 1 per priority.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q274_holt_forecast",
+    oracle=r"""
+    WITH RECURSIVE d AS MATERIALIZED (
+      SELECT o_orderpriority AS priority, o_orderdate AS dd,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+                  AS DECIMAL(20,6)) AS y
+      FROM orders GROUP BY 1, 2),
+    b AS MATERIALIZED (
+      SELECT priority, y,
+             ROW_NUMBER() OVER (PARTITION BY priority ORDER BY dd) AS rn
+      FROM d),
+    n AS (SELECT priority, COUNT(*)::BIGINT AS n_days FROM b GROUP BY 1),
+    rec AS (
+      SELECT priority, rn, y AS l, CAST(0 AS DECIMAL(20,6)) AS tr,
+             CAST(0 AS DECIMAL(28,6)) AS sae
+      FROM b WHERE rn = 1
+      UNION ALL
+      SELECT b.priority, b.rn,
+             CAST(ROUND(CAST(0.3 AS DECIMAL(8,6)) * b.y
+                        + CAST(0.7 AS DECIMAL(8,6)) * (r.l + r.tr), 6)
+                  AS DECIMAL(20,6)),
+             CAST(ROUND(CAST(0.1 AS DECIMAL(8,6))
+                        * (CAST(ROUND(CAST(0.3 AS DECIMAL(8,6)) * b.y
+                                      + CAST(0.7 AS DECIMAL(8,6))
+                                        * (r.l + r.tr), 6)
+                                AS DECIMAL(20,6)) - r.l)
+                        + CAST(0.9 AS DECIMAL(8,6)) * r.tr, 6)
+                  AS DECIMAL(20,6)),
+             CAST(r.sae + CAST(ABS(b.y - (r.l + r.tr)) AS DECIMAL(22,6))
+                  AS DECIMAL(28,6))
+      FROM rec r JOIN b ON b.priority = r.priority AND b.rn = r.rn + 1)
+    SELECT r.priority,
+           n.n_days,
+           CAST(r.l AS DOUBLE) AS level,
+           CAST(r.tr AS DOUBLE) AS trend,
+           r.sae::DOUBLE / (n.n_days - 1)::DOUBLE AS mae,
+           CAST(r.l + CAST(7 AS DECIMAL(6,0)) * r.tr AS DOUBLE) AS forecast
+    FROM rec r JOIN n ON n.priority = r.priority
+    WHERE r.rn = n.n_days
+    ORDER BY r.priority
+    """,
+)
+def q274_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.forecast import holt_linear
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", "o_orderdate")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("y")
+        )
+    )
+    fit = holt_linear(
+        daily, "o_orderpriority", "o_orderdate", "y",
+        alpha=0.3, beta=0.1, horizon=7,
+    )
+    return fit.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("n_points").cast("long").alias("n_days"),
+        "level",
+        "trend",
+        "mae",
+        "forecast",
+    ).orderBy("priority")
