@@ -956,3 +956,109 @@ def q274_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mae",
         "forecast",
     ).orderBy("priority")
+
+
+# ---------------------------------------------------------------------------
+# q275 — differentially-private-style noisy release of the corpus
+# composition table: per-(source, lang) document counts and CLIPPED
+# character mass, each perturbed by Laplace noise via the exact
+# inverse CDF. The mechanism is the real thing — contribution
+# clipping bounds the sensitivity (one document moves the clipped
+# char sum by at most the 300-char clip, and a count by 1), the
+# epsilon budget composes across the two releases (0.5 + 0.5 = 1.0),
+# and the noise scale is sensitivity/epsilon (2 for counts, 600 for
+# chars) — but the randomness is a DETERMINISTIC id-hash uniform (the
+# q256 A-ES compromise: replayability over secrecy; a production
+# release would draw real randomness and drop the true columns this
+# query keeps for the differential gate). Noise seeds are the group's
+# min(doc_id) for the count draw and max(doc_id) for the char draw.
+# Float discipline: u is an exact integer-ratio double, the inverse
+# CDF is a fixed IEEE expression of u on both engines, and the noisy
+# values are RAW doubles (the q268 never-round-IEEE rule — no
+# cross-row float sums exist here; the only sums are exact integer
+# counts). Scale: ONE map-combined group rollup; the release frame is
+# bounded by |sources| × |langs|, never by the corpus.
+# ---------------------------------------------------------------------------
+
+
+def _lap_noise(u: str, scale: float) -> str:
+    """Inverse-CDF Laplace(0, scale) of a uniform expression string.
+
+    The ln() is ROUNDed at 6 dp before scaling (the q256 discipline —
+    Java Math.log and C std::log legally differ in the last ulp), so
+    the noise sits on a deterministic scale/1e6 grid."""
+    return (
+        f"CASE WHEN {u} >= CAST(0.5 AS DOUBLE)"
+        f" THEN -CAST({scale} AS DOUBLE)"
+        f" * ROUND(LN(CAST(1.0 AS DOUBLE)"
+        f" - CAST(2.0 AS DOUBLE) * ({u} - CAST(0.5 AS DOUBLE))), 6)"
+        f" ELSE CAST({scale} AS DOUBLE)"
+        f" * ROUND(LN(CAST(1.0 AS DOUBLE)"
+        f" - CAST(2.0 AS DOUBLE) * (CAST(0.5 AS DOUBLE) - {u})), 6) END"
+    )
+
+
+def _hash_u(seed: str) -> str:
+    """The audited Knuth multiplicative hash → uniform in (0, 1).
+
+    Every numeric literal is CAST to DOUBLE explicitly: DuckDB parses
+    bare `1.0` as DECIMAL, and a decimal-typed uniform diverges from
+    Spark's double arithmetic (caught by this query's first sf0.001
+    differential)."""
+    return (
+        f"(CAST((({seed} % {_KM_HASH_MOD}) * {_KM_HASH_MULT})"
+        f" % {_KM_HASH_MOD} + 1 AS DOUBLE)"
+        f" / CAST({_KM_HASH_MOD + 1} AS DOUBLE))"
+    )
+
+
+_DP_CLIP = 300
+_DP_B_COUNT = 2.0  # sensitivity 1 / epsilon 0.5
+_DP_B_CHARS = 600.0  # sensitivity 300 / epsilon 0.5
+
+
+@query(
+    "q275_dp_noisy_release",
+    oracle=f"""
+    WITH g AS (
+      SELECT source, lang,
+             COUNT(*)::BIGINT AS n_docs,
+             SUM(LEAST(n_chars, {_DP_CLIP}))::BIGINT AS clipped_chars,
+             MIN(doc_id) AS s1, MAX(doc_id) AS s2
+      FROM documents GROUP BY 1, 2)
+    SELECT source, lang, n_docs, clipped_chars,
+           CAST(n_docs AS DOUBLE)
+             + {_lap_noise(_hash_u("s1"), _DP_B_COUNT)} AS noisy_docs,
+           CAST(clipped_chars AS DOUBLE)
+             + {_lap_noise(_hash_u("s2"), _DP_B_CHARS)} AS noisy_chars
+    FROM g
+    ORDER BY source, lang
+    """,
+)
+def q275_dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.least(F.col("n_chars"), F.lit(_DP_CLIP)))
+            .cast("long")
+            .alias("clipped_chars"),
+            F.min("doc_id").alias("s1"),
+            F.max("doc_id").alias("s2"),
+        )
+    )
+    return g.select(
+        "source",
+        "lang",
+        "n_docs",
+        "clipped_chars",
+        F.expr(
+            "CAST(n_docs AS DOUBLE) + "
+            + _lap_noise(_hash_u("s1"), _DP_B_COUNT)
+        ).alias("noisy_docs"),
+        F.expr(
+            "CAST(clipped_chars AS DOUBLE) + "
+            + _lap_noise(_hash_u("s2"), _DP_B_CHARS)
+        ).alias("noisy_chars"),
+    ).orderBy("source", "lang")

@@ -7,6 +7,8 @@ the GD census must describe a learning trajectory."""
 
 from __future__ import annotations
 
+import pytest
+
 from metadata_ingestion_poc_spark.queries.analytics8 import (
     q269_logreg_gd,
     q270_conformal_interval,
@@ -106,3 +108,53 @@ def test_ridge_cv_matches_numpy_loo_fit(spark):
     n = sum(r["n_test"] for r in got.values())
     assert all(0.1 < r["n_test"] / n < 0.3 for r in got.values())
     assert all(r["mse_k"] > 0 for r in got.values())
+
+
+def test_dp_noise_mechanism(spark):
+    """q275: the release must (a) perturb every group with the
+    hand-derived inverse-CDF Laplace draw, (b) clip per-doc char
+    contributions, (c) keep noise magnitudes on the expected scale
+    for its epsilon budget."""
+    import math
+
+    from metadata_ingestion_poc_spark.operators.clustering import (
+        _HASH_MOD, _HASH_MULT,
+    )
+    from metadata_ingestion_poc_spark.queries.analytics8 import (
+        _DP_B_CHARS, _DP_B_COUNT, _DP_CLIP, q275_dp_noisy_release,
+    )
+
+    rows = q275_dp_noisy_release(spark, SF_DIR).collect()
+    assert len(rows) > 50  # ~sources x langs
+
+    def lap(seed, scale):
+        u = (((seed % _HASH_MOD) * _HASH_MULT) % _HASH_MOD + 1) / (
+            _HASH_MOD + 1
+        )
+        mag = round(math.log(1.0 - 2.0 * abs(u - 0.5)), 6)
+        return -scale * mag if u >= 0.5 else scale * mag
+
+    import duckdb
+
+    con = duckdb.connect()
+    seeds = {
+        (s, lg): (s1, s2, int(n), int(c))
+        for s, lg, n, c, s1, s2 in con.execute(
+            f"""SELECT source, lang, COUNT(*),
+                       SUM(LEAST(n_chars, {_DP_CLIP})),
+                       MIN(doc_id), MAX(doc_id)
+                FROM read_parquet('{SF_DIR}/documents.parquet')
+                GROUP BY 1, 2"""
+        ).fetchall()
+    }
+    for r in rows:
+        s1, s2, n, c = seeds[(r["source"], r["lang"])]
+        assert r["n_docs"] == n
+        assert r["clipped_chars"] == c  # clip applied
+        assert r["noisy_docs"] == pytest.approx(n + lap(s1, _DP_B_COUNT))
+        assert r["noisy_chars"] == pytest.approx(c + lap(s2, _DP_B_CHARS))
+        # the hash uniform's support is [1/(m+1), m/(m+1)] with
+        # m = 2^31 - 1, so |noise| <= b * ln((m+1)/2) ~= 21.49 * b
+        # exactly (seed 0 realizes it); anything past that is a bug
+        assert abs(r["noisy_docs"] - n) <= 21.5 * _DP_B_COUNT
+        assert abs(r["noisy_chars"] - c) <= 21.5 * _DP_B_CHARS
