@@ -1062,3 +1062,129 @@ def q275_dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
             + _lap_noise(_hash_u("s2"), _DP_B_CHARS)
         ).alias("noisy_chars"),
     ).orderBy("source", "lang")
+
+
+# ---------------------------------------------------------------------------
+# q276 — exact greedy decision-stump split finding over the q269
+# planted label: the histogram split-search primitive of every
+# distributed tree learner (XGBoost/LightGBM hist mode), reduced to
+# its Spark-native shape — ONE map-combined (feature, value) count
+# rollup (the only data-sized exchange), then cumulative counts and
+# Gini gains over the VALUE GRID (50 quantities + 11 discounts; the
+# per-feature window runs on a grid-bounded frame, never on rows).
+# The full threshold sweep is emitted, not just the argmax, so the
+# differential covers every candidate split's left/right counts and
+# gain. Float discipline: counts are exact integers; every rate and
+# gain is a fixed IEEE expression of those integers (RAW doubles, the
+# q268 rule — no cross-row float sums anywhere), shared verbatim
+# between the engines via _gini_gain; the best-split rank breaks gain
+# ties by smaller threshold, deterministic because the gain doubles
+# are bit-identical. Discount thresholds are scaled to integer
+# percent (l_discount * 100 rounded) so grid keys group exactly.
+# ---------------------------------------------------------------------------
+
+
+def _gini_gain() -> str:
+    """Gini impurity decrease of a binary split, from integer counts
+    (nl, pos_l, n_tot, pos_tot) — one shared expression string so both
+    engines evaluate the identical IEEE tree."""
+    p = "(CAST(pos_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))"
+    pl = "(CAST(pos_l AS DOUBLE) / CAST(nl AS DOUBLE))"
+    pr = (
+        "(CAST(pos_tot - pos_l AS DOUBLE)"
+        " / CAST(n_tot - nl AS DOUBLE))"
+    )
+    g = "(CAST(2.0 AS DOUBLE) * {q} * (CAST(1.0 AS DOUBLE) - {q}))"
+    return (
+        f"{g.format(q=p)}"
+        f" - (CAST(nl AS DOUBLE) / CAST(n_tot AS DOUBLE)) * {g.format(q=pl)}"
+        f" - (CAST(n_tot - nl AS DOUBLE) / CAST(n_tot AS DOUBLE))"
+        f" * {g.format(q=pr)}"
+    )
+
+
+@query(
+    "q276_decision_stump",
+    oracle=f"""
+    WITH base AS MATERIALIZED (
+      SELECT CAST(l_quantity AS INT) AS qty,
+             CAST(ROUND(l_discount * 100, 0) AS INT) AS disc,
+             CAST({_LR_Y} AS INT) AS y
+      FROM lineitem),
+    melted AS (
+      SELECT 'l_quantity' AS feature, qty AS v, y FROM base
+      UNION ALL
+      SELECT 'l_discount' AS feature, disc AS v, y FROM base),
+    hist AS (
+      SELECT feature, v, COUNT(*)::BIGINT AS n, SUM(y)::BIGINT AS pos
+      FROM melted GROUP BY 1, 2),
+    cum AS (
+      SELECT feature, v,
+             SUM(n) OVER w AS nl,
+             SUM(pos) OVER w AS pos_l,
+             SUM(n) OVER (PARTITION BY feature) AS n_tot,
+             SUM(pos) OVER (PARTITION BY feature) AS pos_tot
+      FROM hist
+      WINDOW w AS (PARTITION BY feature ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    sweep AS (
+      SELECT feature, v AS threshold,
+             nl AS n_left, pos_l AS pos_left,
+             n_tot - nl AS n_right, pos_tot - pos_l AS pos_right,
+             {_gini_gain()} AS gain
+      FROM cum WHERE nl < n_tot)
+    SELECT feature, threshold, n_left, pos_left, n_right, pos_right,
+           gain,
+           (ROW_NUMBER() OVER (PARTITION BY feature
+                               ORDER BY gain DESC, threshold) = 1)
+             AS best
+    FROM sweep
+    ORDER BY feature, threshold
+    """,
+)
+def q276_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    base = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "CAST(l_quantity AS INT) AS qty",
+        "CAST(ROUND(l_discount * 100, 0) AS INT) AS disc",
+        f"CAST({_LR_Y} AS INT) AS y",
+    )
+    melted = base.selectExpr(
+        "stack(2, 'l_quantity', qty, 'l_discount', disc) AS (feature, v)",
+        "y",
+    )
+    hist = melted.groupBy("feature", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    w = (
+        Window.partitionBy("feature")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("feature")
+    cum = hist.select(
+        "feature",
+        "v",
+        F.sum("n").over(w).alias("nl"),
+        F.sum("pos").over(w).alias("pos_l"),
+        F.sum("n").over(wt).alias("n_tot"),
+        F.sum("pos").over(wt).alias("pos_tot"),
+    )
+    sweep = cum.filter(F.col("nl") < F.col("n_tot")).select(
+        "feature",
+        F.col("v").alias("threshold"),
+        F.col("nl").alias("n_left"),
+        F.col("pos_l").alias("pos_left"),
+        (F.col("n_tot") - F.col("nl")).alias("n_right"),
+        (F.col("pos_tot") - F.col("pos_l")).alias("pos_right"),
+        F.expr(_gini_gain()).alias("gain"),
+    )
+    rk = Window.partitionBy("feature").orderBy(
+        F.col("gain").desc(), F.col("threshold")
+    )
+    return (
+        sweep.withColumn("best", F.row_number().over(rk) == 1)
+        .orderBy("feature", "threshold")
+    )

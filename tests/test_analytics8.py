@@ -158,3 +158,28 @@ def test_dp_noise_mechanism(spark):
         # exactly (seed 0 realizes it); anything past that is a bug
         assert abs(r["noisy_docs"] - n) <= 21.5 * _DP_B_COUNT
         assert abs(r["noisy_chars"] - c) <= 21.5 * _DP_B_CHARS
+
+
+def test_stump_recovers_planted_boundary(spark):
+    """q276: the planted label is sign(2*(qty-25.5)/25 - (disc-.05)*20
+    + small noise) — quantity drives it, so the best quantity split
+    must land near the 25.5 decision point and dominate the best
+    discount split's gain."""
+    from metadata_ingestion_poc_spark.queries.analytics8 import (
+        q276_decision_stump,
+    )
+
+    rows = q276_decision_stump(spark, SF_DIR).collect()
+    best = {r["feature"]: r for r in rows if r["best"]}
+    assert set(best) == {"l_quantity", "l_discount"}
+    assert 23 <= best["l_quantity"]["threshold"] <= 28
+    assert best["l_quantity"]["gain"] > best["l_discount"]["gain"]
+    # conservation: every sweep row partitions the same population
+    by_feat = {}
+    for r in rows:
+        by_feat.setdefault(r["feature"], set()).add(
+            r["n_left"] + r["n_right"]
+        )
+    assert all(len(v) == 1 for v in by_feat.values())
+    # gains are valid impurity decreases
+    assert all(-1e-12 <= r["gain"] <= 0.5 for r in rows)
