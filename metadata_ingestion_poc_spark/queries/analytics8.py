@@ -1188,3 +1188,181 @@ def q276_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         sweep.withColumn("best", F.row_number().over(rk) == 1)
         .orderBy("feature", "threshold")
     )
+
+
+# ---------------------------------------------------------------------------
+# q277 — one ALS user-step over the purchase matrix: the alternating-
+# least-squares recommender primitive (Koren et al.) in its
+# distributed shape — with item factors FIXED, every user's rank-2
+# factor vector is an independent closed-form ridge solve, so the
+# whole step is ONE ratings⋈item-factors join + ONE per-user
+# map-combined Gram rollup + scalar Cramer expressions (the q268
+# pattern per key; the symmetric item-step is the same plan with the
+# roles swapped, which is exactly why ALS scales where SGD's shared
+# hot model does not). Item factors are deterministic 6-dp
+# hash-uniform decimals, so every Gram entry is an EXACT decimal sum
+# (products of 6-dp decimals are exact 12-dp decimals — the q246
+# discipline); the 2×2 solve and the per-user RMSE division/sqrt are
+# fixed IEEE expressions of those exact decimals (RAW doubles, q268
+# rule); squared residuals are 6-dp-rounded before their exact
+# decimal sum (the q269 sigmoid-term pattern — the residual mixes a
+# raw-double factor with decimal item vectors). Output: the 20
+# heaviest raters' factors and fit diagnostics; ranking by
+# (n_ratings DESC, custkey) is all-integer. λ = 1 keeps every solve
+# nonsingular (a user with one item has a rank-1 Gram).
+# ---------------------------------------------------------------------------
+
+
+_ALS_LAMBDA = 1
+
+
+def _als_item_factor(seed: str, which: int) -> str:
+    """Deterministic 6-dp item factor in [-0.5, 0.5): the audited
+    hash uniform re-seeded per component, rounded onto the decimal
+    grid so downstream Gram sums are exact."""
+    shifted = f"({seed} + {which * 1000000007})"
+    return (
+        f"CAST(ROUND({_hash_u(shifted)} - CAST(0.5 AS DOUBLE), 6)"
+        " AS DECIMAL(10,6))"
+    )
+
+
+@query(
+    "q277_als_user_step",
+    oracle=f"""
+    WITH itemf AS MATERIALIZED (
+      SELECT p_partkey,
+             {_als_item_factor("p_partkey", 1)} AS q1,
+             {_als_item_factor("p_partkey", 2)} AS q2
+      FROM part),
+    r AS MATERIALIZED (
+      SELECT o.o_custkey AS custkey, i.q1, i.q2,
+             CAST(l.l_quantity AS DECIMAL(4,0)) AS rating
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN itemf i ON l.l_partkey = i.p_partkey),
+    gram AS (
+      SELECT custkey, COUNT(*)::BIGINT AS n_ratings,
+             SUM(q1 * q1) AS g11, SUM(q1 * q2) AS g12,
+             SUM(q2 * q2) AS g22,
+             SUM(rating * q1) AS b1, SUM(rating * q2) AS b2
+      FROM r GROUP BY custkey),
+    top AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY n_ratings DESC, custkey)
+               AS rk
+        FROM gram) WHERE rk <= 20),
+    w AS (
+      SELECT custkey, n_ratings, rk,
+             ((CAST(g22 AS DOUBLE) + {_ALS_LAMBDA}) * CAST(b1 AS DOUBLE)
+              - CAST(g12 AS DOUBLE) * CAST(b2 AS DOUBLE))
+             / ((CAST(g11 AS DOUBLE) + {_ALS_LAMBDA})
+                * (CAST(g22 AS DOUBLE) + {_ALS_LAMBDA})
+                - CAST(g12 AS DOUBLE) * CAST(g12 AS DOUBLE)) AS w1,
+             ((CAST(g11 AS DOUBLE) + {_ALS_LAMBDA}) * CAST(b2 AS DOUBLE)
+              - CAST(g12 AS DOUBLE) * CAST(b1 AS DOUBLE))
+             / ((CAST(g11 AS DOUBLE) + {_ALS_LAMBDA})
+                * (CAST(g22 AS DOUBLE) + {_ALS_LAMBDA})
+                - CAST(g12 AS DOUBLE) * CAST(g12 AS DOUBLE)) AS w2
+      FROM top),
+    res AS (
+      SELECT r.custkey,
+             SUM(CAST(ROUND(
+               (CAST(r.rating AS DOUBLE)
+                - w.w1 * CAST(r.q1 AS DOUBLE)
+                - w.w2 * CAST(r.q2 AS DOUBLE))
+               * (CAST(r.rating AS DOUBLE)
+                  - w.w1 * CAST(r.q1 AS DOUBLE)
+                  - w.w2 * CAST(r.q2 AS DOUBLE)), 6)
+               AS DECIMAL(28,6))) AS sse
+      FROM r JOIN w ON r.custkey = w.custkey
+      GROUP BY r.custkey)
+    SELECT w.custkey, w.n_ratings, w.w1, w.w2,
+           SQRT(res.sse::DOUBLE / w.n_ratings::DOUBLE) AS rmse
+    FROM w JOIN res ON w.custkey = res.custkey
+    ORDER BY w.n_ratings DESC, w.custkey
+    """,
+)
+def q277_als_user_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    itemf = load_table(spark, sf_dir, "part").selectExpr(
+        "p_partkey",
+        f"{_als_item_factor('p_partkey', 1)} AS q1",
+        f"{_als_item_factor('p_partkey', 2)} AS q2",
+    )
+    ratings = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity")
+        .join(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(itemf), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "q1",
+            "q2",
+            F.col("l_quantity").cast("decimal(4,0)").alias("rating"),
+        )
+        .localCheckpoint(eager=False)  # reused: Gram pass + residual pass
+    )
+    gram = ratings.groupBy("custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ratings"),
+        F.sum(F.expr("q1 * q1")).alias("g11"),
+        F.sum(F.expr("q1 * q2")).alias("g12"),
+        F.sum(F.expr("q2 * q2")).alias("g22"),
+        F.sum(F.expr("rating * q1")).alias("b1"),
+        F.sum(F.expr("rating * q2")).alias("b2"),
+    )
+    top = (
+        gram.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("n_ratings").desc(), F.col("custkey"))
+            ),
+        )
+        .filter(F.col("rk") <= 20)
+    )
+    det = (
+        f"((CAST(g11 AS DOUBLE) + {_ALS_LAMBDA})"
+        f" * (CAST(g22 AS DOUBLE) + {_ALS_LAMBDA})"
+        " - CAST(g12 AS DOUBLE) * CAST(g12 AS DOUBLE))"
+    )
+    w = top.selectExpr(
+        "custkey",
+        "n_ratings",
+        f"((CAST(g22 AS DOUBLE) + {_ALS_LAMBDA}) * CAST(b1 AS DOUBLE)"
+        f" - CAST(g12 AS DOUBLE) * CAST(b2 AS DOUBLE)) / {det} AS w1",
+        f"((CAST(g11 AS DOUBLE) + {_ALS_LAMBDA}) * CAST(b2 AS DOUBLE)"
+        f" - CAST(g12 AS DOUBLE) * CAST(b1 AS DOUBLE)) / {det} AS w2",
+    )
+    resid = (
+        "(CAST(rating AS DOUBLE) - w1 * CAST(q1 AS DOUBLE)"
+        " - w2 * CAST(q2 AS DOUBLE))"
+    )
+    res = (
+        ratings.join(F.broadcast(w), "custkey")
+        .groupBy("custkey")
+        .agg(
+            F.sum(
+                F.expr(f"CAST(ROUND({resid} * {resid}, 6) AS DECIMAL(28,6))")
+            ).alias("sse")
+        )
+    )
+    return (
+        w.join(res, "custkey")
+        .select(
+            "custkey",
+            "n_ratings",
+            "w1",
+            "w2",
+            F.sqrt(
+                F.col("sse").cast("double")
+                / F.col("n_ratings").cast("double")
+            ).alias("rmse"),
+        )
+        .orderBy(F.col("n_ratings").desc(), "custkey")
+    )

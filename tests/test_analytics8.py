@@ -183,3 +183,60 @@ def test_stump_recovers_planted_boundary(spark):
     assert all(len(v) == 1 for v in by_feat.values())
     # gains are valid impurity decreases
     assert all(-1e-12 <= r["gain"] <= 0.5 for r in rows)
+
+
+def test_als_user_step_matches_numpy(spark):
+    """q277: the per-user Cramer solve must equal numpy's ridge solve
+    on the identical Gram system, and the regularized fit must beat
+    the zero predictor it dominates by construction (0 is feasible)."""
+    import math
+
+    import numpy as np
+
+    from metadata_ingestion_poc_spark.operators.clustering import (
+        _HASH_MOD, _HASH_MULT,
+    )
+    from metadata_ingestion_poc_spark.queries.analytics8 import (
+        _ALS_LAMBDA, q277_als_user_step,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q277_als_user_step(spark, sf).collect()
+    assert len(got) == 20
+    assert all(
+        got[i]["n_ratings"] >= got[i + 1]["n_ratings"] for i in range(19)
+    )
+
+    def factor(pk, which):
+        seed = pk + which * 1000000007
+        u = (((seed % _HASH_MOD) * _HASH_MULT) % _HASH_MOD + 1) / (
+            _HASH_MOD + 1
+        )
+        return round(u - 0.5, 6)
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").collect()
+    orders = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in spark.read.parquet(f"{sf}/orders.parquet").collect()
+    }
+    by_user = {}
+    for r in li:
+        cust = orders[r["l_orderkey"]]
+        q = np.array(
+            [factor(r["l_partkey"], 1), factor(r["l_partkey"], 2)]
+        )
+        by_user.setdefault(cust, []).append((q, float(r["l_quantity"])))
+
+    for row in got[:5]:
+        obs = by_user[row["custkey"]]
+        assert len(obs) == row["n_ratings"]
+        Q = np.array([q for q, _ in obs])
+        y = np.array([v for _, v in obs])
+        A = Q.T @ Q + _ALS_LAMBDA * np.eye(2)
+        w = np.linalg.solve(A, Q.T @ y)
+        assert row["w1"] == pytest.approx(w[0], rel=1e-9)
+        assert row["w2"] == pytest.approx(w[1], rel=1e-9)
+        # the fitted RMSE beats predicting zero (0 is in the span and
+        # lambda only shrinks toward it)
+        rmse0 = math.sqrt(float(np.mean(y * y)))
+        assert row["rmse"] < rmse0
