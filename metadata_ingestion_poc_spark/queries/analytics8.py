@@ -1366,3 +1366,83 @@ def q277_als_user_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_ratings").desc(), "custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q278 — distributed BPE merge training (operators/bpe.py): the
+# tokenizer-construction loop itself, run for 6 merges over the
+# corpus word-frequency table. The scale story is the operator's
+# whole point: after ONE tokenizing scan, every merge round runs on
+# the (word, count) table — bounded by the vocabulary, never the
+# corpus — as one pair-count aggregation + one map-only replace-chain
+# rewrite. The merge trajectory (winning pair, its corpus-weighted
+# adjacency count, and the post-merge symbol census) is all-integer /
+# string — NO float discipline anywhere, the only such training loop
+# in the registry. The oracle unrolls all 6 rounds as MATERIALIZED
+# CTEs with the winning pair as a 1-row LIMIT CTE (the q261
+# scalar-threshold pattern) and applies the IDENTICAL 6-pass
+# non-overlapping replace chain, so both engines execute the same
+# merge semantics by construction.
+# ---------------------------------------------------------------------------
+
+
+_BPE_ROUNDS = 6
+_BPE_PASSES = 6
+
+
+def _bpe_oracle(rounds: int, passes: int) -> str:
+    rep = "w.s"
+    for _ in range(passes):
+        rep = (
+            f"replace({rep}, '|' || t.s1 || '|' || t.s2 || '|',"
+            " '|' || t.s1 || t.s2 || '|')"
+        )
+    sql = r"""
+    WITH w0 AS MATERIALIZED (
+      SELECT '|' || regexp_replace(word, '(.)', '\1|', 'g') AS s,
+             COUNT(*)::BIGINT AS cnt
+      FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+                   AS word
+            FROM documents)
+      WHERE word <> ''
+      GROUP BY word)"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+    p{r} AS (
+      SELECT a[i] AS s1, a[i + 1] AS s2, SUM(cnt)::BIGINT AS c
+      FROM (SELECT string_split(trim(s, '|'), '|') AS a, cnt
+            FROM w{r - 1}),
+           unnest(generate_series(1, greatest(len(a) - 1, 0))) AS g(i)
+      GROUP BY 1, 2),
+    t{r} AS (SELECT s1, s2, c FROM p{r}
+             ORDER BY c DESC, s1, s2 LIMIT 1),
+    w{r} AS MATERIALIZED (
+      SELECT {rep} AS s, w.cnt FROM w{r - 1} w, t{r} t),
+    r{r} AS (
+      SELECT {r}::BIGINT AS round, t.s1 AS pair_a, t.s2 AS pair_b,
+             t.c AS pair_count,
+             (SELECT SUM(cnt * len(string_split(trim(s, '|'), '|')))::BIGINT
+              FROM w{r}) AS total_symbols,
+             (SELECT COUNT(DISTINCT sym)::BIGINT
+              FROM (SELECT unnest(string_split(trim(s, '|'), '|')) AS sym
+                    FROM w{r})) AS distinct_symbols
+      FROM t{r} t)"""
+    unions = "\n    UNION ALL ".join(
+        f"SELECT * FROM r{r}" for r in range(1, rounds + 1)
+    )
+    return sql + f"\n    {unions}\n    ORDER BY round"
+
+
+@query("q278_bpe_merge_train", oracle=_bpe_oracle(_BPE_ROUNDS, _BPE_PASSES))
+def q278_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    traj = bpe_train(
+        docs, "text", rounds=_BPE_ROUNDS, passes=_BPE_PASSES
+    )
+    return spark.createDataFrame(
+        traj,
+        "round long, pair_a string, pair_b string, pair_count long,"
+        " total_symbols long, distinct_symbols long",
+    ).orderBy("round")
