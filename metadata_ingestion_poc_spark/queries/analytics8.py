@@ -1446,3 +1446,130 @@ def q278_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round long, pair_a string, pair_b string, pair_count long,"
         " total_symbols long, distinct_symbols long",
     ).orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# q279 — exact isotonic calibration of the q269 logistic scorer: the
+# monotone-regression complement of q272's fixed-decile reliability
+# bins (isotonic regression IS the standard model-calibration method
+# when deciles are too coarse). Instead of the sequential
+# pool-adjacent-violators stack — which does not distribute — the
+# fitted values come from the closed-form minimax identity
+# fitted_i = max_{j<=i} min_{k>=i} mean(y[j..k]), computed entirely
+# on the DISTINCT-SCORE GRID: one data-sized (score) rollup, then a
+# grid² pair frame (the score grid is bounded by the 50×11 feature
+# grid, so pairs are ~150k rows — never data-sized), one reverse
+# running-min window per j, one max-group per i. Float discipline:
+# interval means are RAW bigint/bigint doubles (exact integer prefix
+# sums subtract exactly), and min/max over identical doubles are
+# engine-independent — no rounding anywhere. The oracle shares the
+# GD replay prefix and replays the same minimax windows. A
+# from-scratch PAV reference pins the minimax identity in
+# tests/test_analytics8.py.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q279_isotonic_calibration",
+    oracle=_logreg_prefix(_LR_ITERS)
+    + f""",
+    sc AS (
+        SELECT (w.w0 + w.w1 * b.x1 + w.w2 * b.x2) AS z, b.y
+        FROM base b, t{_LR_ITERS} w),
+    hist AS (
+        SELECT z, COUNT(*)::BIGINT AS n,
+               SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)::BIGINT AS pos
+        FROM sc GROUP BY z),
+    pref AS (
+        SELECT z, n, pos,
+               ROW_NUMBER() OVER (ORDER BY z) AS rn,
+               SUM(n) OVER (ORDER BY z) AS cn,
+               SUM(pos) OVER (ORDER BY z) AS cp
+        FROM hist),
+    pairs AS (
+        SELECT j.rn AS j, k.rn AS i,
+               CAST(k.cp - (j.cp - j.pos) AS DOUBLE)
+                 / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS avg
+        FROM pref j JOIN pref k ON j.rn <= k.rn),
+    inner_min AS (
+        SELECT j, i,
+               MIN(avg) OVER (PARTITION BY j ORDER BY i DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS m
+        FROM pairs),
+    fit AS (SELECT i, MAX(m) AS fitted FROM inner_min GROUP BY i)
+    SELECT p.rn AS score_rank, p.z AS score, p.n, p.pos AS n_pos,
+           CAST(p.pos AS DOUBLE) / CAST(p.n AS DOUBLE) AS raw_rate,
+           f.fitted
+    FROM pref p JOIN fit f ON p.rn = f.i
+    ORDER BY score_rank
+    """,
+)
+def q279_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.classify import gd_train
+
+    li = load_table(spark, sf_dir, "lineitem")
+    _, w, _, b = gd_train(li, _LR_X1, _LR_X2, _LR_Y, _LR_ETA, _LR_ITERS)
+    z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+    hist = (
+        b.select(z.alias("z"), "y")
+        .groupBy("z")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("y") == F.lit(1.0), 1).otherwise(0))
+            .cast("long")
+            .alias("pos"),
+        )
+    )
+    wz = Window.orderBy("z")
+    pref = hist.select(
+        "z",
+        "n",
+        "pos",
+        F.row_number().over(wz).alias("rn"),
+        F.sum("n").over(wz).alias("cn"),
+        F.sum("pos").over(wz).alias("cp"),
+    ).localCheckpoint(eager=False)  # reused: j side, k side, final join
+    j = pref.select(
+        F.col("rn").alias("j"),
+        (F.col("cn") - F.col("n")).alias("nj1"),
+        (F.col("cp") - F.col("pos")).alias("sj1"),
+    )
+    k = pref.select(
+        F.col("rn").alias("i"), F.col("cn").alias("nk"),
+        F.col("cp").alias("sk"),
+    )
+    pairs = j.join(k, F.col("j") <= F.col("i")).select(
+        "j",
+        "i",
+        (
+            (F.col("sk") - F.col("sj1")).cast("double")
+            / (F.col("nk") - F.col("nj1")).cast("double")
+        ).alias("avg"),
+    )
+    wmin = (
+        Window.partitionBy("j")
+        .orderBy(F.col("i").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fit = (
+        pairs.withColumn("m", F.min("avg").over(wmin))
+        .groupBy("i")
+        .agg(F.max("m").alias("fitted"))
+    )
+    return (
+        pref.join(fit, pref["rn"] == fit["i"])
+        .select(
+            F.col("rn").alias("score_rank"),
+            F.col("z").alias("score"),
+            "n",
+            F.col("pos").alias("n_pos"),
+            (F.col("pos").cast("double") / F.col("n").cast("double")).alias(
+                "raw_rate"
+            ),
+            "fitted",
+        )
+        .orderBy("score_rank")
+    )

@@ -240,3 +240,46 @@ def test_als_user_step_matches_numpy(spark):
         # lambda only shrinks toward it)
         rmse0 = math.sqrt(float(np.mean(y * y)))
         assert row["rmse"] < rmse0
+
+
+def test_isotonic_minimax_equals_pav(spark):
+    """q279: the minimax closed form must equal a from-scratch
+    pool-adjacent-violators fit, be monotone, and preserve the
+    weighted mean on every pooled block (the PAV invariants)."""
+    from metadata_ingestion_poc_spark.queries.analytics8 import (
+        q279_isotonic_calibration,
+    )
+
+    rows = q279_isotonic_calibration(spark, "/root/testdata/sf0.001").collect()
+    assert rows == sorted(rows, key=lambda r: r["score_rank"])
+    fitted = [r["fitted"] for r in rows]
+    assert all(
+        fitted[i] <= fitted[i + 1] + 1e-12 for i in range(len(fitted) - 1)
+    )
+    assert all(0.0 <= f <= 1.0 for f in fitted)
+
+    # reference PAV on (weight, rate) blocks
+    blocks = [
+        [float(r["n"]), float(r["n_pos"]) / float(r["n"])] for r in rows
+    ]
+    stack = []
+    for w_, v in blocks:
+        stack.append([w_, v])
+        while len(stack) > 1 and stack[-2][1] >= stack[-1][1] - 1e-15:
+            w2, v2 = stack.pop()
+            w1, v1 = stack.pop()
+            stack.append([w1 + w2, (w1 * v1 + w2 * v2) / (w1 + w2)])
+    ref = []
+    for w_, v in stack:
+        taken = 0.0
+        while taken < w_ - 1e-9:
+            taken += blocks[len(ref)][0]
+            ref.append(v)
+    assert len(ref) == len(fitted)
+    for got, want in zip(fitted, ref):
+        assert got == pytest.approx(want, abs=1e-9)
+    # global weighted mean is preserved
+    tot = sum(r["n"] for r in rows)
+    assert sum(r["fitted"] * r["n"] for r in rows) / tot == pytest.approx(
+        sum(r["n_pos"] for r in rows) / tot
+    )
