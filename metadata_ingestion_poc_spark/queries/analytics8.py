@@ -1284,8 +1284,6 @@ def _als_item_factor(seed: str, which: int) -> str:
     """,
 )
 def q277_als_user_step(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     itemf = load_table(spark, sf_dir, "part").selectExpr(
         "p_partkey",
         f"{_als_item_factor('p_partkey', 1)} AS q1",
@@ -1317,15 +1315,9 @@ def q277_als_user_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("rating * q1")).alias("b1"),
         F.sum(F.expr("rating * q2")).alias("b2"),
     )
-    top = (
-        gram.withColumn(
-            "rk",
-            F.row_number().over(
-                Window.orderBy(F.col("n_ratings").desc(), F.col("custkey"))
-            ),
-        )
-        .filter(F.col("rk") <= 20)
-    )
+    # TakeOrderedAndProject (per-partition top-k + merge), never a
+    # single-partition row_number window — gram is customer-sized
+    top = gram.orderBy(F.col("n_ratings").desc(), F.col("custkey")).limit(20)
     det = (
         f"((CAST(g11 AS DOUBLE) + {_ALS_LAMBDA})"
         f" * (CAST(g22 AS DOUBLE) + {_ALS_LAMBDA})"
