@@ -131,18 +131,18 @@ def _load_all() -> None:
 # bootstrap CI); (b') the 8 late-round-11-new q266-q273 (NB language
 # ID, q-gram edit join, ridge closed-form/CV, logreg GD + AUC +
 # calibration, conformal intervals) — never swept, so they outrank
-# judge-verified refresh credit; (c) the core refresh block q13-q41
-# (29 of the 37 q13-q49 entries judge-verified green at sf0.01 in
-# round 10 — driver credit due; q42-q49 and the q50-q55 head defer to
+# judge-verified refresh credit; (c) the core refresh block q13-q40
+# (28 of the 37 q13-q49 entries judge-verified green at sf0.01 in
+# round 10 — driver credit due; q41-q49 and the q50-q55 head defer to
 # round 12 to make room for the never-swept block), capped by the
 # late-round-11 queries q274 (Holt forecast), q275 (DP release),
 # q276 (decision stump), q277 (ALS user step), q278 (BPE merge
-# training) and q279 (isotonic calibration); the q42-q49 refresh
-# tail defers too.
-# 3 + 4 + 8 + 6 + 29 = 50.
+# training), q279 (isotonic calibration) and q280 (Fellegi-Sunter
+# linkage); the q41-q49 refresh tail defers too.
+# 3 + 4 + 8 + 7 + 28 = 50.
 #
 # Round-12 rotation note: promote whatever round-12 code changes
-# touch, then q42-q49 + q50-q69 (judge-verified in round 10), then
+# touch, then q41-q49 + q50-q69 (judge-verified in round 10), then
 # the round-3 block q70-q118 by staleness.
 # ---------------------------------------------------------------------------
 _SWEEP_PRIORITY = [
@@ -171,8 +171,9 @@ _SWEEP_PRIORITY = [
     "q277_als_user_step",
     "q278_bpe_merge_train",
     "q279_isotonic_calibration",
-    # -- core refresh block q13-q41 (judge-verified green at sf0.01 in
-    # round 10; driver credit due; q42-q49 deferred to round 12).
+    "q280_fs_record_linkage",
+    # -- core refresh block q13-q40 (judge-verified green at sf0.01 in
+    # round 10; driver credit due; q41-q49 deferred to round 12).
     "q13_grouping_sets",
     "q14_percentiles",
     "q15_variance_stats",
@@ -201,7 +202,6 @@ _SWEEP_PRIORITY = [
     "q36_explode_tokens",
     "q37_map_struct_funcs",
     "q40_asof_join",
-    "q41_theta_band_join",
 ]
 
 

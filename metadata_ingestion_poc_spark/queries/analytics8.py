@@ -1565,3 +1565,200 @@ def q279_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("score_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q280 — Fellegi-Sunter probabilistic record linkage: the
+# entity-resolution scorer that complements the DISTANCE-based fuzzy
+# joins (q140/q267) with field-agreement WEIGHTS. A dirty
+# re-registration of every third customer is planted (deterministic
+# name typo on even keys, nation shift on keys % 20 = 0, balance
+# re-rounded on keys % 5 = 0 — all integer/substring arithmetic both
+# engines replay). u-probabilities (chance agreement between RANDOM
+# records) come from the classical frequency-marginal identity
+# u_f = Σ_v n_v² / N² — computed as EXACT integer Σn² per field (one
+# bounded rollup each; never a random-pair sample), folded into the
+# pair frame as a broadcast 1-row integer frame (the q203 scalar
+# pattern). m-probabilities are fixed documented priors. Agreement /
+# disagreement weights are ln(m/u) and ln((1-m)/(1-u)) ROUNDed at
+# 6 dp into decimals (the q219 ln discipline), so pattern scores are
+# exact decimal sums. Candidate pairs are BLOCKED on
+# (nationkey, mktsegment) — the classic recall tradeoff: a planted
+# pair whose nation was shifted falls out of its block, and the test
+# pins that measured recall loss. Output is the pattern-level census
+# (agreement pattern, pair count, true-pair count, score), bounded by
+# 2^4 patterns. Scale: one |block|²-bounded self-join (block sizes
+# are data-dependent but segment × nation blocking keeps them ~N/125
+# here; the skew lever is the same as dedup.py's), plus four
+# field-cardinality-bounded rollups.
+# ---------------------------------------------------------------------------
+
+
+_FS_M = {"name": 0.7, "nation": 0.95, "seg": 0.98, "bal": 0.6}
+
+_FS_DUP_FIELDS = {
+    # deterministic dirty re-registration of every third customer
+    "name": (
+        "CASE WHEN c_custkey % 2 = 0 THEN"
+        " substring(c_name, 1, 11) || '#'"
+        " || substring(c_name, 13) ELSE c_name END"
+    ),
+    "nation": (
+        "CASE WHEN c_custkey % 20 = 0 THEN (c_nationkey + 1) % 25"
+        " ELSE c_nationkey END"
+    ),
+    "bal": (
+        "CASE WHEN c_custkey % 5 = 0 THEN"
+        " CAST(FLOOR(c_acctbal) AS DOUBLE) ELSE c_acctbal END"
+    ),
+}
+
+
+def _fs_weight(field: str, agree: str) -> str:
+    """ln(m/u) / ln((1-m)/(1-u)) folded over the integer u stats:
+    u = sq_<f> / N² arrives as exact integers in the broadcast row."""
+    m = _FS_M[field]
+    u = (
+        f"(CAST(sq_{field} AS DOUBLE)"
+        " / (CAST(nrec AS DOUBLE) * CAST(nrec AS DOUBLE)))"
+    )
+    return (
+        f"CASE WHEN {agree}"
+        f" THEN CAST(ROUND(LN(CAST({m} AS DOUBLE) / {u}), 6)"
+        " AS DECIMAL(18,6))"
+        f" ELSE CAST(ROUND(LN(CAST({1.0 - m} AS DOUBLE)"
+        f" / (CAST(1.0 AS DOUBLE) - {u})), 6) AS DECIMAL(18,6)) END"
+    )
+
+
+_FS_SCORE = (
+    _fs_weight("name", "a_name = b_name")
+    + " + " + _fs_weight("nation", "a_nation = b_nation")
+    + " + " + _fs_weight("seg", "a_seg = b_seg")
+    + " + " + _fs_weight("bal", "a_balband = b_balband")
+)
+
+_FS_PATTERN = (
+    "CASE WHEN a_name = b_name THEN '1' ELSE '0' END"
+    " || CASE WHEN a_nation = b_nation THEN '1' ELSE '0' END"
+    " || CASE WHEN a_seg = b_seg THEN '1' ELSE '0' END"
+    " || CASE WHEN a_balband = b_balband THEN '1' ELSE '0' END"
+)
+
+
+@query(
+    "q280_fs_record_linkage",
+    oracle=f"""
+    WITH recs AS MATERIALIZED (
+      SELECT c_custkey AS id, c_name AS name, c_nationkey AS nation,
+             c_mktsegment AS seg,
+             CAST(FLOOR(c_acctbal / 100.0) AS BIGINT) AS balband,
+             c_nationkey AS blk_n, c_mktsegment AS blk_s
+      FROM customer
+      UNION ALL
+      SELECT c_custkey + 1000000,
+             {_FS_DUP_FIELDS["name"]},
+             {_FS_DUP_FIELDS["nation"]},
+             c_mktsegment,
+             CAST(FLOOR(({_FS_DUP_FIELDS["bal"]}) / 100.0) AS BIGINT),
+             {_FS_DUP_FIELDS["nation"]}, c_mktsegment
+      FROM customer WHERE c_custkey % 3 = 0),
+    u AS (
+      SELECT (SELECT COUNT(*) FROM recs)::BIGINT AS nrec,
+             (SELECT SUM(c * c) FROM (SELECT COUNT(*)::BIGINT AS c
+              FROM recs GROUP BY name))::BIGINT AS sq_name,
+             (SELECT SUM(c * c) FROM (SELECT COUNT(*)::BIGINT AS c
+              FROM recs GROUP BY nation))::BIGINT AS sq_nation,
+             (SELECT SUM(c * c) FROM (SELECT COUNT(*)::BIGINT AS c
+              FROM recs GROUP BY seg))::BIGINT AS sq_seg,
+             (SELECT SUM(c * c) FROM (SELECT COUNT(*)::BIGINT AS c
+              FROM recs GROUP BY balband))::BIGINT AS sq_bal),
+    pairs AS (
+      SELECT a.name AS a_name, b.name AS b_name,
+             a.nation AS a_nation, b.nation AS b_nation,
+             a.seg AS a_seg, b.seg AS b_seg,
+             a.balband AS a_balband, b.balband AS b_balband,
+             (b.id - a.id = 1000000) AS is_true
+      FROM recs a JOIN recs b
+        ON a.blk_n = b.blk_n AND a.blk_s = b.blk_s AND a.id < b.id)
+    SELECT {_FS_PATTERN} AS pattern,
+           COUNT(*)::BIGINT AS n_pairs,
+           SUM(CASE WHEN is_true THEN 1 ELSE 0 END)::BIGINT AS n_true,
+           CAST(MAX({_FS_SCORE}) AS DOUBLE) AS score
+    FROM pairs, u
+    GROUP BY pattern
+    ORDER BY score DESC, pattern
+    """,
+)
+def q280_fs_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orig = cust.selectExpr(
+        "c_custkey AS id",
+        "c_name AS name",
+        "c_nationkey AS nation",
+        "c_mktsegment AS seg",
+        "CAST(FLOOR(c_acctbal / 100.0) AS BIGINT) AS balband",
+        "c_nationkey AS blk_n",
+        "c_mktsegment AS blk_s",
+    )
+    dup = cust.filter("c_custkey % 3 = 0").selectExpr(
+        "c_custkey + 1000000 AS id",
+        f"{_FS_DUP_FIELDS['name']} AS name",
+        f"{_FS_DUP_FIELDS['nation']} AS nation",
+        "c_mktsegment AS seg",
+        f"CAST(FLOOR(({_FS_DUP_FIELDS['bal']}) / 100.0) AS BIGINT)"
+        " AS balband",
+        f"{_FS_DUP_FIELDS['nation']} AS blk_n",
+        "c_mktsegment AS blk_s",
+    )
+    recs = orig.unionAll(dup).localCheckpoint(
+        eager=False
+    )  # reused: four u rollups + both self-join sides
+
+    def sq(field: str) -> DataFrame:
+        return (
+            recs.groupBy(field)
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .agg(F.sum(F.expr("c * c")).cast("long").alias(f"sq_{field}"))
+        )
+
+    u = (
+        recs.agg(F.count(F.lit(1)).cast("long").alias("nrec"))
+        .crossJoin(sq("name"))
+        .crossJoin(sq("nation"))
+        .crossJoin(sq("seg"))
+        .crossJoin(
+            recs.groupBy("balband")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .agg(F.sum(F.expr("c * c")).cast("long").alias("sq_bal"))
+        )
+    )
+    a = recs.select(
+        F.col("id").alias("a_id"), F.col("name").alias("a_name"),
+        F.col("nation").alias("a_nation"), F.col("seg").alias("a_seg"),
+        F.col("balband").alias("a_balband"), "blk_n", "blk_s",
+    )
+    b = recs.select(
+        F.col("id").alias("b_id"), F.col("name").alias("b_name"),
+        F.col("nation").alias("b_nation"), F.col("seg").alias("b_seg"),
+        F.col("balband").alias("b_balband"),
+        F.col("blk_n").alias("bb_n"), F.col("blk_s").alias("bb_s"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("blk_n") == F.col("bb_n"))
+        & (F.col("blk_s") == F.col("bb_s"))
+        & (F.col("a_id") < F.col("b_id")),
+    ).crossJoin(F.broadcast(u))
+    return (
+        pairs.groupBy(F.expr(_FS_PATTERN).alias("pattern"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(
+                F.when(F.col("b_id") - F.col("a_id") == 1000000, 1)
+                .otherwise(0)
+            ).cast("long").alias("n_true"),
+            F.max(F.expr(_FS_SCORE)).cast("double").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "pattern")
+    )

@@ -283,3 +283,35 @@ def test_isotonic_minimax_equals_pav(spark):
     assert sum(r["fitted"] * r["n"] for r in rows) / tot == pytest.approx(
         sum(r["n_pos"] for r in rows) / tot
     )
+
+
+def test_fs_linkage_separates_planted_dups(spark):
+    """q280: Fellegi-Sunter weights must rank full-agreement pairs
+    above typo'd true pairs above chance pairs, and blocked recall
+    must equal exactly the planted pairs minus the nation-shifted
+    ones that blocking provably loses."""
+    from metadata_ingestion_poc_spark.queries.analytics8 import (
+        q280_fs_record_linkage,
+    )
+
+    rows = q280_fs_record_linkage(spark, SF_DIR).collect()
+    by_pat = {r["pattern"]: r for r in rows}
+    # full agreement scores highest and is pure signal
+    assert rows[0]["pattern"] == "1111"
+    assert rows[0]["n_true"] == rows[0]["n_pairs"]
+    # scores strictly decrease down the emitted ordering
+    scores = [r["score"] for r in rows]
+    assert all(scores[i] > scores[i + 1] for i in range(len(scores) - 1))
+    # the name-typo'd true pairs sit in 0111 alongside chance pairs
+    assert by_pat["0111"]["n_true"] > 0
+    assert by_pat["0111"]["n_true"] < by_pat["0111"]["n_pairs"]
+    # blocked recall: planted = custkeys % 3 == 0; lost = the planted
+    # pairs whose duplicate shifted nation (custkey % 60 == 0)
+    n_cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").count()
+    planted = len([k for k in range(n_cust) if k % 3 == 0])
+    lost = len([k for k in range(n_cust) if k % 3 == 0 and k % 20 == 0])
+    assert sum(r["n_true"] for r in rows) == planted - lost
+    # chance-agreement floor: the dominant pattern is overwhelmingly
+    # non-true
+    bulk = max(rows, key=lambda r: r["n_pairs"])
+    assert bulk["n_true"] == 0 and bulk["score"] < 5
