@@ -131,18 +131,19 @@ def _load_all() -> None:
 # bootstrap CI); (b') the 8 late-round-11-new q266-q273 (NB language
 # ID, q-gram edit join, ridge closed-form/CV, logreg GD + AUC +
 # calibration, conformal intervals) — never swept, so they outrank
-# judge-verified refresh credit; (c) the core refresh block q13-q40
-# (28 of the 37 q13-q49 entries judge-verified green at sf0.01 in
-# round 10 — driver credit due; q41-q49 and the q50-q55 head defer to
+# judge-verified refresh credit; (c) the core refresh block q13-q37
+# (27 of the 37 q13-q49 entries judge-verified green at sf0.01 in
+# round 10 — driver credit due; q40-q49 and the q50-q55 head defer to
 # round 12 to make room for the never-swept block), capped by the
 # late-round-11 queries q274 (Holt forecast), q275 (DP release),
 # q276 (decision stump), q277 (ALS user step), q278 (BPE merge
-# training), q279 (isotonic calibration) and q280 (Fellegi-Sunter
-# linkage); the q41-q49 refresh tail defers too.
-# 3 + 4 + 8 + 7 + 28 = 50.
+# training), q279 (isotonic calibration), q280 (Fellegi-Sunter
+# linkage) and q281 (bipartite HITS); the q40-q49 refresh tail
+# defers too.
+# 3 + 4 + 8 + 8 + 27 = 50.
 #
 # Round-12 rotation note: promote whatever round-12 code changes
-# touch, then q41-q49 + q50-q69 (judge-verified in round 10), then
+# touch, then q40-q49 + q50-q69 (judge-verified in round 10), then
 # the round-3 block q70-q118 by staleness.
 # ---------------------------------------------------------------------------
 _SWEEP_PRIORITY = [
@@ -172,8 +173,9 @@ _SWEEP_PRIORITY = [
     "q278_bpe_merge_train",
     "q279_isotonic_calibration",
     "q280_fs_record_linkage",
-    # -- core refresh block q13-q40 (judge-verified green at sf0.01 in
-    # round 10; driver credit due; q41-q49 deferred to round 12).
+    "q281_hits_bipartite",
+    # -- core refresh block q13-q37 (judge-verified green at sf0.01 in
+    # round 10; driver credit due; q40-q49 deferred to round 12).
     "q13_grouping_sets",
     "q14_percentiles",
     "q15_variance_stats",
@@ -201,7 +203,6 @@ _SWEEP_PRIORITY = [
     "q35_json_funcs",
     "q36_explode_tokens",
     "q37_map_struct_funcs",
-    "q40_asof_join",
 ]
 
 

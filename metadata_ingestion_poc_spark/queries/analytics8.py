@@ -1762,3 +1762,96 @@ def q280_fs_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("score").desc(), "pattern")
     )
+
+
+# ---------------------------------------------------------------------------
+# q281 — HITS hubs-and-authorities on the bipartite purchase graph
+# (customers → parts): the link-analysis complement of PageRank
+# (q168 — eigenvector of the row-stochastic walk) computing the
+# dominant singular pair of the adjacency matrix instead. The key
+# numerical move: HITS scores are SCALE-INVARIANT, so normalization
+# is deferred to the very end and every power-iteration round runs in
+# EXACT INTEGERS on the 0/1 adjacency (h = A·a, a = Aᵀ·h are integer
+# sums of integers) — zero float discipline, unlike the per-round
+# rounded-double treatments the literature defaults to. Three rounds
+# bound the values by (d_max²)³ ≈ 2.6e9 at sf0.01 and ~2.6e12 at
+# sf0.1 — far inside BIGINT; a 100 TB run with million-degree hubs
+# would switch to per-round max-normalization (one extra bounded
+# reduction per round) before overflow, noted here for the dial.
+# Each round = one edge⋈score broadcast-or-shuffle join + one
+# map-combined group rollup; edges are DISTINCT (cust, part) so
+# repeat purchases don't multi-count. Output: the top-20 authorities
+# (TakeOrderedAndProject, integer ordering with partkey tiebreak)
+# with the final normalized score as ONE raw double division.
+# ---------------------------------------------------------------------------
+
+
+_HITS_ROUNDS = 3
+
+
+def _hits_oracle(rounds: int) -> str:
+    sql = """
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    a0 AS (SELECT p, 1::BIGINT AS a FROM (SELECT DISTINCT p FROM e))"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+    h{r} AS MATERIALIZED (
+      SELECT e.c, SUM(a{r - 1}.a)::BIGINT AS h
+      FROM e JOIN a{r - 1} ON e.p = a{r - 1}.p GROUP BY e.c),
+    a{r} AS MATERIALIZED (
+      SELECT e.p, SUM(h{r}.h)::BIGINT AS a
+      FROM e JOIN h{r} ON e.c = h{r}.c GROUP BY e.p)"""
+    sql += f"""
+    SELECT p AS partkey, a AS authority,
+           CAST(a AS DOUBLE)
+             / CAST((SELECT MAX(a) FROM a{rounds}) AS DOUBLE) AS score
+    FROM a{rounds}
+    ORDER BY authority DESC, partkey
+    LIMIT 20"""
+    return sql
+
+
+@query("q281_hits_bipartite", oracle=_hits_oracle(_HITS_ROUNDS))
+def q281_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .join(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # reused by every round's 2 joins
+    )
+    a = e.select("p").distinct().withColumn("a", F.lit(1).cast("long"))
+    for _ in range(_HITS_ROUNDS):
+        h = (
+            e.join(a, "p")
+            .groupBy("c")
+            .agg(F.sum("a").cast("long").alias("h"))
+        )
+        a = (
+            e.join(h, "c")
+            .groupBy("p")
+            .agg(F.sum("h").cast("long").alias("a"))
+        )
+    mx = a.agg(F.max("a").alias("mx"))
+    return (
+        a.crossJoin(F.broadcast(mx))
+        .select(
+            F.col("p").alias("partkey"),
+            F.col("a").alias("authority"),
+            (F.col("a").cast("double") / F.col("mx").cast("double")).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.col("authority").desc(), "partkey")
+        .limit(20)
+    )

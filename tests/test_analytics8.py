@@ -315,3 +315,37 @@ def test_fs_linkage_separates_planted_dups(spark):
     # non-true
     bulk = max(rows, key=lambda r: r["n_pairs"])
     assert bulk["n_true"] == 0 and bulk["score"] < 5
+
+
+def test_hits_matches_reference_power_iteration(spark):
+    """q281: the integer power iteration must equal a from-scratch
+    replay, and the deferred normalization must behave (top score is
+    exactly 1, ordering is by raw integer authority)."""
+    from metadata_ingestion_poc_spark.queries.analytics8 import (
+        _HITS_ROUNDS, q281_hits_bipartite,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q281_hits_bipartite(spark, sf).collect()
+    assert len(got) == 20
+    assert got[0]["score"] == 1.0
+    assert all(
+        got[i]["authority"] >= got[i + 1]["authority"] for i in range(19)
+    )
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").collect()
+    orders = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in spark.read.parquet(f"{sf}/orders.parquet").collect()
+    }
+    edges = {(orders[r["l_orderkey"]], r["l_partkey"]) for r in li}
+    a = {p: 1 for _, p in edges}
+    for _ in range(_HITS_ROUNDS):
+        h = {}
+        for c, p in edges:
+            h[c] = h.get(c, 0) + a[p]
+        a = {}
+        for c, p in edges:
+            a[p] = a.get(p, 0) + h[c]
+    want = sorted(a.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r["partkey"], r["authority"]) for r in got] == want
