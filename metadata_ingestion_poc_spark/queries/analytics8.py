@@ -1855,3 +1855,101 @@ def q281_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("authority").desc(), "partkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q282 — one-way ANOVA F-test of document length across sources: the
+# classical k-group mean-difference screen the stats family lacked
+# (KS q176 is two-sample, chi² q230 is categorical, Mann-Whitney
+# lives inside q271). Everything reduces to per-group sufficient
+# statistics (n, Σx, Σx²) — ONE map-combined 20-group rollup over
+# exact integers, then group-level terms (Σx_g)²/n_g ROUNDed at 6 dp
+# into decimals before the bounded cross-group sum (magnitudes ~2e7
+# sit eight orders above the double ulp, q273 rule) — so
+# SSB/SSW/F/η² are engine-exact. The per-group frame is bounded by
+# |sources|; nothing here changes at 100 TB.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q282_anova_f",
+    oracle="""
+    WITH g AS (
+      SELECT source, COUNT(*)::BIGINT AS n,
+             SUM(n_chars)::BIGINT AS s,
+             SUM(n_chars * n_chars)::BIGINT AS ss
+      FROM documents GROUP BY source),
+    t AS (
+      SELECT COUNT(*)::BIGINT AS k,
+             SUM(n)::BIGINT AS n_tot, SUM(s)::BIGINT AS s_tot,
+             SUM(ss)::BIGINT AS ss_tot,
+             SUM(CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                            / CAST(n AS DOUBLE), 6)
+                      AS DECIMAL(28,6))) AS sq_over_n
+      FROM g)
+    SELECT k AS k_groups,
+           n_tot AS n_rows,
+           CAST(sq_over_n AS DOUBLE)
+             - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
+               / CAST(n_tot AS DOUBLE) AS ssb,
+           CAST(ss_tot AS DOUBLE) - CAST(sq_over_n AS DOUBLE) AS ssw,
+           (CAST(sq_over_n AS DOUBLE)
+            - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
+              / CAST(n_tot AS DOUBLE)) / CAST(k - 1 AS DOUBLE)
+           / ((CAST(ss_tot AS DOUBLE) - CAST(sq_over_n AS DOUBLE))
+              / CAST(n_tot - k AS DOUBLE)) AS f_stat,
+           (CAST(sq_over_n AS DOUBLE)
+            - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
+              / CAST(n_tot AS DOUBLE))
+           / (CAST(ss_tot AS DOUBLE)
+              - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE)
+                / CAST(n_tot AS DOUBLE)) AS eta_sq
+    FROM t
+    """,
+)
+def q282_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("n_chars").cast("long").alias("s"),
+            F.sum(F.expr("n_chars * n_chars")).cast("long").alias("ss"),
+        )
+    )
+    t = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("n_tot"),
+        F.sum("s").cast("long").alias("s_tot"),
+        F.sum("ss").cast("long").alias("ss_tot"),
+        F.sum(
+            F.expr(
+                "CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+                " / CAST(n AS DOUBLE), 6) AS DECIMAL(28,6))"
+            )
+        ).alias("sq_over_n"),
+    )
+    ssb = (
+        F.col("sq_over_n").cast("double")
+        - F.col("s_tot").cast("double")
+        * F.col("s_tot").cast("double")
+        / F.col("n_tot").cast("double")
+    )
+    ssw = F.col("ss_tot").cast("double") - F.col("sq_over_n").cast("double")
+    sst = (
+        F.col("ss_tot").cast("double")
+        - F.col("s_tot").cast("double")
+        * F.col("s_tot").cast("double")
+        / F.col("n_tot").cast("double")
+    )
+    return t.select(
+        F.col("k").alias("k_groups"),
+        F.col("n_tot").alias("n_rows"),
+        ssb.alias("ssb"),
+        ssw.alias("ssw"),
+        (
+            ssb / (F.col("k") - F.lit(1)).cast("double")
+            / (ssw / (F.col("n_tot") - F.col("k")).cast("double"))
+        ).alias("f_stat"),
+        (ssb / sst).alias("eta_sq"),
+    )

@@ -349,3 +349,31 @@ def test_hits_matches_reference_power_iteration(spark):
             a[p] = a.get(p, 0) + h[c]
     want = sorted(a.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     assert [(r["partkey"], r["authority"]) for r in got] == want
+
+
+def test_anova_matches_scipy_free_reference(spark):
+    """q282: F must equal the textbook one-way ANOVA computed from
+    raw rows in numpy (no sufficient-statistics shortcuts)."""
+    import numpy as np
+
+    from metadata_ingestion_poc_spark.queries.analytics8 import q282_anova_f
+
+    sf = "/root/testdata/sf0.001"
+    r = q282_anova_f(spark, sf).first()
+    rows = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "source", "n_chars"
+    ).collect()
+    groups = {}
+    for row in rows:
+        groups.setdefault(row["source"], []).append(float(row["n_chars"]))
+    xs = [np.array(v) for v in groups.values()]
+    grand = np.concatenate(xs).mean()
+    ssb = sum(len(x) * (x.mean() - grand) ** 2 for x in xs)
+    ssw = sum(((x - x.mean()) ** 2).sum() for x in xs)
+    k, n = len(xs), sum(len(x) for x in xs)
+    assert r["k_groups"] == k and r["n_rows"] == n
+    assert r["ssb"] == pytest.approx(ssb, rel=1e-9)
+    assert r["ssw"] == pytest.approx(ssw, rel=1e-9)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert r["f_stat"] == pytest.approx(f, rel=1e-9)
+    assert 0.0 <= r["eta_sq"] <= 1.0
