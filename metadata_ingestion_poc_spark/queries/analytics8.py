@@ -1953,3 +1953,129 @@ def q282_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("f_stat"),
         (ssb / sst).alias("eta_sq"),
     )
+
+
+# q283 — median regression (quantile regression at τ = 0.5) of order
+# line value on quantity, by distributed subgradient descent: the
+# ROBUST counterpart of q268's mean-squares fit. On this generator
+# extendedprice is hash-independent of quantity (corr 0.003, probed —
+# the q259/q269 rule), so the TRUE pinball optimum is
+# (median(y), slope 0); the test pins that the trajectory converges
+# onto that grid-searched optimum, which is exactly what a correct
+# subgradient method must do. Each iteration is ONE map-combined
+# aggregate of subgradient
+# terms — and unlike q269's rounded sigmoid terms, EVERY per-row
+# quantity here is an exact decimal: x1 = (2·qty − 51)·0.02 and
+# y = extendedprice·0.001 are exact 2-dp/5-dp decimals, the weights
+# are 6-dp decimal literals, so the line z, the above/below
+# indicator, ψ = ±τ, the subgradient products ψ·x1 and the pinball
+# loss τ·|y − z| are all EXACT decimal arithmetic with exact sums —
+# no per-row rounding anywhere (a rounded-double draft of this query
+# lost two 1e-6 grid steps to ROUND ties on the structured 50-value
+# z grid at sf0.001; decimals make the tie direction definitional).
+# The only IEEE step is the 1-row weight update with the classical
+# diminishing step η_t = η0/t, HALF_UP-rounded at 6 dp (the q269
+# re-literalization). The oracle unrolls all iterations as
+# MATERIALIZED CTEs with the identical step literals.
+# ---------------------------------------------------------------------------
+
+
+_QR_X1 = "(CAST(2 * l_quantity - 51 AS DECIMAL(6,0)) * CAST(0.02 AS DECIMAL(3,2)))"
+_QR_Y = "(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(0.001 AS DECIMAL(4,3)))"
+_QR_TAU = 0.5
+_QR_ETA0 = 100.0
+_QR_ITERS = 6
+
+
+def _qr_w(v: float) -> str:
+    return f"CAST({v:.6f} AS DECIMAL(20,6))"
+
+
+def _qr_psi(z: str) -> str:
+    """Subgradient factor: -tau above the line, (1-tau) at/below."""
+    return (
+        f"CASE WHEN b.y > {z} THEN CAST(-{_QR_TAU} AS DECIMAL(2,1))"
+        f" ELSE CAST({1.0 - _QR_TAU} AS DECIMAL(2,1)) END"
+    )
+
+
+def _qr_loss(z: str) -> str:
+    return (
+        f"CASE WHEN b.y > {z}"
+        f" THEN CAST({_QR_TAU} AS DECIMAL(2,1)) * (b.y - {z})"
+        f" ELSE CAST({1.0 - _QR_TAU} AS DECIMAL(2,1)) * ({z} - b.y) END"
+    )
+
+
+def _qr_oracle(iters: int) -> str:
+    sql = f"""
+    WITH base AS MATERIALIZED (
+        SELECT {_QR_X1} AS x1, {_QR_Y} AS y FROM lineitem),
+    nn AS (SELECT COUNT(*)::BIGINT AS n FROM base)"""
+    # replay the driver's weight trajectory symbolically: weights are
+    # data-dependent, so the oracle carries them as 1-row CTEs exactly
+    # like the Spark loop re-literalizes them
+    sql += """,
+    t0 AS (SELECT CAST(0.000000 AS DECIMAL(20,6)) AS w0,
+                  CAST(0.000000 AS DECIMAL(20,6)) AS w1)"""
+    for i in range(iters + 1):
+        z = "(w.w0 + w.w1 * b.x1)"
+        sql += f""",
+    s{i} AS MATERIALIZED (
+        SELECT SUM(CAST({_qr_psi(z)} AS DECIMAL(28,6))) AS g0,
+               SUM(CAST({_qr_psi(z)} * b.x1 AS DECIMAL(28,6))) AS g1,
+               SUM(CAST({_qr_loss(z)} AS DECIMAL(30,8))) AS pl
+        FROM base b, t{i} w)"""
+        if i < iters:
+            eta = repr(_QR_ETA0 / (i + 1))
+            sql += f""",
+    t{i + 1} AS (
+        SELECT CAST(ROUND(CAST(w.w0 AS DOUBLE)
+                          - {eta} * (s.g0::DOUBLE / nn.n), 6)
+                    AS DECIMAL(20,6)) AS w0,
+               CAST(ROUND(CAST(w.w1 AS DOUBLE)
+                          - {eta} * (s.g1::DOUBLE / nn.n), 6)
+                    AS DECIMAL(20,6)) AS w1
+        FROM t{i} w, s{i} s, nn)"""
+    rows = [
+        f"""
+    SELECT {i}::INT AS iter, CAST(w.w0 AS DOUBLE) AS w0,
+           CAST(w.w1 AS DOUBLE) AS w1,
+           s.pl::DOUBLE / nn.n AS pinball
+    FROM t{i} w, s{i} s, nn"""
+        for i in range(iters + 1)
+    ]
+    return sql + "\n    UNION ALL".join(rows) + "\n    ORDER BY iter"
+
+
+@query("q283_quantile_regression", oracle=_qr_oracle(_QR_ITERS))
+def q283_quantile_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.determinism import _half_up
+
+    b = (
+        load_table(spark, sf_dir, "lineitem")
+        .selectExpr(f"{_QR_X1} AS x1", f"{_QR_Y} AS y")
+        .localCheckpoint(eager=False)  # reused by iters+1 scans
+    )
+    n = b.count()
+    w = [0.0, 0.0]
+    rows = []
+    for it in range(_QR_ITERS + 1):
+        z = f"({_qr_w(w[0])} + {_qr_w(w[1])} * b.x1)"
+        st = b.alias("b").agg(
+            F.expr(f"SUM(CAST({_qr_psi(z)} AS DECIMAL(28,6)))").alias("g0"),
+            F.expr(
+                f"SUM(CAST({_qr_psi(z)} * b.x1 AS DECIMAL(28,6)))"
+            ).alias("g1"),
+            F.expr(f"SUM(CAST({_qr_loss(z)} AS DECIMAL(30,8)))").alias("pl"),
+        ).collect()[0]
+        rows.append((it, w[0], w[1], float(st["pl"]) / n))
+        if it < _QR_ITERS:
+            eta = _QR_ETA0 / (it + 1)
+            w = [
+                _half_up(w[0] - eta * (float(st["g0"]) / n), 6),
+                _half_up(w[1] - eta * (float(st["g1"]) / n), 6),
+            ]
+    return spark.createDataFrame(
+        rows, "iter int, w0 double, w1 double, pinball double"
+    ).orderBy("iter")

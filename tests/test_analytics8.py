@@ -377,3 +377,39 @@ def test_anova_matches_scipy_free_reference(spark):
     f = (ssb / (k - 1)) / (ssw / (n - k))
     assert r["f_stat"] == pytest.approx(f, rel=1e-9)
     assert 0.0 <= r["eta_sq"] <= 1.0
+
+
+def test_quantile_regression_converges_to_pinball_optimum(spark):
+    """q283: the subgradient trajectory must monotonically reduce the
+    pinball loss and land within a hair of the grid-searched true
+    optimum (median intercept, ~zero slope on this hash-independent
+    generator)."""
+    import numpy as np
+
+    from metadata_ingestion_poc_spark.queries.analytics8 import (
+        q283_quantile_regression,
+    )
+
+    rows = q283_quantile_regression(spark, SF_DIR).collect()
+    losses = [r["pinball"] for r in rows]
+    assert all(
+        losses[i] >= losses[i + 1] - 1e-9 for i in range(len(losses) - 1)
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").selectExpr(
+        "(2 * l_quantity - 51) * 0.02 AS x1",
+        "l_extendedprice * 0.001 AS y",
+    ).collect()
+    x1 = np.array([r["x1"] for r in li])
+    y = np.array([r["y"] for r in li])
+    best = None
+    for w1g in np.arange(-5.0, 5.0, 0.25):
+        w0g = float(np.median(y - w1g * x1))
+        z = w0g + w1g * x1
+        pl = float(np.where(y > z, 0.5 * (y - z), 0.5 * (z - y)).mean())
+        if best is None or pl < best:
+            best = pl
+    # final loss within 0.1% of the true optimum
+    assert losses[-1] <= best * 1.001
+    assert abs(rows[-1]["w0"] - float(np.median(y))) < 1.5
+    assert abs(rows[-1]["w1"]) < 0.5
