@@ -319,3 +319,61 @@ def phash_near_dup_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def scene_segments(
+    frames: DataFrame,
+    scene_threshold: int = 8,
+) -> DataFrame:
+    """Temporal scene-change segmentation over a frame table.
+
+    The classic shot-boundary detector (public literature: threshold
+    on inter-frame perceptual distance), Spark-shaped: hash every
+    frame with the pHash pandas UDF (zero shuffle, pure map), then ONE
+    per-blob window pass — Hamming distance to the previous frame via
+    bit_count(xor), a boundary wherever it exceeds ``scene_threshold``,
+    and scene ids as the running boundary count. The window partitions
+    by blob, so a billion blobs parallelize; frames-per-blob bounds
+    the per-partition sort, exactly the bounded-window argument of the
+    other sequence operators.
+
+    Returns (blob_id, scene_id, start_frame, n_frames) — one row per
+    detected scene, ordered within blob.
+    """
+    from pyspark.sql import Window
+
+    if scene_threshold < 0 or scene_threshold > 64:
+        raise ValueError(f"scene_threshold out of [0, 64]: {scene_threshold}")
+    # composite frame id survives the hash projection; frame counts
+    # per blob are far below the 1e6 packing factor by construction
+    fid = (F.col("blob_id") * F.lit(1_000_000) + F.col("frame_idx"))
+    hashed = phash64(
+        frames.withColumn("fid", fid), id_col="fid",
+        content_col="frame_bytes",
+    ).select(
+        (F.col("id") / 1_000_000).cast("long").alias("blob_id"),
+        (F.col("id") % 1_000_000).cast("int").alias("frame_idx"),
+        "phash",
+    )
+    w = Window.partitionBy("blob_id").orderBy("frame_idx")
+    seg = hashed.withColumn(
+        "d",
+        F.when(F.lag("phash").over(w).isNull(), F.lit(None)).otherwise(
+            F.bit_count(
+                F.col("phash").bitwiseXOR(F.lag("phash").over(w))
+            )
+        ),
+    ).withColumn(
+        "scene_id",
+        F.sum(
+            F.when(F.col("d") > scene_threshold, 1).otherwise(0)
+        ).over(w).cast("int"),
+    )
+    return (
+        seg.groupBy("blob_id", "scene_id")
+        .agg(
+            F.min("frame_idx").alias("start_frame"),
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+        )
+        .orderBy("blob_id", "scene_id")
+    )

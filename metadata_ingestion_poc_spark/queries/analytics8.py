@@ -2079,3 +2079,51 @@ def q283_quantile_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "iter int, w0 double, w1 double, pinball double"
     ).orderBy("iter")
+
+
+# ---------------------------------------------------------------------------
+# q284 — video scene-change segmentation over sampled frames
+# (operators/multimodal.py scene_segments): the temporal member of
+# the multimodal family — q65 decodes and fans frames out, q262
+# dedups stills; this detects shot boundaries by thresholded
+# inter-frame pHash Hamming distance (the classic shot-boundary
+# detector). The fixture plants the ground truth: each "video" is
+# three scenes of r_i ∈ {3,4,5} identical 32-byte frames (ascii-fied
+# 32-char text slices, repeated — UTF-8 multi-byte chars are mapped
+# to 'x' so char slices stay byte-aligned with the 32-byte frame
+# sampler), so within-scene distance is exactly 0 and boundaries are
+# near-maximal; the unit test pins exact recovery of every planted
+# (r1, r2, r3). Rows-only by design — the DCT hash has no faithful
+# SQL replay (the q262 precedent); determinism and the planted
+# recovery are test-pinned instead. Scale: frame hashing is a
+# zero-shuffle Arrow map, segmentation is one per-blob bounded
+# window + one (blob, scene) rollup.
+# ---------------------------------------------------------------------------
+
+
+@query("q284_scene_segmentation")
+def q284_scene_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import sample_frames, scene_segments
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn(
+            "ascii_text", F.expr("regexp_replace(text, '[^ -~]', 'x')")
+        )
+        .filter(F.length("ascii_text") >= 96)
+    )
+    blobs = d.select(
+        F.col("doc_id").alias("blob_id"),
+        F.lit("video/mp4").alias("media_type"),
+        F.encode(
+            F.expr(
+                "repeat(substring(ascii_text, 1, 32), doc_id % 3 + 3)"
+                " || repeat(substring(ascii_text, 33, 32), doc_id % 5 + 3)"
+                " || repeat(substring(ascii_text, 65, 32), doc_id % 7 + 3)"
+            ),
+            "UTF-8",
+        ).cast("binary").alias("content"),
+        F.lit(0).cast("long").alias("n_bytes"),
+    )
+    frames = sample_frames(blobs, every_n_bytes=32)
+    return scene_segments(frames, scene_threshold=8)

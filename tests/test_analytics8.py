@@ -413,3 +413,43 @@ def test_quantile_regression_converges_to_pinball_optimum(spark):
     assert losses[-1] <= best * 1.001
     assert abs(rows[-1]["w0"] - float(np.median(y))) < 1.5
     assert abs(rows[-1]["w1"]) < 0.5
+
+
+def test_scene_segmentation_recovers_planted_scenes(spark):
+    """q284: within-scene frames are byte-identical (distance 0), so
+    the detector must NEVER split a scene; boundaries are planted, so
+    exact recovery must be high (misses are pHash collisions between
+    different slices — the stub's 32-byte information limit)."""
+    from collections import defaultdict
+
+    from metadata_ingestion_poc_spark.queries.analytics8 import (
+        q284_scene_segmentation,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = q284_scene_segmentation(spark, sf).collect()
+    by_blob = defaultdict(list)
+    for r in rows:
+        by_blob[r["blob_id"]].append(
+            (r["scene_id"], r["start_frame"], r["n_frames"])
+        )
+    exact = 0
+    for bid, scenes in by_blob.items():
+        scenes.sort()
+        want = [bid % 3 + 3, bid % 5 + 3, bid % 7 + 3]
+        got = [n for _, _, n in scenes]
+        # never more scenes than planted (splits are impossible: a
+        # scene's frames are identical, distance 0 < any threshold)
+        assert len(got) <= 3, (bid, got)
+        assert sum(got) == sum(want), (bid, got, want)
+        # a merge only ever fuses CONSECUTIVE planted scenes, so the
+        # scene starts must be a subset of the planted boundaries
+        planted_starts = {0, want[0], want[0] + want[1]}
+        assert {s for _, s, _ in scenes} <= planted_starts, (bid, scenes)
+        if got == want:
+            exact += 1
+    assert exact / len(by_blob) >= 0.9, exact / len(by_blob)
+
+    # determinism under repartitioning
+    again = q284_scene_segmentation(spark, sf).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
