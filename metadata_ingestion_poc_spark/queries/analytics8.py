@@ -2127,3 +2127,120 @@ def q284_scene_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     frames = sample_frames(blobs, every_n_bytes=32)
     return scene_segments(frames, scene_threshold=8)
+
+
+# ---------------------------------------------------------------------------
+# q285 — KMV (k-minimum-values / bottom-k theta) sketches for
+# cross-source set arithmetic: the mergeable-sketch family member the
+# registry lacked — HLL (q18/q127) unions but can never intersect;
+# a KMV sketch supports union by merge and intersection by
+# inclusion-exclusion, which is exactly the contamination-matrix
+# question (q255) at sketch cost. Hash = first 12 hex chars of the
+# q64 portable md5 fingerprint parsed as a 48-bit integer — uniform,
+# engine-identical, and (unlike xxhash64) fully oracle-able. The
+# per-source bottom-k (k = 16) rides the RANGE-PARTITIONED global
+# sort (operators/indexing.py global_row_number — every source
+# spreads across all partitions, the q270/q226 rule) + one bounded
+# per-source min-rank rollup; sketches are ≤ k-element sorted arrays,
+# so all pair arithmetic (merge → distinct → bottom-k → θ) is
+# codegen on |sources|²-bounded frames. Estimator: D̂ = (k−1)·2⁴⁸/h₍ₖ₎
+# with the EXACT-below-k fallback (a sketch smaller than k IS the
+# set); estimates are fixed IEEE expressions of exact integers.
+# ---------------------------------------------------------------------------
+
+
+_KMV_K = 16
+_KMV_M = 1 << 48
+
+
+def _kmv_est(arr_size: str, kth: str) -> str:
+    """KMV estimate with the exact-small fallback, as a shared
+    expression template over (size, k-th smallest hash) strings."""
+    return (
+        f"CASE WHEN {arr_size} < {_KMV_K} THEN CAST({arr_size} AS DOUBLE)"
+        f" ELSE CAST({_KMV_K - 1} AS DOUBLE) * CAST({_KMV_M} AS DOUBLE)"
+        f" / CAST({kth} AS DOUBLE) END"
+    )
+
+
+@query(
+    "q285_kmv_cardinality",
+    oracle=rf"""
+    WITH n AS (
+      SELECT DISTINCT source,
+             CAST('0x' || substring(md5(regexp_replace(lower(trim(text)),
+                                    '[ \t\n\r]+', ' ', 'g')), 1, 12)
+                  AS BIGINT) AS h
+      FROM documents),
+    r AS (SELECT source, h,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+          FROM n),
+    sk AS (SELECT source, list_sort(list(h)) AS arr
+           FROM r WHERE rn <= {_KMV_K} GROUP BY source),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             a.arr AS arr_a, b.arr AS arr_b,
+             list_sort(list_distinct(list_concat(a.arr, b.arr)))
+               [1:{_KMV_K}] AS comb
+      FROM sk a JOIN sk b ON a.source < b.source)
+    SELECT source_a, source_b,
+           {_kmv_est("len(arr_a)", f"arr_a[{_KMV_K}]")} AS est_a,
+           {_kmv_est("len(arr_b)", f"arr_b[{_KMV_K}]")} AS est_b,
+           {_kmv_est("len(comb)", f"comb[{_KMV_K}]")} AS est_union,
+           {_kmv_est("len(arr_a)", f"arr_a[{_KMV_K}]")}
+             + {_kmv_est("len(arr_b)", f"arr_b[{_KMV_K}]")}
+             - {_kmv_est("len(comb)", f"comb[{_KMV_K}]")} AS est_inter
+    FROM pairs
+    ORDER BY source_a, source_b
+    """,
+)
+def q285_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.indexing import global_row_number
+
+    norm = F.regexp_replace(
+        F.lower(F.trim(F.col("text"))), "[ \t\n\r]+", " "
+    )
+    h = F.expr(
+        "CAST(conv(substring(md5(regexp_replace(lower(trim(text)),"
+        " '[ \\t\\n\\r]+', ' ')), 1, 12), 16, 10) AS BIGINT)"
+    )
+    pts = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", h.alias("h"))
+        .distinct()
+    )
+    grn = global_row_number(pts, ["source", "h"], "rn")
+    offs = grn.groupBy("source").agg(F.min("rn").alias("rn0"))
+    sk = (
+        grn.join(F.broadcast(offs), "source")
+        .filter(F.col("rn") - F.col("rn0") < _KMV_K)
+        .groupBy("source")
+        .agg(F.sort_array(F.collect_list("h")).alias("arr"))
+        .localCheckpoint(eager=False)  # reused as both pair sides
+    )
+    a = sk.select(
+        F.col("source").alias("source_a"), F.col("arr").alias("arr_a")
+    )
+    b = sk.select(
+        F.col("source").alias("source_b"), F.col("arr").alias("arr_b")
+    )
+    pairs = a.join(
+        F.broadcast(b), F.col("source_a") < F.col("source_b")
+    ).withColumn(
+        "comb",
+        F.expr(
+            f"slice(array_sort(array_distinct(concat(arr_a, arr_b))),"
+            f" 1, {_KMV_K})"
+        ),
+    )
+    est_a = _kmv_est("size(arr_a)", f"element_at(arr_a, {_KMV_K})")
+    est_b = _kmv_est("size(arr_b)", f"element_at(arr_b, {_KMV_K})")
+    est_u = _kmv_est("size(comb)", f"element_at(comb, {_KMV_K})")
+    return pairs.selectExpr(
+        "source_a",
+        "source_b",
+        f"{est_a} AS est_a",
+        f"{est_b} AS est_b",
+        f"{est_u} AS est_union",
+        f"{est_a} + {est_b} - {est_u} AS est_inter",
+    ).orderBy("source_a", "source_b")

@@ -453,3 +453,50 @@ def test_scene_segmentation_recovers_planted_scenes(spark):
     # determinism under repartitioning
     again = q284_scene_segmentation(spark, sf).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_kmv_estimates_track_exact_cardinalities(spark):
+    """q285: sketch estimates must sit within KMV's k=16 error
+    envelope of the exact per-source and union cardinalities, and the
+    exact-below-k fallback must be exact."""
+    import duckdb
+
+    from metadata_ingestion_poc_spark.queries.analytics8 import (
+        q285_kmv_cardinality,
+    )
+
+    rows = q285_kmv_cardinality(spark, SF_DIR).collect()
+    assert len(rows) == 190  # 20 choose 2
+
+    con = duckdb.connect()
+    con.execute(
+        f"""CREATE VIEW n AS
+            SELECT DISTINCT source,
+                   md5(regexp_replace(lower(trim(text)),
+                       '[ \t\n\r]+', ' ', 'g')) AS fp
+            FROM read_parquet('{SF_DIR}/documents.parquet')"""
+    )
+    exact = {s: c for s, c in con.execute(
+        "SELECT source, COUNT(*) FROM n GROUP BY source").fetchall()}
+    uni = {
+        (a, b): c
+        for a, b, c in con.execute(
+            """SELECT a.source, b.source, COUNT(DISTINCT f.fp)
+               FROM (SELECT DISTINCT source FROM n) a
+               JOIN (SELECT DISTINCT source FROM n) b ON a.source < b.source
+               JOIN n f ON f.source IN (a.source, b.source)
+               GROUP BY 1, 2"""
+        ).fetchall()
+    }
+    # KMV with k=16: relative std ~ 1/sqrt(k-2) ~ 27%; allow 3 sigma
+    for r in rows:
+        ta, tb = exact[r["source_a"]], exact[r["source_b"]]
+        tu = uni[(r["source_a"], r["source_b"])]
+        for est, truth in [
+            (r["est_a"], ta), (r["est_b"], tb), (r["est_union"], tu),
+        ]:
+            assert 0.2 * truth <= est <= 2.5 * truth, (r, truth)
+        # inclusion-exclusion keeps the intersection estimate sane:
+        # sources here are near-disjoint (distinct texts), so the
+        # estimate must hover near zero relative to the union
+        assert abs(r["est_inter"]) <= 0.8 * tu, r
