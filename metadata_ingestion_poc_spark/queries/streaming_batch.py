@@ -135,3 +135,34 @@ def q138_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("view_id")
     )
+
+
+@query(
+    "q286_stream_static_enrichment",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 day', e.ts) AS window_start,
+           c.c_mktsegment AS segment,
+           COUNT(*)::BIGINT AS n_events,
+           ROUND(SUM(CAST(e.value AS DECIMAL(28,6))), 6)::DOUBLE
+             AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q286_stream_static_enrichment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch twin of the stream-static enrichment join (round 11,
+    streaming/joins.py static_enrichment): fact stream broadcast-
+    enriched against the customer dimension, rolled up per (day,
+    market segment). The true streaming execution — file-source
+    micro-batches, availableNow — is pinned equal to this exact plan
+    in tests/test_streaming_joins.py."""
+    from ..streaming.joins import static_enrichment
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    return static_enrichment(ev, cust, bucket="1 day").orderBy(
+        "window_start", "segment"
+    )

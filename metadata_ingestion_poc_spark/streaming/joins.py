@@ -84,3 +84,60 @@ def event_attribution(
         "then_ts",
         "then_value",
     )
+
+
+def static_enrichment(
+    events: DataFrame,
+    dim: DataFrame,
+    stream_key: str = "user_id",
+    dim_key: str = "c_custkey",
+    dim_attr: str = "c_mktsegment",
+    bucket: str = "1 day",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static enrichment join + windowed rollup per dimension
+    attribute — the most common production streaming shape (enrich a
+    fact stream against a slowly-changing dimension) and the one
+    stream-join variant this module lacked next to the stream-stream
+    attribution above.
+
+    Semantics Spark gives stream-static joins: the static side is
+    re-read per micro-batch (so a dimension REPLACED between batches
+    is picked up — pair with the snapshot table format for atomic
+    swaps), no state is kept for it, and an inner join never blocks
+    on watermarks — the watermark below only bounds the windowed
+    aggregation state. The dimension is broadcast: never let a
+    million-row micro-batch shuffle against a dimension scan.
+
+    Runs unchanged on a batch events frame (watermark only attaches
+    to streaming inputs), which is what gives the registered query
+    its DuckDB oracle (the q70 shared-plan pattern).
+    """
+    from .windows import _with_watermark
+
+    ev = events
+    if ev.isStreaming:
+        ev = _with_watermark(ev, watermark)
+    enriched = ev.join(
+        F.broadcast(dim.select(F.col(dim_key).alias(stream_key), dim_attr)),
+        stream_key,
+        "inner",
+    )
+    return (
+        enriched.groupBy(
+            F.window("ts", bucket).alias("w"),
+            F.col(dim_attr).alias("segment"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,6)")), 6
+            ).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "segment",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -114,3 +114,42 @@ def test_event_attribution_rejects_bad_join_type(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     with pytest.raises(ValueError):
         event_attribution(ev, how="full_outer")
+
+
+def test_stream_static_enrichment_equals_batch(spark, tmp_path, sf_dir):
+    """The streaming execution of static_enrichment (file-source
+    micro-batches, availableNow) must equal the identical batch plan
+    — the stream-static join keeps no stream state for the dimension
+    and the broadcast dimension is re-read per micro-batch."""
+    from metadata_ingestion_poc_spark.catalog import load_table
+    from metadata_ingestion_poc_spark.streaming.joins import (
+        static_enrichment,
+    )
+    from metadata_ingestion_poc_spark.streaming.pipeline import read_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    path = str(tmp_path / "events_stream_static")
+    ev.repartition(4).write.parquet(path)
+
+    stream = read_stream(spark, path, ev.schema, max_files_per_trigger=2)
+    agg = static_enrichment(stream, cust, bucket="1 day")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("stream_static_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.window_start, r.segment): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM stream_static_test").collect()
+    }
+    want = {
+        (r.window_start, r.segment): (r.n_events, r.total_value)
+        for r in static_enrichment(ev, cust, bucket="1 day").collect()
+    }
+    assert got == want and got
