@@ -1837,10 +1837,13 @@ def q281_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("c")
             .agg(F.sum("a").cast("long").alias("h"))
         )
+        # per-round lineage cut (the q189/q244 iterative-graph rule):
+        # without it round r's plan re-derives rounds 1..r-1
         a = (
             e.join(h, "c")
             .groupBy("p")
             .agg(F.sum("h").cast("long").alias("a"))
+            .localCheckpoint(eager=False)
         )
     mx = a.agg(F.max("a").alias("mx"))
     return (
