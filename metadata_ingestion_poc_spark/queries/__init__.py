@@ -131,21 +131,21 @@ def _load_all() -> None:
 # bootstrap CI); (b') the 8 late-round-11-new q266-q273 (NB language
 # ID, q-gram edit join, ridge closed-form/CV, logreg GD + AUC +
 # calibration, conformal intervals) — never swept, so they outrank
-# judge-verified refresh credit; (c) the core refresh block q13-q32
-# (22 of the 37 q13-q49 entries judge-verified green at sf0.01 in
-# round 10 — driver credit due; q33-q49 and the q50-q55 head defer to
+# judge-verified refresh credit; (c) the core refresh block q13-q31
+# (21 of the 37 q13-q49 entries judge-verified green at sf0.01 in
+# round 10 — driver credit due; q32-q49 and the q50-q55 head defer to
 # round 12 to make room for the never-swept block), capped by the
 # late-round-11 queries q274 (Holt forecast), q275 (DP release),
 # q276 (decision stump), q277 (ALS user step), q278 (BPE merge
 # training), q279 (isotonic calibration), q280 (Fellegi-Sunter
 # linkage), q281 (bipartite HITS), q282 (ANOVA F), q283 (quantile
 # regression), q284 (scene segmentation, rows-only), q285 (KMV
-# sketches) and q286 (stream-static enrichment); the q33-q49 refresh
-# tail defers too.
-# 3 + 4 + 8 + 13 + 22 = 50.
+# sketches), q286 (stream-static enrichment) and q287 (sequential
+# pattern mining); the q32-q49 refresh tail defers too.
+# 3 + 4 + 8 + 14 + 21 = 50.
 #
 # Round-12 rotation note: promote whatever round-12 code changes
-# touch, then q33-q49 + q50-q69 (judge-verified in round 10), then
+# touch, then q32-q49 + q50-q69 (judge-verified in round 10), then
 # the round-3 block q70-q118 by staleness.
 # ---------------------------------------------------------------------------
 _SWEEP_PRIORITY = [
@@ -181,8 +181,9 @@ _SWEEP_PRIORITY = [
     "q284_scene_segmentation",
     "q285_kmv_cardinality",
     "q286_stream_static_enrichment",
-    # -- core refresh block q13-q32 (judge-verified green at sf0.01 in
-    # round 10; driver credit due; q33-q49 deferred to round 12).
+    "q287_sequence_patterns",
+    # -- core refresh block q13-q31 (judge-verified green at sf0.01 in
+    # round 10; driver credit due; q32-q49 deferred to round 12).
     "q13_grouping_sets",
     "q14_percentiles",
     "q15_variance_stats",
@@ -204,7 +205,6 @@ _SWEEP_PRIORITY = [
     "q29_except",
     "q30_string_funcs",
     "q31_datetime_funcs",
-    "q32_math_funcs",
 ]
 
 

@@ -2247,3 +2247,178 @@ def q285_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{est_u} AS est_union",
         f"{est_a} + {est_b} - {est_u} AS est_inter",
     ).orderBy("source_a", "source_b")
+
+
+# ---------------------------------------------------------------------------
+# q287 — sequential pattern mining over sessionized events (GSP /
+# PrefixSpan level 2-3): support of every ordered GAPPY subsequence
+# pattern of length 2 and 3 over the event-type alphabet, counted per
+# 30-minute session — the funnel-discovery generalization of q155's
+# contiguous Markov transitions and q73's single fixed funnel. The
+# candidate universe is the TYPE GRID (5² + 5³ = 150 patterns, a
+# broadcast literal), so the data-sized work is one sessionization
+# window + one (session × pattern) codegen containment fold (greedy
+# first-occurrence matching — correct and canonical for subsequence
+# containment) + one 150-group rollup. All counts integer; support is
+# a RAW bigint/bigint division. The oracle replays containment as
+# ordered EXISTS self-joins per pattern length over the same
+# (session, rn) numbering — a deliberately DIFFERENT formulation of
+# the same semantics, so the sweep cross-checks greedy-fold
+# containment against relational containment.
+# ---------------------------------------------------------------------------
+
+
+_SEQ_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _seq_patterns() -> list[list[str]]:
+    t = _SEQ_TYPES
+    pairs = [[a, b] for a in t for b in t]
+    triples = [[a, b, c] for a in t for b in t for c in t]
+    return pairs + triples
+
+
+@query(
+    "q287_sequence_patterns",
+    oracle="""
+    WITH ev AS MATERIALIZED (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS MATERIALIZED (
+      SELECT user_id, event_type,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM ev),
+    n_sess AS (
+      SELECT COUNT(*)::BIGINT AS n
+      FROM (SELECT DISTINCT user_id, sid FROM sess)),
+    ty AS (SELECT DISTINCT event_type AS t FROM events),
+    cand2 AS (SELECT a.t AS e1, b.t AS e2 FROM ty a CROSS JOIN ty b),
+    cand3 AS (SELECT a.t AS e1, b.t AS e2, c.t AS e3
+              FROM ty a CROSS JOIN ty b CROSS JOIN ty c),
+    hit2 AS (
+      SELECT x.event_type AS e1, y.event_type AS e2,
+             COUNT(DISTINCT (x.user_id, x.sid))::BIGINT AS n_hit
+      FROM sess x JOIN sess y
+        ON x.user_id = y.user_id AND x.sid = y.sid AND x.rn < y.rn
+      GROUP BY 1, 2),
+    hit3 AS (
+      SELECT x.event_type AS e1, y.event_type AS e2, z.event_type AS e3,
+             COUNT(DISTINCT (x.user_id, x.sid))::BIGINT AS n_hit
+      FROM sess x
+      JOIN sess y ON x.user_id = y.user_id AND x.sid = y.sid
+                 AND x.rn < y.rn
+      JOIN sess z ON y.user_id = z.user_id AND y.sid = z.sid
+                 AND y.rn < z.rn
+      GROUP BY 1, 2, 3),
+    allp AS (
+      SELECT e1 || '>' || e2 AS pattern, 2::INT AS plen,
+             COALESCE(h.n_hit, 0)::BIGINT AS n_sessions
+      FROM cand2 c LEFT JOIN hit2 h USING (e1, e2)
+      UNION ALL
+      SELECT e1 || '>' || e2 || '>' || e3, 3::INT,
+             COALESCE(h.n_hit, 0)::BIGINT
+      FROM cand3 c LEFT JOIN hit3 h USING (e1, e2, e3))
+    SELECT pattern, plen, n_sessions,
+           CAST(n_sessions AS DOUBLE) / CAST(n_sess.n AS DOUBLE) AS support
+    FROM allp, n_sess
+    ORDER BY plen, pattern
+    """,
+)
+def q287_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.withColumn(
+            "new_s",
+            F.when(
+                F.lag("ts").over(w).isNull()
+                | (
+                    F.col("ts") - F.lag("ts").over(w)
+                    >= F.expr("INTERVAL 30 MINUTES")
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sid", F.sum("new_s").over(w))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts", "event_id", "event_type")
+                    )
+                ),
+                lambda s: s["event_type"],
+            ).alias("arr")
+        )
+        .localCheckpoint(eager=False)  # reused: total count + containment
+    )
+    n_sess = sess.count()
+    pats = _seq_patterns()
+    cand = F.array(
+        *[
+            F.struct(
+                F.lit(">".join(p)).alias("pattern"),
+                F.lit(len(p)).cast("int").alias("plen"),
+                F.array(*[F.lit(e) for e in p]).alias("pat"),
+            )
+            for p in pats
+        ]
+    )
+    contains = F.expr(
+        """
+        aggregate(
+          c.pat,
+          named_struct('rest', arr, 'ok', true),
+          (acc, el) -> IF(NOT acc.ok OR array_position(acc.rest, el) = 0,
+                          named_struct('rest', acc.rest, 'ok', false),
+                          named_struct(
+                            'rest',
+                            slice(acc.rest,
+                                  CAST(array_position(acc.rest, el) AS INT)
+                                    + 1,
+                                  size(acc.rest)),
+                            'ok', true)),
+          acc -> acc.ok)
+        """
+    )
+    return (
+        sess.select(F.explode(cand).alias("c"), "arr")
+        .filter(contains)
+        .groupBy(
+            F.col("c.pattern").alias("pattern"),
+            F.col("c.plen").alias("plen"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+        # densify against the full candidate grid so zero-support
+        # patterns emit too (matching the oracle's LEFT JOIN)
+        .join(
+            spark.createDataFrame(
+                [(">".join(p), len(p)) for p in pats],
+                "pattern string, plen int",
+            ),
+            ["pattern", "plen"],
+            "right_outer",
+        )
+        .select(
+            "pattern",
+            "plen",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias(
+                "n_sessions"
+            ),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.lit(float(n_sess))
+            ).alias("support"),
+        )
+        .orderBy("plen", "pattern")
+    )

@@ -500,3 +500,27 @@ def test_kmv_estimates_track_exact_cardinalities(spark):
         # sources here are near-disjoint (distinct texts), so the
         # estimate must hover near zero relative to the union
         assert abs(r["est_inter"]) <= 0.8 * tu, r
+
+
+def test_sequence_pattern_apriori_antimonotonicity(spark):
+    """q287: support must be anti-monotone — every length-3 pattern's
+    support is bounded by BOTH its length-2 prefixes/suffixes (the
+    Apriori property; a greedy-containment bug typically breaks it),
+    and repeated-type patterns need genuinely repeated events."""
+    from metadata_ingestion_poc_spark.queries.analytics8 import (
+        q287_sequence_patterns,
+    )
+
+    rows = q287_sequence_patterns(spark, SF_DIR).collect()
+    assert len(rows) == 150
+    sup = {r["pattern"]: r["n_sessions"] for r in rows}
+    for r in rows:
+        parts = r["pattern"].split(">")
+        if len(parts) == 3:
+            a, b, c = parts
+            assert r["n_sessions"] <= sup[f"{a}>{b}"], r
+            assert r["n_sessions"] <= sup[f"{b}>{c}"], r
+    assert all(0.0 <= r["support"] <= 1.0 for r in rows)
+    # a>a demands two a's in one session: strictly rarer than sessions
+    # containing a at all (= the a>a + singleton-a sessions)
+    assert sup["click>click"] < max(sup.values())
