@@ -56,6 +56,11 @@ def word_frequency_table(df: DataFrame, text_col: str) -> DataFrame:
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        # checkpoint BEFORE the validation collect: the validation job
+        # materializes the vocab-bounded frame once and every merge
+        # round reuses it — otherwise the corpus tokenize+aggregate
+        # (the expensive stage) would run twice
+        .localCheckpoint(eager=False)
     )
     bad = words.filter(F.col("word").contains(SEP)).limit(1).collect()
     if bad:

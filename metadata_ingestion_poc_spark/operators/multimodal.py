@@ -204,26 +204,10 @@ def _dct32():
     return m * np.sqrt(2.0 / 32.0)
 
 
-def phash64(
-    blobs: DataFrame,
-    id_col: str = "blob_id",
-    content_col: str = "content",
-) -> DataFrame:
-    """(id, phash long): 64-bit perceptual hash of each blob.
-
-    The classic pHash construction (public literature: DCT perceptual
-    hashing, e.g. Zauner 2010): decode → 32×32 grayscale → 2-D DCT-II
-    → keep the 8×8 lowest-frequency block → threshold each coefficient
-    against the median of the 63 non-DC values → 64 bits, packed
-    row-major into one signed long (two's complement — Spark's
-    bit_count/bitwiseXOR are bitwise on longs, so sign never matters).
-
-    Arrow-batched pandas UDF over the binary column (the sanctioned
-    UDF case: a DCT matmul has no built-in form); one numpy
-    einsum-free double matmul per blob, vectorized per batch. ZERO
-    shuffle — a pure map over the corpus, like simhash. Hamming
-    distance between hashes tracks perceptual distance, which is what
-    the banded near-dup join below exploits."""
+def _phash_udf():
+    """The 64-bit DCT pHash as a reusable Arrow-batched pandas UDF —
+    shared by phash64 (per-blob) and scene_segments (per-frame), so
+    neither has to force its keys through a packed surrogate id."""
     from pyspark.sql.pandas.functions import pandas_udf
 
     def ph(content):
@@ -244,7 +228,30 @@ def phash64(
             out.append(int((bits * weights).sum()))
         return pd.Series(out, dtype="int64")
 
-    udf = pandas_udf(ph, LongType())
+    return pandas_udf(ph, LongType())
+
+
+def phash64(
+    blobs: DataFrame,
+    id_col: str = "blob_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """(id, phash long): 64-bit perceptual hash of each blob.
+
+    The classic pHash construction (public literature: DCT perceptual
+    hashing, e.g. Zauner 2010): decode → 32×32 grayscale → 2-D DCT-II
+    → keep the 8×8 lowest-frequency block → threshold each coefficient
+    against the median of the 63 non-DC values → 64 bits, packed
+    row-major into one signed long (two's complement — Spark's
+    bit_count/bitwiseXOR are bitwise on longs, so sign never matters).
+
+    Arrow-batched pandas UDF over the binary column (the sanctioned
+    UDF case: a DCT matmul has no built-in form); one numpy
+    einsum-free double matmul per blob, vectorized per batch. ZERO
+    shuffle — a pure map over the corpus, like simhash. Hamming
+    distance between hashes tracks perceptual distance, which is what
+    the banded near-dup join below exploits."""
+    udf = _phash_udf()
     from .dedup import _spread
 
     return _spread(blobs).select(
@@ -344,16 +351,12 @@ def scene_segments(
 
     if scene_threshold < 0 or scene_threshold > 64:
         raise ValueError(f"scene_threshold out of [0, 64]: {scene_threshold}")
-    # composite frame id survives the hash projection; frame counts
-    # per blob are far below the 1e6 packing factor by construction
-    fid = (F.col("blob_id") * F.lit(1_000_000) + F.col("frame_idx"))
-    hashed = phash64(
-        frames.withColumn("fid", fid), id_col="fid",
-        content_col="frame_bytes",
-    ).select(
-        (F.col("id") / 1_000_000).cast("long").alias("blob_id"),
-        (F.col("id") % 1_000_000).cast("int").alias("frame_idx"),
-        "phash",
+    # hash frames in place — (blob_id, frame_idx) ride along, so no
+    # surrogate-id packing that a billion-frame blob could overflow
+    hashed = frames.select(
+        "blob_id",
+        "frame_idx",
+        _phash_udf()(F.col("frame_bytes")).alias("phash"),
     )
     w = Window.partitionBy("blob_id").orderBy("frame_idx")
     seg = hashed.withColumn(

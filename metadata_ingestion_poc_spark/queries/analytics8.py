@@ -1579,7 +1579,12 @@ def q279_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # u_f = Σ_v n_v² / N² — computed as EXACT integer Σn² per field (one
 # bounded rollup each; never a random-pair sample), folded into the
 # pair frame as a broadcast 1-row integer frame (the q203 scalar
-# pattern). m-probabilities are fixed documented priors. Agreement /
+# pattern). m-probabilities are fixed documented priors. Duplicate
+# ids are the NEGATIVE mirror -(custkey) - 1, which cannot collide
+# with real keys at ANY scale (an additive offset would collide past
+# its magnitude), and the truth label a.id + b.id = -1 is exact: two
+# originals sum to >= 1, two mirrors to <= -3, and an
+# (orig c1, mirror of c2) pair sums to -1 iff c1 = c2. Agreement /
 # disagreement weights are ln(m/u) and ln((1-m)/(1-u)) ROUNDed at
 # 6 dp into decimals (the q219 ln discipline), so pattern scores are
 # exact decimal sums. Candidate pairs are BLOCKED on
@@ -1656,7 +1661,7 @@ _FS_PATTERN = (
              c_nationkey AS blk_n, c_mktsegment AS blk_s
       FROM customer
       UNION ALL
-      SELECT c_custkey + 1000000,
+      SELECT -c_custkey - 1,
              {_FS_DUP_FIELDS["name"]},
              {_FS_DUP_FIELDS["nation"]},
              c_mktsegment,
@@ -1678,7 +1683,7 @@ _FS_PATTERN = (
              a.nation AS a_nation, b.nation AS b_nation,
              a.seg AS a_seg, b.seg AS b_seg,
              a.balband AS a_balband, b.balband AS b_balband,
-             (b.id - a.id = 1000000) AS is_true
+             (a.id + b.id = -1) AS is_true
       FROM recs a JOIN recs b
         ON a.blk_n = b.blk_n AND a.blk_s = b.blk_s AND a.id < b.id)
     SELECT {_FS_PATTERN} AS pattern,
@@ -1702,7 +1707,7 @@ def q280_fs_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment AS blk_s",
     )
     dup = cust.filter("c_custkey % 3 = 0").selectExpr(
-        "c_custkey + 1000000 AS id",
+        "-c_custkey - 1 AS id",
         f"{_FS_DUP_FIELDS['name']} AS name",
         f"{_FS_DUP_FIELDS['nation']} AS nation",
         "c_mktsegment AS seg",
@@ -1755,7 +1760,7 @@ def q280_fs_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_pairs"),
             F.sum(
-                F.when(F.col("b_id") - F.col("a_id") == 1000000, 1)
+                F.when(F.col("a_id") + F.col("b_id") == -1, 1)
                 .otherwise(0)
             ).cast("long").alias("n_true"),
             F.max(F.expr(_FS_SCORE)).cast("double").alias("score"),
@@ -2200,9 +2205,6 @@ def _kmv_est(arr_size: str, kth: str) -> str:
 def q285_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.indexing import global_row_number
 
-    norm = F.regexp_replace(
-        F.lower(F.trim(F.col("text"))), "[ \t\n\r]+", " "
-    )
     h = F.expr(
         "CAST(conv(substring(md5(regexp_replace(lower(trim(text)),"
         " '[ \\t\\n\\r]+', ' ')), 1, 12), 16, 10) AS BIGINT)"
@@ -2268,11 +2270,12 @@ def q285_kmv_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-_SEQ_TYPES = ["click", "error", "purchase", "signup", "view"]
-
-
-def _seq_patterns() -> list[list[str]]:
-    t = _SEQ_TYPES
+def _seq_patterns(types: list[str]) -> list[list[str]]:
+    """All ordered length-2/3 patterns over the observed alphabet —
+    derived from the DATA (one bounded distinct collect), exactly as
+    the oracle's SELECT DISTINCT does, so a generator that adds or
+    drops an event type moves both engines together."""
+    t = sorted(types)
     pairs = [[a, b] for a in t for b in t]
     triples = [[a, b, c] for a in t for b in t for c in t]
     return pairs + triples
@@ -2363,7 +2366,11 @@ def q287_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # reused: total count + containment
     )
     n_sess = sess.count()
-    pats = _seq_patterns()
+    types = [
+        r["event_type"]
+        for r in ev.select("event_type").distinct().collect()
+    ]
+    pats = _seq_patterns(types)
     cand = F.array(
         *[
             F.struct(
