@@ -131,17 +131,16 @@ def _load_all() -> None:
 # bootstrap CI); (b') the 8 late-round-11-new q266-q273 (NB language
 # ID, q-gram edit join, ridge closed-form/CV, logreg GD + AUC +
 # calibration, conformal intervals) — never swept, so they outrank
-# judge-verified refresh credit; (c) the core refresh block q13-q31
-# (21 of the 37 q13-q49 entries judge-verified green at sf0.01 in
-# round 10 — driver credit due; q32-q49 and the q50-q55 head defer to
-# round 12 to make room for the never-swept block), capped by the
-# late-round-11 queries q274 (Holt forecast), q275 (DP release),
-# q276 (decision stump), q277 (ALS user step), q278 (BPE merge
-# training), q279 (isotonic calibration), q280 (Fellegi-Sunter
-# linkage), q281 (bipartite HITS), q282 (ANOVA F), q283 (quantile
-# regression), q284 (scene segmentation, rows-only), q285 (KMV
-# sketches), q286 (stream-static enrichment) and q287 (sequential
-# pattern mining); the q32-q49 refresh tail defers too.
+# judge-verified refresh credit; (b'') the 14 end-of-round-11-new
+# q274-q287 (Holt forecast, DP release, decision stump, ALS user
+# step, BPE merge training, isotonic calibration, Fellegi-Sunter
+# linkage, bipartite HITS, ANOVA F, quantile regression, scene
+# segmentation [rows-only], KMV sketches, stream-static enrichment,
+# sequential pattern mining) — likewise never swept; (c) the core
+# refresh block head q13-q31 (21 of the 37 q13-q49 entries
+# judge-verified green at sf0.01 in round 10 — driver credit due;
+# q32-q49 and the q50-q69 head defer to round 12 to make room for
+# the never-swept blocks).
 # 3 + 4 + 8 + 14 + 21 = 50.
 #
 # Round-12 rotation note: promote whatever round-12 code changes
