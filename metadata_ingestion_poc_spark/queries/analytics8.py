@@ -2399,7 +2399,12 @@ def q287_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return (
-        sess.select(F.explode(cand).alias("c"), "arr")
+        # single-event sessions can't contain a length-2 pattern, and
+        # on this sparse fixture they're ~95% of sessions — dropping
+        # them BEFORE the 150-way candidate explode cuts the fold
+        # work ~20x (support denominators still count every session)
+        sess.filter(F.size("arr") >= 2)
+        .select(F.explode(cand).alias("c"), "arr")
         .filter(contains)
         .groupBy(
             F.col("c.pattern").alias("pattern"),
