@@ -247,3 +247,68 @@ def test_cms_screen_two_pass_equals_exact(spark, vals, threshold):
         (k, n) for k, n in Counter(vals).items() if n >= threshold
     )
     assert got == want
+
+
+# --- round-11 training-fold invariants -------------------------------------
+
+
+@given(
+    counts=st.dictionaries(
+        st.text(alphabet="abcde", min_size=1, max_size=6).filter(bool),
+        st.integers(1, 9),
+        min_size=1,
+        max_size=8,
+    ),
+    rounds=st.integers(1, 3),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bpe_train_equals_reference_on_random_vocab(spark, counts, rounds):
+    """The distributed replace-chain BPE must equal greedy Python BPE
+    on arbitrary small vocabularies (adversarial overlapping runs like
+    'aaaa' are well inside this strategy's reach)."""
+    from metadata_ingestion_poc_spark.operators.bpe import bpe_train
+    from tests.test_bpe import _py_bpe
+
+    rows = [(f"{w} " * c,) for w, c in counts.items()]
+    df = spark.createDataFrame(rows, "text string")
+    assert bpe_train(df, "text", rounds=rounds) == _py_bpe(counts, rounds)
+
+
+@given(
+    ys=st.lists(
+        st.decimals(
+            min_value=-10000, max_value=10000, places=2,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    alpha=st.sampled_from([0.2, 0.3, 0.5, 0.8]),
+    beta=st.sampled_from([0.05, 0.1, 0.4]),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_holt_fold_equals_reference_on_random_series(spark, ys, alpha, beta):
+    """The codegen Holt fold must replay the exact-decimal reference
+    recursion for arbitrary 2-dp series and any 6-dp smoothing
+    coefficients."""
+    from decimal import Decimal
+
+    from metadata_ingestion_poc_spark.operators.forecast import holt_linear
+    from tests.test_forecast import _py_holt
+
+    rows = [("g", i, Decimal(y)) for i, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "g string, t int, y decimal(20,6)")
+    got = holt_linear(df, "g", "t", "y", alpha=alpha, beta=beta).first()
+    lvl, tr, sae = _py_holt([str(y) for y in ys], alpha, beta)
+    assert Decimal(str(got["level"])) == lvl
+    assert Decimal(str(got["trend"])) == tr
+    if len(ys) > 1:
+        assert abs(got["mae"] - float(sae) / (len(ys) - 1)) < 1e-9
