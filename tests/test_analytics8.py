@@ -317,7 +317,10 @@ def test_fs_linkage_separates_planted_dups(spark):
     assert bulk["n_true"] == 0 and bulk["score"] < 5
 
 
-def test_hits_matches_reference_power_iteration(spark):
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_hits_matches_reference_power_iteration(spark, sf):
     """q281: the integer power iteration must equal a from-scratch
     replay, and the deferred normalization must behave (top score is
     exactly 1, ordering is by raw integer authority)."""
@@ -325,7 +328,6 @@ def test_hits_matches_reference_power_iteration(spark):
         _HITS_ROUNDS, q281_hits_bipartite,
     )
 
-    sf = "/root/testdata/sf0.001"
     got = q281_hits_bipartite(spark, sf).collect()
     assert len(got) == 20
     assert got[0]["score"] == 1.0
@@ -415,7 +417,10 @@ def test_quantile_regression_converges_to_pinball_optimum(spark):
     assert abs(rows[-1]["w1"]) < 0.5
 
 
-def test_scene_segmentation_recovers_planted_scenes(spark):
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_scene_segmentation_recovers_planted_scenes(spark, sf):
     """q284: within-scene frames are byte-identical (distance 0), so
     the detector must NEVER split a scene; boundaries are planted, so
     exact recovery must be high (misses are pHash collisions between
@@ -426,7 +431,6 @@ def test_scene_segmentation_recovers_planted_scenes(spark):
         q284_scene_segmentation,
     )
 
-    sf = "/root/testdata/sf0.001"
     rows = q284_scene_segmentation(spark, sf).collect()
     by_blob = defaultdict(list)
     for r in rows:
