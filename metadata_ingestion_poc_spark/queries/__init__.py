@@ -144,7 +144,7 @@ def _load_all() -> None:
 # 3 + 4 + 8 + 14 + 21 = 50.
 #
 # Round-12 rotation note: promote whatever round-12 code changes
-# touch, then q32-q49 + q50-q69 (judge-verified in round 10), then
+# touch, then q31-q49 + q50-q69 (judge-verified in round 10), then
 # the round-3 block q70-q118 by staleness.
 # ---------------------------------------------------------------------------
 _SWEEP_PRIORITY = [
@@ -181,8 +181,9 @@ _SWEEP_PRIORITY = [
     "q285_kmv_cardinality",
     "q286_stream_static_enrichment",
     "q287_sequence_patterns",
-    # -- core refresh block q13-q31 (judge-verified green at sf0.01 in
-    # round 10; driver credit due; q32-q49 deferred to round 12).
+    "q288_source_influence",
+    # -- core refresh block q13-q30 (judge-verified green at sf0.01 in
+    # round 10; driver credit due; q31-q49 deferred to round 12).
     "q13_grouping_sets",
     "q14_percentiles",
     "q15_variance_stats",
@@ -203,7 +204,6 @@ _SWEEP_PRIORITY = [
     "q28_intersect",
     "q29_except",
     "q30_string_funcs",
-    "q31_datetime_funcs",
 ]
 
 

@@ -2434,3 +2434,123 @@ def q287_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("plen", "pattern")
     )
+
+
+# ---------------------------------------------------------------------------
+# q288 — leave-one-source-out influence audit: for every source, how
+# the corpus would move if that source were dropped — the curation
+# question behind domain reweighting ("which feed drags the mix"),
+# answered WITHOUT rescanning per candidate: the q273 exact-
+# subtraction trick lifted to the corpus level. Two bounded rollups
+# (per-source doc/char stats; per-(source, lang) counts densified
+# against the |sources|×|langs| grid) give every leave-one-out
+# aggregate as total − group in exact integers; the deltas reported
+# are mean chars/doc shift and language-mix entropy shift. Float
+# discipline: means are RAW bigint/bigint doubles; entropy terms
+# p·ln(p) are 6-dp-rounded doubles cast to decimal before the
+# |langs|-bounded per-source sum (the q219 ln rule), with zero-count
+# cells contributing exactly 0 by CASE guard; deltas of decimal
+# entropies subtract exactly and are cast to double once.
+# ---------------------------------------------------------------------------
+
+
+def _ent_term(c: str, n: str) -> str:
+    """-p*ln(p) of an integer count/total pair, 0 at c = 0, as an
+    exact DECIMAL(18,6) (the shared template both engines render)."""
+    p = f"(CAST({c} AS DOUBLE) / CAST({n} AS DOUBLE))"
+    return (
+        f"CASE WHEN {c} > 0 THEN"
+        f" CAST(ROUND(-{p} * LN({p}), 6) AS DECIMAL(18,6))"
+        f" ELSE CAST(0 AS DECIMAL(18,6)) END"
+    )
+
+
+@query(
+    "q288_source_influence",
+    oracle=f"""
+    WITH g AS (
+      SELECT source, COUNT(*)::BIGINT AS n, SUM(n_chars)::BIGINT AS ch
+      FROM documents GROUP BY source),
+    t AS (SELECT SUM(n)::BIGINT AS n_tot, SUM(ch)::BIGINT AS ch_tot FROM g),
+    gl AS (
+      SELECT source, lang, COUNT(*)::BIGINT AS c
+      FROM documents GROUP BY source, lang),
+    lt AS (SELECT lang, SUM(c)::BIGINT AS lc FROM gl GROUP BY lang),
+    grid AS (
+      SELECT g.source, lt.lang, lt.lc, COALESCE(gl.c, 0)::BIGINT AS c,
+             g.n
+      FROM g CROSS JOIN lt
+      LEFT JOIN gl ON gl.source = g.source AND gl.lang = lt.lang),
+    ent AS (
+      SELECT source,
+             SUM({_ent_term("lc - c", "(SELECT n_tot FROM t) - n")})
+               AS h_loso
+      FROM grid GROUP BY source),
+    full_ent AS (
+      SELECT SUM({_ent_term("lc", "(SELECT n_tot FROM t)")}) AS h_full
+      FROM lt)
+    SELECT g.source,
+           g.n AS n_docs,
+           CAST(t.ch_tot - g.ch AS DOUBLE)
+             / CAST(t.n_tot - g.n AS DOUBLE)
+             - CAST(t.ch_tot AS DOUBLE) / CAST(t.n_tot AS DOUBLE)
+             AS delta_mean_chars,
+           CAST(e.h_loso AS DOUBLE) AS entropy_loso,
+           CAST(f.h_full AS DOUBLE) AS entropy_full,
+           CAST(e.h_loso - f.h_full AS DOUBLE) AS delta_entropy
+    FROM g, t, ent e, full_ent f
+    WHERE e.source = g.source
+    ORDER BY g.source
+    """,
+)
+def q288_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").localCheckpoint(
+        eager=False
+    )  # reused: stats rollup + lang grid
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("ch"),
+    )
+    t = g.agg(
+        F.sum("n").cast("long").alias("n_tot"),
+        F.sum("ch").cast("long").alias("ch_tot"),
+    )
+    gl = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    lt = gl.groupBy("lang").agg(F.sum("c").cast("long").alias("lc"))
+    grid = (
+        g.select("source", "n")
+        .crossJoin(F.broadcast(lt))
+        .join(gl, ["source", "lang"], "left_outer")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)).cast("long"))
+        .crossJoin(F.broadcast(t))
+    )
+    ent = grid.groupBy("source").agg(
+        F.sum(F.expr(_ent_term("lc - c", "n_tot - n"))).alias("h_loso")
+    )
+    full_ent = (
+        lt.crossJoin(F.broadcast(t))
+        .agg(F.sum(F.expr(_ent_term("lc", "n_tot"))).alias("h_full"))
+    )
+    return (
+        g.join(ent, "source")
+        .crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(full_ent))
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            (
+                (F.col("ch_tot") - F.col("ch")).cast("double")
+                / (F.col("n_tot") - F.col("n")).cast("double")
+                - F.col("ch_tot").cast("double")
+                / F.col("n_tot").cast("double")
+            ).alias("delta_mean_chars"),
+            F.col("h_loso").cast("double").alias("entropy_loso"),
+            F.col("h_full").cast("double").alias("entropy_full"),
+            (F.col("h_loso") - F.col("h_full")).cast("double").alias(
+                "delta_entropy"
+            ),
+        )
+        .orderBy("source")
+    )

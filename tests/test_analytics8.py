@@ -528,3 +528,42 @@ def test_sequence_pattern_apriori_antimonotonicity(spark):
     # a>a demands two a's in one session: strictly rarer than sessions
     # containing a at all (= the a>a + singleton-a sessions)
     assert sup["click>click"] < max(sup.values())
+
+
+def test_source_influence_matches_direct_recompute(spark):
+    """q288: the total-minus-group leave-one-out deltas must equal a
+    direct without-the-source recompute from raw rows."""
+    import math
+
+    from metadata_ingestion_poc_spark.queries.analytics8 import (
+        q288_source_influence,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["source"]: r for r in q288_source_influence(spark, sf).collect()}
+    rows = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "source", "lang", "n_chars"
+    ).collect()
+
+    def entropy(rs):
+        n = len(rs)
+        counts = {}
+        for r in rs:
+            counts[r["lang"]] = counts.get(r["lang"], 0) + 1
+        return sum(
+            round(-(c / n) * math.log(c / n), 6) for c in counts.values()
+        )
+
+    full_mean = sum(r["n_chars"] for r in rows) / len(rows)
+    for src, r in got.items():
+        rest = [x for x in rows if x["source"] != src]
+        assert r["n_docs"] == len(rows) - len(rest)
+        want_delta = sum(x["n_chars"] for x in rest) / len(rest) - full_mean
+        assert r["delta_mean_chars"] == pytest.approx(want_delta, abs=1e-9)
+        assert r["entropy_loso"] == pytest.approx(entropy(rest), abs=1e-9)
+        assert r["delta_entropy"] == pytest.approx(
+            r["entropy_loso"] - r["entropy_full"], abs=1e-12
+        )
+    # entropy of a near-balanced 5-lang mix sits near ln(5)
+    any_r = next(iter(got.values()))
+    assert 0.8 * math.log(5) <= any_r["entropy_full"] <= math.log(5) + 1e-6
