@@ -131,17 +131,17 @@ def _load_all() -> None:
 # bootstrap CI); (b') the 8 late-round-11-new q266-q273 (NB language
 # ID, q-gram edit join, ridge closed-form/CV, logreg GD + AUC +
 # calibration, conformal intervals) — never swept, so they outrank
-# judge-verified refresh credit; (b'') the 14 end-of-round-11-new
-# q274-q287 (Holt forecast, DP release, decision stump, ALS user
+# judge-verified refresh credit; (b'') the 15 end-of-round-11-new
+# q274-q288 (Holt forecast, DP release, decision stump, ALS user
 # step, BPE merge training, isotonic calibration, Fellegi-Sunter
 # linkage, bipartite HITS, ANOVA F, quantile regression, scene
 # segmentation [rows-only], KMV sketches, stream-static enrichment,
-# sequential pattern mining) — likewise never swept; (c) the core
-# refresh block head q13-q31 (21 of the 37 q13-q49 entries
-# judge-verified green at sf0.01 in round 10 — driver credit due;
-# q32-q49 and the q50-q69 head defer to round 12 to make room for
-# the never-swept blocks).
-# 3 + 4 + 8 + 14 + 21 = 50.
+# sequential pattern mining, leave-one-source-out influence) —
+# likewise never swept; (c) the core refresh block head q13-q30
+# (20 of the 37 q13-q49 entries judge-verified green at sf0.01 in
+# round 10 — driver credit due; q31-q49 and the q50-q69 head defer
+# to round 12 to make room for the never-swept blocks).
+# 3 + 4 + 8 + 15 + 20 = 50.
 #
 # Round-12 rotation note: promote whatever round-12 code changes
 # touch, then q31-q49 + q50-q69 (judge-verified in round 10), then
