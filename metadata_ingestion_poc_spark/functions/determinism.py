@@ -7,6 +7,19 @@ decimal addition is associative — so every engine and every partition
 layout produces the identical value; results are rounded and cast back
 to double for stable hashing. SQL equivalent:
 ``ROUND(SUM(CAST(x AS DECIMAL(28,6))), 6)::DOUBLE``.
+
+Scalar-expression rule (the q276 lesson, round 12): ONE IEEE
+operation over exact operands (a single division or sqrt of integer /
+exact-decimal inputs) is bit-identical across engines and may ship
+raw; a CHAIN of float ops can differ in the last ulp across engine
+versions and must be emitted ``ROUND(expr, 6)`` identically in both
+engines — and any ranking over it must run on the ROUNDED value so
+argmax ties resolve identically. Never derive integer grid keys via
+``ROUND`` or ``CAST`` on a double: DuckDB CASTs double->INT by
+rounding while Spark truncates, and ROUND(double) semantics diverge
+(Spark rounds the shortest-repr BigDecimal HALF_UP, DuckDB rounds the
+binary value). Use ``CAST(FLOOR(x + 0.5) AS INT)`` on non-negative
+grids instead.
 """
 
 from __future__ import annotations

@@ -56,11 +56,13 @@ def word_frequency_table(df: DataFrame, text_col: str) -> DataFrame:
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        # checkpoint BEFORE the validation collect: the validation job
-        # materializes the vocab-bounded frame once and every merge
-        # round reuses it — otherwise the corpus tokenize+aggregate
-        # (the expensive stage) would run twice
-        .localCheckpoint(eager=False)
+        # EAGER checkpoint: materializes the vocab-bounded frame fully
+        # right here so every merge round (and the validation probe
+        # below) reuses it. A lazy checkpoint + the LIMIT-1 validation
+        # collect would only compute enough partitions to satisfy the
+        # limit, so the corpus tokenize+aggregate (the expensive
+        # stage) could largely re-run in merge round 1.
+        .localCheckpoint(eager=True)
     )
     bad = words.filter(F.col("word").contains(SEP)).limit(1).collect()
     if bad:

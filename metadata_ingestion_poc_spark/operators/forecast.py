@@ -68,6 +68,11 @@ def holt_linear(
     representable as DECIMAL(20,6) — a decimal sum or a true
     fixed-point value, never an arbitrary double (the cast would
     silently round and the "exact state" guarantee above evaporates).
+    NULL ``value_col`` rows fail loud (``raise_error`` inside the
+    fold's output, checked per group with zero extra scans): a NULL y
+    would otherwise propagate NULL level/trend/forecast through the
+    whole group while ``n_points`` still counted the row — a silently
+    poisoned series, the opposite of this module's style.
 
     Returns (group, n_points, level, trend, mae, forecast): level and
     trend are the final 6-dp state as doubles, mae the one-step
@@ -96,6 +101,7 @@ def holt_linear(
                 )
             ).alias("ys"),
             F.count(F.lit(1)).alias("n_points"),
+            F.sum(F.col("_y6").isNull().cast("bigint")).alias("_n_null"),
         )
     )
 
@@ -123,7 +129,15 @@ def holt_linear(
         .select(
             F.col(group_col),
             F.col("n_points"),
-            F.col("st.l").cast("double").alias("level"),
+            F.when(
+                F.col("_n_null") > 0,
+                F.expr(
+                    f"raise_error(concat('holt_linear: NULL {value_col}"
+                    f" in group ', CAST({group_col} AS STRING)))"
+                ),
+            )
+            .otherwise(F.col("st.l").cast("double"))
+            .alias("level"),
             F.col("st.b").cast("double").alias("trend"),
             F.when(
                 F.col("n_points") > 1,

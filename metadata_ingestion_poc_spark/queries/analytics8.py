@@ -1074,13 +1074,20 @@ def q275_dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-feature window runs on a grid-bounded frame, never on rows).
 # The full threshold sweep is emitted, not just the argmax, so the
 # differential covers every candidate split's left/right counts and
-# gain. Float discipline: counts are exact integers; every rate and
-# gain is a fixed IEEE expression of those integers (RAW doubles, the
-# q268 rule — no cross-row float sums anywhere), shared verbatim
-# between the engines via _gini_gain; the best-split rank breaks gain
-# ties by smaller threshold, deterministic because the gain doubles
-# are bit-identical. Discount thresholds are scaled to integer
-# percent (l_discount * 100 rounded) so grid keys group exactly.
+# gain. Float discipline (hardened round 12 after a driver-engine
+# hash mismatch, CORRECTNESS_r11): counts are exact integers, but the
+# gain is a ~10-operation CHAINED IEEE expression of them — unlike
+# the single-division q268-rule outputs, a chain can differ in the
+# last ulp across engine versions, so it is emitted ROUND(gain, 6)
+# identically in both engines, and the best-split rank runs on the
+# ROUNDED gain (ties broken by smaller threshold) so the argmax is
+# cross-engine deterministic too. Discount grid keys are derived
+# with FLOOR(x*100 + 0.5) integer arithmetic, not ROUND-on-DOUBLE:
+# DuckDB CASTs double->INT by rounding while Spark truncates, and
+# ROUND(double) itself diverges across engines (Spark goes through
+# shortest-repr BigDecimal HALF_UP; DuckDB rounds the binary value).
+# Rule of thumb, stated once here for the module: ONE IEEE op over
+# exact operands may ship raw; CHAINS must round at 6 dp.
 # ---------------------------------------------------------------------------
 
 
@@ -1108,7 +1115,7 @@ def _gini_gain() -> str:
     oracle=f"""
     WITH base AS MATERIALIZED (
       SELECT CAST(l_quantity AS INT) AS qty,
-             CAST(ROUND(l_discount * 100, 0) AS INT) AS disc,
+             CAST(FLOOR(l_discount * 100 + 0.5) AS INT) AS disc,
              CAST({_LR_Y} AS INT) AS y
       FROM lineitem),
     melted AS (
@@ -1131,7 +1138,7 @@ def _gini_gain() -> str:
       SELECT feature, v AS threshold,
              nl AS n_left, pos_l AS pos_left,
              n_tot - nl AS n_right, pos_tot - pos_l AS pos_right,
-             {_gini_gain()} AS gain
+             ROUND({_gini_gain()}, 6) AS gain
       FROM cum WHERE nl < n_tot)
     SELECT feature, threshold, n_left, pos_left, n_right, pos_right,
            gain,
@@ -1147,7 +1154,7 @@ def q276_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = load_table(spark, sf_dir, "lineitem").selectExpr(
         "CAST(l_quantity AS INT) AS qty",
-        "CAST(ROUND(l_discount * 100, 0) AS INT) AS disc",
+        "CAST(FLOOR(l_discount * 100 + 0.5) AS INT) AS disc",
         f"CAST({_LR_Y} AS INT) AS y",
     )
     melted = base.selectExpr(
@@ -1179,7 +1186,7 @@ def q276_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos_l").alias("pos_left"),
         (F.col("n_tot") - F.col("nl")).alias("n_right"),
         (F.col("pos_tot") - F.col("pos_l")).alias("pos_right"),
-        F.expr(_gini_gain()).alias("gain"),
+        F.round(F.expr(_gini_gain()), 6).alias("gain"),
     )
     rk = Window.partitionBy("feature").orderBy(
         F.col("gain").desc(), F.col("threshold")
@@ -2096,7 +2103,9 @@ def q283_quantile_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedups stills; this detects shot boundaries by thresholded
 # inter-frame pHash Hamming distance (the classic shot-boundary
 # detector). The fixture plants the ground truth: each "video" is
-# three scenes of r_i ∈ {3,4,5} identical 32-byte frames (ascii-fied
+# three scenes of identical 32-byte frames with planted repeat counts
+# doc_id%3+3, doc_id%5+3, doc_id%7+3 — i.e. r_1 ∈ {3..5},
+# r_2 ∈ {3..7}, r_3 ∈ {3..9} — (ascii-fied
 # 32-char text slices, repeated — UTF-8 multi-byte chars are mapped
 # to 'x' so char slices stay byte-aligned with the 32-byte frame
 # sampler), so within-scene distance is exactly 0 and boundaries are

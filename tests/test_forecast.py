@@ -90,3 +90,18 @@ def test_bad_params_fail_loud(spark):
         holt_linear(df, "g", "t", "y", alpha=0.1234567)
     with pytest.raises(ValueError):
         holt_linear(df, "g", "t", "y", horizon=-1)
+
+
+def test_null_value_fails_loud(spark):
+    # A NULL y must not silently poison the group's whole state
+    # (NULL level/trend/forecast with n_points still counting the
+    # row): the fold output carries a raise_error guard instead.
+    df = spark.createDataFrame(
+        [("a", 0, Decimal("1")), ("a", 1, None), ("b", 0, Decimal("2"))],
+        "g string, t int, y decimal(20,6)",
+    )
+    with pytest.raises(Exception, match="holt_linear: NULL y in group a"):
+        holt_linear(df, "g", "t", "y").collect()
+    ok = {r["g"]: r for r in
+          holt_linear(df.filter("y is not null"), "g", "t", "y").collect()}
+    assert ok["b"]["level"] == 2.0
