@@ -87,6 +87,7 @@ def _load_all() -> None:
         analytics6,
         analytics7,
         analytics8,
+        analytics9,
         llm_ops5,
         # -- embedding similarity + near-dup (most expensive) --
         llm_ops2,

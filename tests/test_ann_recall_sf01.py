@@ -101,6 +101,34 @@ def ivfpq_recall(spark, emb01, exact_topk):
     return len(exact_topk & approx) / len(exact_topk)
 
 
+@pytest.fixture(scope="module")
+def opq_recalls(spark, emb01, exact_topk):
+    """(OPQ-PQ cheap-dial recall, OPQ-IVF-PQ q290-dial recall)."""
+    from metadata_ingestion_poc_spark.operators.opq import (
+        opq_ivfpq_topk,
+        opq_pq_ann_topk,
+    )
+
+    q = emb01.filter(F.col("vec_id") < 300)
+    pq = {
+        (r.query_id, r.neighbor_id)
+        for r in opq_pq_ann_topk(
+            q, emb01, k=10, m=8, ksub=16, iterations=1, rerank=150
+        ).collect()
+    }
+    ivfpq = {
+        (r.query_id, r.neighbor_id)
+        for r in opq_ivfpq_topk(
+            q, emb01, k=10, nprobe=16, m=16, ksub=32,
+            iterations=1, rerank=400,
+        ).collect()
+    }
+    return (
+        len(exact_topk & pq) / len(exact_topk),
+        len(exact_topk & ivfpq) / len(exact_topk),
+    )
+
+
 def test_ivf_recall_floor_sf01(ivf_recall):
     # Measured 0.8173 on 2026-08-14.
     assert ivf_recall >= 0.8, f"IVF sf0.1 recall regressed: {ivf_recall}"
@@ -164,6 +192,37 @@ def test_ivfpq_recall_floor_sf01(ivfpq_recall):
     residual rewrite is what closed the gap.)"""
     assert ivfpq_recall >= 0.81, (
         f"IVF-PQ sf0.1 recall regressed: {ivfpq_recall}"
+    )
+
+
+def test_opq_recall_pins_sf01(opq_recalls, pq_recalls, ivf_recall):
+    """OPQ pins at sf0.1 (round 12) — stated carefully, because this
+    corpus is the case OPQ CANNOT improve:
+
+    - The synthetic embeddings are near-isotropic (covariance
+      eigenvalue spread < 2×, per-subspace variance products already
+      balanced — measured round 12), so the rotation buys nothing and
+      OPQ-PQ is pinned as NO-REGRESSION vs plain PQ at the identical
+      dial (measured 0.630 vs 0.641 on 2026-08-16 — noise-level basis
+      sensitivity, not a mechanism; the anisotropic-data LIFT, which
+      is the operator's point, is pinned in tests/test_opq.py at ≥3×
+      distortion and recall ≥ identity PQ).
+    - OPQ-IVF-PQ at the q290 dial must HOLD the probed-cell ceiling:
+      recall at a given nprobe is bounded by the cells probed, plain
+      residual IVF-PQ already reaches that ceiling exactly (0.8173),
+      so the only acceptable OPQ outcome is equality (measured equal
+      on 2026-08-16) — any drop means the rotated ADC stage started
+      losing true in-cell neighbors."""
+    opq_pq, opq_ivfpq = opq_recalls
+    cheap, _ = pq_recalls
+    assert opq_pq >= cheap - 0.02, (
+        f"OPQ-PQ ({opq_pq}) regressed materially vs plain PQ ({cheap}) "
+        f"on isotropic data"
+    )
+    assert opq_pq >= 0.6, f"OPQ-PQ sf0.1 recall floor broken: {opq_pq}"
+    assert opq_ivfpq >= ivf_recall, (
+        f"OPQ-IVF-PQ ({opq_ivfpq}) fell below the probed-cell ceiling "
+        f"({ivf_recall})"
     )
 
 
