@@ -69,3 +69,207 @@ def q290_opq_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries_df, emb, k=10,
         nprobe=16, m=16, ksub=32, iterations=1, rerank=400,
     ).orderBy("query_id", "rank")
+
+# ---------------------------------------------------------------------------
+# q291 — Benjamini-Hochberg FDR control over a per-source drift-test
+# battery: the multiple-comparison layer the screening family (ANOVA
+# q282, chi², KS q176, PSI) reports INTO — a 100-source corpus runs
+# hundreds of per-source screens, and acting on uncorrected p-like
+# statistics at that multiplicity is the classic false-discovery
+# trap. Battery: for every source, a two-sample Kolmogorov–Smirnov
+# test of its document-length distribution against the REFERENCE
+# source (src0 — the drift-vs-baseline design; vs-pooled-rest would
+# let one genuinely-shifted source contaminate every other test's
+# complement). A deterministic shift is planted on three sources so
+# the discovery set is known; the unit test pins it at three SFs.
+#
+# Exactness engineering (the q276 rule applied from the start):
+# - The KS statistic is an EXACT INTEGER ratio: on the shared length
+#   spine, |F_s − F_ref| = |cum_s·n2 − cum_r·n1| / (n1·n2), so the
+#   max runs on the integer numerator K and D = K/(n1·n2) is ONE
+#   IEEE division of exact operands (ships raw, q268 rule).
+# - The asymptotic p-value's argument is ALSO an exact integer
+#   ratio: −2·n_eff·D² = −2K²/((n1+n2)·n1·n2) (one division). Only
+#   exp() is transcendental — engines differ by ≤1 ulp — so
+#   p = 2·exp(arg) is ROUNDed at 6 dp identically (the q275 LN
+#   discipline). K² is bigint-bounded at test scale (K ≤ n1·n2); at
+#   billion-doc scale cast K to double before squaring.
+# - The BH step-up comparison p_(i) ≤ i·α/m is evaluated in EXACT
+#   DECIMALS cross-multiplied (p6·m ≤ i·α), never a float division;
+#   ranks are all-integer with (p6, source) total order; the cutoff
+#   rank is one MAX window over the |sources|-bounded frame.
+# Scale: one corpus scan to lengths, one (source, x) rollup; the
+# spine grid is |sources| × |distinct lengths| (bounded), everything
+# after is window arithmetic on that bounded frame.
+# ---------------------------------------------------------------------------
+
+_BH_PLANT = "('src3', 'src7', 'src15')"
+_BH_SHIFT = 600
+_BH_REF = "src0"
+_BH_ALPHA = "CAST(0.05 AS DECIMAL(8,6))"
+
+
+@query(
+    "q291_bh_fdr",
+    oracle=f"""
+    WITH l AS (
+      SELECT source,
+             length(text) + CASE WHEN source IN {_BH_PLANT}
+                                 THEN {_BH_SHIFT} ELSE 0 END AS x
+      FROM documents),
+    ref AS (SELECT x FROM l WHERE source = '{_BH_REF}'),
+    nref AS (SELECT COUNT(*)::BIGINT AS n2 FROM ref),
+    cand AS (SELECT source, x FROM l WHERE source <> '{_BH_REF}'),
+    src AS (SELECT source, COUNT(*)::BIGINT AS n1 FROM cand
+            GROUP BY source),
+    spine AS (SELECT DISTINCT x FROM l),
+    grid AS (SELECT s.source, s.n1, v.x FROM src s CROSS JOIN spine v),
+    cnt AS (SELECT source, x, COUNT(*)::BIGINT AS c FROM cand
+            GROUP BY 1, 2),
+    rcnt AS (SELECT x, COUNT(*)::BIGINT AS c FROM ref GROUP BY 1),
+    ecdf AS (
+      SELECT g.source, g.n1, g.x,
+             SUM(COALESCE(c.c, 0)) OVER w AS cum_s,
+             SUM(COALESCE(r.c, 0)) OVER w AS cum_r
+      FROM grid g
+      LEFT JOIN cnt c ON c.source = g.source AND c.x = g.x
+      LEFT JOIN rcnt r ON r.x = g.x
+      WINDOW w AS (PARTITION BY g.source ORDER BY g.x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    ks AS (
+      SELECT source, n1,
+             MAX(ABS(cum_s * (SELECT n2 FROM nref)
+                     - cum_r * n1))::BIGINT AS k
+      FROM ecdf GROUP BY 1, 2),
+    pv AS (
+      SELECT source, n1, k,
+             CAST(k AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) * (SELECT n2 FROM nref)) AS ks_d,
+             LEAST(CAST(1.0 AS DOUBLE),
+                   ROUND(CAST(2.0 AS DOUBLE) * EXP(
+                     CAST(-2 * k * k AS DOUBLE)
+                     / (CAST(n1 + (SELECT n2 FROM nref) AS DOUBLE)
+                        * n1 * (SELECT n2 FROM nref))), 6)) AS p6
+      FROM ks),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY p6, source) AS p_rank,
+             (SELECT COUNT(*) FROM src) AS m
+      FROM pv),
+    flagged AS (
+      SELECT *, (CAST(p6 AS DECIMAL(18,6)) * m
+                 <= p_rank * {_BH_ALPHA}) AS under
+      FROM ranked)
+    SELECT source, n1 AS n_docs, k AS ks_k, ks_d, p6,
+           p_rank::BIGINT AS p_rank,
+           p_rank <= COALESCE(MAX(CASE WHEN under THEN p_rank END)
+                              OVER (), 0) AS rejected
+    FROM flagged
+    ORDER BY p_rank, source
+    """,
+)
+def q291_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "documents").selectExpr(
+        "source",
+        f"length(text) + CASE WHEN source IN {_BH_PLANT} "
+        f"THEN {_BH_SHIFT} ELSE 0 END AS x",
+    )
+    ref = l.filter(F.col("source") == _BH_REF).select("x")
+    cand = l.filter(F.col("source") != _BH_REF)
+    # two bounded scalars (reference size, battery size) collected
+    # once and re-entered as literals — the literal_row discipline
+    n2 = ref.count()
+    src = cand.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n1")
+    )
+    m = src.count()
+    spine = l.select("x").distinct()
+    grid = src.crossJoin(F.broadcast(spine))
+    cnt = cand.groupBy("source", "x").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    rcnt = ref.groupBy("x").agg(
+        F.count(F.lit(1)).cast("long").alias("rc")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ecdf = (
+        grid.join(cnt, ["source", "x"], "left")
+        .join(F.broadcast(rcnt), ["x"], "left")
+        .select(
+            "source",
+            "n1",
+            "x",
+            F.sum(F.coalesce("c", F.lit(0))).over(w).alias("cum_s"),
+            F.sum(F.coalesce("rc", F.lit(0))).over(w).alias("cum_r"),
+        )
+    )
+    ks = ecdf.groupBy("source", "n1").agg(
+        F.max(
+            F.abs(
+                F.col("cum_s") * F.lit(n2) - F.col("cum_r") * F.col("n1")
+            )
+        )
+        .cast("long")
+        .alias("k")
+    )
+    pv = ks.select(
+        "source",
+        F.col("n1").alias("n_docs"),
+        F.col("k").alias("ks_k"),
+        (
+            F.col("k").cast("double")
+            / (F.col("n1").cast("double") * F.lit(n2))
+        ).alias("ks_d"),
+        F.least(
+            F.lit(1.0),
+            F.round(
+                F.lit(2.0)
+                * F.exp(
+                    (F.lit(-2) * F.col("k") * F.col("k")).cast("double")
+                    / (
+                        (F.col("n1") + F.lit(n2)).cast("double")
+                        * F.col("n1")
+                        * F.lit(n2)
+                    )
+                ),
+                6,
+            ),
+        ).alias("p6"),
+    )
+    rw = Window.orderBy("p6", "source")
+    ranked = pv.withColumn(
+        "p_rank", F.row_number().over(rw).cast("long")
+    ).withColumn(
+        "under",
+        F.expr(
+            f"CAST(p6 AS DECIMAL(18,6)) * {m}"
+            f" <= p_rank * {_BH_ALPHA}"
+        ),
+    )
+    cw = Window.partitionBy()
+    return (
+        ranked.withColumn(
+            "k_star",
+            F.coalesce(
+                F.max(
+                    F.when(F.col("under"), F.col("p_rank"))
+                ).over(cw),
+                F.lit(0),
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "ks_k",
+            "ks_d",
+            "p6",
+            "p_rank",
+            (F.col("p_rank") <= F.col("k_star")).alias("rejected"),
+        )
+        .orderBy("p_rank", "source")
+    )
