@@ -259,41 +259,64 @@ def phash64(
     )
 
 
-def phash_near_dup_pairs(
-    blobs: DataFrame,
-    max_hamming: int = 3,
-    id_col: str = "blob_id",
-    content_col: str = "content",
+def _band_layout(max_hamming: int) -> tuple[int, int]:
+    """(bands, width) for the pigeonhole-lossless banding — validated
+    EAGERLY so callers reject a bad threshold before any signature
+    work is planned."""
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+    for bands, width in ((4, 16), (8, 8), (16, 4)):
+        if max_hamming < bands:
+            return bands, width
+    raise ValueError(
+        f"max_hamming={max_hamming} needs > 16 bands of a 64-bit "
+        f"hash; use a brute-force scan instead"
+    )
+
+
+def hamming_banded_pairs(
+    sig: DataFrame,
+    max_hamming: int,
+    hash_col: str,
 ) -> DataFrame:
-    """Near-duplicate blob pairs with pHash Hamming distance ≤
-    max_hamming — the multimodal twin of simhash_pairs (dedup.py).
+    """Near-duplicate (id_a, id_b, hamming) pairs over ANY 64-bit
+    signature frame (id, <hash_col> long) — the shared tail of the
+    pHash and audio-fingerprint near-dup joins (factored out round 12
+    so every 64-bit perceptual signature gets the identical banding).
 
     Band trick (pigeonhole, LOSSLESS for the Hamming metric): split
     the 64 bits into `bands` equal chunks with bands > max_hamming —
     any pair within distance max_hamming is identical in ≥ 1 chunk, so
     banded candidate generation has ZERO recall loss vs the O(n²)
-    brute-force scan (pinned in tests/test_multimodal.py). Candidates
-    are bucket co-members per (band, chunk) — one shuffle via the
-    shared _bucket_pairs rollup — then verified with an exact popcount
-    of the XOR; the binary column never enters the join (hashes are
-    id + one long, tiny at any corpus size).
+    brute-force scan (pinned in tests/test_multimodal.py and
+    tests/test_audio_fp.py). Candidates are bucket co-members per
+    (band, chunk) — one shuffle via the shared _bucket_pairs rollup —
+    then verified with an exact popcount of the XOR; the binary
+    column never enters the join (signatures are id + one long, tiny
+    at any corpus size).
+
+    Band pruning (round 12, STILL lossless): pigeonhole needs only
+    max_hamming + 1 bands — a pair differing in ≤ max_hamming bits
+    can touch at most max_hamming of any max_hamming+1 kept bands, so
+    ≥ 1 kept band stays identical. When the layout has more bands
+    than that (e.g. 8 bands at max_hamming=4), the surplus is spent
+    dropping the bands with the LARGEST candidate volume
+    (Σ_buckets n·(n−1)/2, measured exactly in one bounded aggregate
+    over the signature frame). This is what keeps low-entropy
+    signatures scalable: a band over bit positions that are constant
+    across the corpus (zero-padded tails, saturated filters) puts the
+    WHOLE corpus in one bucket — an O(n²) explosion pruning removes
+    without losing a single pair (pinned banded≡brute in
+    tests/test_audio_fp.py at a pruned layout).
+
+    ``sig`` should already be materialized (localCheckpoint) by the
+    caller: the signature plan (decode + UDF) feeds banding AND both
+    verification sides — without the cut the UDF would run three
+    times over the corpus.
     """
-    if max_hamming < 0:
-        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
-    for bands, width in ((4, 16), (8, 8), (16, 4)):
-        if max_hamming < bands:
-            break
-    else:
-        raise ValueError(
-            f"max_hamming={max_hamming} needs > 16 bands of a 64-bit "
-            f"hash; use a brute-force scan instead"
-        )
+    bands, width = _band_layout(max_hamming)
     from .dedup import _bucket_pairs
 
-    # one materialization: the signature plan (decode + DCT UDF) feeds
-    # banding AND both verification sides — without the cut the UDF
-    # would run three times over the corpus.
-    sig = phash64(blobs, id_col, content_col).localCheckpoint(eager=False)
     mask = (1 << width) - 1
     banded = sig.select(
         F.col("id").alias("doc"),
@@ -302,7 +325,7 @@ def phash_near_dup_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("phash"), b * width)
+                        F.shiftrightunsigned(F.col(hash_col), b * width)
                         .bitwiseAND(F.lit(mask))
                         .alias("chunk"),
                     )
@@ -311,9 +334,29 @@ def phash_near_dup_pairs(
             )
         ).alias("bb"),
     ).select("doc", "bb.band", "bb.chunk")
+    keep = max_hamming + 1
+    if keep < bands:
+        # exact per-band candidate volume: bounded collect (≤ bands
+        # rows); ties break on band index for determinism
+        cost = {
+            r["band"]: r["pairs"]
+            for r in banded.groupBy("band", "chunk")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .groupBy("band")
+            .agg(
+                F.sum(
+                    F.col("n") * (F.col("n") - 1) / 2
+                ).alias("pairs")
+            )
+            .collect()
+        }
+        kept = sorted(
+            range(bands), key=lambda b: (cost.get(b, 0.0), b)
+        )[:keep]
+        banded = banded.filter(F.col("band").isin(kept))
     candidates = _bucket_pairs(banded, ["band", "chunk"], "doc").distinct()
-    fa = sig.select(F.col("id").alias("doc_a"), F.col("phash").alias("pa"))
-    fb = sig.select(F.col("id").alias("doc_b"), F.col("phash").alias("pb"))
+    fa = sig.select(F.col("id").alias("doc_a"), F.col(hash_col).alias("pa"))
+    fb = sig.select(F.col("id").alias("doc_b"), F.col(hash_col).alias("pb"))
     return (
         candidates.join(fa, "doc_a")
         .join(fb, "doc_b")
@@ -326,6 +369,21 @@ def phash_near_dup_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def phash_near_dup_pairs(
+    blobs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "blob_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Near-duplicate blob pairs with pHash Hamming distance ≤
+    max_hamming — the multimodal twin of simhash_pairs (dedup.py).
+    Signature = phash64, join = the shared lossless Hamming banding
+    (see hamming_banded_pairs)."""
+    _band_layout(max_hamming)  # fail loud before planning the UDF scan
+    sig = phash64(blobs, id_col, content_col).localCheckpoint(eager=False)
+    return hamming_banded_pairs(sig, max_hamming, "phash")
 
 
 def scene_segments(
@@ -380,3 +438,117 @@ def scene_segments(
         )
         .orderBy("blob_id", "scene_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# audio: spectral band-energy-difference fingerprint — the audio
+# member of the perceptual family (image pHash above, video scenes
+# below). Construction follows the classic Philips robust audio hash
+# (Haitsma & Kalker, "A Highly Robust Audio Fingerprinting System",
+# ISMIR 2002 — public literature; Chromaprint descends from the same
+# filter idea): frame the waveform, take per-frame spectral energies
+# in log-ish bands, and emit one bit per (time, band) from the SIGN
+# of the time-and-band second difference — energy LANDSCAPE shape,
+# robust to global gain and mild local edits, which is exactly what
+# Hamming distance should track.
+# ---------------------------------------------------------------------------
+
+_AFP_FRAMES = 9       # 9 frames → 8 time-steps
+_AFP_FRAME_LEN = 64   # samples per frame (576-sample fixed grid —
+#                       sized to the synthetic blob range so most
+#                       frames carry signal; a real decoder would feed
+#                       real PCM and larger frames)
+_AFP_BANDS = 9        # 9 bands → 8 band-differences; 8×8 = 64 bits
+_AFP_BINS_PER_BAND = 3  # rfft bins 1..27 (DC excluded, of 33)
+
+
+def _pcm_frames(content: bytes):
+    """STUB decode to a 9×256 float sample matrix. A real path would
+    decode PCM (wave/pydub/ffmpeg, absent in this container); the
+    deterministic fake treats the byte stream as unsigned 8-bit
+    samples on a FIXED 576-sample grid — pad/truncate, not resample,
+    the _gray32 lesson: a local byte edit must stay a local sample
+    edit, at the documented stub cost that bytes past 576 don't
+    influence the fake fingerprint. Samples are centered (−128) so
+    silence maps to zero signal."""
+    import numpy as np
+
+    b = np.frombuffer(
+        content[: _AFP_FRAMES * _AFP_FRAME_LEN], dtype=np.uint8
+    )
+    pcm = np.zeros(_AFP_FRAMES * _AFP_FRAME_LEN, dtype=np.float64)
+    pcm[: len(b)] = b.astype(np.float64) - 128.0
+    return pcm.reshape(_AFP_FRAMES, _AFP_FRAME_LEN)
+
+
+def _afp_udf():
+    """The 64-bit audio fingerprint as an Arrow-batched pandas UDF:
+    per frame t, band energies E[t, b] = Σ |rfft|² over 3-bin bands
+    (DC excluded); bit(t, b) = sign of the Haitsma-Kalker filter
+    (E[t,b] − E[t,b+1]) − (E[t−1,b] − E[t−1,b+1]) for t = 1..8,
+    b = 0..7 — 64 bits packed row-major into one signed long (two's
+    complement, the pHash packing). The rfft batch is ONE numpy call
+    over all frames of a blob; vectorized per Arrow batch."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    def fp(content):
+        import numpy as np
+        import pandas as pd
+
+        weights = (np.int64(1) << np.arange(63, -1, -1, dtype=np.int64))
+        nb, bpb = _AFP_BANDS, _AFP_BINS_PER_BAND
+        out = []
+        for c in content:
+            pcm = _pcm_frames(bytes(c))
+            mag2 = np.abs(np.fft.rfft(pcm, axis=1)) ** 2
+            # bands over bins 1..126: (frames, 9, 14) → (frames, 9)
+            e = (
+                mag2[:, 1 : 1 + nb * bpb]
+                .reshape(_AFP_FRAMES, nb, bpb)
+                .sum(axis=2)
+            )
+            bdiff = e[:, :-1] - e[:, 1:]          # (frames, 8)
+            filt = bdiff[1:] - bdiff[:-1]         # (8, 8)
+            bits = (filt > 0).astype(np.int64).ravel()
+            out.append(int((bits * weights).sum()))
+        return pd.Series(out, dtype="int64")
+
+    return pandas_udf(fp, LongType())
+
+
+def audio_fingerprint64(
+    blobs: DataFrame,
+    id_col: str = "blob_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """(id, afp long): 64-bit spectral fingerprint of each audio blob.
+    ZERO shuffle — a pure Arrow-batched map over the corpus, like
+    phash64; the sanctioned UDF case (FFT has no built-in form)."""
+    from .dedup import _spread
+
+    return _spread(blobs).select(
+        F.col(id_col).alias("id"),
+        _afp_udf()(F.col(content_col)).alias("afp"),
+    )
+
+
+def audio_near_dup_pairs(
+    blobs: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "blob_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Near-duplicate audio pairs with fingerprint Hamming distance ≤
+    max_hamming — signature = audio_fingerprint64, join = the shared
+    lossless Hamming banding (hamming_banded_pairs; with the default
+    max_hamming=6 the 8×8-bit band layout applies). A local waveform
+    edit perturbs one frame, which touches at most the two adjacent
+    time-steps of the filter — ≤ 16 of 64 bits — while unrelated audio
+    differs in ~half the bits; the default threshold sits between
+    (planted-edit recovery and banded≡brute-force are pinned in
+    tests/test_audio_fp.py)."""
+    _band_layout(max_hamming)  # fail loud before planning the UDF scan
+    sig = audio_fingerprint64(blobs, id_col, content_col).localCheckpoint(
+        eager=False
+    )
+    return hamming_banded_pairs(sig, max_hamming, "afp")

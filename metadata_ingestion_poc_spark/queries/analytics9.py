@@ -273,3 +273,52 @@ def q291_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_rank", "source")
     )
+
+# ---------------------------------------------------------------------------
+# q292 — audio fingerprint near-dup join (operators/multimodal.py
+# audio_fingerprint64 + audio_near_dup_pairs): the AUDIO member that
+# completes the perceptual multimodal family (image pHash q262, video
+# scenes q284). A 64-bit Haitsma-Kalker band-energy-difference
+# fingerprint per waveform (Arrow-batched pandas UDF — FFT has no
+# built-in form; decode stubbed to a fixed 576-sample grid, filter
+# math real), then the SAME pigeonhole-LOSSLESS Hamming banding the
+# pHash join uses (factored into hamming_banded_pairs this round).
+# Corpus = every document's bytes as a synthetic waveform PLUS a
+# planted 2-char-edit variant of every 7th (the q262 augmentation
+# discipline), so the detector must surface the planted edits
+# (max_hamming=4 covers the measured worst planted edit at sf0.1; the
+# lossless band pruning drops the zero-tail constant bands that would
+# otherwise bucket the whole corpus together).
+# rows-only: the FFT has no faithful SQL replay (the q262/q284
+# precedent); determinism, banded≡brute-force at two layouts,
+# planted-edit recovery, and edit-vs-unrelated separation are pinned
+# in tests/test_audio_fp.py.
+# ---------------------------------------------------------------------------
+
+
+@query("q292_audio_fp_near_dup")
+def q292_audio_fp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import audio_near_dup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        F.col("doc_id").alias("blob_id"),
+        F.encode(F.col("text"), "UTF-8").cast("binary").alias("content"),
+    )
+    edited = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("blob_id"),
+        F.encode(
+            F.concat(
+                F.substring("text", 1, 10),
+                F.lit("qq"),
+                F.expr("substring(text, 13)"),
+            ),
+            "UTF-8",
+        )
+        .cast("binary")
+        .alias("content"),
+    )
+    return (
+        audio_near_dup_pairs(base.unionByName(edited), max_hamming=4)
+        .orderBy("id_a", "id_b")
+    )
