@@ -458,3 +458,62 @@ def qsketch_quantiles(
         F.lit(2.0) * F.pow(F.lit(gamma), F.col("bucket")) / F.lit(gamma + 1.0), 4
     )
     return hit.withColumn("est", est).select(*keys, "q", "est")
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k theta) sketch — the batch half of
+# the streaming twin (streaming/sketches.py streaming_kmv_distinct).
+# q285 builds the same sketch inline for the cross-source pair
+# arithmetic; this is the reusable per-group form whose arrays are
+# bit-comparable with the streaming operator's final state.
+# ---------------------------------------------------------------------------
+
+KMV_M = 1 << 48
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 16,
+) -> DataFrame:
+    """(group, arr, n_sketch, est_distinct): per-group bottom-k of the
+    48-bit portable md5 hash (conv(substring(md5(v),1,12),16,10) — the
+    q64/q285 construction, identical to hashlib.md5 on UTF-8 bytes).
+
+    Scale shape (the q285 discipline): one distinct rollup, then the
+    per-group bottom-k rides the RANGE-PARTITIONED global sort
+    (operators/indexing.py global_row_number) + one bounded min-rank
+    rollup — no per-group sort cliff, no collect_set of an unbounded
+    value domain. Estimator D̂ = (k−1)·2⁴⁸/h₍ₖ₎ with the
+    exact-below-k fallback, rounded at 6 dp (matching the streaming
+    emission)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from .indexing import global_row_number
+
+    h = F.expr(
+        f"CAST(conv(substring(md5({value_col}), 1, 12), 16, 10)"
+        f" AS BIGINT)"
+    )
+    pts = df.select(group_col, h.alias("h")).distinct()
+    grn = global_row_number(pts, [group_col, "h"], "rn")
+    offs = grn.groupBy(group_col).agg(F.min("rn").alias("rn0"))
+    return (
+        grn.join(F.broadcast(offs), group_col)
+        .filter(F.col("rn") - F.col("rn0") < k)
+        .groupBy(group_col)
+        .agg(F.sort_array(F.collect_list("h")).alias("arr"))
+        .selectExpr(
+            group_col,
+            "arr",
+            "size(arr) AS n_sketch",
+            # round only the estimated branch: the exact-small branch
+            # is already an integer-valued double
+            f"CASE WHEN size(arr) < {k} THEN CAST(size(arr) AS DOUBLE)"
+            f" ELSE round(CAST({k - 1} AS DOUBLE)"
+            f" * CAST({KMV_M} AS DOUBLE)"
+            f" / CAST(element_at(arr, {k}) AS DOUBLE), 6) END"
+            f" AS est_distinct",
+        )
+    )

@@ -322,3 +322,50 @@ def q292_audio_fp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         audio_near_dup_pairs(base.unionByName(edited), max_hamming=4)
         .orderBy("id_a", "id_b")
     )
+
+# ---------------------------------------------------------------------------
+# q293 — per-source KMV sketch (operators/sketches.py kmv_sketch):
+# the batch half of the streaming distinct-count twin
+# (streaming/sketches.py streaming_kmv_distinct — the mergeable
+# sketch carried through applyInPandasWithState; streaming ≡ batch
+# equivalence on file micro-batches is pinned in
+# tests/test_streaming_kmv.py). Where q285 builds sketches inline for
+# cross-source PAIR arithmetic, this registers the reusable per-group
+# operator itself: bottom-k of the portable 48-bit md5 hash riding
+# the range-partitioned global sort, the exact-below-k estimator
+# branch (exercised for real at sf0.001, where sources hold fewer
+# than k distinct documents), and the sketch array emitted whole so
+# the differential pins every element, not just the summary.
+# ---------------------------------------------------------------------------
+
+_Q293_K = 16
+
+
+@query(
+    "q293_kmv_sketch",
+    oracle=f"""
+    WITH n AS (
+      SELECT DISTINCT source,
+             CAST('0x' || substring(md5(text), 1, 12) AS BIGINT) AS h
+      FROM documents),
+    r AS (SELECT source, h,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+          FROM n),
+    sk AS (SELECT source, list_sort(list(h)) AS arr
+           FROM r WHERE rn <= {_Q293_K} GROUP BY source)
+    SELECT source, arr, len(arr)::BIGINT AS n_sketch,
+           CASE WHEN len(arr) < {_Q293_K}
+                THEN CAST(len(arr) AS DOUBLE)
+                ELSE ROUND(CAST({_Q293_K - 1} AS DOUBLE)
+                           * CAST({1 << 48} AS DOUBLE)
+                           / CAST(arr[{_Q293_K}] AS DOUBLE), 6) END
+             AS est_distinct
+    FROM sk
+    ORDER BY source
+    """,
+)
+def q293_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import kmv_sketch
+
+    d = load_table(spark, sf_dir, "documents")
+    return kmv_sketch(d, "source", "text", k=_Q293_K).orderBy("source")

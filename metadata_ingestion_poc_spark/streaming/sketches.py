@@ -1,0 +1,151 @@
+"""Streaming KMV (k-minimum-values) distinct-count: the streaming
+twin of the q285 batch sketch family.
+
+Why KMV streams so well: the sketch is a MERGEABLE summary — the
+bottom-k hash set of a union is the bottom-k of (bottom-k(A) ∪ B), so
+per-key state stays ≤ k longs forever while absorbing unbounded
+input, and the merge is commutative + idempotent, which makes the
+final state independent of micro-batch boundaries and replay order
+(pinned streaming ≡ batch in tests/test_streaming_kmv.py). That is
+the property the windowed built-ins can't give: an EXACT running
+distinct-count needs unbounded state; approx_count_distinct streams
+only inside windowed aggs. This is the custom-stateful shape
+(applyInPandasWithState) of the stateful.py running totals, with a
+bounded array as the state instead of two scalars.
+
+Hash: the q64/q285 portable construction — first 12 hex chars of
+md5(value) parsed as a 48-bit integer — so the streaming state is
+bit-comparable with the batch sketch built in SQL/DataFrame
+(conv(substring(md5(v), 1, 12), 16, 10)); hashlib.md5 and Spark's
+md5 agree byte-for-byte on UTF-8 input.
+
+Estimator: D̂ = (k−1)·2⁴⁸ / h₍ₖ₎ with the exact-below-k fallback (a
+sketch smaller than k IS the distinct set) — identical to q285.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+KMV_M = 1 << 48
+
+
+def _hash48(value: str) -> int:
+    import hashlib
+
+    return int(
+        hashlib.md5(str(value).encode("utf-8")).hexdigest()[:12], 16
+    )
+
+
+def _estimate(arr: list[int], k: int) -> float:
+    if len(arr) < k:
+        return float(len(arr))
+    return float(k - 1) * float(KMV_M) / float(arr[k - 1])
+
+
+def _make_kmv_update(value_col: str, k: int, timeout_ms: int):
+    """Per-group update fn (factored out for unit tests with a fake
+    GroupState, the stateful.py discipline): merge the batch's hashes
+    into the bottom-k state and emit the new sketch + estimate."""
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if timeout_ms > 0 and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "group_key": pd.Series([], dtype="object"),
+                    "n_updates": pd.Series([], dtype="int64"),
+                    "n_sketch": pd.Series([], dtype="int64"),
+                    "kth_hash": pd.Series([], dtype="int64"),
+                    "est_distinct": pd.Series([], dtype="float64"),
+                }
+            )
+            return
+        if state.exists:
+            prev, n_updates = state.get
+            hashes = set(prev)
+        else:
+            hashes, n_updates = set(), 0
+        for pdf in pdfs:
+            for v in pdf[value_col]:
+                hashes.add(_hash48(v))
+        arr = sorted(hashes)[:k]
+        n_updates += 1
+        state.update((arr, n_updates))
+        if timeout_ms > 0:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {
+                "group_key": [key[0]],
+                "n_updates": [n_updates],
+                "n_sketch": [len(arr)],
+                "kth_hash": [arr[k - 1] if len(arr) >= k else None],
+                "est_distinct": [round(_estimate(arr, k), 6)],
+            }
+        )
+
+    return update
+
+
+def streaming_kmv_distinct(
+    events: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 16,
+    timeout_ms: int = 0,
+) -> DataFrame:
+    """Running per-group approximate distinct-count over a stream.
+
+    Each micro-batch merges its values' 48-bit hashes into the
+    per-group bottom-k state (≤ k longs per key — bounded regardless
+    of stream length) and emits (group_key, n_updates, n_sketch,
+    kth_hash, est_distinct). In update mode the row with the maximum
+    n_updates per key is the final sketch; because KMV merge is
+    commutative and idempotent, that final state equals the batch
+    sketch over the union of all micro-batches no matter how the
+    input was split (the equivalence test's claim).
+
+    timeout_ms > 0 enables ProcessingTimeTimeout eviction for
+    unbounded key domains, the stateful.py contract.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    group_type = events.schema[group_col].dataType
+    out_schema = StructType(
+        [
+            StructField("group_key", group_type),
+            StructField("n_updates", LongType()),
+            StructField("n_sketch", LongType()),
+            StructField("kth_hash", LongType()),
+            StructField("est_distinct", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("hashes", ArrayType(LongType())),
+            StructField("n_updates", LongType()),
+        ]
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms > 0
+        else GroupStateTimeout.NoTimeout
+    )
+    return events.groupBy(group_col).applyInPandasWithState(
+        _make_kmv_update(value_col, k, timeout_ms),
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=timeout,
+    )

@@ -1,0 +1,125 @@
+"""Streaming KMV distinct-count: streaming ≡ batch-sketch equivalence
+on file micro-batches (the q286 availableNow pattern), merge-order
+insensitivity, and the update-fn unit contract."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from metadata_ingestion_poc_spark.catalog import load_table
+from metadata_ingestion_poc_spark.operators.sketches import kmv_sketch
+from metadata_ingestion_poc_spark.streaming.pipeline import read_stream
+from metadata_ingestion_poc_spark.streaming.sketches import (
+    _estimate,
+    _hash48,
+    _make_kmv_update,
+    streaming_kmv_distinct,
+)
+
+K = 16
+
+
+def test_streaming_equals_batch_sketch(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    path = str(tmp_path / "docs_kmv")
+    # several files → several micro-batches, so the bottom-k state
+    # genuinely merges across batches
+    docs.repartition(6).write.parquet(path)
+
+    stream = read_stream(
+        spark, path, docs.schema, max_files_per_trigger=2
+    )
+    q = (
+        streaming_kmv_distinct(stream, "source", "text", k=K)
+        .writeStream.format("memory")
+        .queryName("kmv_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_kmv"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    final = spark.sql(
+        """
+        SELECT group_key, n_sketch, kth_hash, est_distinct FROM (
+          SELECT *, row_number() OVER (PARTITION BY group_key
+                                       ORDER BY n_updates DESC) AS rn
+          FROM kmv_test
+        ) WHERE rn = 1
+        """
+    )
+    got = {
+        r.group_key: (r.n_sketch, r.kth_hash, r.est_distinct)
+        for r in final.collect()
+    }
+    want = {
+        r[0]: (
+            r.n_sketch,
+            r.arr[K - 1] if r.n_sketch >= K else None,
+            r.est_distinct,
+        )
+        for r in kmv_sketch(docs, "source", "text", k=K).collect()
+    }
+    assert got == want
+    # the stream really did cross micro-batches
+    n_updates = spark.sql(
+        "SELECT MAX(n_updates) m FROM kmv_test"
+    ).first().m
+    assert n_updates > 1
+
+
+def test_merge_is_order_insensitive(spark, sf_dir):
+    # bottom-k(bottom-k(A) ∪ B) == bottom-k(A ∪ B): split the corpus,
+    # fold the update fn over the two halves in both orders, compare.
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    rows = [r.text for r in docs.filter(F.col("source") == "src1").collect()]
+    half = len(rows) // 2
+    import pandas as pd
+
+    class _S:
+        def __init__(self):
+            self._v, self.hasTimedOut = None, False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    def run(batches):
+        st = _S()
+        upd = _make_kmv_update("text", K, 0)
+        for b in batches:
+            list(upd(("src1",), iter([pd.DataFrame({"text": b})]), st))
+        return st.get[0]
+
+    a = run([rows[:half], rows[half:]])
+    b = run([rows[half:], rows[:half]])
+    c = run([rows])
+    assert a == b == c
+    # and equals the from-scratch bottom-k
+    want = sorted({_hash48(t) for t in rows})[:K]
+    assert a == want
+
+
+def test_estimate_contract():
+    # exact below k; (k-1)*2^48/h_k at and above
+    assert _estimate([5, 9], K) == 2.0
+    arr = list(range(1_000_000, 1_000_000 + K))
+    est = _estimate(arr, K)
+    assert est == (K - 1) * float(1 << 48) / arr[K - 1]
+
+
+def test_k_validation(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match=">= 1"):
+        streaming_kmv_distinct(docs, "source", "text", k=0)
+    with pytest.raises(ValueError, match=">= 1"):
+        kmv_sketch(docs, "source", "text", k=0)
