@@ -369,3 +369,85 @@ def q293_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return kmv_sketch(d, "source", "text", k=_Q293_K).orderBy("source")
+
+# ---------------------------------------------------------------------------
+# q294 — Huber robust regression by IRLS (operators/robust.py): the
+# robust member completing the regression family — q268 ridge (L2),
+# q283 pinball (quantile/L1), now Huber (L2 core, L1 tails; IRLS =
+# one weighted-least-squares solve per iteration, each ONE
+# map-combined 5-statistic scan, the logreg literal-re-feed shape).
+# The target is PLANTED (the q269 discipline): y = 100 + 12·x +
+# integer-grid noise, with a +5000 outlier shock on every 13th
+# order — so iteration 0 (all-ones weights) IS the contaminated OLS
+# fit (intercept biased to ~488) and the Huber iterations walk it
+# back to the planted line (~104.15/11.997 at sf0.01), with the
+# trajectory oracle-replayed as unrolled MATERIALIZED CTEs. All
+# inputs are integer-valued doubles, so every ROUND(term, 6) summand
+# is an exact grid point (no tie hazard); only the solve outputs and
+# the weight division are rounded chains (the q276 rule).
+# ---------------------------------------------------------------------------
+
+_HUBER_X = "CAST(l_quantity AS DOUBLE)"
+_HUBER_Y = (
+    "100.0 + 12.0 * CAST(l_quantity AS DOUBLE)"
+    " + CAST((l_orderkey * 7 + l_linenumber) % 11 - 5 AS DOUBLE)"
+    " + CASE WHEN l_orderkey % 13 = 0 THEN 5000.0 ELSE 0.0 END"
+)
+_HUBER_DELTA = 50.0
+_HUBER_ITERS = 3
+
+
+def _huber_oracle(iters: int, delta: float) -> str:
+    sql = f"""
+    WITH base AS MATERIALIZED (
+        SELECT {_HUBER_X} AS x, {_HUBER_Y} AS y FROM lineitem)"""
+    rows = []
+    for i in range(iters + 1):
+        if i == 0:
+            w = "CAST(1.0 AS DOUBLE)"
+        else:
+            r = f"(b.y - (t.b0 + t.b1 * b.x))"
+            w = (
+                f"CASE WHEN ABS({r}) <= {delta!r} THEN CAST(1.0 AS DOUBLE)"
+                f" ELSE ROUND({delta!r} / ABS({r}), 6) END"
+            )
+        frm = "base b" if i == 0 else f"base b, t{i - 1} t"
+        sql += f""",
+    s{i} AS MATERIALIZED (
+        SELECT SUM(CAST(ROUND({w}, 6) AS DECIMAL(28,6))) AS sw,
+               SUM(CAST(ROUND({w} * b.x, 6) AS DECIMAL(28,6))) AS swx,
+               SUM(CAST(ROUND({w} * b.y, 6) AS DECIMAL(28,6))) AS swy,
+               SUM(CAST(ROUND({w} * b.x * b.x, 6)
+                        AS DECIMAL(28,6))) AS swxx,
+               SUM(CAST(ROUND({w} * b.x * b.y, 6)
+                        AS DECIMAL(28,6))) AS swxy,
+               SUM(CASE WHEN {w} < 1.0 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_down
+        FROM {frm}),
+    t{i} AS (
+        SELECT ROUND((sw::DOUBLE * swxy::DOUBLE
+                      - swx::DOUBLE * swy::DOUBLE)
+                     / (sw::DOUBLE * swxx::DOUBLE
+                        - swx::DOUBLE * swx::DOUBLE), 6) AS b1,
+               ROUND((swy::DOUBLE
+                      - ROUND((sw::DOUBLE * swxy::DOUBLE
+                               - swx::DOUBLE * swy::DOUBLE)
+                              / (sw::DOUBLE * swxx::DOUBLE
+                                 - swx::DOUBLE * swx::DOUBLE), 6)
+                        * swx::DOUBLE) / sw::DOUBLE, 6) AS b0
+        FROM s{i})"""
+        rows.append(
+            f"""
+    SELECT {i}::INT AS iter, t.b0, t.b1, s.n_down,
+           ROUND(s.sw::DOUBLE, 6) AS sum_w
+    FROM t{i} t, s{i} s"""
+        )
+    return sql + "\n    UNION ALL".join(rows) + "\n    ORDER BY iter"
+
+
+@query("q294_huber_irls", oracle=_huber_oracle(_HUBER_ITERS, _HUBER_DELTA))
+def q294_huber_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.robust import huber_irls
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return huber_irls(li, _HUBER_X, _HUBER_Y, _HUBER_DELTA, _HUBER_ITERS)

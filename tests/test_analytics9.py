@@ -58,3 +58,19 @@ def test_bh_ks_and_p_are_consistent(bh_rows):
         arg = -2.0 * r.ks_k * r.ks_k / ((r.n_docs + n2) * r.n_docs * n2)
         p = min(1.0, round(2.0 * math.exp(arg), 6))
         assert abs(p - r.p6) < 2e-6, (r.source, p, r.p6)
+
+
+def test_huber_recovers_planted_line(spark):
+    # iteration 0 is contaminated OLS; the final Huber fit must land
+    # near the planted (100, 12) line while OLS is pulled away by the
+    # +5000 outlier shocks.
+    rows = sorted(
+        QUERIES["q294_huber_irls"](spark, SF).collect(),
+        key=lambda r: r.iter,
+    )
+    ols, hub = rows[0], rows[-1]
+    assert ols.n_down == 0  # all-ones weights at the OLS solve
+    assert hub.n_down > 0   # outliers really got downweighted
+    assert abs(hub.b0 - 100.0) < abs(ols.b0 - 100.0) / 3
+    assert abs(hub.b1 - 12.0) < 0.5
+    assert abs(ols.b0 - 100.0) > 100.0  # the contamination is real
