@@ -451,3 +451,97 @@ def q294_huber_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return huber_irls(li, _HUBER_X, _HUBER_Y, _HUBER_DELTA, _HUBER_ITERS)
+
+# ---------------------------------------------------------------------------
+# q295 — v-optimal histogram construction (operators/histogram.py):
+# the classic OLAP summary (Jagadish et al., VLDB 1998) — B buckets
+# over the document-length grid minimizing total within-bucket SSE of
+# frequencies, the histogram a cost-based optimizer wants where
+# equi-width/equi-depth misestimate. Data-sized work is ONE frequency
+# rollup to the bounded grid (FLOOR(length/25) — ~23 cells); the
+# O(B·n²) DP runs driver-side on the collected grid and re-enters as
+# a literal frame (the q253 set-cover trajectory precedent). The
+# oracle replays the FULL DP as unrolled MATERIALIZED layers plus the
+# backtrack chain: prefix sums exact integers, each SSE(i,j) =
+# Q − S²/cnt one division chained once then ROUND 6 into decimals
+# (the q276 rule), dp sums exact decimals, argmin ties to the smaller
+# split — so the chosen boundaries, not just the costs, are
+# oracle-proven. The from-scratch exhaustive-enumeration equality
+# test lives in tests/test_analytics9.py.
+# ---------------------------------------------------------------------------
+
+_VOPT_B = 5
+_VOPT_EXPR = "FLOOR(length(text) / 25)"
+
+
+def _vopt_oracle(B: int) -> str:
+    sql = f"""
+    WITH g AS MATERIALIZED (
+      SELECT CAST({_VOPT_EXPR} AS INT) AS v, COUNT(*)::BIGINT AS f
+      FROM documents GROUP BY 1),
+    idx AS MATERIALIZED (
+      SELECT v, f, ROW_NUMBER() OVER (ORDER BY v)::BIGINT AS j FROM g),
+    pre AS MATERIALIZED (
+      SELECT j, v, f,
+             SUM(f) OVER (ORDER BY j)::BIGINT AS p,
+             SUM(f * f) OVER (ORDER BY j)::BIGINT AS q
+      FROM idx),
+    pre0 AS MATERIALIZED (
+      SELECT j, p, q FROM pre
+      UNION ALL SELECT 0::BIGINT, 0::BIGINT, 0::BIGINT),
+    nn AS (SELECT COUNT(*)::BIGINT AS n FROM idx),
+    sse AS MATERIALIZED (
+      SELECT a.j + 1 AS i, b.j AS j,
+             CAST(ROUND(CAST(b.q - a.q AS DOUBLE)
+                   - CAST((b.p - a.p) * (b.p - a.p) AS DOUBLE)
+                     / CAST(b.j - a.j AS DOUBLE), 6)
+                  AS DECIMAL(28,6)) AS c
+      FROM pre0 a JOIN pre b ON b.j > a.j),
+    dp1 AS MATERIALIZED (
+      SELECT j, c AS cost, 0::BIGINT AS split FROM sse WHERE i = 1)"""
+    for b in range(2, B + 1):
+        sql += f""",
+    dp{b} AS MATERIALIZED (
+      SELECT j, cost, split FROM (
+        SELECT s.j, CAST(d.cost + s.c AS DECIMAL(28,6)) AS cost,
+               s.i - 1 AS split,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.j
+                 ORDER BY CAST(d.cost + s.c AS DECIMAL(28,6)), s.i
+               ) AS rn
+        FROM sse s JOIN dp{b - 1} d ON d.j = s.i - 1)
+      WHERE rn = 1)"""
+    sql += f""",
+    r{B} AS (SELECT n AS j FROM nn)"""
+    for b in range(B, 1, -1):
+        sql += f""",
+    r{b - 1} AS (SELECT d.split AS j FROM dp{b} d JOIN r{b} r
+                 ON d.j = r.j)"""
+    sql += """,
+    r0 AS (SELECT 0::BIGINT AS j)"""
+    rows = []
+    for b in range(1, B + 1):
+        rows.append(
+            f"""
+    SELECT {b}::INT AS bucket, vlo.v AS lo, phi.v AS hi,
+           (hi.j - lo.j)::INT AS n_cells,
+           (phi.p - plo.p)::BIGINT AS sum_f,
+           CAST(ss.c AS DOUBLE) AS sse
+    FROM r{b - 1} lo
+    JOIN r{b} hi ON TRUE
+    JOIN pre0 plo ON plo.j = lo.j
+    JOIN pre phi ON phi.j = hi.j
+    JOIN pre vlo ON vlo.j = lo.j + 1
+    JOIN sse ss ON ss.i = lo.j + 1 AND ss.j = hi.j"""
+        )
+    return sql + "\n    UNION ALL".join(rows) + "\n    ORDER BY bucket"
+
+
+@query("q295_voptimal_histogram", oracle=_vopt_oracle(_VOPT_B))
+def q295_voptimal_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.histogram import voptimal_histogram
+
+    d = load_table(spark, sf_dir, "documents")
+    return voptimal_histogram(d, _VOPT_EXPR, _VOPT_B)

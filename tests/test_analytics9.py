@@ -74,3 +74,62 @@ def test_huber_recovers_planted_line(spark):
     assert abs(hub.b0 - 100.0) < abs(ols.b0 - 100.0) / 3
     assert abs(hub.b1 - 12.0) < 0.5
     assert abs(ols.b0 - 100.0) > 100.0  # the contamination is real
+
+
+def test_voptimal_dp_matches_exhaustive_enumeration():
+    # On a small grid the DP must equal brute force over ALL C(n-1,B-1)
+    # boundary placements — total SSE AND the chosen boundaries
+    # (ties to the lexicographically smallest split vector).
+    from decimal import Decimal
+    from itertools import combinations
+
+    from metadata_ingestion_poc_spark.operators.histogram import (
+        _sse6,
+        voptimal_from_grid,
+    )
+
+    grid = [(i, f) for i, f in enumerate(
+        [3, 50, 52, 49, 7, 6, 100, 98, 5, 4, 51, 2], start=10
+    )]
+    n, B = len(grid), 4
+    P = [0] * (n + 1)
+    Q = [0] * (n + 1)
+    for j, (_, f) in enumerate(grid, start=1):
+        P[j] = P[j - 1] + f
+        Q[j] = Q[j - 1] + f * f
+
+    def sse(i, j):
+        return _sse6(Q[j] - Q[i - 1], P[j] - P[i - 1], j - i + 1)
+
+    best = None
+    for cuts in combinations(range(1, n), B - 1):
+        bounds = [0, *cuts, n]
+        total = sum(
+            (sse(bounds[b] + 1, bounds[b + 1]) for b in range(B)),
+            Decimal(0),
+        )
+        cand = (total, cuts)
+        if best is None or cand < best:
+            best = cand
+    got = voptimal_from_grid(grid, B)
+    got_total = sum(Decimal(repr(r[5])) for r in got)
+    assert got_total == best[0]
+    # reconstruct the DP's cut cells from the bucket cell counts
+    cells, cuts = 0, []
+    for r in got[:-1]:
+        cells += r[3]
+        cuts.append(cells)
+    assert tuple(cuts) == best[1]
+
+
+def test_voptimal_validation():
+    from metadata_ingestion_poc_spark.operators.histogram import (
+        voptimal_from_grid,
+    )
+
+    with pytest.raises(ValueError, match=">= 1"):
+        voptimal_from_grid([(1, 2), (2, 3)], 0)
+    with pytest.raises(ValueError, match="non-empty"):
+        voptimal_from_grid([(1, 2)], 2)
+    with pytest.raises(ValueError, match="sorted"):
+        voptimal_from_grid([(2, 1), (1, 1)], 1)
