@@ -144,67 +144,81 @@ def _load_all() -> None:
 # to round 12 to make room for the never-swept blocks).
 # 3 + 4 + 8 + 15 + 20 = 50.
 #
-# Round-12 rotation note: promote whatever round-12 code changes
-# touch, then q31-q49 + q50-q69 (judge-verified in round 10), then
-# the round-3 block q70-q118 by staleness.
+# Round-12 rotation (window N=50), per the round-11 verdict: (a) the
+# 4 queries whose code round 12 touched — q276 (the round's one red
+# row: chained-IEEE gain now ROUND(6) in both engines + FLOOR-derived
+# disc key — re-promoted for the driver-green proof), q274
+# (holt_linear NULL fail-loud guard rides the level column), q278
+# (BPE vocab checkpoint made eager), q262 (the pHash near-dup join
+# now routes through the factored hamming_banded_pairs with lossless
+# band pruning) plus q284 (same module — scene path unchanged, swept
+# for the refactor's blast radius); (b) the 7 round-12-new q289-q295
+# (OPQ-PQ, OPQ-IVF-PQ, BH-FDR battery, audio fingerprint near-dup,
+# KMV sketch batch-twin, Huber IRLS, v-optimal histogram) — never
+# swept; (c) the q31-q69 refresh block (37 names; judge-verified
+# green at sf0.01 in rounds 10 AND 11 — driver credit is the only
+# thing missing); (d) the round-3 block head q70. 5 + 7 + 37 + 1 = 50.
+#
+# Round-13 rotation note: promote whatever round-13 code changes
+# touch, then the round-3 block q70-q118 by staleness (q70 head
+# already credited this round), then q119-q160.
 # ---------------------------------------------------------------------------
 _SWEEP_PRIORITY = [
-    # -- round-11 code-changed (residual-encoded IVFADC + stored-rn2
-    # index + shared-base train/census; q250's shared-base pq_ann_topk
-    # plumbing changed even though its registered dial did not).
-    "q250_pq_ann_topk",
-    "q251_pq_train_census",
-    "q254_ivfpq_ann_topk",
-    # -- new in round 11 — never swept.
-    "q262_phash_near_dup",
-    "q263_mmr_diverse_topk",
-    "q264_ann_index_maintenance",
-    "q265_bootstrap_ci",
-    "q266_naive_bayes_langid",
-    "q267_qgram_edit_join",
-    "q268_ridge_closed_form",
-    "q269_logreg_gd",
-    "q270_conformal_interval",
-    "q271_logreg_auc",
-    "q272_logreg_calibration",
-    "q273_ridge_cv",
-    "q274_holt_forecast",
-    "q275_dp_noisy_release",
+    # -- round-12 code-changed.
     "q276_decision_stump",
-    "q277_als_user_step",
+    "q274_holt_forecast",
     "q278_bpe_merge_train",
-    "q279_isotonic_calibration",
-    "q280_fs_record_linkage",
-    "q281_hits_bipartite",
-    "q282_anova_f",
-    "q283_quantile_regression",
+    "q262_phash_near_dup",
     "q284_scene_segmentation",
-    "q285_kmv_cardinality",
-    "q286_stream_static_enrichment",
-    "q287_sequence_patterns",
-    "q288_source_influence",
-    # -- core refresh block q13-q30 (judge-verified green at sf0.01 in
-    # round 10; driver credit due; q31-q49 deferred to round 12).
-    "q13_grouping_sets",
-    "q14_percentiles",
-    "q15_variance_stats",
-    "q16_argmax_per_group",
-    "q17_collect_sorted",
-    "q17b_collect_array",
-    "q18_approx_count_distinct",
-    "q19_pivot",
-    "q19b_unpivot",
-    "q20_topk_per_group",
-    "q21_rank_dense_ntile",
-    "q22_lag_lead",
-    "q23_running_sum",
-    "q24_range_frame",
-    "q25_first_last_frame",
-    "q26_union_distinct",
-    "q27_union_all_counts",
-    "q28_intersect",
-    "q29_except",
-    "q30_string_funcs",
+    # -- new in round 12 — never swept.
+    "q289_opq_ann_topk",
+    "q290_opq_ivfpq_topk",
+    "q291_bh_fdr",
+    "q292_audio_fp_near_dup",
+    "q293_kmv_sketch",
+    "q294_huber_irls",
+    "q295_voptimal_histogram",
+    # -- q31-q69 refresh block (judge-verified in rounds 10 and 11;
+    # driver credit due).
+    "q31_datetime_funcs",
+    "q32_math_funcs",
+    "q33_conditional_funcs",
+    "q34_array_funcs",
+    "q35_json_funcs",
+    "q36_explode_tokens",
+    "q37_map_struct_funcs",
+    "q40_asof_join",
+    "q41_theta_band_join",
+    "q42_cross_join_grid",
+    "q43_self_join_copurchase",
+    "q44_tpch_q3_shipping_priority",
+    "q45_tpch_q6_forecast_revenue",
+    "q46_tpch_q18_large_orders",
+    "q47_correlated_scalar_subquery",
+    "q48_exists_subquery",
+    "q49_scalar_in_subquery",
+    "q50_dedup_exact",
+    "q51_ngram_jaccard_pairs",
+    "q52_minhash_lsh_pairs",
+    "q53_simhash_pairs",
+    "q54_dedup_clusters",
+    "q55_cosine_topk",
+    "q56_lsh_ann_topk",
+    "q57_cosine_near_dup_exact",
+    "q58_cosine_near_dup_lsh",
+    "q59_salted_agg",
+    "q60_token_stats",
+    "q61_quality_score",
+    "q62_language_id",
+    "q63_tfidf_top_terms",
+    "q64_fingerprint",
+    "q65_multimodal_features",
+    "q66_data_quality",
+    "q67_pattern_redaction",
+    "q68_doc_chunking",
+    "q69_sequence_packing",
+    # -- round-3 block head (staleness refresh).
+    "q70_tumbling_window",
 ]
 
 
