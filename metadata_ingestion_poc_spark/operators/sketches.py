@@ -517,3 +517,93 @@ def kmv_sketch(
             f" AS est_distinct",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# AMS (Alon-Matias-Szegedy) F2 sketch — second frequency moment /
+# self-join size estimation (public literature: Alon, Matias &
+# Szegedy, STOC 1996). Completes the mergeable-sketch family: HLL =
+# distinct, KMV = set arithmetic, CMS = point frequency, DDSketch =
+# quantiles, AMS = Σf² — the quantity a join planner needs to size a
+# key's self-join / detect skew before shuffling (the advise_join
+# question at sketch cost).
+# ---------------------------------------------------------------------------
+
+
+def ams_f2(
+    df: DataFrame,
+    key_expr: str,
+    reps: int = 32,
+    groups: int = 4,
+) -> DataFrame:
+    """AMS F2 estimate of Σ_k f(k)² for a key expression, plus the
+    exact value as the audit column: (g, sum_e, est_f2, exact_f2) —
+    one row per estimator group.
+
+    Construction: 32 ±1 sign functions from the NIBBLE PARITIES of
+    one md5 per row (one hash, 32 four-wise-ish independent signs —
+    engine-identical and fully oracle-able, the q64 portable-md5
+    discipline); each estimator is S_j = Σ_rows sign_j(key), an exact
+    integer under any partitioning, and E[S_j²] = F2. The estimate is
+    the classic median-of-means: means over ``groups`` groups, median
+    across them — emitted as ONE raw IEEE division of exact integer
+    group sums ((gs_(2) + gs_(3)) / (2·per_group) for 4 groups), the
+    q268 rule.
+
+    100-TB shape: ONE scan with reps sum aggregates (map-side
+    combined, no explode — the exchange carries reps integers per
+    partition); the reps-value state is collected (bounded) and the
+    result re-enters as a literal frame. The exact audit column pays
+    one key-grouped exchange — it is the DEMO contrast, not part of
+    the sketch; production callers drop it and never shuffle on the
+    key at all.
+
+    Accuracy is skew-dependent BY THEORY: per-estimator relative
+    variance is 2(F2² − F4)/F2², ≈ 2 for near-uniform keys but → 0
+    when one heavy key dominates F2 — i.e. the sketch is accurate
+    exactly when the answer matters (skew detection); measured 0.6-5%
+    on the planted-heavy-key dial vs ~30-80% on uniform orderkeys
+    (q296 docstring).
+    """
+    if reps % groups:
+        raise ValueError(
+            f"reps={reps} not divisible by groups={groups}"
+        )
+    per = reps // groups
+    k = f"CAST({key_expr} AS STRING)"
+    sums = df.selectExpr(f"md5({k}) AS h").agg(
+        *[
+            F.expr(
+                f"SUM(1 - 2 * (CAST(conv(substring(h, {j}, 1), 16, 10)"
+                f" AS INT) % 2))"
+            )
+            .cast("long")
+            .alias(f"s{j}")
+            for j in range(1, reps + 1)
+        ]
+    )
+    row = sums.collect()[0]  # bounded: reps integers
+    gs = [
+        sum(
+            int(row[f"s{j}"]) ** 2
+            for j in range(g * per + 1, (g + 1) * per + 1)
+        )
+        for g in range(groups)
+    ]
+    srt = sorted(gs)
+    mid = groups // 2
+    if groups % 2:
+        est = float(srt[mid]) / per
+    else:
+        est = (srt[mid - 1] + srt[mid]) / (2.0 * per)
+    exact = (
+        df.selectExpr(f"{key_expr} AS k")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        .agg(F.sum(F.col("f") * F.col("f")).cast("long").alias("x"))
+        .collect()[0]["x"]
+    )
+    return df.sparkSession.createDataFrame(
+        [(g, gs[g], est, int(exact)) for g in range(groups)],
+        "g int, sum_e long, est_f2 double, exact_f2 long",
+    ).orderBy("g")

@@ -133,3 +133,26 @@ def test_voptimal_validation():
         voptimal_from_grid([(1, 2)], 2)
     with pytest.raises(ValueError, match="sorted"):
         voptimal_from_grid([(2, 1), (1, 1)], 1)
+
+
+def test_ams_f2_accuracy_under_skew(spark):
+    # The planted heavy key concentrates F2, which is the regime the
+    # estimator is accurate in BY THEORY (variance 2(F2^2-F4)/F2^2
+    # collapses as one key dominates). Deterministic signs — the
+    # measured error reproduces exactly.
+    rows = QUERIES["q296_ams_f2"](spark, SF).collect()
+    assert len(rows) == 4
+    est, exact = rows[0].est_f2, rows[0].exact_f2
+    assert all(r.est_f2 == est and r.exact_f2 == exact for r in rows)
+    assert abs(est - exact) / exact < 0.15
+    # per-group sums reconstruct the median-of-means exactly
+    gs = sorted(r.sum_e for r in rows)
+    assert est == (gs[1] + gs[2]) / 16.0
+
+
+def test_ams_f2_validation(spark):
+    from metadata_ingestion_poc_spark.operators.sketches import ams_f2
+
+    li = spark.createDataFrame([(1,)], "l_orderkey long")
+    with pytest.raises(ValueError, match="divisible"):
+        ams_f2(li, "l_orderkey", reps=10, groups=4)
