@@ -152,16 +152,16 @@ def _load_all() -> None:
 # (BPE vocab checkpoint made eager), q262 (the pHash near-dup join
 # now routes through the factored hamming_banded_pairs with lossless
 # band pruning) plus q284 (same module — scene path unchanged, swept
-# for the refactor's blast radius); (b) the 7 round-12-new q289-q295
+# for the refactor's blast radius); (b) the 8 round-12-new q289-q296
 # (OPQ-PQ, OPQ-IVF-PQ, BH-FDR battery, audio fingerprint near-dup,
-# KMV sketch batch-twin, Huber IRLS, v-optimal histogram) — never
-# swept; (c) the q31-q69 refresh block (37 names; judge-verified
+# KMV sketch batch-twin, Huber IRLS, v-optimal histogram, AMS F2) —
+# never swept; (c) the q31-q69 refresh block (37 names; judge-verified
 # green at sf0.01 in rounds 10 AND 11 — driver credit is the only
-# thing missing); (d) the round-3 block head q70. 5 + 7 + 37 + 1 = 50.
+# thing missing). 5 + 8 + 37 = 50.
 #
 # Round-13 rotation note: promote whatever round-13 code changes
-# touch, then the round-3 block q70-q118 by staleness (q70 head
-# already credited this round), then q119-q160.
+# touch, then the round-3 block q70-q118 by staleness, then
+# q119-q160.
 # ---------------------------------------------------------------------------
 _SWEEP_PRIORITY = [
     # -- round-12 code-changed.
@@ -178,6 +178,7 @@ _SWEEP_PRIORITY = [
     "q293_kmv_sketch",
     "q294_huber_irls",
     "q295_voptimal_histogram",
+    "q296_ams_f2",
     # -- q31-q69 refresh block (judge-verified in rounds 10 and 11;
     # driver credit due).
     "q31_datetime_funcs",
@@ -217,8 +218,6 @@ _SWEEP_PRIORITY = [
     "q67_pattern_redaction",
     "q68_doc_chunking",
     "q69_sequence_packing",
-    # -- round-3 block head (staleness refresh).
-    "q70_tumbling_window",
 ]
 
 
