@@ -225,8 +225,19 @@ def gd_train(
     final weights, n, the checkpointed (x1, x2, y) projection)."""
     from ..functions.determinism import DEC, _half_up
 
-    b = base.selectExpr(
-        f"{x1_expr} AS x1", f"{x2_expr} AS x2", f"{y_expr} AS y"
+    from .dedup import _spread
+
+    # _spread BEFORE the checkpoint (the round-10 clustering lesson,
+    # applied here round 12): a small parquet arrives as a handful of
+    # input splits, and the checkpoint PINS that layout — every one
+    # of the iters+1 training scans would then run on 2-3 cores
+    # regardless of cluster size. Measured at sf0.1: the q269/q271/
+    # q272/q279 family dropped ~2x once the checkpoint spread to
+    # defaultParallelism. No-op at real scale (stats-gated).
+    b = _spread(
+        base.selectExpr(
+            f"{x1_expr} AS x1", f"{x2_expr} AS x2", f"{y_expr} AS y"
+        )
     ).localCheckpoint(eager=False)  # reused by iters+1 scans
     n = None
     w = [0.0, 0.0, 0.0]

@@ -61,8 +61,16 @@ def huber_irls(
         raise ValueError(
             f"delta must be positive on the 6-dp grid: {delta}"
         )
-    b = base.selectExpr(
-        f"CAST({x_expr} AS DOUBLE) AS x", f"CAST({y_expr} AS DOUBLE) AS y"
+    from .dedup import _spread
+
+    # _spread before the checkpoint (the classify.py gd_train note):
+    # without it the checkpoint pins the input's 2-3 parquet splits
+    # and every IRLS scan runs nearly single-core.
+    b = _spread(
+        base.selectExpr(
+            f"CAST({x_expr} AS DOUBLE) AS x",
+            f"CAST({y_expr} AS DOUBLE) AS y",
+        )
     ).localCheckpoint(eager=False)  # reused by iters+1 scans
     b0, b1 = 0.0, 0.0
     census: list[tuple] = []

@@ -812,8 +812,13 @@ def q273_ridge_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p").cast("decimal(14,2)").alias("y"),
             "fold",
         )
-        .localCheckpoint(eager=False)  # reused: fold stats + eval scan
     )
+    from ..operators.dedup import _spread
+
+    # _spread before the checkpoint (the classify.py gd_train note)
+    r = _spread(r).localCheckpoint(
+        eager=False
+    )  # reused: fold stats + eval scan
     fs = r.groupBy("fold").agg(
         F.count(F.lit(1)).cast("decimal(20,2)").alias("n"),
         *[
@@ -2067,11 +2072,16 @@ def _qr_oracle(iters: int) -> str:
 def q283_quantile_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.determinism import _half_up
 
-    b = (
-        load_table(spark, sf_dir, "lineitem")
-        .selectExpr(f"{_QR_X1} AS x1", f"{_QR_Y} AS y")
-        .localCheckpoint(eager=False)  # reused by iters+1 scans
-    )
+    from ..operators.dedup import _spread
+
+    # _spread before the checkpoint (the classify.py gd_train note):
+    # the checkpoint otherwise pins lineitem's 2-3 input splits and
+    # every subgradient scan runs nearly single-core.
+    b = _spread(
+        load_table(spark, sf_dir, "lineitem").selectExpr(
+            f"{_QR_X1} AS x1", f"{_QR_Y} AS y"
+        )
+    ).localCheckpoint(eager=False)  # reused by iters+1 scans
     n = b.count()
     w = [0.0, 0.0]
     rows = []
