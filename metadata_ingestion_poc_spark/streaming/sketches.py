@@ -149,3 +149,60 @@ def streaming_kmv_distinct(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming count-min sketch — the point-frequency streaming twin,
+# built the OTHER canonical way from the KMV above: instead of
+# per-key custom state, each micro-batch's PARTIAL sketch (a ≤
+# depth×width-row table from the existing JVM-side cms_build) is
+# committed as one idempotent snapshot version, and the current
+# sketch is the merge-on-read groupBy over the partials — CMS merge
+# is element-wise addition, so deferring it to read time is exact.
+# No read-modify-write anywhere: replayed micro-batches no-op on the
+# batch_id marker (the snapshot_sink exactly-once contract), so
+# at-least-once delivery can never double-count a batch into the
+# counters — the failure mode a naive read-merge-overwrite
+# foreachBatch sink has.
+# ---------------------------------------------------------------------------
+
+
+def streaming_cms_sink(
+    table_path: str,
+    key_col: str,
+    width: int = 2048,
+    depth: int = 4,
+    weight_col: str | None = None,
+):
+    """foreachBatch handler: commit each micro-batch's count-min
+    partial sketch as one idempotent snapshot version. Pair with
+    :func:`streaming_cms_read` for the live merged sketch."""
+    from ..operators.sketches import cms_build
+    from ..snapshots import snapshot_write
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        sk = cms_build(
+            batch, key_col, width=width, depth=depth,
+            weight_col=weight_col,
+        )
+        snapshot_write(sk, table_path, mode="append", batch_id=batch_id)
+
+    return handle
+
+
+def streaming_cms_read(spark, table_path: str) -> DataFrame:
+    """The current merged sketch over every committed micro-batch
+    partial — exact, because CMS merge is element-wise addition
+    (cms_merge semantics as one bounded groupBy; geometry columns
+    ride in the key so mismatched sketches can never silently mix).
+    Feed the result to operators/sketches.py cms_estimate /
+    cms_screen like any batch sketch."""
+    from pyspark.sql import functions as F
+
+    from ..snapshots import snapshot_read
+
+    return (
+        snapshot_read(spark, table_path)
+        .groupBy("d", "bucket", "width", "depth")
+        .agg(F.sum("c").alias("c"))
+    )

@@ -123,3 +123,99 @@ def test_k_validation(spark, sf_dir):
         streaming_kmv_distinct(docs, "source", "text", k=0)
     with pytest.raises(ValueError, match=">= 1"):
         kmv_sketch(docs, "source", "text", k=0)
+
+
+def test_streaming_cms_equals_batch_sketch(spark, sf_dir, tmp_path):
+    # streaming fold over file micro-batches must yield the SAME
+    # merged sketch table as one batch cms_build over everything —
+    # CMS merge is element-wise addition, so merge-on-read over
+    # per-batch partials is exact.
+    from metadata_ingestion_poc_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+    from metadata_ingestion_poc_spark.streaming.sketches import (
+        streaming_cms_read,
+        streaming_cms_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    src_path = str(tmp_path / "docs_cms_src")
+    docs.repartition(5).write.parquet(src_path)
+    table = str(tmp_path / "cms_table")
+
+    stream = read_stream(
+        spark, src_path, docs.schema, max_files_per_trigger=2
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            streaming_cms_sink(table, "source", width=64, depth=3)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_cms"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.d, r.bucket): r.c
+        for r in streaming_cms_read(spark, table).collect()
+    }
+    want = {
+        (r.d, r.bucket): r.c
+        for r in cms_build(docs, "source", width=64, depth=3).collect()
+    }
+    assert got == want
+    # and the merged sketch estimates like the batch one
+    keys = docs.select("source").distinct()
+    est = {
+        r.source: r.est
+        for r in cms_estimate(
+            streaming_cms_read(spark, table), keys, "source"
+        ).collect()
+    }
+    exact = {
+        r.source: r.n
+        for r in docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for s, n in exact.items():
+        assert est[s] >= n  # CMS never under-estimates
+
+
+def test_streaming_cms_replay_is_idempotent(spark, sf_dir, tmp_path):
+    # at-least-once replay of the SAME batch_id must not double-count
+    # into the sketch — the snapshot batch marker no-ops it.
+    from metadata_ingestion_poc_spark.snapshots import snapshot_versions
+    from metadata_ingestion_poc_spark.streaming.sketches import (
+        streaming_cms_read,
+        streaming_cms_sink,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "text")
+        .limit(50)
+        .cache()
+    )
+    table = str(tmp_path / "cms_replay")
+    handle = streaming_cms_sink(table, "source", width=32, depth=2)
+    handle(docs, 0)
+    before = {
+        (r.d, r.bucket): r.c
+        for r in streaming_cms_read(spark, table).collect()
+    }
+    handle(docs, 0)  # replayed micro-batch
+    after = {
+        (r.d, r.bucket): r.c
+        for r in streaming_cms_read(spark, table).collect()
+    }
+    assert after == before
+    assert len(snapshot_versions(table)) == 1
+    handle(docs, 1)  # a genuinely new batch does count
+    doubled = {
+        (r.d, r.bucket): r.c
+        for r in streaming_cms_read(spark, table).collect()
+    }
+    assert doubled == {k: 2 * v for k, v in before.items()}
