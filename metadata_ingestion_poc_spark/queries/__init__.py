@@ -154,10 +154,11 @@ def _load_all() -> None:
 # band pruning) plus q284 (same module — scene path unchanged, swept
 # for the refactor's blast radius); (b) the 8 round-12-new q289-q296
 # (OPQ-PQ, OPQ-IVF-PQ, BH-FDR battery, audio fingerprint near-dup,
-# KMV sketch batch-twin, Huber IRLS, v-optimal histogram, AMS F2) —
-# never swept; (c) the q31-q69 refresh block (37 names; judge-verified
+# KMV sketch batch-twin, Huber IRLS, v-optimal histogram, AMS F2,
+# Neyman allocation) — never swept; (c) the q31-q69 refresh block (37 names; judge-verified
 # green at sf0.01 in rounds 10 AND 11 — driver credit is the only
-# thing missing). 5 + 8 + 37 = 50.
+# thing missing; q69 tail deferred to round 13 for window room).
+# 5 + 9 + 36 = 50.
 #
 # Round-13 rotation note: promote whatever round-13 code changes
 # touch, then the round-3 block q70-q118 by staleness, then
@@ -179,6 +180,7 @@ _SWEEP_PRIORITY = [
     "q294_huber_irls",
     "q295_voptimal_histogram",
     "q296_ams_f2",
+    "q297_neyman_allocation",
     # -- q31-q69 refresh block (judge-verified in rounds 10 and 11;
     # driver credit due).
     "q31_datetime_funcs",
@@ -217,7 +219,6 @@ _SWEEP_PRIORITY = [
     "q66_data_quality",
     "q67_pattern_redaction",
     "q68_doc_chunking",
-    "q69_sequence_packing",
 ]
 
 

@@ -597,3 +597,76 @@ def q296_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return ams_f2(li, _AMS_KEY, reps=32, groups=4)
+
+# ---------------------------------------------------------------------------
+# q297 — Neyman-allocation stratified sampling budgets
+# (operators/sampling.py): the variance-optimal answer to "how many
+# documents should each source contribute to a fixed-size sample" —
+# n_h ∝ N_h·S_h minimizes the stratified-mean variance (Neyman 1934),
+# where the existing curation caps/mixture queries (q115/q117/q121)
+# take the proportions as GIVEN. One map-combined integer-moment
+# rollup per source is the only data-sized exchange. Exactness: the
+# variance is ONE division of exact integer moments; sqrt is
+# correctly-rounded IEEE; the weight chain is pinned to an integer
+# micro-weight via FLOOR(·10⁶ + 0.5) (the house grid rule), after
+# which base/remainder/largest-remainder top-up are ALL integer
+# arithmetic — the final allocation is engine-identical, and the
+# oracle replays it end-to-end (Spark DIV ≡ DuckDB // on
+# non-negative operands).
+# ---------------------------------------------------------------------------
+
+_NEY_BUDGET = 300
+
+
+@query(
+    "q297_neyman_allocation",
+    oracle=f"""
+    WITH m AS (
+      SELECT source AS stratum, COUNT(*)::BIGINT AS n_rows,
+             SUM(length(text))::BIGINT AS sx,
+             SUM(length(text) * length(text))::BIGINT AS sxx
+      FROM documents GROUP BY source),
+    w AS (
+      SELECT stratum, n_rows,
+             CASE WHEN n_rows < 2 THEN CAST(0.0 AS DOUBLE) ELSE
+               ROUND(CAST(n_rows * sxx - sx * sx AS DOUBLE)
+                     / CAST(n_rows * (n_rows - 1) AS DOUBLE), 6) END
+               AS var6,
+             CAST(FLOOR(n_rows * sqrt(
+               CASE WHEN n_rows < 2 THEN CAST(0.0 AS DOUBLE) ELSE
+                 ROUND(CAST(n_rows * sxx - sx * sx AS DOUBLE)
+                       / CAST(n_rows * (n_rows - 1) AS DOUBLE), 6) END
+             ) * 1000000 + 0.5) AS BIGINT) AS u_weight
+      FROM m),
+    tot AS (SELECT SUM(u_weight)::BIGINT AS uu,
+                   SUM(n_rows)::BIGINT AS nn FROM w),
+    eff AS (
+      SELECT stratum, n_rows, var6, u_weight,
+             CASE WHEN t.uu = 0 THEN n_rows ELSE u_weight END AS ue,
+             CASE WHEN t.uu = 0 THEN t.nn ELSE t.uu END AS utot
+      FROM w, tot t),
+    alloc AS (
+      SELECT stratum, n_rows, var6, u_weight,
+             ({_NEY_BUDGET} * ue) // utot AS alloc_base,
+             ({_NEY_BUDGET} * ue) % utot AS remainder
+      FROM eff),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY remainder DESC, stratum)
+               AS rk,
+             {_NEY_BUDGET} - SUM(alloc_base) OVER () AS extra
+      FROM alloc)
+    SELECT stratum, n_rows, var6, u_weight,
+           alloc_base::BIGINT AS alloc_base,
+           remainder::BIGINT AS remainder,
+           (alloc_base + CASE WHEN rk <= extra THEN 1 ELSE 0 END)::BIGINT
+             AS n_alloc
+    FROM ranked
+    ORDER BY stratum
+    """,
+)
+def q297_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import neyman_allocation
+
+    d = load_table(spark, sf_dir, "documents")
+    return neyman_allocation(d, "source", "length(text)", _NEY_BUDGET)

@@ -156,3 +156,46 @@ def test_ams_f2_validation(spark):
     li = spark.createDataFrame([(1,)], "l_orderkey long")
     with pytest.raises(ValueError, match="divisible"):
         ams_f2(li, "l_orderkey", reps=10, groups=4)
+
+
+def test_neyman_allocation_properties(spark):
+    import numpy as np
+
+    rows = QUERIES["q297_neyman_allocation"](spark, SF).collect()
+    # the budget is honored exactly after largest-remainder top-up
+    assert sum(r.n_alloc for r in rows) == 300
+    # allocation tracks N_h * S_h: the stratum with the largest
+    # micro-weight never gets less than the one with the smallest
+    by_w = sorted(rows, key=lambda r: r.u_weight)
+    assert by_w[-1].n_alloc >= by_w[0].n_alloc
+    # base/remainder reconstruct the integer quota arithmetic
+    utot = sum(r.u_weight for r in rows)
+    for r in rows:
+        assert r.alloc_base == (300 * r.u_weight) // utot
+        assert r.remainder == (300 * r.u_weight) % utot
+    # var6 matches a from-scratch numpy variance at 6dp
+    from metadata_ingestion_poc_spark.catalog import load_table
+
+    docs = load_table(spark, SF, "documents").collect()
+    import collections
+
+    lens = collections.defaultdict(list)
+    for d in docs:
+        lens[d.source].append(len(d.text))
+    for r in rows:
+        v = np.var(lens[r.stratum], ddof=1)
+        assert abs(r.var6 - round(float(v), 6)) < 2e-6, r.stratum
+
+
+def test_neyman_zero_variance_falls_back_proportional(spark):
+    from metadata_ingestion_poc_spark.operators.sampling import (
+        neyman_allocation,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 7)] * 30 + [("b", 7)] * 10, "s string, x int"
+    )
+    rows = neyman_allocation(df, "s", "x", 4).collect()
+    got = {r.stratum: r.n_alloc for r in rows}
+    assert sum(got.values()) == 4
+    assert got["a"] == 3 and got["b"] == 1  # proportional 30:10
