@@ -312,3 +312,120 @@ def test_holt_fold_equals_reference_on_random_series(spark, ys, alpha, beta):
     assert Decimal(str(got["trend"])) == tr
     if len(ys) > 1:
         assert abs(got["mae"] - float(sae) / (len(ys) - 1)) < 1e-9
+
+
+# --- round-12 driver-side math (pure python — no Spark fixture) -----------
+
+
+@given(
+    freqs=st.lists(st.integers(1, 200), min_size=4, max_size=9),
+    buckets=st.integers(2, 4),
+)
+@settings(max_examples=40, deadline=None)
+def test_voptimal_dp_equals_exhaustive(freqs, buckets):
+    from decimal import Decimal
+    from itertools import combinations
+
+    from metadata_ingestion_poc_spark.operators.histogram import (
+        _sse6,
+        voptimal_from_grid,
+    )
+
+    n = len(freqs)
+    if n < buckets:
+        return
+    grid = list(enumerate(freqs))
+    P = [0] * (n + 1)
+    Q = [0] * (n + 1)
+    for j, f in enumerate(freqs, start=1):
+        P[j] = P[j - 1] + f
+        Q[j] = Q[j - 1] + f * f
+
+    def sse(i, j):
+        return _sse6(Q[j] - Q[i - 1], P[j] - P[i - 1], j - i + 1)
+
+    best = min(
+        sum(
+            (
+                sse(b[k] + 1, b[k + 1])
+                for k in range(buckets)
+            ),
+            Decimal(0),
+        )
+        for cuts in combinations(range(1, n), buckets - 1)
+        for b in [[0, *cuts, n]]
+    )
+    got = voptimal_from_grid(grid, buckets)
+    assert sum(Decimal(repr(r[5])) for r in got) == best
+    # buckets tile the grid exactly
+    assert sum(r[3] for r in got) == n
+    assert sum(r[4] for r in got) == sum(freqs)
+
+
+@given(
+    eigs=st.lists(
+        st.floats(min_value=1e-6, max_value=1e6, allow_nan=False),
+        min_size=4,
+        max_size=16,
+    ),
+    m=st.integers(2, 4),
+)
+@settings(max_examples=40, deadline=None)
+def test_eig_allocation_is_full_partition(eigs, m):
+    from metadata_ingestion_poc_spark.operators.opq import _allocate_eigs
+
+    if len(eigs) % m:
+        return
+    dsub = len(eigs) // m
+    buckets = _allocate_eigs(eigs, m, dsub)
+    assert all(len(b) == dsub for b in buckets)
+    assert sorted(i for b in buckets for i in b) == list(range(len(eigs)))
+
+
+@given(
+    vals=st.lists(st.text(min_size=0, max_size=8), min_size=1, max_size=80),
+    split=st.integers(0, 80),
+    k=st.integers(1, 12),
+)
+@settings(max_examples=40, deadline=None)
+def test_kmv_merge_equals_whole(vals, split, k):
+    # bottom-k(bottom-k(A) ∪ hashes(B)) == bottom-k(A ∪ B) — the
+    # mergeability that makes the streaming operator exact
+    from metadata_ingestion_poc_spark.streaming.sketches import _hash48
+
+    split = min(split, len(vals))
+    a, b = vals[:split], vals[split:]
+    bk = lambda hs: sorted(hs)[:k]
+    merged = bk(set(bk({_hash48(v) for v in a})) | {_hash48(v) for v in b})
+    whole = bk({_hash48(v) for v in vals})
+    assert merged == whole
+
+
+@given(
+    strata=st.lists(
+        st.tuples(st.integers(1, 500), st.integers(0, 10_000_000)),
+        min_size=1,
+        max_size=12,
+    ),
+    budget=st.integers(0, 1000),
+)
+@settings(max_examples=40, deadline=None)
+def test_largest_remainder_is_exact_and_fair(strata, budget):
+    # reference implementation of the q297 integer quota arithmetic:
+    # the top-up always lands the budget exactly, and no stratum is
+    # more than 1 away from its real-valued quota (the classic
+    # largest-remainder guarantee)
+    U = sum(u for _, u in strata)
+    if U == 0:
+        return
+    base = [(budget * u) // U for _, u in strata]
+    rem = [(budget * u) % U for _, u in strata]
+    extra = budget - sum(base)
+    order = sorted(range(len(strata)), key=lambda i: (-rem[i], i))
+    alloc = list(base)
+    for i in order[:extra]:
+        alloc[i] += 1
+    assert sum(alloc) == budget
+    for (n_h, u), a in zip(strata, alloc):
+        quota = budget * u / U
+        assert quota - 1 < a < quota + 1
