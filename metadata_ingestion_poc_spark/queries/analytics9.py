@@ -286,9 +286,10 @@ def q291_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Corpus = every document's bytes as a synthetic waveform PLUS a
 # planted 2-char-edit variant of every 7th (the q262 augmentation
 # discipline), so the detector must surface the planted edits
-# (max_hamming=4 covers the measured worst planted edit at sf0.1; the
-# lossless band pruning drops the zero-tail constant bands that would
-# otherwise bucket the whole corpus together).
+# (max_hamming=4 covers the measured worst planted edit at every SF:
+# 3 at sf0.001/sf0.01, 4 at sf0.1; the lossless band pruning drops
+# the zero-tail constant bands that would otherwise bucket the whole
+# corpus together).
 # rows-only: the FFT has no faithful SQL replay (the q262/q284
 # precedent); determinism, banded≡brute-force at two layouts,
 # planted-edit recovery, and edit-vs-unrelated separation are pinned
