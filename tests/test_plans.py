@@ -443,3 +443,62 @@ def test_ivfpq_coded_scan_no_window_no_join(spark, sf_dir):
         assert node not in plan, node
     kinds = set(re.findall(r"Exchange (\w+)", plan))
     assert kinds <= {"RoundRobinPartitioning"}, kinds
+
+
+def test_round12_training_queries_single_exchange(spark, sf_dir):
+    """The sufficient-statistics fits must stay ONE exchange: the
+    checkpoint-spread fix must never reintroduce per-iteration
+    shuffles, and the DP/median stages must stay driver-side literal
+    frames."""
+    for q in (
+        "q294_huber_irls",
+        "q295_voptimal_histogram",
+        "q296_ams_f2",
+    ):
+        df = QUERIES[q](spark, sf_dir)
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan, q
+        assert num_shuffles(df) <= 1, (q, num_shuffles(df))
+
+
+def test_bh_battery_grid_bounded_no_cartesian(spark, sf_dir):
+    df = QUERIES["q291_bh_fdr"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    # the sources × length-spine grid is built via a broadcast NLJ of
+    # two bounded frames, never a shuffled product of row-scale inputs
+    assert has_broadcast_join(df) or "BroadcastNestedLoopJoin" in plan
+
+
+def test_band_pruning_keeps_pigeonhole_bands(spark):
+    """White-box: at max_hamming=4 the 8-band layout must prune to
+    EXACTLY max_hamming+1 = 5 bands (the lossless minimum), chosen by
+    exact candidate volume — the constant zero-tail bands must be the
+    ones dropped."""
+    from metadata_ingestion_poc_spark.operators.multimodal import (
+        hamming_banded_pairs,
+    )
+
+    # 40 signatures whose top 3 bytes are CONSTANT (zero-tail) and
+    # lower bytes spread: the expensive bands are 5, 6, 7
+    sig = spark.createDataFrame(
+        [(i, (i * 2654435761) % (1 << 40)) for i in range(40)],
+        "id long, h long",
+    ).localCheckpoint(eager=True)
+    out = hamming_banded_pairs(sig, 4, "h")
+    plan = physical_plan(out)
+    assert "CartesianProduct" not in plan
+    # brute-force ground truth on the driver (40 sigs)
+    rows = {r.id: r.h for r in sig.collect()}
+    import itertools
+
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(rows), 2)
+        if bin(rows[a] ^ rows[b]).count("1") <= 4
+    }
+    got = {
+        (min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+        for r in out.collect()
+    }
+    assert got == want  # pruning stayed lossless
