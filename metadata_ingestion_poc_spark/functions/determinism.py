@@ -8,18 +8,39 @@ layout produces the identical value; results are rounded and cast back
 to double for stable hashing. SQL equivalent:
 ``ROUND(SUM(CAST(x AS DECIMAL(28,6))), 6)::DOUBLE``.
 
-Scalar-expression rule (the q276 lesson, round 12): ONE IEEE
-operation over exact operands (a single division or sqrt of integer /
-exact-decimal inputs) is bit-identical across engines and may ship
-raw; a CHAIN of float ops can differ in the last ulp across engine
-versions and must be emitted ``ROUND(expr, 6)`` identically in both
-engines — and any ranking over it must run on the ROUNDED value so
-argmax ties resolve identically. Never derive integer grid keys via
-``ROUND`` or ``CAST`` on a double: DuckDB CASTs double->INT by
-rounding while Spark truncates, and ROUND(double) semantics diverge
-(Spark rounds the shortest-repr BigDecimal HALF_UP, DuckDB rounds the
-binary value). Use ``CAST(FLOOR(x + 0.5) AS INT)`` on non-negative
-grids instead.
+Scalar-expression rule (the q276 lesson, REVISED round 13 after two
+consecutive driver reds empirically refuted the round-12 version):
+
+1. EXACT cells are the only hash-SAFE story. Integers, integer pairs
+   (exact rationals, q276), FLOOR-pinned integer micro-grids (q297),
+   and strings are bit-identical on every engine and every engine
+   VERSION. Wide integers (beyond int64) must ship as STRINGS:
+   DECIMAL(38,0)/HUGEINT output cells degrade to float64 in duckdb's
+   pandas path and to decimal.Decimal in Spark's, so only the string
+   form hashes identically under any canonicalizer.
+2. The safe FLOAT class: correctly-rounded IEEE primitives
+   (+ − × ÷ sqrt, int→double conversion, FLOOR) over exact operands
+   are fully specified by IEEE-754, so even a CHAIN of them is
+   bit-identical across engines AND versions when both evaluate the
+   identical expression tree (q293's estimator, q297's weight chain).
+3. The HAZARD class: ``ROUND(non-exact-double, d)`` — Spark rounds
+   the shortest-repr BigDecimal HALF_UP, DuckDB rounds the binary
+   value, and DuckDB's own implementation CHANGED across releases
+   (the q276 red: mirrored ROUND text diverged only on the driver's
+   DuckDB). Likewise transcendentals (exp/ln/pow — libm, not
+   correctly rounded). Rounding a chain at 6 dp REDUCES but does not
+   ELIMINATE cross-version risk: a value within ~1e-9 of a 6-dp
+   boundary still flips. Where such a cell must ship (exp/ln
+   outputs), keep ROUND(6) and accept the documented residual risk —
+   never rank/argmax on it without an exact tie-break key.
+
+Aggregation rule unchanged: double addends go through DECIMAL(28,6)
+so the reduction is exact and order-independent. Never derive integer
+grid keys via ``ROUND`` or ``CAST`` on a double: DuckDB CASTs
+double->INT by rounding while Spark truncates; use
+``CAST(FLOOR(x + 0.5) AS INT)`` on non-negative grids instead.
+The grep-able float-bearing-output audit lives in SCALING.md
+("Float-bearing oracle cells").
 """
 
 from __future__ import annotations

@@ -11,15 +11,25 @@ The 100-TB shape: ONE map-combined rollup per stratum of the exact
 integer moments (N, Σx, Σx²) — the only data-sized exchange; the
 allocation itself is arithmetic on the |strata|-bounded frame.
 
-Cross-engine exactness (the q276/q291 discipline): the variance is
-ONE division of exact integer operands (N·Σx² − (Σx)²)/(N·(N−1));
-sqrt is correctly rounded IEEE on both engines; the weight chain
-N_h·sqrt(var) is pinned to an INTEGER micro-weight
+Cross-engine exactness (the q276 discipline, re-hardened round 13):
+the variance ships as the EXACT integer pair
+(var_num, var_den) = (N·Σx² − (Σx)², N·(N−1)) — never as a
+ROUND(double, 6), whose implementation diverges across engine
+VERSIONS (the lesson that kept q276 red two rounds). Inside the
+weight chain the variance is the raw single division of those exact
+operands; division, sqrt, multiply, add, FLOOR are all
+correctly-rounded/exact IEEE primitives, so the chain is
+bit-identical on every engine evaluating the same expression tree.
+The chain is then pinned to an INTEGER micro-weight
 u_h = FLOOR(N_h·S_h·10⁶ + 0.5) (the FLOOR(+0.5) grid rule), after
 which EVERYTHING is integer: base_h = (n·u_h) DIV U and
 remainder_h = (n·u_h) MOD U with U = Σu_h, and the largest-remainder
 top-up ranks exact integers with a stratum tie-break — so the final
-allocation, not just the weights, is engine-identical.
+allocation, not just the weights, is engine-identical. Every output
+cell is a BIGINT (or the stratum key): zero floats reach the hash.
+var_num stays within BIGINT up to N·Σx² < 2⁶³ (≈ sf1000 for document
+lengths); beyond that widen to DECIMAL(38,0)/HUGEINT and emit as
+strings (the q276 pattern).
 """
 
 from __future__ import annotations
@@ -35,9 +45,11 @@ def neyman_allocation(
     value_expr: str,
     budget: int,
 ) -> DataFrame:
-    """(stratum, n_rows, var6, u_weight, alloc_base, remainder,
-    n_alloc): Neyman-optimal integer allocation of ``budget`` samples
-    across strata by largest-remainder rounding.
+    """(stratum, n_rows, var_num, var_den, u_weight, alloc_base,
+    remainder, n_alloc): Neyman-optimal integer allocation of
+    ``budget`` samples across strata by largest-remainder rounding.
+    The sample variance is var_num/var_den exactly (0/1 for
+    single-row strata).
 
     ``value_expr`` must be integer-valued (the exactness contract —
     lengths, counts, grades); single-row strata get S_h = 0 (no
@@ -56,16 +68,21 @@ def neyman_allocation(
         F.sum("x").cast("long").alias("sx"),
         F.sum(F.expr("x * x")).cast("long").alias("sxx"),
     )
-    var6 = (
+    # raw single division of exact integer operands — the safe class;
+    # the n<2 branch keeps the pair a valid rational (0/1)
+    var_raw = (
         "CASE WHEN n_rows < 2 THEN CAST(0.0 AS DOUBLE) ELSE "
-        "round(CAST(n_rows * sxx - sx * sx AS DOUBLE)"
-        " / CAST(n_rows * (n_rows - 1) AS DOUBLE), 6) END"
+        "CAST(n_rows * sxx - sx * sx AS DOUBLE)"
+        " / CAST(n_rows * (n_rows - 1) AS DOUBLE) END"
     )
     w = m.selectExpr(
         "stratum",
         "n_rows",
-        f"{var6} AS var6",
-        f"CAST(FLOOR(n_rows * sqrt({var6}) * 1000000 + 0.5)"
+        "CAST(CASE WHEN n_rows < 2 THEN 0"
+        " ELSE n_rows * sxx - sx * sx END AS BIGINT) AS var_num",
+        "CAST(CASE WHEN n_rows < 2 THEN 1"
+        " ELSE n_rows * (n_rows - 1) END AS BIGINT) AS var_den",
+        f"CAST(FLOOR(n_rows * sqrt({var_raw}) * 1000000 + 0.5)"
         " AS BIGINT) AS u_weight",
     )
     tot = w.agg(
@@ -78,14 +95,16 @@ def neyman_allocation(
     alloc = w.crossJoin(F.broadcast(tot)).selectExpr(
         "stratum",
         "n_rows",
-        "var6",
+        "var_num",
+        "var_den",
         "u_weight",
         "CASE WHEN uu = 0 THEN n_rows ELSE u_weight END AS ue",
         "CASE WHEN uu = 0 THEN nn ELSE uu END AS utot",
     ).selectExpr(
         "stratum",
         "n_rows",
-        "var6",
+        "var_num",
+        "var_den",
         "u_weight",
         # integer division / modulo: engine-identical by construction
         f"CAST({budget} * ue AS BIGINT) DIV utot AS alloc_base",
@@ -101,7 +120,8 @@ def neyman_allocation(
         .selectExpr(
             "stratum",
             "n_rows",
-            "var6",
+            "var_num",
+            "var_den",
             "u_weight",
             "alloc_base",
             "remainder",

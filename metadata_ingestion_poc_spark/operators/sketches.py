@@ -473,47 +473,55 @@ KMV_M = 1 << 48
 
 def kmv_sketch(
     df: DataFrame,
-    group_col: str,
+    group_col: str | list[str],
     value_col: str,
     k: int = 16,
 ) -> DataFrame:
-    """(group, arr, n_sketch, est_distinct): per-group bottom-k of the
-    48-bit portable md5 hash (conv(substring(md5(v),1,12),16,10) — the
-    q64/q285 construction, identical to hashlib.md5 on UTF-8 bytes).
+    """(group..., arr, n_sketch, est_distinct): per-group bottom-k of
+    the 48-bit portable md5 hash (conv(substring(md5(v),1,12),16,10) —
+    the q64/q285 construction, identical to hashlib.md5 on UTF-8
+    bytes). ``group_col`` may be a list for composite keys — e.g.
+    (event-time window, type) for the windowed distinct-count dial
+    (q299), the batch face of the streaming twin's keyed state.
 
     Scale shape (the q285 discipline): one distinct rollup, then the
     per-group bottom-k rides the RANGE-PARTITIONED global sort
     (operators/indexing.py global_row_number) + one bounded min-rank
     rollup — no per-group sort cliff, no collect_set of an unbounded
     value domain. Estimator D̂ = (k−1)·2⁴⁸/h₍ₖ₎ with the
-    exact-below-k fallback, rounded at 6 dp (matching the streaming
-    emission)."""
+    exact-below-k fallback, emitted RAW: one IEEE division of exact
+    integer operands is correctly rounded and bit-identical on every
+    engine and version (the determinism.py safe class — ROUND(·,6) on
+    the quotient would reintroduce the cross-version rounding hazard
+    that kept q276 red), and it matches the streaming twin's Python
+    float division bit-for-bit."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     from .indexing import global_row_number
 
+    groups = [group_col] if isinstance(group_col, str) else list(group_col)
     h = F.expr(
         f"CAST(conv(substring(md5({value_col}), 1, 12), 16, 10)"
         f" AS BIGINT)"
     )
-    pts = df.select(group_col, h.alias("h")).distinct()
-    grn = global_row_number(pts, [group_col, "h"], "rn")
-    offs = grn.groupBy(group_col).agg(F.min("rn").alias("rn0"))
+    pts = df.select(*groups, h.alias("h")).distinct()
+    grn = global_row_number(pts, groups + ["h"], "rn")
+    offs = grn.groupBy(*groups).agg(F.min("rn").alias("rn0"))
     return (
-        grn.join(F.broadcast(offs), group_col)
+        grn.join(F.broadcast(offs), groups)
         .filter(F.col("rn") - F.col("rn0") < k)
-        .groupBy(group_col)
+        .groupBy(*groups)
         .agg(F.sort_array(F.collect_list("h")).alias("arr"))
         .selectExpr(
-            group_col,
+            *groups,
             "arr",
             "size(arr) AS n_sketch",
-            # round only the estimated branch: the exact-small branch
-            # is already an integer-valued double
+            # (k−1)·2⁴⁸ is exact below 2⁵³ and h₍ₖ₎ < 2⁴⁸, so the
+            # single division ships raw (safe class) — no ROUND
             f"CASE WHEN size(arr) < {k} THEN CAST(size(arr) AS DOUBLE)"
-            f" ELSE round(CAST({k - 1} AS DOUBLE)"
+            f" ELSE CAST({k - 1} AS DOUBLE)"
             f" * CAST({KMV_M} AS DOUBLE)"
-            f" / CAST(element_at(arr, {k}) AS DOUBLE), 6) END"
+            f" / CAST(element_at(arr, {k}) AS DOUBLE) END"
             f" AS est_distinct",
         )
     )

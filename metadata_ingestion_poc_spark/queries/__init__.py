@@ -160,65 +160,77 @@ def _load_all() -> None:
 # thing missing; q69 tail deferred to round 13 for window room).
 # 5 + 9 + 36 = 50.
 #
-# Round-13 rotation note: promote whatever round-13 code changes
-# touch, then the round-3 block q70-q118 by staleness, then
-# q119-q160.
+# Round-13 rotation (window N=50), per the round-12 verdict: (a) the
+# 10 queries round-13 code changes touch — q276 (the two-round red:
+# gain now an exact rational string pair, label integerized — the
+# label change also re-derives q269/q271/q272/q279, all promoted for
+# the driver-green proof), q293 (the round-12 hard error: sketch
+# scalarized to a csv string, estimator de-ROUNDed), q291 (k² now
+# squared in double — advisor overflow fix), q297 (var6 → exact
+# integer pair var_num/var_den, weight chain de-ROUNDed), q295
+# (grid-cap enforcement touched the operator), q77 (array output
+# scalarized; rows-only); (b) the round-13-new q298 basket lift and
+# q299 windowed KMV — never swept; (c) the round-3 refresh block
+# q70-q118 by staleness (q105 skipped: D12 credit; q79 does not
+# exist). 11 + 2 + 37 = 50.
+#
+# Round-14 rotation note: promote whatever round-14 code changes
+# touch, then the q111-q160 staleness tail (q111-q118 spilled from
+# this window), then q161-q200.
 # ---------------------------------------------------------------------------
 _SWEEP_PRIORITY = [
-    # -- round-12 code-changed.
+    # -- round-13 code-changed (q276/q293 were the round-12 reds).
     "q276_decision_stump",
-    "q274_holt_forecast",
-    "q278_bpe_merge_train",
-    "q262_phash_near_dup",
-    "q284_scene_segmentation",
-    # -- new in round 12 — never swept.
-    "q289_opq_ann_topk",
-    "q290_opq_ivfpq_topk",
-    "q291_bh_fdr",
-    "q292_audio_fp_near_dup",
     "q293_kmv_sketch",
-    "q294_huber_irls",
-    "q295_voptimal_histogram",
-    "q296_ams_f2",
+    "q298_basket_lift",
+    "q299_kmv_windowed",
+    "q269_logreg_gd",
+    "q271_logreg_auc",
+    "q272_logreg_calibration",
+    "q279_isotonic_calibration",
+    "q291_bh_fdr",
     "q297_neyman_allocation",
-    # -- q31-q69 refresh block (judge-verified in rounds 10 and 11;
-    # driver credit due).
-    "q31_datetime_funcs",
-    "q32_math_funcs",
-    "q33_conditional_funcs",
-    "q34_array_funcs",
-    "q35_json_funcs",
-    "q36_explode_tokens",
-    "q37_map_struct_funcs",
-    "q40_asof_join",
-    "q41_theta_band_join",
-    "q42_cross_join_grid",
-    "q43_self_join_copurchase",
-    "q44_tpch_q3_shipping_priority",
-    "q45_tpch_q6_forecast_revenue",
-    "q46_tpch_q18_large_orders",
-    "q47_correlated_scalar_subquery",
-    "q48_exists_subquery",
-    "q49_scalar_in_subquery",
-    "q50_dedup_exact",
-    "q51_ngram_jaccard_pairs",
-    "q52_minhash_lsh_pairs",
-    "q53_simhash_pairs",
-    "q54_dedup_clusters",
-    "q55_cosine_topk",
-    "q56_lsh_ann_topk",
-    "q57_cosine_near_dup_exact",
-    "q58_cosine_near_dup_lsh",
-    "q59_salted_agg",
-    "q60_token_stats",
-    "q61_quality_score",
-    "q62_language_id",
-    "q63_tfidf_top_terms",
-    "q64_fingerprint",
-    "q65_multimodal_features",
-    "q66_data_quality",
-    "q67_pattern_redaction",
-    "q68_doc_chunking",
+    "q295_voptimal_histogram",
+    "q77_freq_items",
+    # -- q70-q111 staleness refresh block.
+    "q70_tumbling_window",
+    "q71_sliding_window",
+    "q72_session_window",
+    "q73_funnel_conversion",
+    "q74_grouped_zscore",
+    "q75_stratified_sample",
+    "q76_corr_covar",
+    "q78_edit_distance",
+    "q80_tpch_q13_count_distribution",
+    "q81_tpch_q15_top_supplier",
+    "q82_tpch_q19_disjunctive",
+    "q83_tpch_q22_global_sales_opportunity",
+    "q84_nation_trade_matrix",
+    "q85_null_semantics",
+    "q86_tpch_q10_returned_items",
+    "q87_tpch_q14_promo_share",
+    "q88_window_rank_extras",
+    "q89_array_setops",
+    "q90_ivf_ann_topk",
+    "q91_string_transforms",
+    "q92_bool_aggregates",
+    "q93_bitwise_ops",
+    "q94_date_spine_gaps",
+    "q95_trailing_hour_counts",
+    "q96_tpch_q5_local_supplier_volume",
+    "q97_tpch_q8_market_share",
+    "q98_tpch_q9_profit_by_nation_year",
+    "q99_tpch_q11_important_parts",
+    "q100_tpch_q16_supplier_count",
+    "q101_tpch_q17_small_quantity_revenue",
+    "q102_tpch_q21_sole_blame_supplier",
+    "q103_tpch_q2_cheapest_supplier",
+    "q104_segment_dedup",
+    "q106_repetition_metrics",
+    "q107_domain_mixture_weights",
+    "q108_label_centroids",
+    "q109_embedding_norm_stats",
+    "q110_tpch_q12_priority_lines",
 ]
 
 

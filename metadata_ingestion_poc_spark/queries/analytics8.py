@@ -365,10 +365,20 @@ def q268_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LR_X1 = "((l_quantity - 25.5) / 25.0)"
 _LR_X2 = "((l_discount - 0.05) * 20.0)"
+# The planted label's comparison is ALL-INTEGER (hardened round 13
+# after the q276 driver reds): the float score
+#   2·(qty−25.5)/25 − (disc−0.05)·20 + ((7·ok+ln)%11 − 5)/10 > 0
+# scaled by 50 is  4·qty − 52 − 10·disĉ + 5·k > 0  with
+# disĉ = FLOOR(disc·100 + 0.5) (the house integer-grid rule) — an
+# integer predicate is bit-identical on every engine and every engine
+# VERSION, where the float chain's sign flips on knife-edge rows
+# whenever a literal parses as DECIMAL on one engine (DuckDB) and
+# DOUBLE on the other. The label VALUES stay 1.0/0.0 doubles for the
+# downstream GD arithmetic.
 _LR_Y = (
-    "CASE WHEN 2.0 * ((l_quantity - 25.5) / 25.0)"
-    " - ((l_discount - 0.05) * 20.0)"
-    " + CAST((l_orderkey * 7 + l_linenumber) % 11 - 5 AS DOUBLE) / 10.0"
+    "CASE WHEN 4 * CAST(l_quantity AS INT) - 52"
+    " - 10 * CAST(FLOOR(l_discount * 100 + 0.5) AS INT)"
+    " + 5 * (CAST((l_orderkey * 7 + l_linenumber) % 11 AS INT) - 5)"
     " > 0 THEN 1.0 ELSE 0.0 END"
 )
 _LR_ETA = 0.5
@@ -1079,40 +1089,42 @@ def q275_dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-feature window runs on a grid-bounded frame, never on rows).
 # The full threshold sweep is emitted, not just the argmax, so the
 # differential covers every candidate split's left/right counts and
-# gain. Float discipline (hardened round 12 after a driver-engine
-# hash mismatch, CORRECTNESS_r11): counts are exact integers, but the
-# gain is a ~10-operation CHAINED IEEE expression of them — unlike
-# the single-division q268-rule outputs, a chain can differ in the
-# last ulp across engine versions, so it is emitted ROUND(gain, 6)
-# identically in both engines, and the best-split rank runs on the
-# ROUNDED gain (ties broken by smaller threshold) so the argmax is
-# cross-engine deterministic too. Discount grid keys are derived
-# with FLOOR(x*100 + 0.5) integer arithmetic, not ROUND-on-DOUBLE:
-# DuckDB CASTs double->INT by rounding while Spark truncates, and
-# ROUND(double) itself diverges across engines (Spark goes through
-# shortest-repr BigDecimal HALF_UP; DuckDB rounds the binary value).
-# Rule of thumb, stated once here for the module: ONE IEEE op over
-# exact operands may ship raw; CHAINS must round at 6 dp.
+# gain. Float discipline (re-hardened round 13 after TWO consecutive
+# driver reds proved that ROUND(chain, 6) is NOT version-portable —
+# DuckDB's ROUND(double) implementation itself changed across
+# releases, and the closest gain sat 3.3e-9 from a 6-dp boundary):
+# every hashed cell is now EXACT. The Gini gain ships as the exact
+# rational pair
+#   gain_num = 2·(pos·(n−pos)·nl·nr − pos_l·(nl−pos_l)·n·nr
+#                − pos_r·(nr−pos_r)·n·nl)
+#   gain_den = n²·nl·nr
+# computed in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — exact to sf1
+# and beyond (|num| ≤ 2n⁴/16 < 10³⁸ for n ≤ 10⁹) — and EMITTED AS
+# STRINGS: integer→string renders identically on every engine, while
+# a DECIMAL(38,0) output cell degrades to float64 in duckdb's pandas
+# path (probed: duckdb 1.0 .df() returns 1.23e+26 for a 27-digit
+# decimal) and to decimal.Decimal in Spark's, so the string form is
+# the only representation every canonicalizer hashes identically.
+# The best-split rank runs on the SINGLE IEEE division
+# CAST(num AS DOUBLE)/CAST(den AS DOUBLE) — two correctly-rounded
+# ops (int→double conversion, division) over exact operands, the
+# determinism.py safe class — with ties broken by smaller threshold;
+# the division itself never reaches the output. Discount grid keys
+# keep the FLOOR(x*100 + 0.5) integer derivation (never ROUND/CAST
+# on a raw double: DuckDB CASTs double->INT by rounding while Spark
+# truncates).
 # ---------------------------------------------------------------------------
 
-
-def _gini_gain() -> str:
-    """Gini impurity decrease of a binary split, from integer counts
-    (nl, pos_l, n_tot, pos_tot) — one shared expression string so both
-    engines evaluate the identical IEEE tree."""
-    p = "(CAST(pos_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))"
-    pl = "(CAST(pos_l AS DOUBLE) / CAST(nl AS DOUBLE))"
-    pr = (
-        "(CAST(pos_tot - pos_l AS DOUBLE)"
-        " / CAST(n_tot - nl AS DOUBLE))"
-    )
-    g = "(CAST(2.0 AS DOUBLE) * {q} * (CAST(1.0 AS DOUBLE) - {q}))"
-    return (
-        f"{g.format(q=p)}"
-        f" - (CAST(nl AS DOUBLE) / CAST(n_tot AS DOUBLE)) * {g.format(q=pl)}"
-        f" - (CAST(n_tot - nl AS DOUBLE) / CAST(n_tot AS DOUBLE))"
-        f" * {g.format(q=pr)}"
-    )
+# shared numerator/denominator templates — one string, two engines;
+# {d} is the wide-integer cast target (DECIMAL(38,0) / HUGEINT)
+_STUMP_NUM = (
+    "(CAST(2 AS {d}) * ("
+    "CAST(pos_tot AS {d}) * (n_tot - pos_tot) * nl * (n_tot - nl)"
+    " - CAST(pos_l AS {d}) * (nl - pos_l) * n_tot * (n_tot - nl)"
+    " - CAST(pos_tot - pos_l AS {d})"
+    " * (n_tot - nl - pos_tot + pos_l) * n_tot * nl))"
+)
+_STUMP_DEN = "(CAST(n_tot AS {d}) * n_tot * nl * (n_tot - nl))"
 
 
 @query(
@@ -1143,12 +1155,17 @@ def _gini_gain() -> str:
       SELECT feature, v AS threshold,
              nl AS n_left, pos_l AS pos_left,
              n_tot - nl AS n_right, pos_tot - pos_l AS pos_right,
-             ROUND({_gini_gain()}, 6) AS gain
+             {_STUMP_NUM.format(d="HUGEINT")} AS gnum,
+             {_STUMP_DEN.format(d="HUGEINT")} AS gden
       FROM cum WHERE nl < n_tot)
     SELECT feature, threshold, n_left, pos_left, n_right, pos_right,
-           gain,
-           (ROW_NUMBER() OVER (PARTITION BY feature
-                               ORDER BY gain DESC, threshold) = 1)
+           CAST(gnum AS VARCHAR) AS gain_num,
+           CAST(gden AS VARCHAR) AS gain_den,
+           (ROW_NUMBER() OVER (
+              PARTITION BY feature
+              ORDER BY CAST(gnum AS DOUBLE) / CAST(gden AS DOUBLE)
+                         DESC,
+                       threshold) = 1)
              AS best
     FROM sweep
     ORDER BY feature, threshold
@@ -1191,13 +1208,28 @@ def q276_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos_l").alias("pos_left"),
         (F.col("n_tot") - F.col("nl")).alias("n_right"),
         (F.col("pos_tot") - F.col("pos_l")).alias("pos_right"),
-        F.round(F.expr(_gini_gain()), 6).alias("gain"),
+        F.expr(_STUMP_NUM.format(d="DECIMAL(38,0)")).alias("gnum"),
+        F.expr(_STUMP_DEN.format(d="DECIMAL(38,0)")).alias("gden"),
     )
     rk = Window.partitionBy("feature").orderBy(
-        F.col("gain").desc(), F.col("threshold")
+        (
+            F.col("gnum").cast("double") / F.col("gden").cast("double")
+        ).desc(),
+        F.col("threshold"),
     )
     return (
         sweep.withColumn("best", F.row_number().over(rk) == 1)
+        .select(
+            "feature",
+            "threshold",
+            "n_left",
+            "pos_left",
+            "n_right",
+            "pos_right",
+            F.col("gnum").cast("string").alias("gain_num"),
+            F.col("gden").cast("string").alias("gain_den"),
+            "best",
+        )
         .orderBy("feature", "threshold")
     )
 

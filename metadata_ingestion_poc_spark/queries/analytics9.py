@@ -3,10 +3,12 @@ multiple-comparison control, audio fingerprinting, and streaming
 sketch twins.
 
 Cross-engine discipline notes for this batch follow the module rule
-stated in functions/determinism.py (round 12): one IEEE op over exact
-operands may ship raw; chained float expressions round at 6 dp in
-both engines; integer grid keys derive via FLOOR(x + 0.5), never
-ROUND/CAST on a double.
+stated in functions/determinism.py (REVISED round 13): exact cells
+(integers, integer pairs, FLOOR micro-grids, strings) are the only
+hash-safe story; chains of correctly-rounded IEEE primitives over
+exact operands ship raw; ROUND(non-exact-double, 6) is a documented
+residual risk reserved for transcendental outputs; integer grid keys
+derive via FLOOR(x + 0.5), never ROUND/CAST on a double.
 """
 
 from __future__ import annotations
@@ -88,12 +90,14 @@ def q290_opq_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   spine, |F_s − F_ref| = |cum_s·n2 − cum_r·n1| / (n1·n2), so the
 #   max runs on the integer numerator K and D = K/(n1·n2) is ONE
 #   IEEE division of exact operands (ships raw, q268 rule).
-# - The asymptotic p-value's argument is ALSO an exact integer
-#   ratio: −2·n_eff·D² = −2K²/((n1+n2)·n1·n2) (one division). Only
+# - The asymptotic p-value's argument is the ratio
+#   −2·n_eff·D² = −2K²/((n1+n2)·n1·n2), with K SQUARED IN DOUBLE
+#   (round-13 advisor fix): K ≤ n1·n2, so a BIGINT K² silently
+#   overflows once n1·n2 > ~3e9 — the double product stays finite at
+#   any scale and both engines evaluate the identical IEEE tree. Only
 #   exp() is transcendental — engines differ by ≤1 ulp — so
 #   p = 2·exp(arg) is ROUNDed at 6 dp identically (the q275 LN
-#   discipline). K² is bigint-bounded at test scale (K ≤ n1·n2); at
-#   billion-doc scale cast K to double before squaring.
+#   discipline; documented residual class, determinism.py).
 # - The BH step-up comparison p_(i) ≤ i·α/m is evaluated in EXACT
 #   DECIMALS cross-multiplied (p6·m ≤ i·α), never a float division;
 #   ranks are all-integer with (p6, source) total order; the cutoff
@@ -147,7 +151,8 @@ _BH_ALPHA = "CAST(0.05 AS DECIMAL(8,6))"
                / (CAST(n1 AS DOUBLE) * (SELECT n2 FROM nref)) AS ks_d,
              LEAST(CAST(1.0 AS DOUBLE),
                    ROUND(CAST(2.0 AS DOUBLE) * EXP(
-                     CAST(-2 * k * k AS DOUBLE)
+                     CAST(-2.0 AS DOUBLE) * CAST(k AS DOUBLE)
+                       * CAST(k AS DOUBLE)
                      / (CAST(n1 + (SELECT n2 FROM nref) AS DOUBLE)
                         * n1 * (SELECT n2 FROM nref))), 6)) AS p6
       FROM ks),
@@ -230,7 +235,14 @@ def q291_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.lit(2.0)
                 * F.exp(
-                    (F.lit(-2) * F.col("k") * F.col("k")).cast("double")
+                    # k is squared in DOUBLE, not BIGINT: k ≤ n1·n2, so
+                    # k² silently overflows int64 once n1·n2 > ~3e9
+                    # (large-SF corpora) — the double product stays
+                    # finite at any scale and both engines evaluate the
+                    # identical IEEE tree (advisor fix, round 13)
+                    F.lit(-2.0)
+                    * F.col("k").cast("double")
+                    * F.col("k").cast("double")
                     / (
                         (F.col("n1") + F.lit(n2)).cast("double")
                         * F.col("n1")
@@ -335,8 +347,14 @@ def q292_audio_fp_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # operator itself: bottom-k of the portable 48-bit md5 hash riding
 # the range-partitioned global sort, the exact-below-k estimator
 # branch (exercised for real at sf0.001, where sources hold fewer
-# than k distinct documents), and the sketch array emitted whole so
-# the differential pins every element, not just the summary.
+# than k distinct documents), and the sketch emitted element-wise as
+# a comma-joined STRING so the differential pins every hash. (The raw
+# array<bigint> column is a harness contract violation — the driver's
+# pandas canonicalizer cannot sort/hash list cells, the round-12 hard
+# error; every output cell must be scalar, the q17b rule. The
+# estimator ships RAW: one IEEE division of exact operands is the
+# determinism.py safe class, version-portable where ROUND(·,6) on a
+# quotient is not.)
 # ---------------------------------------------------------------------------
 
 _Q293_K = 16
@@ -354,12 +372,14 @@ _Q293_K = 16
           FROM n),
     sk AS (SELECT source, list_sort(list(h)) AS arr
            FROM r WHERE rn <= {_Q293_K} GROUP BY source)
-    SELECT source, arr, len(arr)::BIGINT AS n_sketch,
+    SELECT source,
+           array_to_string(arr, ',') AS sketch_csv,
+           len(arr)::BIGINT AS n_sketch,
            CASE WHEN len(arr) < {_Q293_K}
                 THEN CAST(len(arr) AS DOUBLE)
-                ELSE ROUND(CAST({_Q293_K - 1} AS DOUBLE)
-                           * CAST({1 << 48} AS DOUBLE)
-                           / CAST(arr[{_Q293_K}] AS DOUBLE), 6) END
+                ELSE CAST({_Q293_K - 1} AS DOUBLE)
+                     * CAST({1 << 48} AS DOUBLE)
+                     / CAST(arr[{_Q293_K}] AS DOUBLE) END
              AS est_distinct
     FROM sk
     ORDER BY source
@@ -369,7 +389,17 @@ def q293_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketches import kmv_sketch
 
     d = load_table(spark, sf_dir, "documents")
-    return kmv_sketch(d, "source", "text", k=_Q293_K).orderBy("source")
+    sk = kmv_sketch(d, "source", "text", k=_Q293_K)
+    return sk.select(
+        "source",
+        # BIGINT→STRING renders identically in both engines (no sign /
+        # padding / exponent formatting ambiguity on integers)
+        F.array_join(
+            F.expr("transform(arr, x -> CAST(x AS STRING))"), ","
+        ).alias("sketch_csv"),
+        "n_sketch",
+        "est_distinct",
+    ).orderBy("source")
 
 # ---------------------------------------------------------------------------
 # q294 — Huber robust regression by IRLS (operators/robust.py): the
@@ -606,17 +636,23 @@ def q296_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # n_h ∝ N_h·S_h minimizes the stratified-mean variance (Neyman 1934),
 # where the existing curation caps/mixture queries (q115/q117/q121)
 # take the proportions as GIVEN. One map-combined integer-moment
-# rollup per source is the only data-sized exchange. Exactness: the
-# variance is ONE division of exact integer moments; sqrt is
-# correctly-rounded IEEE; the weight chain is pinned to an integer
-# micro-weight via FLOOR(·10⁶ + 0.5) (the house grid rule), after
-# which base/remainder/largest-remainder top-up are ALL integer
-# arithmetic — the final allocation is engine-identical, and the
-# oracle replays it end-to-end (Spark DIV ≡ DuckDB // on
-# non-negative operands).
+# rollup per source is the only data-sized exchange. Exactness
+# (re-hardened round 13, the q276 lesson): the variance ships as the
+# EXACT integer pair (var_num, var_den) — no ROUND(double) anywhere,
+# whose implementation diverges across engine versions; inside the
+# weight chain it is the raw single division of exact operands, then
+# sqrt/multiply/FLOOR — all correctly-rounded IEEE primitives — pin
+# an integer micro-weight, after which base/remainder/largest-
+# remainder top-up are ALL integer arithmetic. Every hashed cell is
+# a BIGINT (Spark DIV ≡ DuckDB // on non-negative operands).
 # ---------------------------------------------------------------------------
 
 _NEY_BUDGET = 300
+_NEY_VAR_RAW = (
+    "CASE WHEN n_rows < 2 THEN CAST(0.0 AS DOUBLE) ELSE "
+    "CAST(n_rows * sxx - sx * sx AS DOUBLE)"
+    " / CAST(n_rows * (n_rows - 1) AS DOUBLE) END"
+)
 
 
 @query(
@@ -629,25 +665,22 @@ _NEY_BUDGET = 300
       FROM documents GROUP BY source),
     w AS (
       SELECT stratum, n_rows,
-             CASE WHEN n_rows < 2 THEN CAST(0.0 AS DOUBLE) ELSE
-               ROUND(CAST(n_rows * sxx - sx * sx AS DOUBLE)
-                     / CAST(n_rows * (n_rows - 1) AS DOUBLE), 6) END
-               AS var6,
-             CAST(FLOOR(n_rows * sqrt(
-               CASE WHEN n_rows < 2 THEN CAST(0.0 AS DOUBLE) ELSE
-                 ROUND(CAST(n_rows * sxx - sx * sx AS DOUBLE)
-                       / CAST(n_rows * (n_rows - 1) AS DOUBLE), 6) END
-             ) * 1000000 + 0.5) AS BIGINT) AS u_weight
+             (CASE WHEN n_rows < 2 THEN 0
+                   ELSE n_rows * sxx - sx * sx END)::BIGINT AS var_num,
+             (CASE WHEN n_rows < 2 THEN 1
+                   ELSE n_rows * (n_rows - 1) END)::BIGINT AS var_den,
+             CAST(FLOOR(n_rows * sqrt({_NEY_VAR_RAW})
+                        * 1000000 + 0.5) AS BIGINT) AS u_weight
       FROM m),
     tot AS (SELECT SUM(u_weight)::BIGINT AS uu,
                    SUM(n_rows)::BIGINT AS nn FROM w),
     eff AS (
-      SELECT stratum, n_rows, var6, u_weight,
+      SELECT stratum, n_rows, var_num, var_den, u_weight,
              CASE WHEN t.uu = 0 THEN n_rows ELSE u_weight END AS ue,
              CASE WHEN t.uu = 0 THEN t.nn ELSE t.uu END AS utot
       FROM w, tot t),
     alloc AS (
-      SELECT stratum, n_rows, var6, u_weight,
+      SELECT stratum, n_rows, var_num, var_den, u_weight,
              ({_NEY_BUDGET} * ue) // utot AS alloc_base,
              ({_NEY_BUDGET} * ue) % utot AS remainder
       FROM eff),
@@ -657,7 +690,7 @@ _NEY_BUDGET = 300
                AS rk,
              {_NEY_BUDGET} - SUM(alloc_base) OVER () AS extra
       FROM alloc)
-    SELECT stratum, n_rows, var6, u_weight,
+    SELECT stratum, n_rows, var_num, var_den, u_weight,
            alloc_base::BIGINT AS alloc_base,
            remainder::BIGINT AS remainder,
            (alloc_base + CASE WHEN rk <= extra THEN 1 ELSE 0 END)::BIGINT
@@ -671,3 +704,124 @@ def q297_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return neyman_allocation(d, "source", "length(text)", _NEY_BUDGET)
+
+# ---------------------------------------------------------------------------
+# q298 — frequent-itemset co-occurrence lift (operators/basket.py
+# pair_lift): support/confidence/lift over order baskets with brand
+# items — the Apriori counting step (Agrawal & Srikant 1994) as one
+# distinct rollup + one basket-key self-join bounded by
+# items-per-basket (≤ 7 lines/order), min-support pruned BEFORE the
+# per-item count joins. Completes the association-analysis family
+# next to the set-overlap joins (q51/q249): those measure value-set
+# similarity between two documents; this measures co-occurrence of
+# items ACROSS baskets. Exactness: counts are BIGINTs; support /
+# confidence / lift are each ONE raw IEEE division of exact integer
+# operands (the determinism.py safe class — no ROUND anywhere).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q298_basket_lift",
+    oracle="""
+    WITH bi AS (
+      SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    nb AS (SELECT COUNT(DISTINCT basket)::BIGINT AS n FROM bi),
+    ic AS (SELECT item, COUNT(*)::BIGINT AS n_item FROM bi
+           GROUP BY item),
+    pc AS (SELECT a.item AS item_a, b.item AS item_b,
+                  COUNT(*)::BIGINT AS n_pair
+           FROM bi a JOIN bi b
+             ON a.basket = b.basket AND a.item < b.item
+           GROUP BY 1, 2)
+    SELECT p.item_a, p.item_b,
+           ia.n_item AS n_a, ib.n_item AS n_b, p.n_pair,
+           (SELECT n FROM nb) AS n_baskets,
+           CAST(p.n_pair AS DOUBLE)
+             / CAST((SELECT n FROM nb) AS DOUBLE) AS support,
+           CAST(p.n_pair AS DOUBLE) / CAST(ia.n_item AS DOUBLE)
+             AS confidence,
+           CAST(p.n_pair * (SELECT n FROM nb) AS DOUBLE)
+             / CAST(ia.n_item * ib.n_item AS DOUBLE) AS lift
+    FROM pc p
+    JOIN ic ia ON p.item_a = ia.item
+    JOIN ic ib ON p.item_b = ib.item
+    ORDER BY item_a, item_b
+    """,
+)
+def q298_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.basket import pair_lift
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(pt, li.l_partkey == pt.p_partkey)
+    return pair_lift(baskets, "l_orderkey", "p_brand").orderBy(
+        "item_a", "item_b"
+    )
+
+# ---------------------------------------------------------------------------
+# q299 — event-time windowed KMV distinct-count: the composition the
+# round-12 idea ledger called out — the q293 batch sketch operator
+# (now multi-group) keyed by (tumbling event-time window, event_type)
+# over the events stream table, i.e. the batch face of "distinct
+# users per hour per type" that the streaming twin
+# (streaming/sketches.py) answers with keyed state. One F.window
+# derivation, then the same range-partitioned bottom-k as q293 —
+# per-group state is ≤ k longs no matter how many events land in an
+# hour. Sketch scalarized to a csv string (the q293 harness rule);
+# estimator is the raw single IEEE division (safe class).
+# ---------------------------------------------------------------------------
+
+_Q299_K = 8
+
+
+@query(
+    "q299_kmv_windowed",
+    oracle=f"""
+    WITH n AS (
+      SELECT DISTINCT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             event_type,
+             CAST('0x' || substring(md5(user_id::VARCHAR), 1, 12)
+                  AS BIGINT) AS h
+      FROM events),
+    r AS (SELECT window_start, event_type, h,
+                 ROW_NUMBER() OVER (PARTITION BY window_start, event_type
+                                    ORDER BY h) AS rn
+          FROM n),
+    sk AS (SELECT window_start, event_type, list_sort(list(h)) AS arr
+           FROM r WHERE rn <= {_Q299_K} GROUP BY 1, 2)
+    SELECT window_start, event_type,
+           array_to_string(arr, ',') AS sketch_csv,
+           len(arr)::BIGINT AS n_sketch,
+           CASE WHEN len(arr) < {_Q299_K}
+                THEN CAST(len(arr) AS DOUBLE)
+                ELSE CAST({_Q299_K - 1} AS DOUBLE)
+                     * CAST({1 << 48} AS DOUBLE)
+                     / CAST(arr[{_Q299_K}] AS DOUBLE) END
+             AS est_distinct
+    FROM sk
+    ORDER BY window_start, event_type
+    """,
+)
+def q299_kmv_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import kmv_sketch
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.window("ts", "1 hour")["start"]
+        .cast("timestamp_ntz")
+        .alias("window_start"),
+        "event_type",
+        F.expr("CAST(user_id AS STRING)").alias("uid"),
+    )
+    sk = kmv_sketch(ev, ["window_start", "event_type"], "uid", k=_Q299_K)
+    return sk.select(
+        "window_start",
+        "event_type",
+        F.array_join(
+            F.expr("transform(arr, x -> CAST(x AS STRING))"), ","
+        ).alias("sketch_csv"),
+        "n_sketch",
+        "est_distinct",
+    ).orderBy("window_start", "event_type")

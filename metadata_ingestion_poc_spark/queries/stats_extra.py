@@ -51,14 +51,19 @@ def q76_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Approximate frequent items (freqItems sketch) — sketch contents are
-# engine-specific → rows-only; support bound asserted in tests.
+# engine-specific → rows-only; support bound asserted in tests. The
+# item list ships comma-joined as a STRING: the harness canonicalizer
+# requires every output cell scalar (the q17b rule; a raw array cell
+# hard-errored q293 in round 12).
 # ---------------------------------------------------------------------------
 @query("q77_freq_items")
 def q77_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     out = ev.freqItems(["event_type"], support=0.1)
     return out.select(
-        F.sort_array(F.col("event_type_freqItems")).alias("frequent_types")
+        F.array_join(
+            F.sort_array(F.col("event_type_freqItems")), ","
+        ).alias("frequent_types")
     )
 
 

@@ -91,7 +91,12 @@ def _make_kmv_update(value_col: str, k: int, timeout_ms: int):
                 "n_updates": [n_updates],
                 "n_sketch": [len(arr)],
                 "kth_hash": [arr[k - 1] if len(arr) >= k else None],
-                "est_distinct": [round(_estimate(arr, k), 6)],
+                # raw Python float division ≡ the batch operator's raw
+                # IEEE division bit-for-bit (no round(): Python's
+                # builtin is banker's rounding AND rounding a float at
+                # 6 dp is the cross-version hash hazard — see
+                # functions/determinism.py)
+                "est_distinct": [_estimate(arr, k)],
             }
         )
 

@@ -169,11 +169,30 @@ def test_stump_recovers_planted_boundary(spark):
         q276_decision_stump,
     )
 
+    from fractions import Fraction
+
     rows = q276_decision_stump(spark, SF_DIR).collect()
+    # the gain ships as the exact rational pair (string-encoded
+    # integers — the only hash-safe wide-integer currency; see the
+    # query docstring): reconstruct it exactly
+    gain = {
+        (r["feature"], r["threshold"]): Fraction(
+            int(r["gain_num"]), int(r["gain_den"])
+        )
+        for r in rows
+    }
     best = {r["feature"]: r for r in rows if r["best"]}
     assert set(best) == {"l_quantity", "l_discount"}
     assert 23 <= best["l_quantity"]["threshold"] <= 28
-    assert best["l_quantity"]["gain"] > best["l_discount"]["gain"]
+    assert (
+        gain[("l_quantity", best["l_quantity"]["threshold"])]
+        > gain[("l_discount", best["l_discount"]["threshold"])]
+    )
+    # the flagged best IS the argmax of the exact rational per feature
+    for feat, r in best.items():
+        assert gain[(feat, r["threshold"])] == max(
+            g for (f, _), g in gain.items() if f == feat
+        )
     # conservation: every sweep row partitions the same population
     by_feat = {}
     for r in rows:
@@ -181,8 +200,23 @@ def test_stump_recovers_planted_boundary(spark):
             r["n_left"] + r["n_right"]
         )
     assert all(len(v) == 1 for v in by_feat.values())
-    # gains are valid impurity decreases
-    assert all(-1e-12 <= r["gain"] <= 0.5 for r in rows)
+    # gains are valid impurity decreases, exactly (Gini concavity)
+    assert all(0 <= g <= Fraction(1, 2) for g in gain.values())
+    # and the exact rational matches the float Gini recompute
+    for r in rows:
+        n = r["n_left"] + r["n_right"]
+        pos = r["pos_left"] + r["pos_right"]
+        p, pl, pr = (
+            pos / n,
+            r["pos_left"] / r["n_left"],
+            r["pos_right"] / r["n_right"],
+        )
+        g = (
+            2 * p * (1 - p)
+            - (r["n_left"] / n) * 2 * pl * (1 - pl)
+            - (r["n_right"] / n) * 2 * pr * (1 - pr)
+        )
+        assert abs(float(gain[(r["feature"], r["threshold"])]) - g) < 1e-9
 
 
 def test_als_user_step_matches_numpy(spark):

@@ -135,6 +135,22 @@ def test_voptimal_validation():
         voptimal_from_grid([(2, 1), (1, 1)], 1)
 
 
+def test_voptimal_grid_cap_fails_loudly(spark):
+    # the bounded-grid contract is ENFORCED (round 13): an
+    # over-cardinality expression must raise before the driver-side
+    # collect, not OOM it
+    from metadata_ingestion_poc_spark.operators.histogram import (
+        voptimal_histogram,
+    )
+
+    df = spark.range(500).selectExpr("id AS v")
+    with pytest.raises(ValueError, match="not a bounded grid"):
+        voptimal_histogram(df, "v", 3, max_grid_cells=100)
+    # at-or-below the cap runs fine
+    out = voptimal_histogram(df, "v", 3, max_grid_cells=500).collect()
+    assert len(out) == 3
+
+
 def test_ams_f2_accuracy_under_skew(spark):
     # The planted heavy key concentrates F2, which is the regime the
     # estimator is accurate in BY THEORY (variance 2(F2^2-F4)/F2^2
@@ -173,7 +189,8 @@ def test_neyman_allocation_properties(spark):
     for r in rows:
         assert r.alloc_base == (300 * r.u_weight) // utot
         assert r.remainder == (300 * r.u_weight) % utot
-    # var6 matches a from-scratch numpy variance at 6dp
+    # the exact rational (var_num, var_den) IS the sample variance:
+    # integer recompute from scratch, zero tolerance
     from metadata_ingestion_poc_spark.catalog import load_table
 
     docs = load_table(spark, SF, "documents").collect()
@@ -183,8 +200,13 @@ def test_neyman_allocation_properties(spark):
     for d in docs:
         lens[d.source].append(len(d.text))
     for r in rows:
-        v = np.var(lens[r.stratum], ddof=1)
-        assert abs(r.var6 - round(float(v), 6)) < 2e-6, r.stratum
+        xs = lens[r.stratum]
+        n, sx, sxx = len(xs), sum(xs), sum(x * x for x in xs)
+        assert r.var_num == n * sxx - sx * sx, r.stratum
+        assert r.var_den == n * (n - 1), r.stratum
+        # and it agrees with numpy's ddof=1 variance
+        v = np.var(xs, ddof=1)
+        assert abs(r.var_num / r.var_den - float(v)) < 1e-6, r.stratum
 
 
 def test_neyman_zero_variance_falls_back_proportional(spark):

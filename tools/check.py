@@ -38,8 +38,17 @@ def canon(v):
         return v.isoformat()
     if isinstance(v, date):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, (list, tuple, dict, set)):
+        # The external driver's canonicalizer sorts a pandas frame and
+        # hard-errors on unhashable cells (the q293 round-12 red). The
+        # mirror must never accept MORE than the driver, so complex
+        # cells fail loudly at build time: scalarize in the query
+        # (array_join / array_to_string) instead.
+        raise TypeError(
+            f"complex-typed output cell ({type(v).__name__}): the "
+            "driver harness requires scalar cells — emit the value "
+            "scalarized (e.g. array_join(col, ','))"
+        )
     return str(v)
 
 
