@@ -113,3 +113,124 @@ def huber_irls(
     return base.sparkSession.createDataFrame(
         census, "iter int, b0 double, b1 double, n_down long, sum_w double"
     ).orderBy("iter")
+
+
+def theil_sen_gridded(
+    base: DataFrame,
+    x_expr: str,
+    y_expr: str,
+) -> DataFrame:
+    """Gridded Theil-Sen robust line fit: (stat, value) rows for
+    slope_ts / intercept_ts / slope_ols / intercept_ols / n_cells /
+    n_pairs (public literature: Theil 1950, Sen 1968).
+
+    The raw estimator is the median of O(n²) pairwise slopes — not a
+    100-TB shape. The gridded form restores scale: ONE rollup to the
+    bounded x grid taking each cell's EXACT MEDIAN of y (row_number +
+    count, no sort cliff: the grid is bounded), then the median of
+    the C(cells, 2) pairwise slopes BETWEEN cell medians. Robust at
+    both levels: the per-cell median absorbs the outlier shocks the
+    cell MEAN would swallow whole, and the median-of-slopes absorbs
+    whole bad cells. The OLS contrast is fitted on the RAW rows
+    (integer moment sums), so a planted x-independent shock biases
+    intercept_ols and leaves intercept_ts on the clean line — the
+    q294 robustness story with a second, pair-based robust member.
+
+    Cross-engine exactness (functions/determinism.py): ``x_expr``
+    must be a bounded integer grid and ``y_expr`` integer-valued (the
+    huber_irls contract); cell medians are then exact integers or
+    exact .5 halves, every slope is ONE raw IEEE division of exact
+    operands, and both median selections run on (value, tie-break)
+    total orders identical in both engines. The OLS moments are exact
+    BIGINTs (bounded to ~sf10 for TPC-H magnitudes — beyond that,
+    widen to the q276 DECIMAL/HUGEINT string pattern); each OLS
+    coefficient is a division/chain of correctly-rounded IEEE
+    primitives over exact operands. No ROUND anywhere.
+    """
+    from pyspark.sql import Window
+
+    b = base.selectExpr(
+        f"CAST({x_expr} AS INT) AS x",
+        f"CAST({y_expr} AS BIGINT) AS y",
+    )
+    wcell = Window.partitionBy("x").orderBy("y")
+    med = (
+        b.select(
+            "x",
+            "y",
+            F.row_number().over(wcell).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("x")).alias("c"),
+        )
+        .filter("rn = (c + 1) DIV 2 OR rn = (c + 2) DIV 2")
+        .groupBy("x")
+        .agg(F.avg("y").alias("m"))
+    )
+    i, j = med.alias("i"), med.alias("j")
+    slopes = (
+        i.join(j, F.expr("i.x < j.x"))
+        .selectExpr(
+            "i.x AS xi",
+            "j.x AS xj",
+            "(j.m - i.m) / CAST(j.x - i.x AS DOUBLE) AS slope",
+        )
+    )
+    wsl = Window.orderBy("slope", "xi", "xj")
+    slope_ts = (
+        slopes.select(
+            "slope",
+            F.row_number().over(wsl).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("c"),
+        )
+        .filter("rn = (c + 1) DIV 2 OR rn = (c + 2) DIV 2")
+        .agg(F.avg("slope").alias("slope_ts"))
+    )
+    resid = med.crossJoin(F.broadcast(slope_ts)).selectExpr(
+        "x", "m - slope_ts * CAST(x AS DOUBLE) AS r", "slope_ts"
+    )
+    wr = Window.orderBy("r", "x")
+    ts = (
+        resid.select(
+            "r",
+            "slope_ts",
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("c"),
+        )
+        .filter("rn = (c + 1) DIV 2 OR rn = (c + 2) DIV 2")
+        .groupBy("slope_ts")
+        .agg(F.avg("r").alias("intercept_ts"))
+    )
+    ols = b.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("CAST(x AS BIGINT) * y")).cast("long").alias("sxy"),
+        F.sum(F.expr("CAST(x AS BIGINT) * x")).cast("long").alias("sxx"),
+    ).selectExpr(
+        "CAST(n * sxy - sx * sy AS DOUBLE)"
+        " / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_ols",
+        "n", "sx", "sy",
+    ).selectExpr(
+        "slope_ols",
+        "(CAST(sy AS DOUBLE) - slope_ols * CAST(sx AS DOUBLE))"
+        " / CAST(n AS DOUBLE) AS intercept_ols",
+    )
+    counts = med.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells")
+    ).selectExpr(
+        "CAST(n_cells AS DOUBLE) AS n_cells",
+        "CAST(n_cells * (n_cells - 1) DIV 2 AS DOUBLE) AS n_pairs",
+    )
+    return (
+        ts.crossJoin(F.broadcast(ols))
+        .crossJoin(F.broadcast(counts))
+        .selectExpr(
+            "stack(6,"
+            " 'slope_ts', slope_ts,"
+            " 'intercept_ts', intercept_ts,"
+            " 'slope_ols', slope_ols,"
+            " 'intercept_ols', intercept_ols,"
+            " 'n_cells', n_cells,"
+            " 'n_pairs', n_pairs) AS (stat, value)"
+        )
+        .orderBy("stat")
+    )

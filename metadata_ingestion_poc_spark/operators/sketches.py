@@ -615,3 +615,92 @@ def ams_f2(
         [(g, gs[g], est, int(exact)) for g in range(groups)],
         "g int, sum_e long, est_f2 double, exact_f2 long",
     ).orderBy("g")
+
+def ams_join_size(
+    df_a: DataFrame,
+    key_a: str,
+    df_b: DataFrame,
+    key_b: str,
+    reps: int = 32,
+    groups: int = 4,
+) -> DataFrame:
+    """AGMS join-size estimate of |A ⋈ B| = Σ_k fA(k)·fB(k) from two
+    independent single scans, plus the exact value as the audit
+    column: (g, sum_e, est_join_size, exact_join_size) — one row per
+    estimator group.
+
+    The inner-product extension of :func:`ams_f2` (public literature:
+    Alon, Gilbert, Matias & Szegedy, PODS 1999 — "tracking join and
+    self-join sizes"): with the SAME sign functions on both sides,
+    E[S_A[j]·S_B[j]] = Σ_k fA(k)·fB(k), the quantity a planner needs
+    to size a join's output BEFORE shuffling either input. Sign
+    functions are the q296 nibble parities of one portable md5 of the
+    key string, so equal keys hash identically on both sides and both
+    engines, and the ENTIRE estimator replays in the oracle.
+
+    100-TB shape: each side is ONE map-combined scan producing reps
+    integers — the two inputs are never shuffled, joined, or even
+    co-located; the cross-side product happens on 2·reps collected
+    integers. The exact audit column pays the real key rollup + join
+    and is the DEMO contrast only (the q296 discipline).
+
+    Accuracy mirrors F2: per-estimator relative variance collapses
+    when heavy keys dominate the inner product — i.e. the estimate is
+    tight exactly when the join would explode and the answer matters
+    (the skew-detection regime, q296 docstring).
+    """
+    if reps % groups:
+        raise ValueError(
+            f"reps={reps} not divisible by groups={groups}"
+        )
+    per = reps // groups
+
+    def _sign_sums(df: DataFrame, key_expr: str) -> list[int]:
+        k = f"CAST({key_expr} AS STRING)"
+        sums = df.selectExpr(f"md5({k}) AS h").agg(
+            *[
+                F.expr(
+                    f"SUM(1 - 2 * (CAST(conv(substring(h, {j}, 1),"
+                    f" 16, 10) AS INT) % 2))"
+                )
+                .cast("long")
+                .alias(f"s{j}")
+                for j in range(1, reps + 1)
+            ]
+        )
+        row = sums.collect()[0]  # bounded: reps integers
+        return [int(row[f"s{j}"]) for j in range(1, reps + 1)]
+
+    sa = _sign_sums(df_a, key_a)
+    sb = _sign_sums(df_b, key_b)
+    gs = [
+        sum(sa[j] * sb[j] for j in range(g * per, (g + 1) * per))
+        for g in range(groups)
+    ]
+    srt = sorted(gs)
+    mid = groups // 2
+    if groups % 2:
+        est = float(srt[mid]) / per
+    else:
+        # one raw IEEE division of exact integer operands (safe class)
+        est = (srt[mid - 1] + srt[mid]) / (2.0 * per)
+    ca = (
+        df_a.selectExpr(f"{key_a} AS k")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("fa"))
+    )
+    cb = (
+        df_b.selectExpr(f"{key_b} AS k")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("fb"))
+    )
+    exact = (
+        ca.join(cb, "k")
+        .agg(F.sum(F.expr("fa * fb")).cast("long").alias("x"))
+        .collect()[0]["x"]
+    )
+    exact = int(exact) if exact is not None else 0
+    return df_a.sparkSession.createDataFrame(
+        [(g, gs[g], est, exact) for g in range(groups)],
+        "g int, sum_e long, est_join_size double, exact_join_size long",
+    ).orderBy("g")

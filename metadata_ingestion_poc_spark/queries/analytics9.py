@@ -825,3 +825,147 @@ def q299_kmv_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sketch",
         "est_distinct",
     ).orderBy("window_start", "event_type")
+
+# ---------------------------------------------------------------------------
+# q300 — AGMS join-size estimation (operators/sketches.py
+# ams_join_size): |orders ⋈ lineitem| on a planted-skew key from TWO
+# INDEPENDENT single scans that never shuffle, join, or co-locate the
+# inputs — the sketch answer to "how big is this join going to be"
+# that a planner consults BEFORE choosing broadcast/shuffle/salt
+# (Alon, Gilbert, Matias & Szegedy, PODS 1999: with shared sign
+# functions, E[S_A·S_B] = Σ_k fA·fB). Signs are the q296 nibble
+# parities of one portable md5, so equal keys agree across sides AND
+# engines, and the oracle replays the whole estimator; the planted
+# heavy key (every 10th orderkey collapsed to 0) is the regime where
+# the estimator is tight BY THEORY — exactly when the join explodes
+# and the answer matters. Everything is exact integers until the
+# single median-of-means division; the exact join size rides as the
+# demo-only audit column (one real key rollup + join).
+# ---------------------------------------------------------------------------
+
+_AGMS_KEY_A = "CASE WHEN o_orderkey % 10 = 0 THEN 0 ELSE o_orderkey END"
+_AGMS_KEY_B = "CASE WHEN l_orderkey % 10 = 0 THEN 0 ELSE l_orderkey END"
+
+
+@query(
+    "q300_ams_join_size",
+    oracle=f"""
+    WITH a AS MATERIALIZED (
+      SELECT ({_AGMS_KEY_A})::BIGINT AS k FROM orders),
+    b AS MATERIALIZED (
+      SELECT ({_AGMS_KEY_B})::BIGINT AS k FROM lineitem),
+    sa AS MATERIALIZED (
+      SELECT j,
+             SUM(1 - 2 * (CAST('0x' || substring(md5(k::VARCHAR), j, 1)
+                               AS INT) % 2))::BIGINT AS sj
+      FROM a, range(1, 33) t(j) GROUP BY j),
+    sb AS MATERIALIZED (
+      SELECT j,
+             SUM(1 - 2 * (CAST('0x' || substring(md5(k::VARCHAR), j, 1)
+                               AS INT) % 2))::BIGINT AS sj
+      FROM b, range(1, 33) t(j) GROUP BY j),
+    x AS (SELECT sa.j, sa.sj * sb.sj AS xj
+          FROM sa JOIN sb ON sa.j = sb.j),
+    e AS (SELECT ((j - 1) // 8)::INT AS g, SUM(xj)::BIGINT AS sum_e
+          FROM x GROUP BY 1),
+    med AS (SELECT (arr[2] + arr[3]) / CAST(16.0 AS DOUBLE) AS est
+            FROM (SELECT list_sort(list(sum_e)) AS arr FROM e)),
+    ex AS (SELECT SUM(fa.f * fb.f)::BIGINT AS exact_join
+           FROM (SELECT k, COUNT(*)::BIGINT AS f FROM a GROUP BY k) fa
+           JOIN (SELECT k, COUNT(*)::BIGINT AS f FROM b GROUP BY k) fb
+             ON fa.k = fb.k)
+    SELECT g, sum_e,
+           (SELECT est FROM med) AS est_join_size,
+           (SELECT exact_join FROM ex) AS exact_join_size
+    FROM e
+    ORDER BY g
+    """,
+)
+def q300_ams_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import ams_join_size
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return ams_join_size(
+        o, _AGMS_KEY_A, li, _AGMS_KEY_B, reps=32, groups=4
+    )
+
+# ---------------------------------------------------------------------------
+# q301 — gridded Theil-Sen robust line fit (operators/robust.py
+# theil_sen_gridded): the PAIR-BASED robust member closing the
+# regression family (ridge L2 q268, pinball L1 q283, Huber IRLS
+# q294) on the q294 planted line — y = 100 + 12x + grid noise with a
+# +5000 shock on every 13th order. Cell MEDIANS absorb the shocks the
+# cell means would swallow (the shock is x-independent, so it biases
+# intercept_ols by ~+385 while intercept_ts stays on the clean
+# line — the output carries the contrast), the median of C(cells,2)
+# pairwise slopes absorbs whole bad cells. All inputs exact, every
+# slope ONE raw IEEE division, both median selections on total
+# orders — zero ROUND (the round-13 determinism rule).
+# ---------------------------------------------------------------------------
+
+
+def _q301_oracle() -> str:
+    return f"""
+    WITH b AS MATERIALIZED (
+      SELECT CAST(l_quantity AS INT) AS x,
+             CAST({_HUBER_Y} AS BIGINT) AS y
+      FROM lineitem),
+    med AS (
+      SELECT x, AVG(y) AS m FROM (
+        SELECT x, y,
+               ROW_NUMBER() OVER (PARTITION BY x ORDER BY y) AS rn,
+               COUNT(*) OVER (PARTITION BY x) AS c
+        FROM b)
+      WHERE rn = (c + 1) // 2 OR rn = (c + 2) // 2
+      GROUP BY x),
+    slopes AS (
+      SELECT i.x AS xi, j.x AS xj,
+             (j.m - i.m) / CAST(j.x - i.x AS DOUBLE) AS slope
+      FROM med i JOIN med j ON i.x < j.x),
+    st AS (
+      SELECT AVG(slope) AS slope_ts FROM (
+        SELECT slope,
+               ROW_NUMBER() OVER (ORDER BY slope, xi, xj) AS rn,
+               COUNT(*) OVER () AS c
+        FROM slopes)
+      WHERE rn = (c + 1) // 2 OR rn = (c + 2) // 2),
+    it AS (
+      SELECT AVG(r) AS intercept_ts FROM (
+        SELECT r, ROW_NUMBER() OVER (ORDER BY r, x) AS rn,
+               COUNT(*) OVER () AS c
+        FROM (SELECT x, m - (SELECT slope_ts FROM st)
+                            * CAST(x AS DOUBLE) AS r
+              FROM med))
+      WHERE rn = (c + 1) // 2 OR rn = (c + 2) // 2),
+    o1 AS (SELECT COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS sx,
+                  SUM(y)::BIGINT AS sy,
+                  SUM(CAST(x AS BIGINT) * y)::BIGINT AS sxy,
+                  SUM(CAST(x AS BIGINT) * x)::BIGINT AS sxx
+           FROM b),
+    o2 AS (SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_ols,
+                  n, sx, sy
+           FROM o1),
+    o3 AS (SELECT slope_ols,
+                  (CAST(sy AS DOUBLE) - slope_ols * CAST(sx AS DOUBLE))
+                    / CAST(n AS DOUBLE) AS intercept_ols
+           FROM o2),
+    cc AS (SELECT COUNT(*)::BIGINT AS nc FROM med)
+    SELECT 'intercept_ols' AS stat, intercept_ols AS value FROM o3
+    UNION ALL SELECT 'intercept_ts', intercept_ts FROM it
+    UNION ALL SELECT 'n_cells', CAST(nc AS DOUBLE) FROM cc
+    UNION ALL SELECT 'n_pairs', CAST(nc * (nc - 1) // 2 AS DOUBLE)
+              FROM cc
+    UNION ALL SELECT 'slope_ols', slope_ols FROM o3
+    UNION ALL SELECT 'slope_ts', slope_ts FROM st
+    ORDER BY stat
+    """
+
+
+@query("q301_theil_sen", oracle=_q301_oracle())
+def q301_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.robust import theil_sen_gridded
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return theil_sen_gridded(li, "l_quantity", _HUBER_Y)

@@ -174,6 +174,67 @@ def test_ams_f2_validation(spark):
         ams_f2(li, "l_orderkey", reps=10, groups=4)
 
 
+def test_theil_sen_recovers_planted_line(spark):
+    # q301: per-cell medians kill the +5000 shocks (1/13 < 50% per
+    # cell) and the grid noise has median 0, so the cell medians sit
+    # EXACTLY on the planted line — Theil-Sen returns it exactly,
+    # while raw-row OLS carries the shock into its intercept.
+    rows = {r.stat: r.value for r in QUERIES["q301_theil_sen"](spark, SF).collect()}
+    assert rows["slope_ts"] == 12.0
+    # small cells at sf0.001 can put a median half a noise-grid step
+    # off the line (100.5 measured); at sf0.01 it is exactly 100.0
+    assert abs(rows["intercept_ts"] - 100.0) <= 1.0
+    assert rows["intercept_ols"] > 400  # ~+5000/13 contamination
+    assert abs(rows["slope_ols"] - 12.0) < 1.0
+    assert rows["n_cells"] == 50.0
+    assert rows["n_pairs"] == 1225.0
+
+
+def test_theil_sen_breaks_down_gracefully(spark):
+    # a constant-y corpus has zero slopes everywhere: slope 0,
+    # intercept = the constant
+    from metadata_ingestion_poc_spark.operators.robust import (
+        theil_sen_gridded,
+    )
+
+    df = spark.createDataFrame(
+        [(x, 7) for x in range(1, 6) for _ in range(3)],
+        "l_quantity int, yv int",
+    )
+    rows = {r.stat: r.value for r in theil_sen_gridded(df, "l_quantity", "yv").collect()}
+    assert rows["slope_ts"] == 0.0
+    assert rows["intercept_ts"] == 7.0
+    assert rows["n_cells"] == 5.0 and rows["n_pairs"] == 10.0
+
+
+def test_ams_join_size_accuracy_under_skew(spark):
+    # AGMS inner product: the planted heavy key (every 10th orderkey
+    # collapsed to 0) dominates Σ fA·fB, which is the regime the
+    # estimator is tight in by theory (same variance collapse as F2).
+    rows = QUERIES["q300_ams_join_size"](spark, SF).collect()
+    assert len(rows) == 4 and [r.g for r in rows] == [0, 1, 2, 3]
+    est, exact = rows[0].est_join_size, rows[0].exact_join_size
+    assert all(
+        (r.est_join_size, r.exact_join_size) == (est, exact)
+        for r in rows
+    )
+    assert exact > 0
+    assert abs(est - exact) / exact < 0.15
+    # the estimate IS the median-of-means of the emitted group sums
+    gs = sorted(r.sum_e for r in rows)
+    assert est == (gs[1] + gs[2]) / 16.0
+
+
+def test_ams_join_size_validation(spark):
+    from metadata_ingestion_poc_spark.operators.sketches import (
+        ams_join_size,
+    )
+
+    a = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="divisible"):
+        ams_join_size(a, "k", a, "k", reps=10, groups=4)
+
+
 def test_neyman_allocation_properties(spark):
     import numpy as np
 
