@@ -429,3 +429,119 @@ def test_largest_remainder_is_exact_and_fair(strata, budget):
     for (n_h, u), a in zip(strata, alloc):
         quota = budget * u / U
         assert quota - 1 < a < quota + 1
+
+
+@given(
+    baskets=st.lists(
+        st.tuples(st.integers(0, 6), st.sampled_from("ABCDE")),
+        min_size=2,
+        max_size=40,
+    )
+)
+@_settings
+def test_basket_lift_matches_bruteforce(spark, baskets):
+    from metadata_ingestion_poc_spark.operators.basket import pair_lift
+
+    df = spark.createDataFrame(baskets, "basket int, item string")
+    got = {
+        (r.item_a, r.item_b): r
+        for r in pair_lift(df, "basket", "item").collect()
+    }
+    # brute-force reference on presence sets
+    sets: dict[int, set] = {}
+    for b, it in baskets:
+        sets.setdefault(b, set()).add(it)
+    n = len(sets)
+    item_n: dict[str, int] = {}
+    pair_n: dict[tuple, int] = {}
+    for s in sets.values():
+        for it in s:
+            item_n[it] = item_n.get(it, 0) + 1
+        for a in s:
+            for b2 in s:
+                if a < b2:
+                    pair_n[(a, b2)] = pair_n.get((a, b2), 0) + 1
+    assert set(got) == set(pair_n)
+    for p, c in pair_n.items():
+        r = got[p]
+        assert (r.n_pair, r.n_a, r.n_b, r.n_baskets) == (
+            c, item_n[p[0]], item_n[p[1]], n,
+        )
+        assert r.support == c / n
+        assert r.confidence == c / item_n[p[0]]
+        assert r.lift == (c * n) / (item_n[p[0]] * item_n[p[1]])
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 6), st.integers(-50, 50)),
+        min_size=4,
+        max_size=60,
+    )
+)
+@_settings
+def test_theil_sen_gridded_matches_reference(spark, rows):
+    import statistics
+
+    from metadata_ingestion_poc_spark.operators.robust import (
+        theil_sen_gridded,
+    )
+
+    df = spark.createDataFrame(rows, "xq int, yv long")
+    xs = sorted({x for x, _ in rows})
+    if len(xs) < 2:
+        return  # a single grid cell has no pair slopes
+    got = {
+        r.stat: r.value
+        for r in theil_sen_gridded(df, "xq", "yv").collect()
+    }
+    med = {
+        x: statistics.median([y for xx, y in rows if xx == x]) for x in xs
+    }
+    slopes = sorted(
+        (
+            (med[b] - med[a]) / float(b - a),
+            a,
+            b,
+        )
+        for i2, a in enumerate(xs)
+        for b in xs[i2 + 1:]
+    )
+    vals = [s for s, _, _ in slopes]
+    c = len(vals)
+    lo, hi = (c + 1) // 2 - 1, (c + 2) // 2 - 1
+    want_slope = (vals[lo] + vals[hi]) / 2.0
+    assert got["slope_ts"] == want_slope
+    resid = sorted(
+        (med[x] - want_slope * float(x), x) for x in xs
+    )
+    c = len(resid)
+    lo, hi = (c + 1) // 2 - 1, (c + 2) // 2 - 1
+    want_icpt = (resid[lo][0] + resid[hi][0]) / 2.0
+    assert got["intercept_ts"] == want_icpt
+    assert got["n_cells"] == float(len(xs))
+    assert got["n_pairs"] == float(len(xs) * (len(xs) - 1) // 2)
+
+
+@given(
+    a=st.lists(st.integers(0, 8), min_size=1, max_size=50),
+    b=st.lists(st.integers(0, 8), min_size=1, max_size=50),
+)
+@_settings
+def test_ams_join_size_median_of_means_reconstruction(spark, a, b):
+    from metadata_ingestion_poc_spark.operators.sketches import (
+        ams_join_size,
+    )
+
+    dfa = spark.createDataFrame([(k,) for k in a], "k long")
+    dfb = spark.createDataFrame([(k,) for k in b], "k long")
+    rows = ams_join_size(dfa, "k", dfb, "k", reps=32, groups=4).collect()
+    # exact audit equals the brute-force join size
+    from collections import Counter
+
+    ca, cb = Counter(a), Counter(b)
+    want = sum(ca[k] * cb.get(k, 0) for k in ca)
+    assert all(r.exact_join_size == want for r in rows)
+    # the emitted estimate IS the median of the emitted group means
+    gs = sorted(r.sum_e for r in rows)
+    assert rows[0].est_join_size == (gs[1] + gs[2]) / 16.0
