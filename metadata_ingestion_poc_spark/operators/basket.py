@@ -61,6 +61,13 @@ def pair_lift(
             f"{basket_col} AS basket", f"{item_expr} AS item"
         )
         .distinct()
+        # consumed FOUR times (both self-join sides, the item counts,
+        # the basket count): cut the lineage so the upstream
+        # join/distinct runs once. Safe to pin here — the distinct's
+        # output layout is the post-shuffle partitioning (full
+        # parallelism), not the raw input splits the _spread rule in
+        # SCALING.md warns about.
+        .localCheckpoint(eager=False)
     )
     n_baskets = bi.select("basket").distinct().count()
     item_cnt = bi.groupBy("item").agg(
