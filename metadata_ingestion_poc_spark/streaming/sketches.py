@@ -211,3 +211,58 @@ def streaming_cms_read(spark, table_path: str) -> DataFrame:
         .groupBy("d", "bucket", "width", "depth")
         .agg(F.sum("c").alias("c"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming DDSketch quantile sink — completes the streaming-sketch
+# family (KMV = distinct via keyed state above, CMS = point frequency
+# via snapshot partials, DDSketch = quantiles the same way): each
+# micro-batch's partial (group, bucket, n) table from the existing
+# JVM-side qsketch_build commits as one idempotent snapshot version,
+# and the live sketch is the merge-on-read re-groupBy — DDSketch
+# merge is bucket-count addition (exactly associative, Masson et al.
+# VLDB 2019), so deferring it to read time is exact and the merged
+# table feeds operators/sketches.py qsketch_quantiles like any batch
+# sketch. Replay-safe for the same reason as the CMS sink: partials
+# are append-only versions keyed by batch_id, never read-modify-
+# write, so at-least-once delivery cannot double-count.
+# ---------------------------------------------------------------------------
+
+
+def streaming_qsketch_sink(
+    table_path: str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    alpha: float = 0.01,
+):
+    """foreachBatch handler: commit each micro-batch's DDSketch
+    partial as one idempotent snapshot version. Pair with
+    :func:`streaming_qsketch_read` for the live merged sketch."""
+    from ..operators.sketches import qsketch_build
+    from ..snapshots import snapshot_write
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        sk = qsketch_build(
+            batch, value_col, group_cols=group_cols, alpha=alpha
+        )
+        snapshot_write(sk, table_path, mode="append", batch_id=batch_id)
+
+    return handle
+
+
+def streaming_qsketch_read(
+    spark, table_path: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """The current merged DDSketch over every committed micro-batch
+    partial (bucket-count addition as one bounded groupBy). Feed to
+    operators/sketches.py qsketch_quantiles for estimates."""
+    from pyspark.sql import functions as F
+
+    from ..snapshots import snapshot_read
+
+    keys = list(group_cols or [])
+    return (
+        snapshot_read(spark, table_path)
+        .groupBy(*keys, "bucket")
+        .agg(F.sum("n").alias("n"))
+    )

@@ -219,3 +219,108 @@ def test_streaming_cms_replay_is_idempotent(spark, sf_dir, tmp_path):
         for r in streaming_cms_read(spark, table).collect()
     }
     assert doubled == {k: 2 * v for k, v in before.items()}
+
+
+def test_streaming_qsketch_equals_batch_sketch(spark, sf_dir, tmp_path):
+    # streaming fold over file micro-batches must yield the SAME
+    # merged DDSketch table as one batch qsketch_build over
+    # everything — bucket-count addition is exactly associative, so
+    # merge-on-read over per-batch partials is exact, and the merged
+    # table must feed qsketch_quantiles identically.
+    from metadata_ingestion_poc_spark.operators.sketches import (
+        qsketch_build,
+        qsketch_quantiles,
+    )
+    from metadata_ingestion_poc_spark.streaming.sketches import (
+        streaming_qsketch_read,
+        streaming_qsketch_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "source", "CAST(n_chars AS DOUBLE) AS v"
+    )
+    src_path = str(tmp_path / "docs_qs_src")
+    docs.repartition(5).write.parquet(src_path)
+    table = str(tmp_path / "qs_table")
+
+    stream = read_stream(
+        spark, src_path, docs.schema, max_files_per_trigger=2
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            streaming_qsketch_sink(
+                table, "v", group_cols=["source"], alpha=0.02
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_qs"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    merged = streaming_qsketch_read(spark, table, group_cols=["source"])
+    got = {(r.source, r.bucket): r.n for r in merged.collect()}
+    want = {
+        (r.source, r.bucket): r.n
+        for r in qsketch_build(
+            docs, "v", group_cols=["source"], alpha=0.02
+        ).collect()
+    }
+    assert got == want
+    # quantile estimates from the streamed sketch honor the relative
+    # error bound against the exact per-group median
+    est = {
+        r.source: r.est
+        for r in qsketch_quantiles(
+            merged, [0.5], group_cols=["source"], alpha=0.02
+        ).collect()
+    }
+    import numpy as np
+
+    exact = {}
+    for r in docs.collect():
+        exact.setdefault(r.source, []).append(r.v)
+    for s, vals in exact.items():
+        true_med = float(np.sort(vals)[int((len(vals) - 1) * 0.5)])
+        assert abs(est[s] - true_med) <= 0.03 * true_med + 1e-9, s
+
+
+def test_streaming_qsketch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    from metadata_ingestion_poc_spark.snapshots import snapshot_versions
+    from metadata_ingestion_poc_spark.streaming.sketches import (
+        streaming_qsketch_read,
+        streaming_qsketch_sink,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .selectExpr("source", "CAST(n_chars AS DOUBLE) AS v")
+        .limit(50)
+        .cache()
+    )
+    table = str(tmp_path / "qs_replay")
+    handle = streaming_qsketch_sink(table, "v", group_cols=["source"])
+    handle(docs, 0)
+    before = {
+        (r.source, r.bucket): r.n
+        for r in streaming_qsketch_read(
+            spark, table, group_cols=["source"]
+        ).collect()
+    }
+    handle(docs, 0)  # replayed micro-batch must no-op
+    after = {
+        (r.source, r.bucket): r.n
+        for r in streaming_qsketch_read(
+            spark, table, group_cols=["source"]
+        ).collect()
+    }
+    assert after == before
+    assert len(snapshot_versions(table)) == 1
+    handle(docs, 1)  # a genuinely new batch does count
+    doubled = {
+        (r.source, r.bucket): r.n
+        for r in streaming_qsketch_read(
+            spark, table, group_cols=["source"]
+        ).collect()
+    }
+    assert doubled == {k: 2 * v for k, v in before.items()}
