@@ -53,3 +53,32 @@ def test_mirror_canon_rejects_complex_cells():
         mod.canon(("a",))
     with pytest.raises(TypeError, match="complex-typed"):
         mod.canon({"k": 1})
+
+
+def test_round6_chain_exposure_only_ever_shrinks():
+    """Ratchet on the q276 hazard class: ROUND(·,6) over a non-exact,
+    non-transcendental chain is the expression shape that diverges
+    across engine VERSIONS (two consecutive driver reds before round
+    13 migrated q276/q297/q293 to exact emissions). New oracles must
+    not grow the exposure — prefer exact integer pairs / FLOOR
+    micro-grids / raw single divisions (functions/determinism.py);
+    lower the pin when migrating more. Text-level classification
+    (tools/float_audit.py), no Spark session needed."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from float_audit import _select_items, classify
+
+    from metadata_ingestion_poc_spark.queries import ORACLES
+
+    n = sum(
+        1
+        for sql in ORACLES.values()
+        for expr in _select_items(sql).values()
+        if classify(expr) == "round6-chain"
+    )
+    assert n <= 215, (
+        f"round6-chain oracle expressions grew to {n} (> pinned 215): "
+        "emit exact cells instead, or consciously re-pin with a "
+        "justification in SCALING.md"
+    )
