@@ -170,12 +170,13 @@ def _load_all() -> None:
 # integer pair var_num/var_den, weight chain de-ROUNDed), q295
 # (grid-cap enforcement touched the operator), q77 (array output
 # scalarized; rows-only); (b) the round-13-new q298 basket lift,
-# q299 windowed KMV, q300 AGMS join-size, q301 gridded Theil-Sen —
-# never swept; (c) the round-3 refresh block q70-q118 by staleness
-# (q105 skipped: D12 credit; q79 does not exist). 11 + 4 + 35 = 50.
+# q299 tumbling KMV, q300 AGMS join-size, q301 gridded Theil-Sen,
+# q302 sliding KMV — never swept; (c) the round-3 refresh block
+# q70-q118 by staleness (q105 skipped: D12 credit; q79 does not
+# exist). 11 + 5 + 34 = 50.
 #
 # Round-14 rotation note: promote whatever round-14 code changes
-# touch, then the q109-q160 staleness tail (q109-q118 spilled from
+# touch, then the q108-q160 staleness tail (q108-q118 spilled from
 # this window), then q161-q200.
 # ---------------------------------------------------------------------------
 _SWEEP_PRIORITY = [
@@ -186,6 +187,7 @@ _SWEEP_PRIORITY = [
     "q299_kmv_windowed",
     "q300_ams_join_size",
     "q301_theil_sen",
+    "q302_kmv_sliding",
     "q269_logreg_gd",
     "q271_logreg_auc",
     "q272_logreg_calibration",
@@ -230,7 +232,6 @@ _SWEEP_PRIORITY = [
     "q104_segment_dedup",
     "q106_repetition_metrics",
     "q107_domain_mixture_weights",
-    "q108_label_centroids",
 ]
 
 

@@ -969,3 +969,70 @@ def q301_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return theil_sen_gridded(li, "l_quantity", _HUBER_Y)
+
+# ---------------------------------------------------------------------------
+# q302 — SLIDING-window KMV distinct-count: the q299 tumbling dial
+# with overlap — distinct users per (1 hour window, 30 minute slide).
+# Spark's F.window(ts, width, slide) assigns each event to
+# width/slide windows; the oracle replays that as the UNION of the
+# two offset time_bucket grids (the q71 equivalence). The sketch
+# machinery is byte-identical to q299: per-window bottom-k of the
+# portable md5 riding the range-partitioned global sort, ≤ k longs of
+# state per window regardless of event volume, csv-scalarized output,
+# raw-single-division estimator.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q302_kmv_sliding",
+    oracle=f"""
+    WITH g AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             user_id
+      FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes'),
+             user_id
+      FROM events),
+    n AS (
+      SELECT DISTINCT window_start,
+             CAST('0x' || substring(md5(user_id::VARCHAR), 1, 12)
+                  AS BIGINT) AS h
+      FROM g),
+    r AS (SELECT window_start, h,
+                 ROW_NUMBER() OVER (PARTITION BY window_start
+                                    ORDER BY h) AS rn
+          FROM n),
+    sk AS (SELECT window_start, list_sort(list(h)) AS arr
+           FROM r WHERE rn <= {_Q299_K} GROUP BY window_start)
+    SELECT window_start,
+           array_to_string(arr, ',') AS sketch_csv,
+           len(arr)::BIGINT AS n_sketch,
+           CASE WHEN len(arr) < {_Q299_K}
+                THEN CAST(len(arr) AS DOUBLE)
+                ELSE CAST({_Q299_K - 1} AS DOUBLE)
+                     * CAST({1 << 48} AS DOUBLE)
+                     / CAST(arr[{_Q299_K}] AS DOUBLE) END
+             AS est_distinct
+    FROM sk
+    ORDER BY window_start
+    """,
+)
+def q302_kmv_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import kmv_sketch
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.window("ts", "1 hour", "30 minutes")["start"]
+        .cast("timestamp_ntz")
+        .alias("window_start"),
+        F.expr("CAST(user_id AS STRING)").alias("uid"),
+    )
+    sk = kmv_sketch(ev, ["window_start"], "uid", k=_Q299_K)
+    return sk.select(
+        "window_start",
+        F.array_join(
+            F.expr("transform(arr, x -> CAST(x AS STRING))"), ","
+        ).alias("sketch_csv"),
+        "n_sketch",
+        "est_distinct",
+    ).orderBy("window_start")
