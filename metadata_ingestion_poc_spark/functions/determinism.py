@@ -19,16 +19,29 @@ consecutive driver reds empirically refuted the round-12 version):
    pandas path and to decimal.Decimal in Spark's, so only the string
    form hashes identically under any canonicalizer.
 2. The safe FLOAT class: correctly-rounded IEEE primitives
-   (+ − × ÷ sqrt, int→double conversion, FLOOR) over exact operands
-   are fully specified by IEEE-754, so even a CHAIN of them is
-   bit-identical across engines AND versions when both evaluate the
-   identical expression tree (q293's estimator, q297's weight chain).
+   (+ − × ÷ sqrt, INT64-or-narrower→double conversion, FLOOR) over
+   exact operands are fully specified by IEEE-754, so even a CHAIN of
+   them is bit-identical across engines AND versions when both
+   evaluate the identical expression tree (q293's estimator, q297's
+   weight chain). The conversion clause is deliberately scoped to
+   ≤64-bit integers: IEEE-754 only pins conversions the platform
+   represents exactly-or-rounds-once, and every engine implements
+   int64→double as a single correctly-rounded op.
 3. The HAZARD class: ``ROUND(non-exact-double, d)`` — Spark rounds
    the shortest-repr BigDecimal HALF_UP, DuckDB rounds the binary
    value, and DuckDB's own implementation CHANGED across releases
    (the q276 red: mirrored ROUND text diverged only on the driver's
    DuckDB). Likewise transcendentals (exp/ln/pow — libm, not
-   correctly rounded). Rounding a chain at 6 dp REDUCES but does not
+   correctly rounded). ALSO hazard: WIDE-integer→double conversion —
+   DECIMAL(38,0)/HUGEINT→double is implementation-defined (DuckDB
+   composes upper·2^64 + lower in double arithmetic, a DOUBLE
+   rounding; Spark's BigDecimal.doubleValue rounds once), the exact
+   residual surface q276's best-split rank exercised through round
+   13. Never convert a >64-bit integer to double anywhere a hashed
+   cell or a rank/argmax depends on it — extract decimal digits with
+   exact integer division instead (``div`` on DECIMAL(38,0) ≡ ``//``
+   on HUGEINT ≡ Python ``//``, verified bit-identical; the q276
+   round-14 rank key). Rounding a chain at 6 dp REDUCES but does not
    ELIMINATE cross-version risk: a value within ~1e-9 of a 6-dp
    boundary still flips. Where such a cell must ship (exp/ln
    outputs), keep ROUND(6) and accept the documented residual risk —

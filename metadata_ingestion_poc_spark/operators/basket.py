@@ -62,12 +62,18 @@ def pair_lift(
         )
         .distinct()
         # consumed FOUR times (both self-join sides, the item counts,
-        # the basket count): cut the lineage so the upstream
-        # join/distinct runs once. Safe to pin here — the distinct's
-        # output layout is the post-shuffle partitioning (full
-        # parallelism), not the raw input splits the _spread rule in
-        # SCALING.md warns about.
-        .localCheckpoint(eager=False)
+        # the basket count): persist so the upstream join/distinct
+        # runs once. persist() — NOT localCheckpoint — because local-
+        # checkpoint blocks live only on executors with the LINEAGE
+        # DROPPED, so one lost executor in a long-running cluster job
+        # would make all four consumers unrecoverable; persist keeps
+        # the lineage and recomputes lost partitions (the 100-TB
+        # failure-model requirement). The distinct's output layout is
+        # the post-shuffle partitioning (full parallelism), not the
+        # raw input splits the _spread rule in SCALING.md warns
+        # about. Callers that loop may .unpersist() the result's
+        # ancestors when done.
+        .persist()
     )
     n_baskets = bi.select("basket").distinct().count()
     item_cnt = bi.groupBy("item").agg(

@@ -543,10 +543,14 @@ def ams_f2(
     key_expr: str,
     reps: int = 32,
     groups: int = 4,
+    audit: bool = True,
 ) -> DataFrame:
-    """AMS F2 estimate of Σ_k f(k)² for a key expression, plus the
-    exact value as the audit column: (g, sum_e, est_f2, exact_f2) —
-    one row per estimator group.
+    """AMS F2 estimate of Σ_k f(k)² for a key expression, plus (when
+    ``audit=True``) the exact value as the audit column:
+    (g, sum_e, est_f2[, exact_f2]) — one row per estimator group.
+    ``audit=False`` is the PRODUCTION mode: it skips the exact
+    key-grouped scan entirely, so the whole operator is one
+    map-combined pass with zero key shuffles.
 
     Construction: 32 ±1 sign functions from the NIBBLE PARITIES of
     one md5 per row (one hash, 32 four-wise-ish independent signs —
@@ -573,17 +577,58 @@ def ams_f2(
     on the planted-heavy-key dial vs ~30-80% on uniform orderkeys
     (q296 docstring).
     """
-    if reps % groups:
-        raise ValueError(
-            f"reps={reps} not divisible by groups={groups}"
-        )
+    _ams_validate(reps, groups)
     per = reps // groups
+    sa = _sign_sums(df, key_expr, reps)
+    gs = [
+        sum(sa[j] ** 2 for j in range(g * per, (g + 1) * per))
+        for g in range(groups)
+    ]
+    est = _median_of_means(gs, per)
+    if not audit:
+        return df.sparkSession.createDataFrame(
+            [(g, gs[g], est) for g in range(groups)],
+            "g int, sum_e long, est_f2 double",
+        ).orderBy("g")
+    exact = (
+        df.selectExpr(f"{key_expr} AS k")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("f") * F.col("f")), F.lit(0)
+            )
+            .cast("long")
+            .alias("x")
+        )
+        .collect()[0]["x"]
+    )
+    return df.sparkSession.createDataFrame(
+        [(g, gs[g], est, int(exact)) for g in range(groups)],
+        "g int, sum_e long, est_f2 double, exact_f2 long",
+    ).orderBy("g")
+
+
+def _ams_validate(reps: int, groups: int) -> None:
+    # one md5 supplies 32 hex nibbles — substring past position 32
+    # returns '' and the sign silently becomes NULL, so reps > 32 is
+    # a hard error, not a degraded sketch
+    if not 1 <= reps <= 32:
+        raise ValueError(f"reps must be in [1, 32], got {reps}")
+    if reps % groups:
+        raise ValueError(f"reps={reps} not divisible by groups={groups}")
+
+
+def _sign_sums(df: DataFrame, key_expr: str, reps: int) -> list[int]:
+    """Σ_rows sign_j(key) for j in 1..reps: one map-combined scan,
+    reps exact integers. COALESCE pins the empty-input SUM (NULL) to
+    0 — the mathematically correct empty sign sum."""
     k = f"CAST({key_expr} AS STRING)"
     sums = df.selectExpr(f"md5({k}) AS h").agg(
         *[
             F.expr(
-                f"SUM(1 - 2 * (CAST(conv(substring(h, {j}, 1), 16, 10)"
-                f" AS INT) % 2))"
+                f"COALESCE(SUM(1 - 2 * (CAST(conv(substring(h, {j}, 1),"
+                f" 16, 10) AS INT) % 2)), 0)"
             )
             .cast("long")
             .alias(f"s{j}")
@@ -591,30 +636,16 @@ def ams_f2(
         ]
     )
     row = sums.collect()[0]  # bounded: reps integers
-    gs = [
-        sum(
-            int(row[f"s{j}"]) ** 2
-            for j in range(g * per + 1, (g + 1) * per + 1)
-        )
-        for g in range(groups)
-    ]
+    return [int(row[f"s{j}"]) for j in range(1, reps + 1)]
+
+
+def _median_of_means(gs: list[int], per: int) -> float:
     srt = sorted(gs)
-    mid = groups // 2
-    if groups % 2:
-        est = float(srt[mid]) / per
-    else:
-        est = (srt[mid - 1] + srt[mid]) / (2.0 * per)
-    exact = (
-        df.selectExpr(f"{key_expr} AS k")
-        .groupBy("k")
-        .agg(F.count(F.lit(1)).cast("long").alias("f"))
-        .agg(F.sum(F.col("f") * F.col("f")).cast("long").alias("x"))
-        .collect()[0]["x"]
-    )
-    return df.sparkSession.createDataFrame(
-        [(g, gs[g], est, int(exact)) for g in range(groups)],
-        "g int, sum_e long, est_f2 double, exact_f2 long",
-    ).orderBy("g")
+    mid = len(gs) // 2
+    if len(gs) % 2:
+        return float(srt[mid]) / per
+    # one raw IEEE division of exact integer operands (safe class)
+    return (srt[mid - 1] + srt[mid]) / (2.0 * per)
 
 def ams_join_size(
     df_a: DataFrame,
@@ -623,11 +654,16 @@ def ams_join_size(
     key_b: str,
     reps: int = 32,
     groups: int = 4,
+    audit: bool = True,
 ) -> DataFrame:
     """AGMS join-size estimate of |A ⋈ B| = Σ_k fA(k)·fB(k) from two
-    independent single scans, plus the exact value as the audit
-    column: (g, sum_e, est_join_size, exact_join_size) — one row per
-    estimator group.
+    independent single scans, plus (when ``audit=True``) the exact
+    value as the audit column: (g, sum_e, est_join_size
+    [, exact_join_size]) — one row per estimator group.
+    ``audit=False`` is the PRODUCTION mode: the exact-count key
+    rollup + join is skipped, so the plan touches each input exactly
+    once, map-combined, with NO join anywhere — the entire point of
+    sizing a join before paying for one.
 
     The inner-product extension of :func:`ams_f2` (public literature:
     Alon, Gilbert, Matias & Szegedy, PODS 1999 — "tracking join and
@@ -649,41 +685,20 @@ def ams_join_size(
     tight exactly when the join would explode and the answer matters
     (the skew-detection regime, q296 docstring).
     """
-    if reps % groups:
-        raise ValueError(
-            f"reps={reps} not divisible by groups={groups}"
-        )
+    _ams_validate(reps, groups)
     per = reps // groups
-
-    def _sign_sums(df: DataFrame, key_expr: str) -> list[int]:
-        k = f"CAST({key_expr} AS STRING)"
-        sums = df.selectExpr(f"md5({k}) AS h").agg(
-            *[
-                F.expr(
-                    f"SUM(1 - 2 * (CAST(conv(substring(h, {j}, 1),"
-                    f" 16, 10) AS INT) % 2))"
-                )
-                .cast("long")
-                .alias(f"s{j}")
-                for j in range(1, reps + 1)
-            ]
-        )
-        row = sums.collect()[0]  # bounded: reps integers
-        return [int(row[f"s{j}"]) for j in range(1, reps + 1)]
-
-    sa = _sign_sums(df_a, key_a)
-    sb = _sign_sums(df_b, key_b)
+    sa = _sign_sums(df_a, key_a, reps)
+    sb = _sign_sums(df_b, key_b, reps)
     gs = [
         sum(sa[j] * sb[j] for j in range(g * per, (g + 1) * per))
         for g in range(groups)
     ]
-    srt = sorted(gs)
-    mid = groups // 2
-    if groups % 2:
-        est = float(srt[mid]) / per
-    else:
-        # one raw IEEE division of exact integer operands (safe class)
-        est = (srt[mid - 1] + srt[mid]) / (2.0 * per)
+    est = _median_of_means(gs, per)
+    if not audit:
+        return df_a.sparkSession.createDataFrame(
+            [(g, gs[g], est) for g in range(groups)],
+            "g int, sum_e long, est_join_size double",
+        ).orderBy("g")
     ca = (
         df_a.selectExpr(f"{key_a} AS k")
         .groupBy("k")

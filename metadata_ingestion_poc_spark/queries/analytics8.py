@@ -1105,14 +1105,36 @@ def q275_dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
 # path (probed: duckdb 1.0 .df() returns 1.23e+26 for a 27-digit
 # decimal) and to decimal.Decimal in Spark's, so the string form is
 # the only representation every canonicalizer hashes identically.
-# The best-split rank runs on the SINGLE IEEE division
-# CAST(num AS DOUBLE)/CAST(den AS DOUBLE) — two correctly-rounded
-# ops (int→double conversion, division) over exact operands, the
-# determinism.py safe class — with ties broken by smaller threshold;
-# the division itself never reaches the output. Discount grid keys
-# keep the FLOOR(x*100 + 0.5) integer derivation (never ROUND/CAST
-# on a raw double: DuckDB CASTs double->INT by rounding while Spark
-# truncates).
+# The best-split rank is FLOAT-FREE as of round 14 (third driver red
+# adjudicated): it no longer touches CAST(num AS DOUBLE)/CAST(den AS
+# DOUBLE) at all — the round-13 rule claimed int→double conversion is
+# correctly rounded, but that guarantee only covers operands ≤ 64
+# bits; HUGEINT/DECIMAL(38,0)→double is implementation-defined (DuckDB
+# converts upper·2^64 + lower with double rounding), exactly the
+# surface the rank exercised. Instead the rank key is the first 18
+# fractional decimal digits of gnum/gden, extracted by two exact
+# integer divisions (kd1 = ⌊gnum·10⁹/gden⌋, kd2 = the next 9 digits
+# of the remainder): Spark's `div` on DECIMAL(38,0) is BigDecimal
+# divideToIntegralValue and DuckDB's `//` on HUGEINT is exact integer
+# division — verified bit-identical (and equal to Python's //) for
+# 25-digit operands. Gini gain ≥ 0 (children impurity ≤ parent by
+# concavity), so truncation-direction conventions never differ.
+# Ordering by (kd1 DESC, kd2 DESC, threshold) equals ordering by the
+# 18-digit key with a threshold tie-break; an 18-digit tie falls to
+# the threshold identically in both engines. Overflow headroom: the
+# widest intermediate is gden·10⁹ ≤ n⁴·10⁹ < 10³⁸ for n ≤ 1.7·10⁷
+# rows (≈ sf2.8); beyond that shrink the per-stage step to 10⁶.
+# Discount grid keys keep the FLOOR(x*100 + 0.5) integer derivation
+# (never ROUND/CAST on a raw double: DuckDB CASTs double->INT by
+# rounding while Spark truncates).
+#
+# q276a/q276b (round 14) are DIAGNOSTIC BISECTION sub-queries for the
+# three-round driver red: q276a emits only the split counts (the cell
+# class shared with the driver-green q269 family), q276b adds the
+# exact rational gain strings, q276 adds the ranked `best` flag. The
+# three per-query driver verdicts partition the output into
+# (counts | gain strings | best) and localize any divergent cell
+# class empirically instead of guessing a fourth fix.
 # ---------------------------------------------------------------------------
 
 # shared numerator/denominator templates — one string, two engines;
@@ -1126,10 +1148,18 @@ _STUMP_NUM = (
 )
 _STUMP_DEN = "(CAST(n_tot AS {d}) * n_tot * nl * (n_tot - nl))"
 
+# exact digit-extraction rank key: kd1 = first 9 fractional decimal
+# digits of gnum/gden, kd2 = the next 9 — both pure integer division
+# ({div} = `div` on DECIMAL(38,0) in Spark, `//` on HUGEINT in DuckDB)
+_STUMP_KD1 = "((gnum * CAST(1000000000 AS {d})) {div} gden)"
+_STUMP_KD2 = (
+    "(((gnum * CAST(1000000000 AS {d})"
+    " - CAST({kd1} AS {d}) * gden) * CAST(1000000000 AS {d}))"
+    " {div} gden)"
+)
 
-@query(
-    "q276_decision_stump",
-    oracle=f"""
+# shared oracle prefix: everything up to the per-split sweep frame
+_STUMP_ORACLE_CTE = f"""
     WITH base AS MATERIALIZED (
       SELECT CAST(l_quantity AS INT) AS qty,
              CAST(FLOOR(l_discount * 100 + 0.5) AS INT) AS disc,
@@ -1158,20 +1188,13 @@ _STUMP_DEN = "(CAST(n_tot AS {d}) * n_tot * nl * (n_tot - nl))"
              {_STUMP_NUM.format(d="HUGEINT")} AS gnum,
              {_STUMP_DEN.format(d="HUGEINT")} AS gden
       FROM cum WHERE nl < n_tot)
-    SELECT feature, threshold, n_left, pos_left, n_right, pos_right,
-           CAST(gnum AS VARCHAR) AS gain_num,
-           CAST(gden AS VARCHAR) AS gain_den,
-           (ROW_NUMBER() OVER (
-              PARTITION BY feature
-              ORDER BY CAST(gnum AS DOUBLE) / CAST(gden AS DOUBLE)
-                         DESC,
-                       threshold) = 1)
-             AS best
-    FROM sweep
-    ORDER BY feature, threshold
-    """,
-)
-def q276_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+def _stump_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of the oracle's ``sweep`` CTE: one map-combined
+    (feature, value) count rollup, cumulative counts over the value
+    grid, exact rational Gini gain per candidate split."""
     from pyspark.sql import Window
 
     base = load_table(spark, sf_dir, "lineitem").selectExpr(
@@ -1201,7 +1224,7 @@ def q276_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").over(wt).alias("n_tot"),
         F.sum("pos").over(wt).alias("pos_tot"),
     )
-    sweep = cum.filter(F.col("nl") < F.col("n_tot")).select(
+    return cum.filter(F.col("nl") < F.col("n_tot")).select(
         "feature",
         F.col("v").alias("threshold"),
         F.col("nl").alias("n_left"),
@@ -1211,14 +1234,105 @@ def q276_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_STUMP_NUM.format(d="DECIMAL(38,0)")).alias("gnum"),
         F.expr(_STUMP_DEN.format(d="DECIMAL(38,0)")).alias("gden"),
     )
+
+
+@query(
+    "q276a_stump_counts",
+    oracle=_STUMP_ORACLE_CTE
+    + """
+    SELECT feature, threshold, n_left, pos_left, n_right, pos_right
+    FROM sweep
+    ORDER BY feature, threshold
+    """,
+)
+def q276a_stump_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic slice 1/3: the split counts only — the exact cell
+    class shared with the driver-green q269/q271/q272/q279 family."""
+    return (
+        _stump_sweep(spark, sf_dir)
+        .select(
+            "feature",
+            "threshold",
+            "n_left",
+            "pos_left",
+            "n_right",
+            "pos_right",
+        )
+        .orderBy("feature", "threshold")
+    )
+
+
+@query(
+    "q276b_stump_gains",
+    oracle=_STUMP_ORACLE_CTE
+    + """
+    SELECT feature, threshold, n_left, pos_left, n_right, pos_right,
+           CAST(gnum AS VARCHAR) AS gain_num,
+           CAST(gden AS VARCHAR) AS gain_den
+    FROM sweep
+    ORDER BY feature, threshold
+    """,
+)
+def q276b_stump_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic slice 2/3: counts plus the exact rational gain
+    string pair, without the ranked ``best`` flag."""
+    return (
+        _stump_sweep(spark, sf_dir)
+        .select(
+            "feature",
+            "threshold",
+            "n_left",
+            "pos_left",
+            "n_right",
+            "pos_right",
+            F.col("gnum").cast("string").alias("gain_num"),
+            F.col("gden").cast("string").alias("gain_den"),
+        )
+        .orderBy("feature", "threshold")
+    )
+
+
+_STUMP_KD1_DUCK = _STUMP_KD1.format(d="HUGEINT", div="//")
+_STUMP_KD2_DUCK = _STUMP_KD2.format(
+    d="HUGEINT", div="//", kd1=_STUMP_KD1_DUCK
+)
+_STUMP_KD1_SPARK = _STUMP_KD1.format(d="DECIMAL(38,0)", div="div")
+_STUMP_KD2_SPARK = _STUMP_KD2.format(
+    d="DECIMAL(38,0)", div="div", kd1=_STUMP_KD1_SPARK
+)
+
+
+@query(
+    "q276_decision_stump",
+    oracle=_STUMP_ORACLE_CTE
+    + f"""
+    , keyed AS (
+      SELECT *, {_STUMP_KD1_DUCK} AS kd1, {_STUMP_KD2_DUCK} AS kd2
+      FROM sweep)
+    SELECT feature, threshold, n_left, pos_left, n_right, pos_right,
+           CAST(gnum AS VARCHAR) AS gain_num,
+           CAST(gden AS VARCHAR) AS gain_den,
+           (ROW_NUMBER() OVER (
+              PARTITION BY feature
+              ORDER BY kd1 DESC, kd2 DESC, threshold) = 1)
+             AS best
+    FROM keyed
+    ORDER BY feature, threshold
+    """,
+)
+def q276_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    keyed = (
+        _stump_sweep(spark, sf_dir)
+        .withColumn("kd1", F.expr(_STUMP_KD1_SPARK))
+        .withColumn("kd2", F.expr(_STUMP_KD2_SPARK))
+    )
     rk = Window.partitionBy("feature").orderBy(
-        (
-            F.col("gnum").cast("double") / F.col("gden").cast("double")
-        ).desc(),
-        F.col("threshold"),
+        F.col("kd1").desc(), F.col("kd2").desc(), F.col("threshold")
     )
     return (
-        sweep.withColumn("best", F.row_number().over(rk) == 1)
+        keyed.withColumn("best", F.row_number().over(rk) == 1)
         .select(
             "feature",
             "threshold",

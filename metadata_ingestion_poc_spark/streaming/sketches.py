@@ -225,7 +225,12 @@ def streaming_cms_read(spark, table_path: str) -> DataFrame:
 # table feeds operators/sketches.py qsketch_quantiles like any batch
 # sketch. Replay-safe for the same reason as the CMS sink: partials
 # are append-only versions keyed by batch_id, never read-modify-
-# write, so at-least-once delivery cannot double-count.
+# write, so at-least-once delivery cannot double-count. Geometry
+# discipline (round 14, mirroring the CMS sink's width/depth-in-key):
+# the partial schema CARRIES alpha, because bucket indices are only
+# mergeable between sketches built with the SAME log base — two sinks
+# with different alpha writing one path would otherwise merge-on-read
+# into nonsense; the read side validates the geometry and fails loud.
 # ---------------------------------------------------------------------------
 
 
@@ -238,31 +243,55 @@ def streaming_qsketch_sink(
     """foreachBatch handler: commit each micro-batch's DDSketch
     partial as one idempotent snapshot version. Pair with
     :func:`streaming_qsketch_read` for the live merged sketch."""
-    from ..operators.sketches import qsketch_build
+    from pyspark.sql import functions as F
+
+    from ..operators.sketches import qsketch_build, qsketch_gamma
     from ..snapshots import snapshot_write
+
+    qsketch_gamma(alpha)  # validate the geometry before the stream starts
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         sk = qsketch_build(
             batch, value_col, group_cols=group_cols, alpha=alpha
-        )
+        ).withColumn("alpha", F.lit(float(alpha)))
         snapshot_write(sk, table_path, mode="append", batch_id=batch_id)
 
     return handle
 
 
 def streaming_qsketch_read(
-    spark, table_path: str, group_cols: list[str] | None = None
+    spark,
+    table_path: str,
+    group_cols: list[str] | None = None,
+    alpha: float = 0.01,
 ) -> DataFrame:
     """The current merged DDSketch over every committed micro-batch
     partial (bucket-count addition as one bounded groupBy). Feed to
-    operators/sketches.py qsketch_quantiles for estimates."""
+    operators/sketches.py qsketch_quantiles for estimates.
+
+    ``alpha`` must match the sink's: bucket indices from different
+    log bases are not mergeable, so the read FAILS LOUD (ValueError)
+    if the table holds partials with any other alpha — the same
+    can-never-silently-mix contract the CMS sink gets from carrying
+    width/depth in its key. The validation is one distinct over the
+    tiny partial table."""
     from pyspark.sql import functions as F
 
     from ..snapshots import snapshot_read
 
     keys = list(group_cols or [])
+    partials = snapshot_read(spark, table_path)
+    seen = sorted(
+        r["alpha"] for r in partials.select("alpha").distinct().collect()
+    )
+    if seen != [float(alpha)]:
+        raise ValueError(
+            f"mixed/mismatched DDSketch geometry at {table_path}: "
+            f"partials carry alpha={seen}, reader asked for {alpha} — "
+            f"bucket indices from different log bases cannot merge"
+        )
     return (
-        snapshot_read(spark, table_path)
+        partials
         .groupBy(*keys, "bucket")
         .agg(F.sum("n").alias("n"))
     )

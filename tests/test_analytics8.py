@@ -219,6 +219,60 @@ def test_stump_recovers_planted_boundary(spark):
         assert abs(float(gain[(r["feature"], r["threshold"])]) - g) < 1e-9
 
 
+def test_stump_diagnostic_slices_project_q276(spark):
+    """q276a/q276b are the round-14 driver-red bisection slices: they
+    must be EXACT column projections of q276 (same rows, same values),
+    and the round-14 digit-extraction rank key must reproduce the
+    exact-rational argmax (cross-checked against Python's arbitrary-
+    precision // on the same operands)."""
+    from fractions import Fraction
+
+    from metadata_ingestion_poc_spark.queries.analytics8 import (
+        q276_decision_stump,
+        q276a_stump_counts,
+        q276b_stump_gains,
+    )
+
+    full = {
+        (r["feature"], r["threshold"]): r
+        for r in q276_decision_stump(spark, SF_DIR).collect()
+    }
+    a = q276a_stump_counts(spark, SF_DIR).collect()
+    b = q276b_stump_gains(spark, SF_DIR).collect()
+    assert len(a) == len(b) == len(full)
+    for r in a:
+        f = full[(r["feature"], r["threshold"])]
+        assert all(
+            r[c] == f[c]
+            for c in ("n_left", "pos_left", "n_right", "pos_right")
+        )
+    for r in b:
+        f = full[(r["feature"], r["threshold"])]
+        assert r["gain_num"] == f["gain_num"]
+        assert r["gain_den"] == f["gain_den"]
+    # the two 9-digit integer-division key stages, replayed in exact
+    # Python arithmetic, must rank identically to the Fraction argmax
+    for feat in ("l_quantity", "l_discount"):
+        rows = [r for (f, _), r in full.items() if f == feat]
+
+        def key(r):
+            gn, gd = int(r["gain_num"]), int(r["gain_den"])
+            kd1 = (gn * 10**9) // gd
+            kd2 = ((gn * 10**9 - kd1 * gd) * 10**9) // gd
+            return (-kd1, -kd2, r["threshold"])
+
+        by_key = min(rows, key=key)
+        by_frac = max(
+            rows,
+            key=lambda r: (
+                Fraction(int(r["gain_num"]), int(r["gain_den"])),
+                -r["threshold"],
+            ),
+        )
+        assert by_key["threshold"] == by_frac["threshold"]
+        assert full[(feat, by_key["threshold"])]["best"] is True
+
+
 def test_als_user_step_matches_numpy(spark):
     """q277: the per-user Cramer solve must equal numpy's ridge solve
     on the identical Gram system, and the regularized fit must beat

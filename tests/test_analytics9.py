@@ -172,6 +172,17 @@ def test_ams_f2_validation(spark):
     li = spark.createDataFrame([(1,)], "l_orderkey long")
     with pytest.raises(ValueError, match="divisible"):
         ams_f2(li, "l_orderkey", reps=10, groups=4)
+    # one md5 supplies exactly 32 sign nibbles: reps>32 would read
+    # past the digest and silently NULL every extra sign
+    with pytest.raises(ValueError, match=r"\[1, 32\]"):
+        ams_f2(li, "l_orderkey", reps=64, groups=4)
+    with pytest.raises(ValueError, match=r"\[1, 32\]"):
+        ams_f2(li, "l_orderkey", reps=0, groups=1)
+    # empty input: sign sums COALESCE to 0, F2 estimate 0, no crash
+    empty = li.filter("l_orderkey < 0")
+    rows = ams_f2(empty, "l_orderkey", reps=8, groups=4).collect()
+    assert [r.sum_e for r in rows] == [0, 0, 0, 0]
+    assert rows[0].est_f2 == 0.0 and rows[0].exact_f2 == 0
 
 
 def test_theil_sen_recovers_planted_line(spark):
@@ -233,6 +244,62 @@ def test_ams_join_size_validation(spark):
     a = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError, match="divisible"):
         ams_join_size(a, "k", a, "k", reps=10, groups=4)
+    with pytest.raises(ValueError, match=r"\[1, 32\]"):
+        ams_join_size(a, "k", a, "k", reps=40, groups=4)
+    # empty side: inner product estimate is exactly 0, exact join 0
+    rows = ams_join_size(
+        a.filter("k < 0"), "k", a, "k", reps=8, groups=4
+    ).collect()
+    assert rows[0].est_join_size == 0.0
+    assert rows[0].exact_join_size == 0
+
+
+def test_ams_audit_false_is_join_free(spark):
+    """audit=False is the production mode: the estimate must come
+    from the two independent map-combined scans ONLY — no key rollup,
+    no join anywhere in the plan — and must equal the audited run's
+    estimate bit-for-bit."""
+    from metadata_ingestion_poc_spark.catalog import load_table
+    from metadata_ingestion_poc_spark.operators.sketches import (
+        ams_f2,
+        ams_join_size,
+    )
+
+    from pyspark.sql import DataFrame as _DF
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey")
+    od = load_table(spark, SF, "orders").select("o_orderkey")
+    # prove structurally that the production path builds NO join and
+    # NO key-grouped rollup: fail loud if either API is touched
+    real_join, real_group = _DF.join, _DF.groupBy
+
+    def _no_join(self, *a, **k):
+        raise AssertionError("audit=False must not join")
+
+    def _no_group(self, *a, **k):
+        raise AssertionError("audit=False must not groupBy a key")
+
+    _DF.join, _DF.groupBy = _no_join, _no_group
+    try:
+        lean = ams_join_size(
+            li, "l_orderkey", od, "o_orderkey", audit=False
+        )
+        lean_rows = lean.collect()
+        lf2 = ams_f2(li, "l_orderkey", audit=False)
+        lf2_rows = lf2.collect()
+    finally:
+        _DF.join, _DF.groupBy = real_join, real_group
+    assert lean.columns == ["g", "sum_e", "est_join_size"]
+    assert lf2.columns == ["g", "sum_e", "est_f2"]
+    # and the lean estimate equals the audited twin's bit-for-bit
+    full = ams_join_size(li, "l_orderkey", od, "o_orderkey")
+    assert [r.est_join_size for r in lean_rows] == [
+        r.est_join_size for r in full.collect()
+    ]
+    assert (
+        lf2_rows[0].est_f2
+        == ams_f2(li, "l_orderkey").collect()[0].est_f2
+    )
 
 
 def test_neyman_allocation_properties(spark):

@@ -258,7 +258,11 @@ def test_streaming_qsketch_equals_batch_sketch(spark, sf_dir, tmp_path):
     )
     q.awaitTermination(120)
 
-    merged = streaming_qsketch_read(spark, table, group_cols=["source"])
+    # the reader must declare the sink's geometry (alpha rides in the
+    # partial schema); asking with the wrong one fails loud below
+    merged = streaming_qsketch_read(
+        spark, table, group_cols=["source"], alpha=0.02
+    )
     got = {(r.source, r.bucket): r.n for r in merged.collect()}
     want = {
         (r.source, r.bucket): r.n
@@ -324,3 +328,52 @@ def test_streaming_qsketch_replay_is_idempotent(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert doubled == {k: 2 * v for k, v in before.items()}
+
+
+def test_streaming_qsketch_mixed_geometry_fails_loud(
+    spark, sf_dir, tmp_path
+):
+    # Two sinks with different alpha writing one path: bucket indices
+    # from different log bases are NOT mergeable, so the read must
+    # raise instead of silently summing nonsense (the CMS sink gets
+    # the same guarantee from carrying width/depth in its key).
+    import pytest
+
+    from metadata_ingestion_poc_spark.streaming.sketches import (
+        streaming_qsketch_read,
+        streaming_qsketch_sink,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .selectExpr("source", "CAST(n_chars AS DOUBLE) AS v")
+        .limit(50)
+        .cache()
+    )
+    table = str(tmp_path / "qs_mixed")
+    streaming_qsketch_sink(table, "v", group_cols=["source"], alpha=0.01)(
+        docs, 0
+    )
+    streaming_qsketch_sink(table, "v", group_cols=["source"], alpha=0.05)(
+        docs, 1
+    )
+    with pytest.raises(ValueError, match="geometry"):
+        streaming_qsketch_read(
+            spark, table, group_cols=["source"], alpha=0.01
+        )
+    # a single-geometry table read with the WRONG alpha also fails
+    clean = str(tmp_path / "qs_clean")
+    streaming_qsketch_sink(clean, "v", group_cols=["source"], alpha=0.01)(
+        docs, 0
+    )
+    with pytest.raises(ValueError, match="geometry"):
+        streaming_qsketch_read(
+            spark, clean, group_cols=["source"], alpha=0.02
+        )
+    # and the matching alpha still reads clean
+    assert (
+        streaming_qsketch_read(
+            spark, clean, group_cols=["source"], alpha=0.01
+        ).count()
+        > 0
+    )
