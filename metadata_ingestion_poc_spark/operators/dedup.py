@@ -204,7 +204,9 @@ def ngram_jaccard_pairs(
     jaccard(a,b) = |A∩B| / (|A|+|B|-|A∩B|), computed from the count of
     co-occurring shingles per pair — bucket-pair generation on the
     shingle key, then a pair-level aggregate. Returns
-    (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded to 6dp.
+    (doc_a, doc_b, jaccard) with doc_a < doc_b; jaccard ships RAW —
+    one IEEE division of exact integer counts is bit-identical on
+    every engine and version (functions/determinism.py safe class).
 
     Shingles occurring in more than ``max_shingle_df`` docs are pruned
     from the index (finite by default — see DEFAULT_MAX_SHINGLE_DF;
@@ -225,12 +227,12 @@ def ngram_jaccard_pairs(
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn(
+            # raw: ONE IEEE division of exact int64 counts (the
+            # determinism.py safe class — the ROUND(·,6) here was the
+            # cross-version hash-hazard shape, dropped round 14)
             "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-                6,
-            ),
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -311,12 +313,10 @@ def _cross_index_pairs(
         common.join(sb, "batch_id")
         .join(sc, "corpus_id")
         .withColumn(
+            # raw exact-operand division (see ngram_jaccard_pairs)
             "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.col("n_b") + F.col("n_c") - F.col("n_common")),
-                6,
-            ),
+            F.col("n_common")
+            / (F.col("n_b") + F.col("n_c") - F.col("n_common")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("batch_id", "corpus_id", "jaccard")
@@ -479,15 +479,13 @@ def minhash_lsh_pairs(
         candidates.join(sha, "doc_a")
         .join(shb, "doc_b")
         .withColumn(
+            # raw exact-operand division (see ngram_jaccard_pairs)
             "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / (
-                    F.size("sh_a")
-                    + F.size("sh_b")
-                    - F.size(F.array_intersect("sh_a", "sh_b"))
-                ),
-                6,
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / (
+                F.size("sh_a")
+                + F.size("sh_b")
+                - F.size(F.array_intersect("sh_a", "sh_b"))
             ),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -648,7 +646,8 @@ def ngram_containment_pairs(
     as ngram_jaccard_pairs (ONE bucket shuffle, stop-shingle cap);
     only the final arithmetic differs. Returns (doc_a, doc_b,
     containment_a, containment_b, jaccard) with doc_a < doc_b, kept
-    when EITHER direction reaches ``threshold``; all ratios 6dp.
+    when EITHER direction reaches ``threshold``; all ratios ship RAW
+    (exact-operand IEEE divisions, the determinism.py safe class).
     """
     docs = _spread(docs)
     idx = _shingle_index(docs, id_col, n, max_shingle_df)
@@ -664,15 +663,13 @@ def ngram_containment_pairs(
     return (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn("containment_a", F.round(F.col("n_common") / F.col("n_a"), 6))
-        .withColumn("containment_b", F.round(F.col("n_common") / F.col("n_b"), 6))
+        # raw exact-operand divisions (see ngram_jaccard_pairs)
+        .withColumn("containment_a", F.col("n_common") / F.col("n_a"))
+        .withColumn("containment_b", F.col("n_common") / F.col("n_b"))
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-                6,
-            ),
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
         )
         .filter(
             (F.col("containment_a") >= threshold)
@@ -819,7 +816,8 @@ def prefix_filter_jaccard_pairs(
             "doc_a",
             "doc_b",
             "n_common",
-            F.round(F.col("n_common").cast("double") / union_sz, 6).alias(
+            # raw exact-operand division (see ngram_jaccard_pairs)
+            (F.col("n_common").cast("double") / union_sz).alias(
                 "jaccard"
             ),
         )

@@ -214,10 +214,10 @@ def functional_dependencies(
         F.sum(F.when(F.col("__ny") > 1, 1).otherwise(0))
         .cast("long")
         .alias("n_violating"),
-        F.round(
+        # raw exact-operand IEEE division (safe class, r14)
+        (
             F.sum(F.when(F.col("__ny") > 1, 1).otherwise(0)).cast("double")
-            / F.count(F.lit(1)),
-            6,
+            / F.count(F.lit(1))
         ).alias("violation_rate"),
         F.max("__ny").cast("long").alias("max_rhs_per_lhs"),
     )

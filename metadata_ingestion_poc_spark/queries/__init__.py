@@ -175,63 +175,80 @@ def _load_all() -> None:
 # q70-q118 by staleness (q105 skipped: D12 credit; q79 does not
 # exist). 11 + 5 + 34 = 50.
 #
-# Round-14 rotation note: promote whatever round-14 code changes
-# touch, then the q108-q160 staleness tail (q108-q118 spilled from
-# this window), then q161-q200.
+# Round-14 rotation (window N=50), per the round-13 verdict: (a) the
+# q276 diagnostic bisection LEADS — q276a (counts only), q276b
+# (counts + gain strings), q276 (full, now with the exact
+# digit-extraction rank) — the three per-query verdicts partition the
+# three-round red's output into (counts | gain strings | best);
+# (b) the round-14-new q303 Mann-Whitney battery and q304 Kendall
+# tau-b — never swept; (c) every query round-14 code changes touch:
+# the 27 round6-chain → raw-ieee migrations (ratio cells de-ROUNDed
+# in query AND oracle:
+# q51 q88 q105 q106 q107 q120 q126 q132 q136 q142 q147 q152 q155
+# q158 q160 q195 q200 q203 q204 q215 q217 q218 q228 q229 q249 q255
+# q257) plus the AMS pair q296/q300 (COALESCE'd sign sums + audit
+# flag) and q298 (persist instead of localCheckpoint); (d) the
+# q108-q123 staleness tail (q108-q118 spilled from the round-13
+# window; q119-q123 last swept round 5). Remaining staleness (q124,
+# q125, q126-q160 not code-changed, q161-q200) defers to round 15.
+# 3 + 2 + 30 + 15 = 50.
 # ---------------------------------------------------------------------------
 _SWEEP_PRIORITY = [
-    # -- round-13 code-changed (q276/q293 were the round-12 reds).
+    # -- the q276 bisection (three-round driver red) --
+    "q276a_stump_counts",
+    "q276b_stump_gains",
     "q276_decision_stump",
-    "q293_kmv_sketch",
-    "q298_basket_lift",
-    "q299_kmv_windowed",
-    "q300_ams_join_size",
-    "q301_theil_sen",
-    "q302_kmv_sliding",
-    "q269_logreg_gd",
-    "q271_logreg_auc",
-    "q272_logreg_calibration",
-    "q279_isotonic_calibration",
-    "q291_bh_fdr",
-    "q297_neyman_allocation",
-    "q295_voptimal_histogram",
-    "q77_freq_items",
-    # -- q70-q111 staleness refresh block.
-    "q70_tumbling_window",
-    "q71_sliding_window",
-    "q72_session_window",
-    "q73_funnel_conversion",
-    "q74_grouped_zscore",
-    "q75_stratified_sample",
-    "q76_corr_covar",
-    "q78_edit_distance",
-    "q80_tpch_q13_count_distribution",
-    "q81_tpch_q15_top_supplier",
-    "q82_tpch_q19_disjunctive",
-    "q83_tpch_q22_global_sales_opportunity",
-    "q84_nation_trade_matrix",
-    "q85_null_semantics",
-    "q86_tpch_q10_returned_items",
-    "q87_tpch_q14_promo_share",
+    # -- round-14 new --
+    "q303_mann_whitney",
+    "q304_kendall_tau",
+    # -- round-14 code-changed: round6-chain -> raw-ieee migrations --
     "q88_window_rank_extras",
-    "q89_array_setops",
-    "q90_ivf_ann_topk",
-    "q91_string_transforms",
-    "q92_bool_aggregates",
-    "q93_bitwise_ops",
-    "q94_date_spine_gaps",
-    "q95_trailing_hour_counts",
-    "q96_tpch_q5_local_supplier_volume",
-    "q97_tpch_q8_market_share",
-    "q98_tpch_q9_profit_by_nation_year",
-    "q99_tpch_q11_important_parts",
-    "q100_tpch_q16_supplier_count",
-    "q101_tpch_q17_small_quantity_revenue",
-    "q102_tpch_q21_sole_blame_supplier",
-    "q103_tpch_q2_cheapest_supplier",
-    "q104_segment_dedup",
+    "q51_ngram_jaccard_pairs",
+    "q105_contamination_overlap",
     "q106_repetition_metrics",
     "q107_domain_mixture_weights",
+    "q120_boilerplate_ngrams",
+    "q126_incremental_dedup",
+    "q132_lexical_diversity",
+    "q136_cross_source_contamination",
+    "q142_neardup_degree_histogram",
+    "q147_ngram_containment_pairs",
+    "q152_vocab_jaccard",
+    "q155_markov_transitions",
+    "q158_cluster_collapse",
+    "q160_threshold_sweep",
+    "q195_user_burstiness",
+    "q200_ngram_novelty",
+    "q203_benford_screen",
+    "q204_fd_audit",
+    "q215_js_divergence",
+    "q217_cohens_kappa",
+    "q218_cohort_retention",
+    "q228_mutual_information",
+    "q229_psi_drift",
+    "q249_prefix_filter_jaccard",
+    "q255_source_overlap_matrix",
+    "q257_split_leakage",
+    # -- round-14 code-changed: AMS validation/audit flag, basket --
+    "q296_ams_f2",
+    "q300_ams_join_size",
+    "q298_basket_lift",
+    # -- q108-q125 staleness tail --
+    "q108_label_centroids",
+    "q109_embedding_norm_stats",
+    "q110_tpch_q12_priority_lines",
+    "q111_tpch_q20_heavy_suppliers",
+    "q112_join_right_outer",
+    "q113_join_full_outer",
+    "q114_tpch_q4_order_priority",
+    "q115_curation_pipeline",
+    "q116_length_histogram",
+    "q117_mixture_resample",
+    "q118_sessionize_gaps",
+    "q119_ngram_novelty",
+    "q121_domain_cap",
+    "q122_shuffle_shard_export",
+    "q123_snapshot_diff",
 ]
 
 

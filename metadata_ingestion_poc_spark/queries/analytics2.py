@@ -325,7 +325,7 @@ def q151_pii_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes AS (SELECT source, COUNT(*)::BIGINT AS n FROM tok GROUP BY source)
     SELECT a.source AS s1, b.source AS s2,
            COUNT(*)::BIGINT AS n_common, sa.n AS n1, sb.n AS n2,
-           ROUND(COUNT(*)::DOUBLE / (sa.n + sb.n - COUNT(*)), 6)::DOUBLE
+           (COUNT(*)::DOUBLE / (sa.n + sb.n - COUNT(*)))::DOUBLE
              AS jaccard
     FROM tok a
     JOIN tok b ON a.token = b.token AND a.source < b.source
@@ -375,10 +375,10 @@ def q152_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_common",
             "n1",
             "n2",
-            F.round(
+            # raw exact-operand IEEE division (safe class, r14)
+            (
                 F.col("n_common").cast("double")
-                / (F.col("n1") + F.col("n2") - F.col("n_common")),
-                6,
+                / (F.col("n1") + F.col("n2") - F.col("n_common"))
             ).alias("jaccard"),
         )
         .orderBy("s1", "s2")
@@ -544,8 +544,8 @@ def q154_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT prev AS from_type, event_type AS to_type, COUNT(*)::BIGINT AS n
       FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2)
     SELECT from_type, to_type, n,
-           ROUND(CAST(n AS DOUBLE)
-                 / SUM(n) OVER (PARTITION BY from_type), 6)::DOUBLE AS p
+           (CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY from_type))::DOUBLE AS p
     FROM c ORDER BY from_type, to_type
     """,
 )
@@ -567,7 +567,8 @@ def q155_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "from_type",
         "to_type",
         "n",
-        F.round(F.col("n").cast("double") / F.sum("n").over(wt), 6).alias("p"),
+        # raw: SUM(n) over ints is exact; one IEEE division (r14)
+        (F.col("n").cast("double") / F.sum("n").over(wt)).alias("p"),
     ).orderBy("from_type", "to_type")
 
 
@@ -896,7 +897,7 @@ _SWEEP_FLOOR, _SWEEP_DF = 0.02, 20
            WHERE sdf <= {_SWEEP_DF}),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     jac AS (
-      SELECT ROUND(c.n_common / (sa.n_sh + sb.n_sh - c.n_common), 6) AS j
+      SELECT (c.n_common / (sa.n_sh + sb.n_sh - c.n_common)) AS j
       FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
             GROUP BY 1, 2) c
@@ -905,7 +906,7 @@ _SWEEP_FLOOR, _SWEEP_DF = 0.02, 20
       WHERE c.n_common / (sa.n_sh + sb.n_sh - c.n_common) >= {_SWEEP_FLOOR}
     )
     SELECT least(floor(j * 10), 9)::BIGINT AS bucket,
-           ROUND(least(floor(j * 10), 9) / 10.0, 6)::DOUBLE AS bucket_lo,
+           (least(floor(j * 10), 9) / 10.0)::DOUBLE AS bucket_lo,
            COUNT(*)::BIGINT AS n_pairs
     FROM jac GROUP BY 1, 2 ORDER BY bucket
     """,
@@ -921,7 +922,8 @@ def q160_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.select(
             bucket.alias("bucket"),
-            F.round(bucket / F.lit(10.0), 6).alias("bucket_lo"),
+            # raw: one IEEE division of exact operands (safe class)
+            (bucket / F.lit(10.0)).alias("bucket_lo"),
         )
         .groupBy("bucket", "bucket_lo")
         .agg(F.count(F.lit(1)).alias("n_pairs"))

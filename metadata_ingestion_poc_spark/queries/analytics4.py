@@ -684,11 +684,11 @@ def q194_rolling_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                  SUM(c * c)::BIGINT AS sum_sq
           FROM d GROUP BY user_id)
     SELECT user_id, n_days, n_events,
-           ROUND(n_events::DOUBLE / n_days, 6) AS mean_per_day,
-           ROUND((sum_sq::DOUBLE / n_days
+           (n_events::DOUBLE / n_days) AS mean_per_day,
+           ((sum_sq::DOUBLE / n_days
                   - (n_events::DOUBLE / n_days)
                     * (n_events::DOUBLE / n_days))
-                 / (n_events::DOUBLE / n_days), 6) AS fano
+                 / (n_events::DOUBLE / n_days)) AS fano
     FROM g ORDER BY user_id
     """,
 )
@@ -709,8 +709,10 @@ def q195_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "n_days",
         "n_events",
-        F.round(mean, 6).alias("mean_per_day"),
-        F.round(var / mean, 6).alias("fano"),
+        # raw chains of IEEE primitives over exact int64 moments
+        # (safe class, r14)
+        mean.alias("mean_per_day"),
+        (var / mean).alias("fano"),
     ).orderBy("user_id")
 
 
@@ -1051,7 +1053,7 @@ def q199_token_budget_allocation(
           FROM sh JOIN first f ON sh.s = f.s
           GROUP BY sh.doc_id)
     SELECT doc_id, n_shingles, n_novel,
-           ROUND(n_novel::DOUBLE / n_shingles, 6) AS novelty
+           (n_novel::DOUBLE / n_shingles) AS novelty
     FROM j ORDER BY doc_id
     """,
 )
@@ -1085,10 +1087,10 @@ def q200_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_shingles",
             F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
-            F.round(
+            # raw exact-operand IEEE division (safe class, r14)
+            (
                 F.coalesce("n_novel", F.lit(0)).cast("double")
-                / F.col("n_shingles"),
-                6,
+                / F.col("n_shingles")
             ).alias("novelty"),
         )
         .orderBy("doc_id")
@@ -1249,7 +1251,7 @@ def q202_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT COUNT(*)::BIGINT AS total FROM d),
     g AS (SELECT digit, COUNT(*)::BIGINT AS n_orders FROM d GROUP BY digit)
     SELECT g.digit, g.n_orders,
-           ROUND(g.n_orders::DOUBLE / n.total, 6) AS obs_share,
+           (g.n_orders::DOUBLE / n.total) AS obs_share,
            ROUND(ln(1.0::DOUBLE + 1.0::DOUBLE / g.digit)
                  / ln(10.0::DOUBLE), 6) AS benford_p,
            ROUND(
@@ -1298,7 +1300,9 @@ def q203_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "digit",
         "n_orders",
-        F.round(obs, 6).alias("obs_share"),
+        # raw exact-operand IEEE division (safe class, r14); the
+        # ln-based benford_p / chi2_term keep ROUND (libm residual)
+        obs.alias("obs_share"),
         benford.alias("benford_p"),
         F.round((obs - benford) * (obs - benford) / benford, 9).alias(
             "chi2_term"
@@ -1343,7 +1347,7 @@ def q203_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
                    MAX(ny)::BIGINT AS max_rhs_per_lhs
             FROM per_key GROUP BY dep)
     SELECT dep, n_lhs, n_violating,
-           ROUND(n_violating::DOUBLE / n_lhs, 6) AS violation_rate,
+           (n_violating::DOUBLE / n_lhs) AS violation_rate,
            max_rhs_per_lhs
     FROM agg ORDER BY dep
     """,

@@ -137,7 +137,7 @@ def q214_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
                  n_p::DOUBLE / tp AS p, n_q::DOUBLE / tq AS q
           FROM c, tot)
     SELECT brand, n_p, n_q,
-           ROUND(p, 6) AS p_share, ROUND(q, 6) AS q_share,
+           p AS p_share, q AS q_share,
            ROUND(CASE WHEN n_p = 0 THEN 0.0::DOUBLE
                       ELSE 0.5::DOUBLE * p * ln(p / (0.5::DOUBLE * (p + q)))
                  END, 6)
@@ -184,8 +184,10 @@ def q215_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "brand",
             "n_p",
             "n_q",
-            F.round(p, 6).alias("p_share"),
-            F.round(q, 6).alias("q_share"),
+            # raw exact-operand IEEE divisions (safe class, r14);
+            # js_contrib keeps ROUND (ln is the libm residual class)
+            p.alias("p_share"),
+            q.alias("q_share"),
             (term(F.col("n_p"), p) + term(F.col("n_q"), q)).alias(
                 "js_contrib"
             ),
@@ -289,8 +291,9 @@ def q216_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # agreement screen an annotation pipeline runs on double-labeled data.
 # Every probability is one double division of exact BIGINT confusion
 # counts; kappa = (po - pe) / (1 - pe) is then a fixed sequence of
-# IEEE double ops — bit-identical in both engines; rounded at 6 for
-# hashing. One scan, one 7-group shuffle.
+# IEEE double ops — bit-identical in both engines, shipped RAW (the
+# determinism.py safe class; de-ROUNDed round 14). One scan, one
+# 7-group shuffle.
 # ---------------------------------------------------------------------------
 
 
@@ -315,8 +318,8 @@ def q216_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
                      AS pe
           FROM c)
     SELECT ship_year, n, n11, n10, n01, n00,
-           ROUND(po, 6) AS po, ROUND(pe, 6) AS pe,
-           ROUND((po - pe) / (1 - pe), 6) AS kappa
+           po, pe,
+           ((po - pe) / (1 - pe)) AS kappa
     FROM k
     ORDER BY ship_year
     """,
@@ -351,9 +354,12 @@ def q217_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n10",
         "n01",
         "n00",
-        F.round(po, 6).alias("po"),
-        F.round(pe, 6).alias("pe"),
-        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+        # raw: po/pe/kappa are fixed chains of IEEE primitives over
+        # exact int64 confusion counts — identical expression trees in
+        # both engines are bit-identical (safe class, r14)
+        po.alias("po"),
+        pe.alias("pe"),
+        ((po - pe) / (1 - pe)).alias("kappa"),
     ).orderBy("ship_year")
 
 
@@ -394,7 +400,7 @@ def q217_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY f.cohort, age_weeks)
     SELECT a.cohort AS cohort_week, a.age_weeks, c.cohort_size,
            a.n_active,
-           ROUND(a.n_active::DOUBLE / c.cohort_size, 6) AS retention
+           (a.n_active::DOUBLE / c.cohort_size) AS retention
     FROM act a JOIN coh c USING (cohort)
     ORDER BY cohort_week, age_weeks
     """,
@@ -424,8 +430,9 @@ def q218_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "age_weeks",
             "cohort_size",
             "n_active",
-            F.round(
-                F.col("n_active").cast("double") / F.col("cohort_size"), 6
+            # raw exact-operand IEEE division (safe class, r14)
+            (
+                F.col("n_active").cast("double") / F.col("cohort_size")
             ).alias("retention"),
         )
         .orderBy("cohort_week", "age_weeks")
@@ -1043,9 +1050,9 @@ def q227_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     my AS (SELECT y, SUM(n)::BIGINT AS ny FROM cell GROUP BY y),
     t AS (SELECT SUM(n)::BIGINT AS nt FROM cell)
     SELECT c.x, c.y, c.n,
-           ROUND(c.n::DOUBLE / t.nt, 6) AS p_xy,
-           ROUND(mx.nx::DOUBLE / t.nt, 6) AS p_x,
-           ROUND(my.ny::DOUBLE / t.nt, 6) AS p_y,
+           (c.n::DOUBLE / t.nt) AS p_xy,
+           (mx.nx::DOUBLE / t.nt) AS p_x,
+           (my.ny::DOUBLE / t.nt) AS p_y,
            ROUND((c.n::DOUBLE / t.nt)
                  * ln((c.n::DOUBLE / t.nt)
                       / ((mx.nx::DOUBLE / t.nt)
@@ -1080,9 +1087,11 @@ def q228_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             "x",
             "y",
             "n",
-            F.round(p_xy, 6).alias("p_xy"),
-            F.round(p_x, 6).alias("p_x"),
-            F.round(p_y, 6).alias("p_y"),
+            # raw exact-operand IEEE divisions (safe class, r14);
+            # mi_contrib keeps ROUND (ln is the libm residual class)
+            p_xy.alias("p_xy"),
+            p_x.alias("p_x"),
+            p_y.alias("p_y"),
             F.round(p_xy * F.log(p_xy / (p_x * p_y)), 6).alias(
                 "mi_contrib"
             ),

@@ -71,8 +71,8 @@ _PSI_SPLIT_YEAR = 1998
     t AS (SELECT SUM(ref_n)::BIGINT AS ref_t, SUM(cur_n)::BIGINT AS cur_t
           FROM cell)
     SELECT band, ref_n, cur_n,
-           ROUND(ref_n::DOUBLE / ref_t, 6) AS ref_share,
-           ROUND(cur_n::DOUBLE / cur_t, 6) AS cur_share,
+           (ref_n::DOUBLE / ref_t) AS ref_share,
+           (cur_n::DOUBLE / cur_t) AS cur_share,
            CASE WHEN ref_n = 0 OR cur_n = 0 THEN NULL
                 ELSE ROUND((cur_n::DOUBLE / cur_t - ref_n::DOUBLE / ref_t)
                            * ln((cur_n::DOUBLE / cur_t)
@@ -136,8 +136,10 @@ def q229_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "band",
             "ref_n",
             "cur_n",
-            F.round(ref_share, 6).alias("ref_share"),
-            F.round(cur_share, 6).alias("cur_share"),
+            # raw exact-operand IEEE divisions (safe class, r14);
+            # psi_term keeps ROUND (ln is the libm residual class)
+            ref_share.alias("ref_share"),
+            cur_share.alias("cur_share"),
             # A band empty in either era has an undefined ln ratio
             # (DuckDB errors on ln(0); Spark yields NULL) — emit an
             # explicit NULL on both engines so tiny scale factors

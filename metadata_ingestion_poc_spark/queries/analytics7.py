@@ -720,7 +720,7 @@ def q248_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
                GROUP BY 1, 2)
     SELECT doc_a, doc_b, n_common,
-           ROUND(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6)
+           (n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common))
                AS jaccard
     FROM common
     JOIN sizes sa ON sa.doc_id = doc_a
@@ -1131,9 +1131,9 @@ def q254_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY 1, 2)
     SELECT src_a, src_b, n_common,
            za.n AS n_a, zb.n AS n_b,
-           ROUND(n_common::DOUBLE / (za.n + zb.n - n_common), 6)
+           (n_common::DOUBLE / (za.n + zb.n - n_common))
              AS jaccard,
-           ROUND(n_common::DOUBLE / least(za.n, zb.n), 6)
+           (n_common::DOUBLE / least(za.n, zb.n))
              AS containment
     FROM ov JOIN sz za ON za.source = src_a
             JOIN sz zb ON zb.source = src_b
@@ -1173,15 +1173,15 @@ def q255_source_overlap_matrix(
             "n_common",
             "n_a",
             "n_b",
-            F.round(
+            # raw: each is ONE IEEE division of exact int64 counts
+            # (the determinism.py safe class, de-ROUNDed round 14)
+            (
                 F.col("n_common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-                6,
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
             ).alias("jaccard"),
-            F.round(
+            (
                 F.col("n_common").cast("double")
-                / F.least("n_a", "n_b"),
-                6,
+                / F.least("n_a", "n_b")
             ).alias("containment"),
         )
         .orderBy("src_a", "src_b")
@@ -1312,7 +1312,10 @@ def q257_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(sa == sb, F.concat(F.lit("within_"), sa))
             .otherwise(F.lit("cross_split"))
             .alias("pair_class"),
-            "jaccard",
+            # the decimal-sum average needs exact-6dp addends, so the
+            # per-pair jaccard (raw since round 14) is re-quantized
+            # here, mirroring the oracle's ROUND in its pairs CTE
+            F.round(F.col("jaccard"), 6).alias("jaccard"),
         )
         .groupBy("pair_class")
         .agg(

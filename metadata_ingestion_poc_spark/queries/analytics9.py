@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from . import query
 from ..catalog import load_table
+from ..operators.ranktests import KENDALL_TAU_SQL, MWU_Z_SQL
 
 # ---------------------------------------------------------------------------
 # q289 — OPQ-rotated product-quantization ANN (operators/opq.py): the
@@ -1036,3 +1037,216 @@ def q302_kmv_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sketch",
         "est_distinct",
     ).orderBy("window_start")
+
+
+# ---------------------------------------------------------------------------
+# q303 — Mann-Whitney U rank-sum drift battery (round 14,
+# operators/ranktests.py): the nonparametric two-sample family's
+# second member next to the KS battery (q291) — same
+# planted-shift-vs-reference design and the same BH step-up, but the
+# location-shift-targeted rank statistic with higher power per
+# sample. Everything hashed except z/p6 is an EXACT INTEGER (the
+# determinism-rule sweet spot the round-13 verdict prescribed):
+# doubled midranks 2b+t+1, doubled rank sum r2, doubled statistic
+# u2 = r2 − n1(n1+1), tie term Σ(t³−t) — no ROUND anywhere near
+# them. z is the one fixed IEEE chain MWU_Z_SQL over those int64
+# operands, shipped raw (safe class); the p-like statistic is the
+# SUBGAUSSIAN TAIL BOUND p ≤ 2·exp(−z²/2) — conservative, so BH on
+# it still controls FDR — which keeps the only transcendental an
+# exp() in the accepted ROUND(6) residual class (exactly q291's
+# p-value discipline). BH comparison is exact-decimal
+# cross-multiplied, ranks integer, cutoff one MAX window.
+# Scale: one (source, length) count rollup is the only data-sized
+# exchange; rank arithmetic is a window over the bounded
+# sources × distinct-lengths grid (operators/ranktests.py docstring).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q303_mann_whitney",
+    oracle=f"""
+    WITH l AS (
+      SELECT source,
+             length(text) + CASE WHEN source IN {_BH_PLANT}
+                                 THEN {_BH_SHIFT} ELSE 0 END AS x
+      FROM documents),
+    cand AS (SELECT source, x FROM l WHERE source <> '{_BH_REF}'),
+    cnt AS (SELECT source, x, COUNT(*)::BIGINT AS c FROM cand
+            GROUP BY 1, 2),
+    rcnt AS (SELECT x, COUNT(*)::BIGINT AS rc FROM l
+             WHERE source = '{_BH_REF}' GROUP BY 1),
+    spine AS (SELECT DISTINCT x FROM l),
+    grid AS (SELECT s.source, v.x
+             FROM (SELECT DISTINCT source FROM cand) s
+             CROSS JOIN spine v),
+    g2 AS (SELECT g.source, g.x,
+                  COALESCE(c.c, 0) AS c, COALESCE(r.rc, 0) AS rc
+           FROM grid g
+           LEFT JOIN cnt c ON c.source = g.source AND c.x = g.x
+           LEFT JOIN rcnt r ON r.x = g.x),
+    cum AS (SELECT source, c, rc, c + rc AS t,
+                   SUM(c + rc) OVER w AS cum
+            FROM g2
+            WINDOW w AS (PARTITION BY source ORDER BY x
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)),
+    agg AS (SELECT source,
+                   SUM(c)::BIGINT AS n1,
+                   SUM(rc)::BIGINT AS n2,
+                   SUM(c * (2 * (cum - t) + t + 1))::BIGINT AS r2,
+                   SUM(t * t * t - t)::BIGINT AS tie3
+            FROM cum GROUP BY source),
+    stat AS (SELECT source, n1, n2, r2,
+                    (r2 - n1 * (n1 + 1))::BIGINT AS u2, tie3
+             FROM agg),
+    zs AS (SELECT *, {MWU_Z_SQL} AS z FROM stat),
+    pv AS (SELECT *,
+                  LEAST(CAST(1.0 AS DOUBLE),
+                        ROUND(CAST(2.0 AS DOUBLE)
+                              * EXP(CAST(-0.5 AS DOUBLE) * z * z),
+                              6)) AS p6
+           FROM zs),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY p6, source) AS p_rank,
+             (SELECT COUNT(*) FROM stat) AS m
+      FROM pv),
+    flagged AS (
+      SELECT *, (CAST(p6 AS DECIMAL(18,6)) * m
+                 <= p_rank * {_BH_ALPHA}) AS under
+      FROM ranked)
+    SELECT source, n1 AS n_docs, r2, u2, tie3, z, p6,
+           p_rank::BIGINT AS p_rank,
+           p_rank <= COALESCE(MAX(CASE WHEN under THEN p_rank END)
+                              OVER (), 0) AS rejected
+    FROM flagged
+    ORDER BY p_rank, source
+    """,
+)
+def q303_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.ranktests import mann_whitney_battery
+
+    l = load_table(spark, sf_dir, "documents").selectExpr(
+        "source",
+        f"length(text) + CASE WHEN source IN {_BH_PLANT} "
+        f"THEN {_BH_SHIFT} ELSE 0 END AS x",
+    )
+    bat = mann_whitney_battery(l, "source", "x", ref_group=_BH_REF)
+    m = bat.count()  # battery size: one bounded scalar, q291 pattern
+    pv = bat.select(
+        F.col("group").alias("source"),
+        F.col("n1").alias("n_docs"),
+        "r2",
+        "u2",
+        "tie3",
+        "z",
+        F.least(
+            F.lit(1.0),
+            F.round(
+                F.lit(2.0)
+                * F.exp(F.lit(-0.5) * F.col("z") * F.col("z")),
+                6,
+            ),
+        ).alias("p6"),
+    )
+    rw = Window.orderBy("p6", "source")
+    ranked = pv.withColumn(
+        "p_rank", F.row_number().over(rw).cast("long")
+    ).withColumn(
+        "under",
+        F.expr(
+            f"CAST(p6 AS DECIMAL(18,6)) * {m}"
+            f" <= p_rank * {_BH_ALPHA}"
+        ),
+    )
+    cw = Window.partitionBy()
+    return (
+        ranked.withColumn(
+            "k_star",
+            F.coalesce(
+                F.max(
+                    F.when(F.col("under"), F.col("p_rank"))
+                ).over(cw),
+                F.lit(0),
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "r2",
+            "u2",
+            "tie3",
+            "z",
+            "p6",
+            "p_rank",
+            (F.col("p_rank") <= F.col("k_star")).alias("rejected"),
+        )
+        .orderBy("p_rank", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q304 — Kendall tau-b rank-correlation screen (round 14,
+# operators/ranktests.py kendall_tau_b): per return-flag, the
+# concordance between order quantity and the discount micro-grid —
+# the pair-counting sibling of Spearman's rho (q239) with the exact
+# formulation gridded data allows: conc/disc/tie pair counts are all
+# EXACT INT64 from one (flag, qty, disc) rollup + a bounded
+# 550-cell-per-group self-join (never an O(n²) row pair frame), and
+# tau_b is the one fixed IEEE chain KENDALL_TAU_SQL over those exact
+# operands, shipped raw (safe class — no ROUND anywhere in this
+# query). Discount grid keys use the FLOOR(x*100 + 0.5) derivation
+# (never ROUND/CAST on a double).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q304_kendall_tau",
+    oracle=f"""
+    WITH b AS (
+      SELECT l_returnflag AS grp,
+             CAST(l_quantity AS INT) AS x,
+             CAST(FLOOR(l_discount * 100 + 0.5) AS INT) AS y
+      FROM lineitem),
+    cells AS (SELECT grp, x, y, COUNT(*)::BIGINT AS c
+              FROM b GROUP BY 1, 2, 3),
+    cd AS (
+      SELECT a.grp,
+             COALESCE(SUM(CASE WHEN a.y < b2.y
+                               THEN a.c * b2.c END), 0)::BIGINT AS conc,
+             COALESCE(SUM(CASE WHEN a.y > b2.y
+                               THEN a.c * b2.c END), 0)::BIGINT AS disc
+      FROM cells a JOIN cells b2
+        ON b2.grp = a.grp AND a.x < b2.x
+      GROUP BY a.grp),
+    tot AS (SELECT grp, SUM(c)::BIGINT AS n FROM cells GROUP BY grp),
+    tx AS (SELECT grp, (SUM(t * (t - 1)) / 2)::BIGINT AS n1
+           FROM (SELECT grp, x, SUM(c) AS t FROM cells GROUP BY 1, 2)
+           GROUP BY grp),
+    ty AS (SELECT grp, (SUM(t * (t - 1)) / 2)::BIGINT AS n2
+           FROM (SELECT grp, y, SUM(c) AS t FROM cells GROUP BY 1, 2)
+           GROUP BY grp),
+    stat AS (
+      SELECT tot.grp, tot.n,
+             COALESCE(cd.conc, 0)::BIGINT AS conc,
+             COALESCE(cd.disc, 0)::BIGINT AS disc,
+             (tot.n * (tot.n - 1) / 2)::BIGINT AS n0,
+             tx.n1, ty.n2
+      FROM tot LEFT JOIN cd USING (grp)
+      JOIN tx USING (grp) JOIN ty USING (grp))
+    SELECT grp AS "group", n, conc, disc, n0, n1, n2,
+           {KENDALL_TAU_SQL} AS tau_b
+    FROM stat
+    ORDER BY "group"
+    """,
+)
+def q304_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranktests import kendall_tau_b
+
+    b = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "l_returnflag",
+        "CAST(l_quantity AS INT) AS x",
+        "CAST(FLOOR(l_discount * 100 + 0.5) AS INT) AS y",
+    )
+    return kendall_tau_b(b, "l_returnflag", "x", "y").orderBy("group")

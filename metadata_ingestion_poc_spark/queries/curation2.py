@@ -68,8 +68,8 @@ _SHINGLE5 = (
     SELECT sh.doc_id,
            count(*)::BIGINT AS n_grams,
            count(*) FILTER (WHERE df.d >= {_BOILER_DF})::BIGINT AS n_boiler,
-           ROUND(count(*) FILTER (WHERE df.d >= {_BOILER_DF})
-                 / count(*)::DOUBLE, 6)::DOUBLE AS boiler_frac
+           (count(*) FILTER (WHERE df.d >= {_BOILER_DF})
+                 / count(*)::DOUBLE)::DOUBLE AS boiler_frac
     FROM sh JOIN df ON sh.s = df.s
     GROUP BY sh.doc_id
     ORDER BY doc_id
@@ -94,8 +94,9 @@ def q120_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("d") >= _BOILER_DF).alias("n_boiler"),
         )
         .withColumn(
+            # raw: one IEEE division of exact int64 counts (safe class)
             "boiler_frac",
-            F.round(F.col("n_boiler") / F.col("n_grams").cast("double"), 6),
+            F.col("n_boiler") / F.col("n_grams").cast("double"),
         )
         .orderBy("doc_id")
     )
@@ -365,7 +366,7 @@ def q124_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                       count(*) AS nc
                FROM b JOIN c ON b.s = c.s GROUP BY 1, 2)
     SELECT batch_id, corpus_id,
-           ROUND(nc / (sb.n + sc2.n - nc), 6)::DOUBLE AS jaccard
+           (nc / (sb.n + sc2.n - nc))::DOUBLE AS jaccard
     FROM common
     JOIN sb ON sb.doc_id = batch_id
     JOIN sc2 ON sc2.doc_id = corpus_id

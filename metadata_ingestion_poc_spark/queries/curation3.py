@@ -170,8 +170,8 @@ def q131_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
            SUM(c)::BIGINT AS n_tokens,
            count(*)::BIGINT AS n_types,
            count(*) FILTER (WHERE c = 1)::BIGINT AS n_hapax,
-           ROUND(count(*) / SUM(c)::DOUBLE, 6)::DOUBLE AS ttr,
-           ROUND(count(*) FILTER (WHERE c = 1) / count(*)::DOUBLE, 6)
+           (count(*) / SUM(c)::DOUBLE)::DOUBLE AS ttr,
+           (count(*) FILTER (WHERE c = 1) / count(*)::DOUBLE)
              ::DOUBLE AS hapax_ratio
     FROM wc GROUP BY doc_id ORDER BY doc_id
     """,
@@ -190,13 +190,14 @@ def q132_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_types"),
             F.count_if(F.col("c") == 1).alias("n_hapax"),
         )
+        # raw: exact-int64-operand IEEE divisions (safe class, r14)
         .withColumn(
             "ttr",
-            F.round(F.col("n_types") / F.col("n_tokens").cast("double"), 6),
+            F.col("n_types") / F.col("n_tokens").cast("double"),
         )
         .withColumn(
             "hapax_ratio",
-            F.round(F.col("n_hapax") / F.col("n_types").cast("double"), 6),
+            F.col("n_hapax") / F.col("n_types").cast("double"),
         )
         .orderBy("doc_id")
     )
@@ -415,7 +416,7 @@ def q135_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2)
     SELECT i.source_a, i.source_b, i.n_common::BIGINT AS n_common,
            sa.n::BIGINT AS n_a,
-           ROUND(i.n_common / sa.n::DOUBLE, 6)::DOUBLE AS containment
+           (i.n_common / sa.n::DOUBLE)::DOUBLE AS containment
     FROM inter i JOIN sizes sa ON i.source_a = sa.source
     ORDER BY source_a, source_b
     """,
@@ -448,8 +449,9 @@ def q136_cross_source_contamination(
             "source_a",
         )
         .withColumn(
+            # raw exact-operand IEEE division (safe class, r14)
             "containment",
-            F.round(F.col("n_common") / F.col("n_a").cast("double"), 6),
+            F.col("n_common") / F.col("n_a").cast("double"),
         )
         .select("source_a", "source_b", "n_common", "n_a", "containment")
         .orderBy("source_a", "source_b")

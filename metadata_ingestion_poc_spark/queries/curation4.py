@@ -433,15 +433,15 @@ _CONT_THRESHOLD, _CONT_SHINGLE_DF = 0.8, 20
                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
                GROUP BY 1, 2)
     SELECT doc_a, doc_b,
-           ROUND(n_common / sa.n_sh, 6)::DOUBLE AS containment_a,
-           ROUND(n_common / sb.n_sh, 6)::DOUBLE AS containment_b,
-           ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6)::DOUBLE
+           (n_common / sa.n_sh)::DOUBLE AS containment_a,
+           (n_common / sb.n_sh)::DOUBLE AS containment_b,
+           (n_common / (sa.n_sh + sb.n_sh - n_common))::DOUBLE
              AS jaccard
     FROM common
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE ROUND(n_common / sa.n_sh, 6) >= {_CONT_THRESHOLD}
-       OR ROUND(n_common / sb.n_sh, 6) >= {_CONT_THRESHOLD}
+    WHERE n_common / sa.n_sh >= {_CONT_THRESHOLD}
+       OR n_common / sb.n_sh >= {_CONT_THRESHOLD}
     ORDER BY doc_a, doc_b
     """,
 )

@@ -123,7 +123,7 @@ MAX_SHINGLE_DF = 20
                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
                GROUP BY 1, 2)
     SELECT doc_a, doc_b,
-           ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6)::DOUBLE AS jaccard
+           (n_common / (sa.n_sh + sb.n_sh - n_common))::DOUBLE AS jaccard
     FROM common
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b

@@ -109,7 +109,7 @@ def q104_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY tr.doc_id)
     SELECT tot.doc_id, tot.n_grams::BIGINT AS n_grams,
            hit.n_hits::BIGINT AS n_hits,
-           ROUND(hit.n_hits / tot.n_grams, 6)::DOUBLE AS contamination
+           (hit.n_hits / tot.n_grams)::DOUBLE AS contamination
     FROM tot JOIN hit ON tot.doc_id = hit.doc_id
     ORDER BY contamination DESC, tot.doc_id
     LIMIT 20
@@ -148,7 +148,10 @@ def q105_contamination_overlap(
             "doc_id",
             "n_grams",
             "n_hits",
-            F.round(F.col("n_hits") / F.col("n_grams"), 6).alias(
+            # raw exact-operand IEEE division (safe class, r14); the
+            # top-20 cut ranks on the raw quotient identically in
+            # both engines (bit-identical values, doc_id tie-break)
+            (F.col("n_hits") / F.col("n_grams")).alias(
                 "contamination"
             ),
         )
@@ -180,8 +183,8 @@ def q105_contamination_overlap(
            FROM g GROUP BY doc_id)
     SELECT gs.doc_id,
            top.n_tok,
-           ROUND(1.0 - gs.n_dg / gs.n_g, 6)::DOUBLE AS dup_bigram_frac,
-           ROUND(top.top_c / top.n_tok, 6)::DOUBLE AS top_token_frac
+           (1.0 - gs.n_dg / gs.n_g)::DOUBLE AS dup_bigram_frac,
+           (top.top_c / top.n_tok)::DOUBLE AS top_token_frac
     FROM gs JOIN top ON gs.doc_id = top.doc_id
     ORDER BY gs.doc_id
     """,
@@ -216,10 +219,12 @@ def q106_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_tok",
-            F.round(
-                F.lit(1.0) - F.col("n_dg") / F.col("n_g"), 6
+            # raw chains of IEEE primitives over exact int64 counts
+            # (safe class, r14)
+            (
+                F.lit(1.0) - F.col("n_dg") / F.col("n_g")
             ).alias("dup_bigram_frac"),
-            F.round(F.col("top_c") / F.col("n_tok"), 6).alias(
+            (F.col("top_c") / F.col("n_tok")).alias(
                 "top_token_frac"
             ),
         )
@@ -241,8 +246,8 @@ def q106_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT SUM(n_docs)::BIGINT AS total,
                    count(*) AS n_sources FROM c)
     SELECT c.source, c.n_docs::BIGINT AS n_docs, c.n_chars_total,
-           ROUND(c.n_docs / tot.total, 6)::DOUBLE AS actual_share,
-           ROUND(tot.total / (tot.n_sources * c.n_docs), 6)::DOUBLE
+           (c.n_docs / tot.total)::DOUBLE AS actual_share,
+           (tot.total / (tot.n_sources * c.n_docs))::DOUBLE
              AS uniform_weight
     FROM c, tot
     ORDER BY source
@@ -266,11 +271,12 @@ def q107_domain_mixture_weights(
             "source",
             "n_docs",
             "n_chars_total",
-            F.round(F.col("n_docs") / F.col("total"), 6).alias(
+            # raw exact-operand IEEE divisions (safe class, r14)
+            (F.col("n_docs") / F.col("total")).alias(
                 "actual_share"
             ),
-            F.round(
-                F.col("total") / (F.col("n_sources") * F.col("n_docs")), 6
+            (
+                F.col("total") / (F.col("n_sources") * F.col("n_docs"))
             ).alias("uniform_weight"),
         )
         .orderBy("source")

@@ -115,8 +115,8 @@ def q87_tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q88_window_rank_extras",
     oracle="""
     SELECT s_suppkey,
-           ROUND(percent_rank() OVER w, 6)::DOUBLE AS pct_rank,
-           ROUND(cume_dist() OVER w, 6)::DOUBLE AS cdist,
+           (percent_rank() OVER w)::DOUBLE AS pct_rank,
+           (cume_dist() OVER w)::DOUBLE AS cdist,
            nth_value(s_suppkey, 2) OVER
              (ORDER BY s_acctbal DESC, s_suppkey
               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
@@ -132,8 +132,11 @@ def q88_window_rank_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return s.select(
         "s_suppkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        # raw: percent_rank = (rank−1)/(n−1) and cume_dist = cum/n are
+        # each ONE IEEE division of exact int64 operands in both
+        # engines — the determinism.py safe class, no ROUND needed
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
         F.nth_value("s_suppkey", 2).over(w_full).alias("second_richest"),
     ).orderBy("s_suppkey")
 

@@ -229,7 +229,9 @@ def test_prefix_filter_equals_brute_force_with_boilerplate(spark):
     ):
         u = sizes[r["doc_a"]] + sizes[r["doc_b"]] - r["nc"]
         if r["nc"] * 5 >= 2 * u:
-            brute[(r["doc_a"], r["doc_b"])] = (r["nc"], round(r["nc"] / u, 6))
+            # raw IEEE division — bit-identical to the operator's
+            # exact-operand quotient (de-ROUNDed round 14)
+            brute[(r["doc_a"], r["doc_b"])] = (r["nc"], r["nc"] / u)
     want = {(p[0], p[1], v[0], v[1]) for p, v in brute.items()}
     assert (3, 100) in brute and (3, 101) in brute
     assert got == want

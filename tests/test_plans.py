@@ -502,3 +502,34 @@ def test_band_pruning_keeps_pigeonhole_bands(spark):
         for r in out.collect()
     }
     assert got == want  # pruning stayed lossless
+
+
+def test_plan_audit_is_total_over_the_registry():
+    """The committed PLANS_r{N}.txt must audit EVERY registered query
+    — round 13 shipped a 299-row audit against a 300-query registry
+    (q302 landed after the audit ran), which silently weakened the
+    zero-cartesian claim. Pin: the newest PLANS file in the repo root
+    has exactly one row per registry entry. Regenerate with
+    `python tools/audit_plans.py > PLANS_r<N>.txt` AFTER the last
+    registry-touching commit of the round."""
+    import glob
+    import os
+    import re
+
+    plans = sorted(
+        glob.glob("/root/repo/PLANS_r*.txt"),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    assert plans, "no PLANS_r*.txt committed"
+    newest = plans[-1]
+    audited = set()
+    with open(newest) as fh:
+        for line in fh:
+            m = re.match(r"(q\d+[a-z]?_\w+)\s", line)
+            if m:
+                audited.add(m.group(1))
+    missing = set(QUERIES) - audited
+    assert not missing, (
+        f"{os.path.basename(newest)} audits {len(audited)} queries but "
+        f"the registry has {len(QUERIES)}; missing: {sorted(missing)[:5]}"
+    )

@@ -1,0 +1,192 @@
+"""Mann-Whitney U rank-sum battery (operators/ranktests.py, q303)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from metadata_ingestion_poc_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+
+def _brute_mwu(a: list[int], b: list[int]):
+    """Textbook midrank U in exact integer (doubled) arithmetic."""
+    combined = sorted(a + b)
+    # doubled midrank per distinct value: 2*(count below) + t + 1
+    from collections import Counter
+
+    cnt = Counter(combined)
+    below = 0
+    dr = {}
+    tie3 = 0
+    for v in sorted(cnt):
+        t = cnt[v]
+        dr[v] = 2 * below + t + 1
+        tie3 += t**3 - t
+        below += t
+    r2 = sum(dr[v] for v in a)
+    n1, n2 = len(a), len(b)
+    u2 = r2 - n1 * (n1 + 1)
+    n = n1 + n2
+    var = (n1 * n2 / 12.0) * ((n + 1.0) - tie3 / (n * (n - 1.0)))
+    z = (u2 - n1 * n2) / (2.0 * var**0.5) if var > 0 else None
+    return n1, n2, r2, u2, tie3, z
+
+
+def test_mwu_matches_brute_force_exactly(spark):
+    """Every integer cell (r2, u2, tie3) must equal the textbook
+    doubled-midrank computation EXACTLY, and z bit-for-bit (the same
+    IEEE chain over the same exact operands)."""
+    from metadata_ingestion_poc_spark.operators.ranktests import (
+        mann_whitney_battery,
+    )
+
+    a = [3, 5, 5, 7, 9, 9, 9, 12]  # candidate group, with ties
+    b = [4, 5, 6, 9, 10, 11]  # reference, overlapping ties
+    rows = [("cand", v) for v in a] + [("ref", v) for v in b]
+    df = spark.createDataFrame(rows, "grp string, v int")
+    got = mann_whitney_battery(df, "grp", "v", "ref").collect()
+    assert len(got) == 1
+    r = got[0]
+    n1, n2, r2, u2, tie3, z = _brute_mwu(a, b)
+    assert (r.n1, r.n2, r.r2, r.u2, r.tie3) == (n1, n2, r2, u2, tie3)
+    assert r.z == z  # bit-identical IEEE chain
+
+
+def test_mwu_constant_sample_yields_null_z(spark):
+    from metadata_ingestion_poc_spark.operators.ranktests import (
+        mann_whitney_battery,
+    )
+
+    rows = [("cand", 7)] * 5 + [("ref", 7)] * 5
+    df = spark.createDataFrame(rows, "grp string, v int")
+    r = mann_whitney_battery(df, "grp", "v", "ref").collect()[0]
+    # all 10 values tied: tie3 = 10^3-10, zero variance, NULL z
+    assert r.tie3 == 990
+    assert r.z is None
+    # and a symmetric sample: doubled U equals n1*n2 exactly
+    assert r.u2 == r.n1 * r.n2
+
+
+def test_mwu_symmetry_u1_plus_u2(spark):
+    """U₁ + U₂ = n1·n2 (doubled: u2_cand + u2_ref = 2·n1·n2) — run
+    the battery both directions and check the identity."""
+    from metadata_ingestion_poc_spark.operators.ranktests import (
+        mann_whitney_battery,
+    )
+
+    a = [1, 4, 4, 8, 15, 16]
+    b = [2, 3, 4, 10, 23]
+    rows = [("A", v) for v in a] + [("B", v) for v in b]
+    df = spark.createDataFrame(rows, "grp string, v int")
+    fwd = mann_whitney_battery(df, "grp", "v", "B").collect()[0]
+    rev = mann_whitney_battery(df, "grp", "v", "A").collect()[0]
+    assert fwd.u2 + rev.u2 == 2 * len(a) * len(b)
+    # z antisymmetric, bit-for-bit (identical chain, negated operand)
+    assert fwd.z == pytest.approx(-rev.z, abs=0)
+
+
+def test_mwu_battery_discovers_planted_shift(spark):
+    """q303: the three planted +600-length sources must be BH-rejected
+    with |z| far beyond every null source (the q291 discovery design,
+    rank-sum flavored)."""
+    from metadata_ingestion_poc_spark.queries.analytics9 import (
+        _BH_PLANT,
+    )
+
+    planted = {s.strip(" '") for s in _BH_PLANT.strip("()").split(",")}
+    rows = QUERIES["q303_mann_whitney"](spark, SF).collect()
+    assert len(rows) == 19  # 20 sources minus the reference
+    by_src = {r.source: r for r in rows}
+    rejected = {r.source for r in rows if r.rejected}
+    assert planted <= rejected
+    # planted shifts dominate: every planted |z| above every null |z|
+    null_max = max(
+        abs(r.z) for r in rows if r.source not in planted
+    )
+    for s in planted:
+        assert abs(by_src[s].z) > null_max
+        assert by_src[s].z > 0  # shift is upward (+600 chars)
+        assert by_src[s].p6 == 0.0  # subgaussian bound underflows
+    # exact-cell invariants on the real battery
+    for r in rows:
+        assert r.u2 == r.r2 - r.n_docs * (r.n_docs + 1)
+        assert r.tie3 >= 0
+
+
+def _brute_tau_b(xy: list[tuple[int, int]]):
+    """O(n²) textbook tau-b in exact integer arithmetic."""
+    n = len(xy)
+    conc = disc = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            s = (xy[i][0] - xy[j][0]) * (xy[i][1] - xy[j][1])
+            if s > 0:
+                conc += 1
+            elif s < 0:
+                disc += 1
+    from collections import Counter
+
+    n0 = n * (n - 1) // 2
+    n1 = sum(t * (t - 1) // 2 for t in Counter(x for x, _ in xy).values())
+    n2 = sum(t * (t - 1) // 2 for t in Counter(y for _, y in xy).values())
+    # replay the operator's exact chain: (C−D)/sqrt((n0−n1)·(n0−n2))
+    den = float(n0 - n1) * (n0 - n2)
+    tau = (float(conc) - disc) / den**0.5 if den > 0 else None
+    return n, conc, disc, n0, n1, n2, tau
+
+
+def test_kendall_matches_brute_force_exactly(spark):
+    from metadata_ingestion_poc_spark.operators.ranktests import (
+        kendall_tau_b,
+    )
+
+    xy = [
+        (1, 2), (1, 3), (2, 2), (2, 5), (3, 1),
+        (3, 3), (4, 4), (4, 4), (5, 2), (5, 6),
+    ]
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in xy], "grp string, x int, y int"
+    )
+    r = kendall_tau_b(df, "grp", "x", "y").collect()[0]
+    n, conc, disc, n0, n1, n2, tau = _brute_tau_b(xy)
+    assert (r.n, r.conc, r.disc, r.n0, r.n1, r.n2) == (
+        n, conc, disc, n0, n1, n2,
+    )
+    assert r.tau_b == tau  # bit-identical IEEE chain
+
+
+def test_kendall_perfect_and_antisymmetric(spark):
+    from metadata_ingestion_poc_spark.operators.ranktests import (
+        kendall_tau_b,
+    )
+
+    rows = [("g", i, 2 * i + 1) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "grp string, x int, y int")
+    assert kendall_tau_b(df, "grp", "x", "y").collect()[0].tau_b == 1.0
+    neg = spark.createDataFrame(
+        [("g", x, -y) for _, x, y in rows], "grp string, x int, y int"
+    )
+    assert kendall_tau_b(neg, "grp", "x", "y").collect()[0].tau_b == -1.0
+    # constant y: zero y-variance, tau undefined -> NULL
+    const = spark.createDataFrame(
+        [("g", x, 7) for _, x, _ in rows], "grp string, x int, y int"
+    )
+    r = kendall_tau_b(const, "grp", "x", "y").collect()[0]
+    assert r.tau_b is None and r.n2 == r.n0
+
+
+def test_kendall_battery_on_lineitem_grid(spark):
+    """q304: 3 return-flag groups, exact pair-count invariants:
+    conc + disc + x-ties + y-ties − both-ties = n0 requires the cell
+    grid — check the weaker but exact conc+disc ≤ n0 − max(n1,n2) +
+    common-tie overlap, and that the registered query returns the
+    operator's rows verbatim."""
+    rows = QUERIES["q304_kendall_tau"](spark, SF).collect()
+    assert [r["group"] for r in rows] == ["A", "N", "R"]
+    for r in rows:
+        assert r.n0 == r.n * (r.n - 1) // 2
+        assert 0 <= r.conc and 0 <= r.disc
+        assert r.conc + r.disc <= r.n0 - max(r.n1, r.n2) + min(r.n1, r.n2)
+        assert abs(r.tau_b) < 0.1  # qty and disc are independent dials
