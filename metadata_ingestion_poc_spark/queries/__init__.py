@@ -192,6 +192,12 @@ def _load_all() -> None:
 # window; q119-q123 last swept round 5). Remaining staleness (q124,
 # q125, q126-q160 not code-changed, q161-q200) defers to round 15.
 # 3 + 2 + 30 + 15 = 50.
+#
+# Round-15 rotation note: ALSO promote the round-14 passthrough
+# de-ROUNDs that could not fit this window (q09 q14 q16 q46 q49 q59
+# q103 q154 q166 — min/max/median selection cells shipped raw; all
+# J14-verified at 3 SFs), then q124/q125 and the q126-q160 staleness
+# tail, then q161-q200.
 # ---------------------------------------------------------------------------
 _SWEEP_PRIORITY = [
     # -- the q276 bisection (three-round driver red) --

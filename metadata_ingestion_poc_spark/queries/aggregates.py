@@ -121,8 +121,8 @@ def q13_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(quantile_cont(l_extendedprice, 0.5), 6)::DOUBLE AS p50,
            ROUND(quantile_cont(l_extendedprice, 0.9), 6)::DOUBLE AS p90,
            ROUND(quantile_cont(l_extendedprice, 0.99), 6)::DOUBLE AS p99,
-           ROUND(MIN(l_extendedprice), 6)::DOUBLE AS min_price,
-           ROUND(MAX(l_extendedprice), 6)::DOUBLE AS max_price
+           MIN(l_extendedprice)::DOUBLE AS min_price,
+           MAX(l_extendedprice)::DOUBLE AS max_price
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -143,9 +143,13 @@ def q14_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="l_extendedprice",
         percentiles={"p50": 0.5, "p90": 0.9, "p99": 0.99},
     )
+    # min/max SELECT exact source doubles — shipped raw (r14); the
+    # interpolated percentiles keep ROUND(6): DuckDB's quantile_cont
+    # lerp is engine-internal and may differ from the operator's
+    # formula in the last ulp
     extrema = li.groupBy("l_returnflag").agg(
-        F.round(F.min("l_extendedprice"), 6).alias("min_price"),
-        F.round(F.max("l_extendedprice"), 6).alias("max_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
     )
     return (
         pct.join(extrema, "l_returnflag")
@@ -215,7 +219,7 @@ def q15_variance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderpriority,
            o_orderkey AS top_orderkey,
-           ROUND(o_totalprice, 6)::DOUBLE AS top_price
+           o_totalprice::DOUBLE AS top_price
     FROM ranked WHERE rn = 1
     ORDER BY o_orderpriority
     """,
@@ -229,7 +233,8 @@ def q16_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "o_orderkey",
                 F.struct(F.col("o_totalprice"), (-F.col("o_orderkey")).alias("nk")),
             ).alias("top_orderkey"),
-            F.round(F.max("o_totalprice"), 6).alias("top_price"),
+            # raw: MAX selects an exact source double (r14)
+            F.max("o_totalprice").alias("top_price"),
         )
         .orderBy("o_orderpriority")
     )

@@ -474,8 +474,8 @@ def q153_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem l JOIN med m USING (l_returnflag)),
     mad AS (SELECT l_returnflag, median(dev) AS mad FROM dev GROUP BY 1)
     SELECT d.l_returnflag,
-           ROUND(MIN(d.med), 6)::DOUBLE AS med,
-           ROUND(MIN(m.mad), 6)::DOUBLE AS mad,
+           MIN(d.med)::DOUBLE AS med,
+           MIN(m.mad)::DOUBLE AS mad,
            COUNT(*)::BIGINT AS n,
            SUM(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END)::BIGINT
              AS n_outliers
@@ -509,8 +509,10 @@ def q154_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         devhist.join(F.broadcast(mad), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
-            F.round(F.min("med"), 6).alias("med"),
-            F.round(F.min("mad"), 6).alias("mad"),
+            # raw: the integer-grid medians are exact half-integer
+            # selections — no ROUND needed (r14)
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
             F.sum("cnt").alias("n"),
             F.sum(
                 F.when(
@@ -1238,7 +1240,7 @@ def q165_weighted_percentiles(
            SUM(bpe)::BIGINT AS bpe_tokens,
            SUM(words)::BIGINT AS word_tokens,
            SUM(chars)::BIGINT AS chars,
-           ROUND(CAST(SUM(chars) AS DOUBLE) / SUM(bpe), 6)::DOUBLE
+           (CAST(SUM(chars) AS DOUBLE) / SUM(bpe))::DOUBLE
              AS chars_per_token
     FROM m GROUP BY source ORDER BY source
     """,
@@ -1263,8 +1265,9 @@ def q166_bpe_token_accounting(
             F.sum("bpe").alias("bpe_tokens"),
             F.sum("words").alias("word_tokens"),
             F.sum("chars").alias("chars"),
-            F.round(
-                F.sum("chars").cast("double") / F.sum("bpe"), 6
+            # raw exact-operand IEEE division (safe class, r14)
+            (
+                F.sum("chars").cast("double") / F.sum("bpe")
             ).alias("chars_per_token"),
         )
         .orderBy("source")

@@ -242,8 +242,8 @@ def q45_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
     )
     SELECT c.c_name, o.o_orderkey, o.o_orderdate,
-           ROUND(o.o_totalprice, 6)::DOUBLE AS o_totalprice,
-           ROUND(b.total_qty, 6)::DOUBLE AS total_qty
+           o.o_totalprice::DOUBLE AS o_totalprice,
+           b.total_qty::DOUBLE AS total_qty
     FROM big b
     JOIN orders o ON o.o_orderkey = b.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey
@@ -267,8 +267,10 @@ def q46_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_name",
             "o_orderkey",
             "o_orderdate",
-            F.round("o_totalprice", 6).alias("o_totalprice"),
-            F.round("total_qty", 6).alias("total_qty"),
+            # raw: o_totalprice is an exact source double; total_qty
+            # is an exact sum of integer-valued doubles (r14)
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("total_qty").cast("double").alias("total_qty"),
         )
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)

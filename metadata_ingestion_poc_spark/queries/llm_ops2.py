@@ -163,7 +163,7 @@ def q90_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            COUNT(*)::BIGINT AS n_items,
            ROUND(SUM(CAST(l_quantity AS DECIMAL(28,6))), 6)::DOUBLE AS sum_qty,
-           ROUND(MAX(l_extendedprice), 6)::DOUBLE AS max_price
+           MAX(l_extendedprice)::DOUBLE AS max_price
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -184,7 +184,8 @@ def q59_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         final_aggs=[
             F.sum("pc").alias("n_items"),
             F.round(F.sum("ps"), 6).cast("double").alias("sum_qty"),
-            F.round(F.max("pm"), 6).alias("max_price"),
+            # raw: MAX selects an exact source double (r14)
+            F.max("pm").alias("max_price"),
         ],
         salt_buckets=16,
         salt_source="l_orderkey",

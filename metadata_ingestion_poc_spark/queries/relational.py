@@ -280,8 +280,8 @@ def q08_join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(DISTINCT l_orderkey)::BIGINT AS n_orders,
            COUNT(DISTINCT l_partkey)::BIGINT AS n_parts,
            {sql_dsum('l_quantity', 'total_qty')},
-           ROUND(MIN(l_extendedprice), 6)::DOUBLE AS min_price,
-           ROUND(MAX(l_extendedprice), 6)::DOUBLE AS max_price
+           MIN(l_extendedprice)::DOUBLE AS min_price,
+           MAX(l_extendedprice)::DOUBLE AS max_price
     FROM lineitem
     """,
 )
@@ -292,8 +292,10 @@ def q09_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_orderkey").alias("n_orders"),
         F.countDistinct("l_partkey").alias("n_parts"),
         dsum("l_quantity", "total_qty"),
-        F.round(F.min("l_extendedprice"), 6).cast("double").alias("min_price"),
-        F.round(F.max("l_extendedprice"), 6).cast("double").alias("max_price"),
+        # raw: MIN/MAX SELECT an exact source double — rounding one
+        # was the ROUND(non-6dp-clean-double) hazard class (r14)
+        F.min("l_extendedprice").cast("double").alias("min_price"),
+        F.max("l_extendedprice").cast("double").alias("max_price"),
     )
 
 

@@ -96,7 +96,7 @@ def q48_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q49_scalar_in_subquery",
     oracle="""
-    SELECT c_custkey, ROUND(c_acctbal, 6)::DOUBLE AS c_acctbal
+    SELECT c_custkey, c_acctbal::DOUBLE AS c_acctbal
     FROM customer
     WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
       AND c_nationkey IN (SELECT DISTINCT s_nationkey FROM supplier)
@@ -107,7 +107,7 @@ def q49_scalar_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "customer", "supplier")
     return spark.sql(
         """
-        SELECT c_custkey, ROUND(c_acctbal, 6) AS c_acctbal
+        SELECT c_custkey, c_acctbal AS c_acctbal
         FROM customer
         WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
           AND c_nationkey IN (SELECT DISTINCT s_nationkey FROM supplier)

@@ -414,7 +414,7 @@ def q102_tpch_q21_sole_blame_supplier(
 # Q2: cheapest supplier per part — observed min unit price from
 # lineitem, tie-broken by supplier key via row_number. Unit price is a
 # single IEEE division of identical inputs, so it is bit-identical
-# across engines; ROUND is applied only on output.
+# across engines and ships RAW (de-ROUNDed round 14).
 # ---------------------------------------------------------------------------
 @query(
     "q103_tpch_q2_cheapest_supplier",
@@ -434,7 +434,7 @@ def q102_tpch_q21_sole_blame_supplier(
       FROM up
     )
     SELECT b.l_partkey AS p_partkey, s.s_name, s.s_acctbal, n.n_name,
-           ROUND(b.unit_price, 6)::DOUBLE AS best_unit_price
+           b.unit_price::DOUBLE AS best_unit_price
     FROM best b
     JOIN supplier s ON s.s_suppkey = b.l_suppkey
     JOIN nation n   ON n.n_nationkey = s.s_nationkey
@@ -471,7 +471,9 @@ def q103_tpch_q2_cheapest_supplier(
             "s_name",
             "s_acctbal",
             "n_name",
-            F.round("unit_price", 6).cast("double").alias(
+            # raw: MIN selects one bit-identical exact-operand
+            # IEEE quotient (r14)
+            F.col("unit_price").cast("double").alias(
                 "best_unit_price"
             ),
         )

@@ -77,8 +77,8 @@ def test_round6_chain_exposure_only_ever_shrinks():
         for expr in _select_items(sql).values()
         if classify(expr) == "round6-chain"
     )
-    assert n <= 175, (
-        f"round6-chain oracle expressions grew to {n} (> pinned 175): "
+    assert n <= 163, (
+        f"round6-chain oracle expressions grew to {n} (> pinned 163): "
         "emit exact cells instead, or consciously re-pin with a "
         "justification in SCALING.md"
     )
