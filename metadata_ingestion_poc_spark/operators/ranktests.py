@@ -294,3 +294,117 @@ def kendall_tau_b(
         )
         .withColumn("tau_b", F.expr(KENDALL_TAU_SQL))
     )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis H — the k-sample extension of the Mann-Whitney U
+# above (public literature: Kruskal & Wallis, JASA 1952; tie
+# correction ibid.). One shared midrank grid over ALL groups at once:
+# "are these k sources' distributions homogeneous?" in one test,
+# where running k MWU screens would pay k grids and lose the joint
+# null.
+#
+# Exactness: per-group doubled rank sums r2_j and the combined tie
+# term tie3 are exact int64 exactly as in the two-sample operator.
+# H needs Σ_j r2_j²/n_j — a SUM OF NON-EXACT DOUBLES, which an
+# aggregate would reduce in engine-specific order. The fix is an
+# ORDERED LEFT FOLD over the (bounded, ≤|groups|) term list:
+# Spark `aggregate(array, 0.0D, (acc,x) -> acc+x)` over a
+# group-sorted array and DuckDB `list_reduce(list(term ORDER BY
+# group), (x,y) -> x+y)` perform the IDENTICAL sequence of IEEE
+# additions (a left fold with a 0.0 seed equals the seedless fold:
+# 0.0 + a ≡ a), so the sum is bit-identical on both engines — the
+# ordered-fold pattern for deterministically summing a small bounded
+# frame of raw doubles without ROUND.
+# ---------------------------------------------------------------------------
+
+# H from the folded term sum s_sum = Σ_j r2_j²/n_j (doubled ranks →
+# Σ R_j²/n_j = s_sum/4 → 12/(n(n+1))·(s_sum/4) = 3·s_sum/(n(n+1))),
+# tie-corrected; NULL when every value ties (zero denominator)
+KW_H_SQL = (
+    "CASE WHEN CAST(n AS DOUBLE) * n * n - n > 0"
+    " AND 1.0 - CAST(tie3 AS DOUBLE)"
+    "     / (CAST(n AS DOUBLE) * n * n - n) > 0"
+    " THEN (3.0 * s_sum / (CAST(n AS DOUBLE) * (n + 1.0))"
+    "       - 3.0 * (n + 1.0))"
+    " / (1.0 - CAST(tie3 AS DOUBLE)"
+    "     / (CAST(n AS DOUBLE) * n * n - n))"
+    " ELSE NULL END"
+)
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Kruskal-Wallis H over all groups of ``group_col``.
+
+    Returns one row per group: (group, n_j, r2_j, n, tie3, h) — n_j
+    and the DOUBLED in-combined-sample rank sum r2_j are per-group
+    exact int64; n (total rows), tie3 (Σ t³−t over combined tie
+    groups) and the tie-corrected H are global, repeated on every
+    row (the q300 repeated-scalar convention). H is the fixed IEEE
+    chain ``KW_H_SQL`` over the ordered-fold term sum — raw, no
+    ROUND anywhere.
+
+    100-TB shape: ONE (group, value) count rollup is the only
+    data-sized exchange; the value marginal, cumulative window, and
+    term fold all run on the bounded grid / |groups| frame.
+    """
+    cnt = (
+        df.select(
+            F.col(group_col).alias("grp"), F.col(value_col).alias("v")
+        )
+        .groupBy("grp", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()  # feeds the marginal and the per-group join
+    )
+    wv = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tv = (
+        cnt.groupBy("v")
+        .agg(F.sum("c").cast("long").alias("t"))
+        .select("v", "t", F.sum("t").over(wv).alias("cum"))
+    )
+    per = cnt.join(F.broadcast(tv), "v").select(
+        "grp",
+        (
+            F.col("c")
+            * (2 * (F.col("cum") - F.col("t")) + F.col("t") + 1)
+        ).alias("contrib"),
+        "c",
+    )
+    g = per.groupBy("grp").agg(
+        F.sum("c").cast("long").alias("n_j"),
+        F.sum("contrib").cast("long").alias("r2_j"),
+    )
+    glob = tv.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie3"),
+    )
+    # ordered left fold of the per-group terms (see module comment)
+    terms = g.agg(
+        F.expr(
+            "aggregate("
+            " transform(array_sort(collect_list(struct(grp, "
+            "   CAST(r2_j AS DOUBLE) * CAST(r2_j AS DOUBLE)"
+            "   / CAST(n_j AS DOUBLE) AS term))), s -> s.term),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        ).alias("s_sum")
+    )
+    return (
+        g.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(terms))
+        .select(
+            F.col("grp").alias("group"),
+            "n_j",
+            "r2_j",
+            "n",
+            "tie3",
+            F.expr(KW_H_SQL).alias("h"),
+        )
+    )

@@ -180,8 +180,8 @@ def _load_all() -> None:
 # (counts + gain strings), q276 (full, now with the exact
 # digit-extraction rank) — the three per-query verdicts partition the
 # three-round red's output into (counts | gain strings | best);
-# (b) the round-14-new q303 Mann-Whitney battery and q304 Kendall
-# tau-b — never swept; (c) every query round-14 code changes touch:
+# (b) the round-14-new q303 Mann-Whitney battery, q304 Kendall
+# tau-b, and q305 Kruskal-Wallis — never swept; (c) every query round-14 code changes touch:
 # the 27 round6-chain → raw-ieee migrations (ratio cells de-ROUNDed
 # in query AND oracle:
 # q51 q88 q105 q106 q107 q120 q126 q132 q136 q142 q147 q152 q155
@@ -189,9 +189,9 @@ def _load_all() -> None:
 # q257) plus the AMS pair q296/q300 (COALESCE'd sign sums + audit
 # flag) and q298 (persist instead of localCheckpoint); (d) the
 # q108-q123 staleness tail (q108-q118 spilled from the round-13
-# window; q119-q123 last swept round 5). Remaining staleness (q124,
-# q125, q126-q160 not code-changed, q161-q200) defers to round 15.
-# 3 + 2 + 30 + 15 = 50.
+# window; q119-q122 last swept round 5). Remaining staleness (q123,
+# q124, q125, q126-q160 not code-changed, q161-q200) defers to
+# round 15. 3 + 3 + 30 + 14 = 50.
 #
 # Round-15 rotation note: ALSO promote the round-14 passthrough
 # de-ROUNDs that could not fit this window (q09 q14 q16 q46 q49 q59
@@ -207,6 +207,7 @@ _SWEEP_PRIORITY = [
     # -- round-14 new --
     "q303_mann_whitney",
     "q304_kendall_tau",
+    "q305_kruskal_wallis",
     # -- round-14 code-changed: round6-chain -> raw-ieee migrations --
     "q88_window_rank_extras",
     "q51_ngram_jaccard_pairs",
@@ -254,7 +255,6 @@ _SWEEP_PRIORITY = [
     "q119_ngram_novelty",
     "q121_domain_cap",
     "q122_shuffle_shard_export",
-    "q123_snapshot_diff",
 ]
 
 

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from . import query
 from ..catalog import load_table
-from ..operators.ranktests import KENDALL_TAU_SQL, MWU_Z_SQL
+from ..operators.ranktests import KENDALL_TAU_SQL, KW_H_SQL, MWU_Z_SQL
 
 # ---------------------------------------------------------------------------
 # q289 — OPQ-rotated product-quantization ANN (operators/opq.py): the
@@ -1250,3 +1250,68 @@ def q304_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(FLOOR(l_discount * 100 + 0.5) AS INT) AS y",
     )
     return kendall_tau_b(b, "l_returnflag", "x", "y").orderBy("group")
+
+
+# ---------------------------------------------------------------------------
+# q305 — Kruskal-Wallis H homogeneity screen (round 14,
+# operators/ranktests.py kruskal_wallis): the k-SAMPLE member of the
+# nonparametric family — one joint "are all 20 sources' length
+# distributions the same?" test over a single shared midrank grid,
+# where the q303 battery answers per-source questions. Same planted
+# +600 shift (3 sources), so H must reject homogeneity decisively.
+# Exactness: n_j/r2_j/n/tie3 are exact int64 (doubled midranks);
+# Σ r2_j²/n_j — a sum of NON-exact doubles — is computed as an
+# ORDERED LEFT FOLD (Spark aggregate(array_sort(...), 0.0, +) ≡
+# DuckDB list_reduce(list(... ORDER BY source), +): the identical
+# sequence of IEEE additions, bit-identical with no ROUND — the
+# ordered-fold pattern for small bounded frames); H is the fixed
+# chain KW_H_SQL over that sum. No ROUND anywhere in this query.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q305_kruskal_wallis",
+    oracle=f"""
+    WITH l AS (
+      SELECT source,
+             length(text) + CASE WHEN source IN {_BH_PLANT}
+                                 THEN {_BH_SHIFT} ELSE 0 END AS x
+      FROM documents),
+    cnt AS (SELECT source, x, COUNT(*)::BIGINT AS c FROM l
+            GROUP BY 1, 2),
+    tv AS (SELECT x, SUM(c)::BIGINT AS t FROM cnt GROUP BY x),
+    tc AS (SELECT x, t,
+                  SUM(t) OVER (ORDER BY x
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum
+           FROM tv),
+    per AS (SELECT cnt.source,
+                   cnt.c * (2 * (tc.cum - tc.t) + tc.t + 1) AS contrib,
+                   cnt.c
+            FROM cnt JOIN tc ON tc.x = cnt.x),
+    g AS (SELECT source, SUM(c)::BIGINT AS n_j,
+                 SUM(contrib)::BIGINT AS r2_j
+          FROM per GROUP BY source),
+    tot AS (SELECT SUM(t)::BIGINT AS n,
+                   SUM(t * t * t - t)::BIGINT AS tie3
+            FROM tv),
+    terms AS (SELECT list_reduce(
+                       list(CAST(r2_j AS DOUBLE) * CAST(r2_j AS DOUBLE)
+                            / CAST(n_j AS DOUBLE) ORDER BY source),
+                       (x, y) -> x + y) AS s_sum
+              FROM g)
+    SELECT source AS "group", n_j, r2_j, n, tie3,
+           {KW_H_SQL} AS h
+    FROM g, tot, terms
+    ORDER BY "group"
+    """,
+)
+def q305_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranktests import kruskal_wallis
+
+    l = load_table(spark, sf_dir, "documents").selectExpr(
+        "source",
+        f"length(text) + CASE WHEN source IN {_BH_PLANT} "
+        f"THEN {_BH_SHIFT} ELSE 0 END AS x",
+    )
+    return kruskal_wallis(l, "source", "x").orderBy("group")

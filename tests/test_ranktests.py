@@ -190,3 +190,83 @@ def test_kendall_battery_on_lineitem_grid(spark):
         assert 0 <= r.conc and 0 <= r.disc
         assert r.conc + r.disc <= r.n0 - max(r.n1, r.n2) + min(r.n1, r.n2)
         assert abs(r.tau_b) < 0.1  # qty and disc are independent dials
+
+
+def _brute_kw(groups: dict):
+    """Textbook tie-corrected H with doubled-midrank exact integers,
+    replaying the operator's ordered-fold float chain."""
+    from collections import Counter
+
+    allv = [v for vs in groups.values() for v in vs]
+    cnt = Counter(allv)
+    below = 0
+    dr = {}
+    tie3 = 0
+    for v in sorted(cnt):
+        t = cnt[v]
+        dr[v] = 2 * below + t + 1
+        tie3 += t**3 - t
+        below += t
+    n = len(allv)
+    r2 = {g: sum(dr[v] for v in vs) for g, vs in groups.items()}
+    s_sum = 0.0
+    for g in sorted(groups):  # ordered left fold, 0.0 seed
+        s_sum = s_sum + float(r2[g]) * float(r2[g]) / float(len(groups[g]))
+    denom = 1.0 - tie3 / (float(n) * n * n - n)
+    h = (
+        (3.0 * s_sum / (float(n) * (n + 1.0)) - 3.0 * (n + 1.0)) / denom
+        if denom > 0
+        else None
+    )
+    return n, tie3, r2, h
+
+
+def test_kruskal_wallis_matches_brute_force_exactly(spark):
+    from metadata_ingestion_poc_spark.operators.ranktests import (
+        kruskal_wallis,
+    )
+
+    groups = {
+        "a": [3, 5, 5, 9, 12],
+        "b": [4, 5, 6, 9],
+        "c": [1, 9, 9, 15, 15, 20],
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "grp string, v int")
+    got = {r["group"]: r for r in kruskal_wallis(df, "grp", "v").collect()}
+    n, tie3, r2, h = _brute_kw(groups)
+    assert set(got) == set(groups)
+    for g in groups:
+        assert got[g].n_j == len(groups[g])
+        assert got[g].r2_j == r2[g]
+        assert got[g].n == n and got[g].tie3 == tie3
+        assert got[g].h == h  # bit-identical ordered-fold chain
+    # rank-sum conservation: Σ r2_j = 2·(1+2+...+n) = n(n+1)
+    assert sum(r.r2_j for r in got.values()) == n * (n + 1)
+
+
+def test_kruskal_wallis_all_tied_yields_null(spark):
+    from metadata_ingestion_poc_spark.operators.ranktests import (
+        kruskal_wallis,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 7)] * 3 + [("b", 7)] * 4, "grp string, v int"
+    )
+    r = kruskal_wallis(df, "grp", "v").collect()[0]
+    assert r.tie3 == 7**3 - 7
+    assert r.h is None
+
+
+def test_kruskal_wallis_rejects_planted_shift(spark):
+    """q305: the 3-source planted +600 shift must push H far past any
+    homogeneity threshold (chi2_{19} at alpha=0.001 is ~43.8)."""
+    rows = QUERIES["q305_kruskal_wallis"](spark, SF).collect()
+    assert len(rows) == 20
+    h = rows[0].h
+    assert all(r.h == h for r in rows)  # one global statistic
+    assert h > 100
+    # exact conservation over the combined sample
+    n = rows[0].n
+    assert sum(r.r2_j for r in rows) == n * (n + 1)
+    assert sum(r.n_j for r in rows) == n
