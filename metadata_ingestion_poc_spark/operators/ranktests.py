@@ -408,3 +408,113 @@ def kruskal_wallis(
             F.expr(KW_H_SQL).alias("h"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank — the PAIRED member of the nonparametric
+# family (public literature: Wilcoxon, Biometrics Bulletin 1945;
+# normal approximation + tie correction per Lehmann,
+# "Nonparametrics"). MWU above compares two INDEPENDENT samples;
+# the signed-rank test answers the within-unit question ("did THIS
+# population of units move between two paired measurements?"),
+# which is the drift screen for before/after comparisons — same
+# corpus re-scored by a new pipeline version, same customers across
+# two periods — where pairing removes the between-unit variance MWU
+# would have to overpower.
+#
+# Exactness: the caller supplies an exact-integer delta per unit
+# (micro-gridded upstream, e.g. cents via FLOOR(x*100+0.5)). Zero
+# deltas are dropped (Wilcoxon's original treatment), counted in
+# n_zero. Midranks of |d| use the same DOUBLED-rank trick as MWU:
+# 2·midrank = 2·b + t + 1 exact int64 where b = #strictly-smaller
+# |d|, t = tie-group size (sign ignored — +d and −d share a tie
+# group, per the textbook). w2 = 2·W⁺ = Σ_{d>0} (2b+t+1) and
+# tie3 = Σ(t³−t) are exact int64. The doubled statistic has mean
+# n(n+1)/2 and variance n(n+1)(2n+1)/6 − tie3/12, so z is ONE fixed
+# IEEE chain over exact int64 operands, shipped raw (safe class) —
+# no ROUND anywhere.
+# ---------------------------------------------------------------------------
+
+# z for the DOUBLED W⁺: (w2 − n(n+1)/2) / sqrt(n(n+1)(2n+1)/6 −
+# tie3/12); NULL when every pair ties (zero variance) or n = 0
+WSR_Z_SQL = (
+    "CASE WHEN CAST(n AS DOUBLE) * (n + 1.0) * (2.0 * n + 1.0) / 6.0"
+    "      - CAST(tie3 AS DOUBLE) / 12.0 > 0"
+    " THEN (CAST(w2 AS DOUBLE) - CAST(n AS DOUBLE) * (n + 1.0) / 2.0)"
+    " / SQRT(CAST(n AS DOUBLE) * (n + 1.0) * (2.0 * n + 1.0) / 6.0"
+    "        - CAST(tie3 AS DOUBLE) / 12.0)"
+    " ELSE NULL END"
+)
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    group_col: str,
+    delta_col: str,
+) -> DataFrame:
+    """Per-group Wilcoxon signed-rank over exact-integer paired
+    deltas (one input row per paired unit).
+
+    Returns (group, n, n_zero, w2, tie3, z): n = nonzero pairs,
+    n_zero = dropped zero deltas, w2 = 2·W⁺ (the doubled positive
+    rank sum), tie3 = Σ(t³−t) over |delta| tie groups — all exact
+    int64 (w2 ≤ n(2n+1), exact to n ≈ 2·10⁹ pairs per group) — and
+    z the tie-corrected normal approximation ``WSR_Z_SQL``, raw.
+    z is NULL only when n = 0: even fully tied |d| (tie3 = n³−n)
+    leaves the corrected doubled variance at n(n+1)²/4 > 0.
+
+    100-TB shape: the input is already one row per paired UNIT (the
+    caller's rollup from the raw fact table is the data-sized
+    exchange); this operator pays one (group, |d|) count rollup and
+    a window over that bounded grid — never a sort of raw facts.
+    """
+    d = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(delta_col).cast("long").alias("d"),
+    )
+    grps = d.select("grp").distinct()
+    zeros = (
+        d.filter(F.col("d") == 0)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_zero"))
+    )
+    cnt = (
+        d.filter(F.col("d") != 0)
+        .groupBy("grp", F.abs(F.col("d")).alias("a"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("t"),
+            F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("p"),
+        )
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("a")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cnt.select(
+        "grp", "t", "p", F.sum("t").over(w).alias("cum")
+    )
+    contrib = F.col("p") * (
+        2 * (F.col("cum") - F.col("t")) + F.col("t") + 1
+    )
+    stat = cum.groupBy("grp").agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum(contrib).cast("long").alias("w2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie3"),
+    )
+    return (
+        grps.join(F.broadcast(stat), "grp", "left")
+        .join(F.broadcast(zeros), "grp", "left")
+        .select(
+            F.col("grp").alias("group"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.coalesce("n_zero", F.lit(0)).cast("long").alias("n_zero"),
+            F.coalesce("w2", F.lit(0)).cast("long").alias("w2"),
+            F.coalesce("tie3", F.lit(0)).cast("long").alias("tie3"),
+        )
+        .withColumn("z", F.expr(WSR_Z_SQL))
+    )

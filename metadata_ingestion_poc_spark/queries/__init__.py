@@ -180,8 +180,9 @@ def _load_all() -> None:
 # (counts + gain strings), q276 (full, now with the exact
 # digit-extraction rank) — the three per-query verdicts partition the
 # three-round red's output into (counts | gain strings | best);
-# (b) the round-14-new q303 Mann-Whitney battery, q304 Kendall
-# tau-b, and q305 Kruskal-Wallis — never swept; (c) every query round-14 code changes touch:
+# (b) the round-14-new nonparametric family — q303 Mann-Whitney
+# battery, q304 Kendall tau-b, q305 Kruskal-Wallis, q306 Wilcoxon
+# signed-rank — never swept; (c) every query round-14 code changes touch:
 # the 27 round6-chain → raw-ieee migrations (ratio cells de-ROUNDed
 # in query AND oracle:
 # q51 q88 q105 q106 q107 q120 q126 q132 q136 q142 q147 q152 q155
@@ -189,15 +190,15 @@ def _load_all() -> None:
 # q257) plus the AMS pair q296/q300 (COALESCE'd sign sums + audit
 # flag) and q298 (persist instead of localCheckpoint); (d) the
 # q108-q123 staleness tail (q108-q118 spilled from the round-13
-# window; q119-q122 last swept round 5). Remaining staleness (q123,
-# q124, q125, q126-q160 not code-changed, q161-q200) defers to
-# round 15. 3 + 3 + 30 + 14 = 50.
+# window; q119-q121 last swept round 5). Remaining staleness (q122,
+# q123, q124, q125, q126-q160 not code-changed, q161-q200) defers to
+# round 15. 3 + 4 + 30 + 13 = 50.
 #
 # Round-15 rotation note: ALSO promote the round-14 passthrough
 # de-ROUNDs that could not fit this window (q09 q14 q16 q46 q49 q59
 # q103 q154 q166 — min/max/median selection cells shipped raw; all
-# J14-verified at 3 SFs), then q124/q125 and the q126-q160 staleness
-# tail, then q161-q200.
+# J14-verified at 3 SFs), then q122/q124/q125 and the q126-q160
+# staleness tail, then q161-q200.
 # ---------------------------------------------------------------------------
 _SWEEP_PRIORITY = [
     # -- the q276 bisection (three-round driver red) --
@@ -208,6 +209,7 @@ _SWEEP_PRIORITY = [
     "q303_mann_whitney",
     "q304_kendall_tau",
     "q305_kruskal_wallis",
+    "q306_wilcoxon_signed_rank",
     # -- round-14 code-changed: round6-chain -> raw-ieee migrations --
     "q88_window_rank_extras",
     "q51_ngram_jaccard_pairs",
@@ -254,7 +256,6 @@ _SWEEP_PRIORITY = [
     "q118_sessionize_gaps",
     "q119_ngram_novelty",
     "q121_domain_cap",
-    "q122_shuffle_shard_export",
 ]
 
 

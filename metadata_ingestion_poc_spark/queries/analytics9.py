@@ -18,7 +18,12 @@ from pyspark.sql import functions as F
 
 from . import query
 from ..catalog import load_table
-from ..operators.ranktests import KENDALL_TAU_SQL, KW_H_SQL, MWU_Z_SQL
+from ..operators.ranktests import (
+    KENDALL_TAU_SQL,
+    KW_H_SQL,
+    MWU_Z_SQL,
+    WSR_Z_SQL,
+)
 
 # ---------------------------------------------------------------------------
 # q289 — OPQ-rotated product-quantization ANN (operators/opq.py): the
@@ -1315,3 +1320,110 @@ def q305_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"THEN {_BH_SHIFT} ELSE 0 END AS x",
     )
     return kruskal_wallis(l, "source", "x").orderBy("group")
+
+
+# ---------------------------------------------------------------------------
+# q306 — Wilcoxon signed-rank paired-drift screen (round 14,
+# operators/ranktests.py wilcoxon_signed_rank): the PAIRED member of
+# the nonparametric family — MWU (q303) compares independent
+# samples, this answers "did the SAME units move between two paired
+# measurements?", the before/after screen where pairing cancels the
+# between-unit variance. Units = customers with orders in BOTH 1995
+# and 1996; the paired delta is annual spend in EXACT CENTS
+# (FLOOR(o_totalprice*100 + 0.5) summed as int64 — the micro-grid
+# derivation, never ROUND/CAST on a double); a +$1M shift is planted
+# on two market segments, which the per-segment z must reject while
+# the unplanted segments stay near 0. Every hashed cell except z is
+# an exact int64 (doubled ranks 2b+t+1 over the |d| grid, w2 = 2·W⁺,
+# tie3); z is the one fixed IEEE chain WSR_Z_SQL over those exact
+# operands, shipped raw — no ROUND anywhere in this query.
+# Scale: the (custkey, year) rollup over orders is the only
+# fact-sized exchange; the operator's rank arithmetic runs on the
+# one-row-per-paired-customer frame.
+# ---------------------------------------------------------------------------
+
+_WSR_PLANT = "('AUTOMOBILE', 'MACHINERY')"
+_WSR_SHIFT = 100_000_000  # +$1M in cents, ~2 sigma of the delta noise
+
+
+@query(
+    "q306_wilcoxon_signed_rank",
+    oracle=f"""
+    WITH s AS (
+      SELECT o_custkey AS ck, year(o_orderdate) AS y,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS cents
+      FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+      GROUP BY 1, 2),
+    p AS (SELECT a.ck, b.cents - a.cents AS d0
+          FROM s a JOIN s b ON b.ck = a.ck AND a.y = 1995
+                            AND b.y = 1996),
+    d AS (SELECT c.c_mktsegment AS seg,
+                 p.d0 + CASE WHEN c.c_mktsegment IN {_WSR_PLANT}
+                             THEN {_WSR_SHIFT} ELSE 0 END AS d
+          FROM p JOIN customer c ON c.c_custkey = p.ck),
+    cnt AS (SELECT seg, ABS(d) AS a, COUNT(*)::BIGINT AS t,
+                   SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END)::BIGINT
+                     AS p
+            FROM d WHERE d <> 0 GROUP BY 1, 2),
+    cum AS (SELECT seg, t, p,
+                   SUM(t) OVER (PARTITION BY seg ORDER BY a
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+            FROM cnt),
+    stat AS (SELECT seg, SUM(t)::BIGINT AS n,
+                    SUM(p * (2 * (cum - t) + t + 1))::BIGINT AS w2,
+                    SUM(t * t * t - t)::BIGINT AS tie3
+             FROM cum GROUP BY seg),
+    zeros AS (SELECT seg, COUNT(*)::BIGINT AS n_zero FROM d
+              WHERE d = 0 GROUP BY seg),
+    grps AS (SELECT DISTINCT seg FROM d),
+    fin AS (SELECT g.seg,
+                   COALESCE(stat.n, 0)::BIGINT AS n,
+                   COALESCE(zeros.n_zero, 0)::BIGINT AS n_zero,
+                   COALESCE(stat.w2, 0)::BIGINT AS w2,
+                   COALESCE(stat.tie3, 0)::BIGINT AS tie3
+            FROM grps g
+            LEFT JOIN stat ON stat.seg = g.seg
+            LEFT JOIN zeros ON zeros.seg = g.seg)
+    SELECT seg AS "group", n, n_zero, w2, tie3, {WSR_Z_SQL} AS z
+    FROM fin
+    ORDER BY "group"
+    """,
+)
+def q306_wilcoxon_signed_rank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.ranktests import wilcoxon_signed_rank
+
+    s = (
+        load_table(spark, sf_dir, "orders")
+        .selectExpr(
+            "o_custkey AS ck",
+            "year(o_orderdate) AS y",
+            "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+            " AS cents0",
+        )
+        .filter("y IN (1995, 1996)")
+        .groupBy("ck", "y")
+        .agg(F.sum("cents0").cast("long").alias("cents"))
+    )
+    a = s.filter("y = 1995").select(
+        "ck", F.col("cents").alias("c_old")
+    )
+    b = s.filter("y = 1996").select(
+        "ck", F.col("cents").alias("c_new")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"), "c_mktsegment"
+    )
+    d = (
+        a.join(b, "ck")
+        .join(c, "ck")
+        .selectExpr(
+            "c_mktsegment AS seg",
+            f"c_new - c_old + CASE WHEN c_mktsegment IN {_WSR_PLANT}"
+            f" THEN {_WSR_SHIFT} ELSE 0 END AS d",
+        )
+    )
+    return wilcoxon_signed_rank(d, "seg", "d").orderBy("group")

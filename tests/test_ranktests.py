@@ -270,3 +270,89 @@ def test_kruskal_wallis_rejects_planted_shift(spark):
     n = rows[0].n
     assert sum(r.r2_j for r in rows) == n * (n + 1)
     assert sum(r.n_j for r in rows) == n
+
+
+def _brute_wsr(deltas):
+    """Textbook tie-corrected signed-rank with doubled midranks,
+    replaying the operator's exact-integer arithmetic."""
+    from collections import Counter
+
+    nz = [d for d in deltas if d != 0]
+    cnt = Counter(abs(d) for d in nz)
+    below = 0
+    dr = {}
+    tie3 = 0
+    for a in sorted(cnt):
+        t = cnt[a]
+        dr[a] = 2 * below + t + 1
+        tie3 += t**3 - t
+        below += t
+    n = len(nz)
+    w2 = sum(dr[abs(d)] for d in nz if d > 0)
+    var2 = n * (n + 1.0) * (2.0 * n + 1.0) / 6.0 - tie3 / 12.0
+    z = (w2 - n * (n + 1.0) / 2.0) / var2**0.5 if var2 > 0 else None
+    return n, len(deltas) - n, w2, tie3, z
+
+
+def test_wilcoxon_signed_rank_matches_brute_force_exactly(spark):
+    from metadata_ingestion_poc_spark.operators.ranktests import (
+        wilcoxon_signed_rank,
+    )
+
+    # ties across signs (|−3| ties |3|), zeros dropped, tied |5|s
+    groups = {
+        "a": [3, -3, 5, 5, -5, 9, 0, -12, 7],
+        "b": [1, 2, 3, 4, 0, 0],
+        "c": [-1, -2, -8],
+    }
+    rows = [(g, d) for g, ds in groups.items() for d in ds]
+    df = spark.createDataFrame(rows, "grp string, d long")
+    got = {
+        r["group"]: r
+        for r in wilcoxon_signed_rank(df, "grp", "d").collect()
+    }
+    assert set(got) == set(groups)
+    for g, ds in groups.items():
+        n, n_zero, w2, tie3, z = _brute_wsr(ds)
+        assert got[g].n == n and got[g].n_zero == n_zero
+        assert got[g].w2 == w2 and got[g].tie3 == tie3
+        if z is None:
+            assert got[g].z is None
+        else:
+            assert got[g].z == z  # bit-identical fixed chain
+    # all-negative group: w2 = 0, z well below 0
+    assert got["c"].w2 == 0 and got["c"].z < 0
+
+
+def test_wilcoxon_signed_rank_all_zero_group(spark):
+    from metadata_ingestion_poc_spark.operators.ranktests import (
+        wilcoxon_signed_rank,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 0)] * 4 + [("b", 2), ("b", -1)], "grp string, d long"
+    )
+    got = {
+        r["group"]: r
+        for r in wilcoxon_signed_rank(df, "grp", "d").collect()
+    }
+    assert got["a"].n == 0 and got["a"].n_zero == 4
+    assert got["a"].w2 == 0 and got["a"].z is None
+    assert got["b"].n == 2 and got["b"].n_zero == 0
+
+
+def test_wilcoxon_rejects_planted_paired_shift(spark):
+    """q306: the +$1M planted shift on two segments must reject
+    decisively; unplanted segments stay near zero."""
+    rows = QUERIES["q306_wilcoxon_signed_rank"](spark, SF).collect()
+    assert len(rows) == 5
+    by = {r["group"]: r for r in rows}
+    planted = {"AUTOMOBILE", "MACHINERY"}
+    for seg, r in by.items():
+        assert r.n > 100  # real paired sample at sf0.01
+        # rank-sum bound: 0 <= w2 <= n(2n+1) (all-positive max)
+        assert 0 <= r.w2 <= r.n * (2 * r.n + 1)
+        if seg in planted:
+            assert r.z > 5
+        else:
+            assert abs(r.z) < 4
