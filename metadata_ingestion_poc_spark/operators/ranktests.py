@@ -518,3 +518,180 @@ def wilcoxon_signed_rank(
         )
         .withColumn("z", F.expr(WSR_Z_SQL))
     )
+
+
+# ---------------------------------------------------------------------------
+# Jonckheere-Terpstra — the ORDERED-ALTERNATIVE k-sample member of
+# the nonparametric family (public literature: Terpstra 1952;
+# Jonckheere, Biometrika 1954; tie-corrected null variance per
+# Hollander & Wolfe, "Nonparametric Statistical Methods" §6.2).
+# Kruskal-Wallis above asks "are these k groups different AT ALL?";
+# JT asks the sharper monotone question — "do the distributions
+# TREND with the group order?" (drift that grows over time, quality
+# that decays down a bucket ladder) — with far more power against
+# ordered alternatives.
+#
+# Exactness: the textbook J = Σ_{i<j} U_ij is a sum of O(k²)
+# pairwise Mann-Whitney counts; on a gridded domain it collapses to
+# ONE pass over the (group × value) grid — U_ij = Σ_v c_j(v)·
+# (B_i(v) + ½·c_i(v)) (ties count ½), so with PB/PC the EXCLUSIVE
+# prefix sums of below-counts/cell-counts over the GROUP ORDER at
+# fixed v, the DOUBLED statistic j2 = Σ_cells c·(2·PB + PC) is an
+# exact int64 — no pair join anywhere. mean2 = (n² − Σn_j²)/2 =
+# Σ_{i<j} n_i·n_j is exact int64; the tie-corrected variance needs
+# six more exact-int64 sums (per-group and per-value t(t−1),
+# t(t−1)(t−2), t(t−1)(2t+5) — the cubic sums stay under 2⁶³ for
+# groups/tie-classes below ~2·10⁶ rows; widen to DECIMAL(38,0)
+# strings past that, the q276 currency). z is ONE fixed IEEE chain
+# over those exact operands, shipped raw — no ROUND anywhere.
+# ---------------------------------------------------------------------------
+
+# z for the DOUBLED J: Var(J) = A/72 + g3·t3/(36·n(n−1)(n−2))
+# + g2·t2/(8·n(n−1)) with A = n(n−1)(2n+5) − g25 − t25 (Hollander &
+# Wolfe eq. 6.19); Var(j2) = 4·Var(J), so z = (j2 − mean2)
+# / (2·sqrt(Var(J))). NULL when n < 3 or the variance is ≤ 0
+# (e.g. a single group or an all-tied sample).
+JT_Z_SQL = (
+    "CASE WHEN n > 2 AND"
+    " (CAST(n AS DOUBLE) * (n - 1.0) * (2.0 * n + 5.0)"
+    "  - CAST(g25 AS DOUBLE) - CAST(t25 AS DOUBLE)) / 72.0"
+    " + CAST(g3 AS DOUBLE) * CAST(t3 AS DOUBLE)"
+    "   / (36.0 * CAST(n AS DOUBLE) * (n - 1.0) * (n - 2.0))"
+    " + CAST(g2 AS DOUBLE) * CAST(t2 AS DOUBLE)"
+    "   / (8.0 * CAST(n AS DOUBLE) * (n - 1.0)) > 0"
+    " THEN (CAST(j2 AS DOUBLE) - CAST(mean2 AS DOUBLE))"
+    " / (2.0 * SQRT("
+    " (CAST(n AS DOUBLE) * (n - 1.0) * (2.0 * n + 5.0)"
+    "  - CAST(g25 AS DOUBLE) - CAST(t25 AS DOUBLE)) / 72.0"
+    " + CAST(g3 AS DOUBLE) * CAST(t3 AS DOUBLE)"
+    "   / (36.0 * CAST(n AS DOUBLE) * (n - 1.0) * (n - 2.0))"
+    " + CAST(g2 AS DOUBLE) * CAST(t2 AS DOUBLE)"
+    "   / (8.0 * CAST(n AS DOUBLE) * (n - 1.0))))"
+    " ELSE NULL END"
+)
+
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Jonckheere-Terpstra ordered-trend test; ``group_col`` must be
+    an ORDERABLE column (its natural sort order is the alternative's
+    direction).
+
+    Returns one row per group: (group, n_j, n, j2, mean2, g2, g3,
+    g25, t2, t3, t25, z) — n_j per-group; everything else global,
+    repeated on every row (the q300 repeated-scalar convention).
+    j2 = 2·J (ties at half weight), mean2 = 2·E[J] = Σ_{i<j} n_i·n_j,
+    g*/t* the per-group / per-tie-class variance sums — all exact
+    int64; z the tie-corrected chain ``JT_Z_SQL``, raw.
+
+    100-TB shape: ONE (group, value) count rollup is the only
+    data-sized exchange; the grid is densified (zero cells) so the
+    two window passes — cumulative-below per group over values, then
+    exclusive prefix over the GROUP ORDER at fixed value — see every
+    (group, value) cell; both run on the bounded k×|spine| grid.
+    """
+    cnt = (
+        df.select(
+            F.col(group_col).alias("grp"), F.col(value_col).alias("v")
+        )
+        .groupBy("grp", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()  # feeds grid, marginals, and totals
+    )
+    grid = (
+        cnt.select("grp").distinct()
+        .crossJoin(cnt.select("v").distinct())
+        .join(cnt, ["grp", "v"], "left")
+        .select(
+            "grp", "v", F.coalesce("c", F.lit(0)).alias("c")
+        )
+    )
+    wv = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    below = grid.select(
+        "grp",
+        "v",
+        "c",
+        (F.sum("c").over(wv) - F.col("c")).alias("b"),
+    )
+    wg = (
+        Window.partitionBy("v")
+        .orderBy("grp")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cells = below.select(
+        "grp",
+        "c",
+        F.coalesce(F.sum("b").over(wg), F.lit(0)).alias("pb"),
+        F.coalesce(F.sum("c").over(wg), F.lit(0)).alias("pc"),
+    )
+    j2df = cells.agg(
+        F.sum(F.col("c") * (2 * F.col("pb") + F.col("pc")))
+        .cast("long")
+        .alias("j2")
+    )
+    g = cnt.groupBy("grp").agg(F.sum("c").cast("long").alias("n_j"))
+    gs = g.agg(
+        F.sum("n_j").cast("long").alias("n"),
+        F.sum(F.col("n_j") * (F.col("n_j") - 1))
+        .cast("long")
+        .alias("g2"),
+        F.sum(
+            F.col("n_j") * (F.col("n_j") - 1) * (F.col("n_j") - 2)
+        )
+        .cast("long")
+        .alias("g3"),
+        F.sum(
+            F.col("n_j")
+            * (F.col("n_j") - 1)
+            * (2 * F.col("n_j") + 5)
+        )
+        .cast("long")
+        .alias("g25"),
+        ((F.sum("n_j") * F.sum("n_j")
+          - F.sum(F.col("n_j") * F.col("n_j"))) / 2)
+        .cast("long")
+        .alias("mean2"),
+    )
+    ts = (
+        cnt.groupBy("v")
+        .agg(F.sum("c").cast("long").alias("t"))
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1))
+            .cast("long")
+            .alias("t2"),
+            F.sum(F.col("t") * (F.col("t") - 1) * (F.col("t") - 2))
+            .cast("long")
+            .alias("t3"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("t25"),
+        )
+    )
+    return (
+        g.crossJoin(F.broadcast(gs))
+        .crossJoin(F.broadcast(ts))
+        .crossJoin(F.broadcast(j2df))
+        .select(
+            F.col("grp").alias("group"),
+            "n_j",
+            "n",
+            "j2",
+            "mean2",
+            "g2",
+            "g3",
+            "g25",
+            "t2",
+            "t3",
+            "t25",
+        )
+        .withColumn("z", F.expr(JT_Z_SQL))
+    )

@@ -194,11 +194,13 @@ def _load_all() -> None:
 # q123, q124, q125, q126-q160 not code-changed, q161-q200) defers to
 # round 15. 3 + 4 + 30 + 13 = 50.
 #
-# Round-15 rotation note: ALSO promote the round-14 passthrough
-# de-ROUNDs that could not fit this window (q09 q14 q16 q46 q49 q59
-# q103 q154 q166 — min/max/median selection cells shipped raw; all
-# J14-verified at 3 SFs), then q122/q124/q125 and the q126-q160
-# staleness tail, then q161-q200.
+# Round-15 rotation note: FIRST promote the round-14-new queries
+# that could not fit this window — q307 Jonckheere-Terpstra ordered
+# trend (built after the window filled; oracle-green at 3 SFs,
+# never driver-swept) — then the round-14 passthrough de-ROUNDs
+# (q09 q14 q16 q46 q49 q59 q103 q154 q166 — min/max/median
+# selection cells shipped raw; all J14-verified at 3 SFs), then
+# q122/q124/q125 and the q126-q160 staleness tail, then q161-q200.
 # ---------------------------------------------------------------------------
 _SWEEP_PRIORITY = [
     # -- the q276 bisection (three-round driver red) --

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from . import query
 from ..catalog import load_table
 from ..operators.ranktests import (
+    JT_Z_SQL,
     KENDALL_TAU_SQL,
     KW_H_SQL,
     MWU_Z_SQL,
@@ -1427,3 +1428,84 @@ def q306_wilcoxon_signed_rank(
         )
     )
     return wilcoxon_signed_rank(d, "seg", "d").orderBy("group")
+
+
+# ---------------------------------------------------------------------------
+# q307 — Jonckheere-Terpstra ordered-trend screen (round 14,
+# operators/ranktests.py jonckheere_terpstra): the ORDERED-
+# ALTERNATIVE k-sample member of the nonparametric family — KW
+# (q305) asks "different at all?", JT asks "do the distributions
+# TREND with the group order?", the drift-over-time question a
+# corpus pipeline asks of every metric. Groups = lineitem ship
+# YEARS (1995-2001, the natural order IS the alternative); a +1-per-
+# year monotone trend is planted on the bounded quantity grid
+# (v = quantity + (year−1995)), which z must reject decisively.
+# Every hashed cell except z is an exact int64: the doubled
+# statistic j2 = Σ_cells c·(2·PB + PC) (pairwise-U sum collapsed to
+# exclusive prefix sums over the group order — NO pair join),
+# mean2 = Σ_{i<j} n_i·n_j, and the six tie-variance sums; z is the
+# one fixed IEEE chain JT_Z_SQL (Hollander-Wolfe tie-corrected
+# variance) over those exact operands, shipped raw — no ROUND
+# anywhere in this query. Scale: one (year, v) count rollup is the
+# only fact-sized exchange; both window passes run on the bounded
+# 7×56 grid.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q307_jonckheere_trend",
+    oracle=f"""
+    WITH x AS (
+      SELECT year(l_shipdate) AS grp,
+             CAST(l_quantity AS INT) + (year(l_shipdate) - 1995)
+               AS v
+      FROM lineitem),
+    cnt AS (SELECT grp, v, COUNT(*)::BIGINT AS c FROM x
+            GROUP BY 1, 2),
+    grid AS (SELECT g.grp, s.v, COALESCE(c.c, 0) AS c
+             FROM (SELECT DISTINCT grp FROM cnt) g
+             CROSS JOIN (SELECT DISTINCT v FROM cnt) s
+             LEFT JOIN cnt c ON c.grp = g.grp AND c.v = s.v),
+    below AS (SELECT grp, v, c,
+                     SUM(c) OVER (PARTITION BY grp ORDER BY v
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - c AS b
+              FROM grid),
+    cells AS (SELECT grp, c,
+                     COALESCE(SUM(b) OVER wg, 0) AS pb,
+                     COALESCE(SUM(c) OVER wg, 0) AS pc
+              FROM below
+              WINDOW wg AS (PARTITION BY v ORDER BY grp
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING)),
+    j2t AS (SELECT SUM(c * (2 * pb + pc))::BIGINT AS j2
+            FROM cells),
+    g AS (SELECT grp, SUM(c)::BIGINT AS n_j FROM cnt GROUP BY grp),
+    gs AS (SELECT SUM(n_j)::BIGINT AS n,
+                  SUM(n_j * (n_j - 1))::BIGINT AS g2,
+                  SUM(n_j * (n_j - 1) * (n_j - 2))::BIGINT AS g3,
+                  SUM(n_j * (n_j - 1) * (2 * n_j + 5))::BIGINT
+                    AS g25,
+                  ((SUM(n_j) * SUM(n_j) - SUM(n_j * n_j))
+                   / 2)::BIGINT AS mean2
+           FROM g),
+    ts AS (SELECT SUM(t * (t - 1))::BIGINT AS t2,
+                  SUM(t * (t - 1) * (t - 2))::BIGINT AS t3,
+                  SUM(t * (t - 1) * (2 * t + 5))::BIGINT AS t25
+           FROM (SELECT v, SUM(c) AS t FROM cnt GROUP BY v))
+    SELECT g.grp AS "group", g.n_j, n, j2, mean2,
+           g2, g3, g25, t2, t3, t25, {JT_Z_SQL} AS z
+    FROM g, gs, ts, j2t
+    ORDER BY "group"
+    """,
+)
+def q307_jonckheere_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.ranktests import jonckheere_terpstra
+
+    x = load_table(spark, sf_dir, "lineitem").selectExpr(
+        "year(l_shipdate) AS yr",
+        "CAST(l_quantity AS INT) + (year(l_shipdate) - 1995) AS v",
+    )
+    return jonckheere_terpstra(x, "yr", "v").orderBy("group")

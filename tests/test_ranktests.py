@@ -356,3 +356,121 @@ def test_wilcoxon_rejects_planted_paired_shift(spark):
             assert r.z > 5
         else:
             assert abs(r.z) < 4
+
+
+def _brute_jt(groups_ordered):
+    """Textbook J by direct pair enumeration (ties at half weight ->
+    doubled j2 exact int), Hollander-Wolfe tie-corrected variance,
+    replaying the operator's fixed float chain."""
+    import math
+    from collections import Counter
+
+    keys = sorted(groups_ordered)
+    j2 = 0
+    for ii in range(len(keys)):
+        for jj in range(ii + 1, len(keys)):
+            for a in groups_ordered[keys[ii]]:
+                for b in groups_ordered[keys[jj]]:
+                    j2 += 2 if a < b else (1 if a == b else 0)
+    ns = [len(groups_ordered[k]) for k in keys]
+    n = sum(ns)
+    mean2 = (n * n - sum(x * x for x in ns)) // 2
+    g2 = sum(x * (x - 1) for x in ns)
+    g3 = sum(x * (x - 1) * (x - 2) for x in ns)
+    g25 = sum(x * (x - 1) * (2 * x + 5) for x in ns)
+    tc = Counter(v for vs in groups_ordered.values() for v in vs)
+    t2 = sum(t * (t - 1) for t in tc.values())
+    t3 = sum(t * (t - 1) * (t - 2) for t in tc.values())
+    t25 = sum(t * (t - 1) * (2 * t + 5) for t in tc.values())
+    if n > 2:
+        var = (
+            (float(n) * (n - 1.0) * (2.0 * n + 5.0)
+             - float(g25) - float(t25)) / 72.0
+            + float(g3) * float(t3)
+            / (36.0 * float(n) * (n - 1.0) * (n - 2.0))
+            + float(g2) * float(t2) / (8.0 * float(n) * (n - 1.0))
+        )
+    else:
+        var = 0.0
+    z = (
+        (float(j2) - float(mean2)) / (2.0 * math.sqrt(var))
+        if n > 2 and var > 0
+        else None
+    )
+    return dict(
+        j2=j2, mean2=mean2, n=n, g2=g2, g3=g3, g25=g25,
+        t2=t2, t3=t3, t25=t25, z=z,
+    )
+
+
+def test_jonckheere_matches_brute_force_exactly(spark):
+    from metadata_ingestion_poc_spark.operators.ranktests import (
+        jonckheere_terpstra,
+    )
+
+    groups = {
+        1: [3, 5, 5, 9, 1],
+        2: [4, 5, 6, 9, 9],
+        3: [1, 9, 9, 15, 15, 20],
+        4: [7, 7, 21],
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "grp int, v int")
+    got = {
+        r["group"]: r
+        for r in jonckheere_terpstra(df, "grp", "v").collect()
+    }
+    exp = _brute_jt(groups)
+    assert set(got) == set(groups)
+    for g in groups:
+        r = got[g]
+        assert r.n_j == len(groups[g])
+        for k in (
+            "j2", "mean2", "n", "g2", "g3", "g25", "t2", "t3", "t25"
+        ):
+            assert r[k] == exp[k], k
+        assert r.z == exp["z"]  # bit-identical fixed chain
+
+
+def test_jonckheere_edge_cases(spark):
+    from metadata_ingestion_poc_spark.operators.ranktests import (
+        jonckheere_terpstra,
+    )
+
+    # single group: no pairs, z NULL
+    one = spark.createDataFrame(
+        [(1, 5), (1, 7), (1, 9)], "grp int, v int"
+    )
+    r = jonckheere_terpstra(one, "grp", "v").collect()[0]
+    assert r.j2 == 0 and r.mean2 == 0 and r.z is None
+    # perfectly separated increasing groups: j2 = 2*mean2, z > 0
+    sep = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 10), (2, 11), (3, 20), (3, 21)],
+        "grp int, v int",
+    )
+    rows = jonckheere_terpstra(sep, "grp", "v").collect()
+    assert rows[0].j2 == 2 * rows[0].mean2
+    assert rows[0].z > 2
+
+
+def test_jonckheere_trend_discovery(spark):
+    """q307: the planted +1/year monotone trend must reject; the raw
+    (untrended) quantity grid must not."""
+    from metadata_ingestion_poc_spark.catalog import load_table
+    from metadata_ingestion_poc_spark.operators.ranktests import (
+        jonckheere_terpstra,
+    )
+
+    rows = QUERIES["q307_jonckheere_trend"](spark, SF).collect()
+    assert len(rows) == 7
+    z = rows[0].z
+    assert all(r.z == z for r in rows)  # one global statistic
+    assert z > 10
+    # conservation: j2 of trend + j2 of reversed order = 2*mean2
+    assert 0 <= rows[0].j2 <= 2 * rows[0].mean2
+    # null contrast: raw quantity has no year trend
+    raw = load_table(spark, SF, "lineitem").selectExpr(
+        "year(l_shipdate) AS yr", "CAST(l_quantity AS INT) AS v"
+    )
+    r0 = jonckheere_terpstra(raw, "yr", "v").collect()[0]
+    assert abs(r0.z) < 4
