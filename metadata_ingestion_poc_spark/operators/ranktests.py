@@ -695,3 +695,124 @@ def jonckheere_terpstra(
         )
         .withColumn("z", F.expr(JT_Z_SQL))
     )
+
+
+# ---------------------------------------------------------------------------
+# Friedman test — the WITHIN-BLOCK k-treatment member of the
+# nonparametric family (public literature: Friedman, JASA 1937;
+# tie-corrected form per Hollander & Wolfe §7.1). KW (above) ranks
+# one pooled sample; Friedman ranks the k treatments WITHIN each
+# block and asks "does some treatment consistently rank high across
+# blocks?" — the repeated-measures question (does one source rank
+# longest every month? does one pipeline variant win every shard?)
+# where blocking removes the between-block level differences
+# entirely.
+#
+# Exactness: with doubled within-block midranks r2 = 2·(RANK−1) +
+# t + 1 (RANK = 1 + #strictly-below in the block, t = block-local
+# tie size), EVERY operand of the tie-corrected statistic is an
+# exact int64 aggregate: R2_j = Σ_blocks r2 (per treatment),
+# A4 = Σ_cells r2² (4× the sum of squared ranks), C4 = b·k·(k+1)²
+# (4× the correction term), S4 = Σ_j (R2_j − b·(k+1))² (4× the
+# rank-sum deviation). The tie-corrected chi-square collapses to
+# ONE exact-integer division: χ²_F = (k−1)·S4 / (A4 − C4) — a
+# single IEEE divide of two int64s, bit-identical everywhere, no
+# ordered fold and no ROUND anywhere. (The untied special case
+# A4 − C4 = b·k·(k²−1)/3·... is subsumed.) NULL when every block is
+# fully tied (A4 = C4).
+# ---------------------------------------------------------------------------
+
+# χ²_F = (k−1)·S4/(A4−C4), NULL when all blocks fully tied; formed
+# in double to dodge int64 overflow on the (k−1)·S4 product
+FRIEDMAN_CHI2_SQL = (
+    "CASE WHEN A4 > C4"
+    " THEN (CAST(k AS DOUBLE) - 1.0) * CAST(S4 AS DOUBLE)"
+    " / (CAST(A4 AS DOUBLE) - CAST(C4 AS DOUBLE))"
+    " ELSE NULL END"
+)
+
+
+def friedman(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Friedman rank test over a complete block design: ``df`` holds
+    ONE row per (block, treatment) with an exact-integer value (the
+    caller's per-cell aggregate). Every block must contain all k
+    treatments (complete design — the textbook precondition).
+
+    Returns one row per treatment: (treatment, r2_sum, b, k, a4, c4,
+    s4, chi2_f) — r2_sum the treatment's doubled rank sum across
+    blocks; b/k/a4/c4/s4/chi2_f global, repeated on every row (the
+    q300 repeated-scalar convention). All cells except chi2_f are
+    exact int64; chi2_f is the single exact-over-exact IEEE divide
+    ``FRIEDMAN_CHI2_SQL``.
+
+    100-TB shape: the caller's (block, treatment) rollup is the
+    data-sized exchange; this operator ranks within blocks and
+    aggregates a b×k frame — dimension-sized by construction.
+    """
+    x = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(treatment_col).alias("trt"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    rk = x.select(
+        "blk",
+        "trt",
+        (
+            2 * (F.rank().over(Window.partitionBy("blk").orderBy("v")) - 1)
+            + F.count(F.lit(1)).over(Window.partitionBy("blk", "v"))
+            + 1
+        )
+        .cast("long")
+        .alias("r2"),
+    ).persist()  # feeds the per-treatment sums and the A4 total
+    per = rk.groupBy("trt").agg(
+        F.sum("r2").cast("long").alias("r2_sum"),
+        F.count(F.lit(1)).cast("long").alias("b"),
+    )
+    tot = rk.agg(
+        F.sum(F.col("r2") * F.col("r2")).cast("long").alias("a4"),
+        F.countDistinct("blk").cast("long").alias("b_chk"),
+        F.countDistinct("trt").cast("long").alias("k"),
+    )
+    s4 = (
+        per.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (F.col("r2_sum") - F.col("b") * (F.col("k") + 1))
+                * (F.col("r2_sum") - F.col("b") * (F.col("k") + 1))
+            )
+            .cast("long")
+            .alias("s4")
+        )
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(s4))
+        .select(
+            F.col("trt").alias("treatment"),
+            "r2_sum",
+            "b",
+            "k",
+            F.col("a4").alias("A4"),
+            (F.col("b") * F.col("k") * (F.col("k") + 1) * (F.col("k") + 1))
+            .cast("long")
+            .alias("C4"),
+            F.col("s4").alias("S4"),
+        )
+        .withColumn("chi2_f", F.expr(FRIEDMAN_CHI2_SQL))
+        .select(
+            "treatment",
+            "r2_sum",
+            "b",
+            "k",
+            F.col("A4").alias("a4"),
+            F.col("C4").alias("c4"),
+            F.col("S4").alias("s4"),
+            "chi2_f",
+        )
+    )

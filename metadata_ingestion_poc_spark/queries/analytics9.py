@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from . import query
 from ..catalog import load_table
 from ..operators.ranktests import (
+    FRIEDMAN_CHI2_SQL,
     JT_Z_SQL,
     KENDALL_TAU_SQL,
     KW_H_SQL,
@@ -1509,3 +1510,98 @@ def q307_jonckheere_trend(
         "CAST(l_quantity AS INT) + (year(l_shipdate) - 1995) AS v",
     )
     return jonckheere_terpstra(x, "yr", "v").orderBy("group")
+
+
+# ---------------------------------------------------------------------------
+# q308 — Friedman within-block rank screen (round 14,
+# operators/ranktests.py friedman): the WITHIN-BLOCK k-treatment
+# member of the nonparametric family — blocks = order years,
+# treatments = market segments, cell value = annual segment revenue
+# in EXACT CENTS; the test asks "does some segment consistently
+# out-rank the others across years?", with the year-level demand
+# swings blocked out entirely. Two segments carry planted revenue
+# boosts ($200B/$100B — always ranks k and k−1 in every block), so
+# chi2_f must reject. EVERY hashed cell except chi2_f is exact
+# int64 (doubled within-block midranks 2·(RANK−1)+t+1, rank sums,
+# A4/C4/S4); chi2_f = (k−1)·S4/(A4−C4) is ONE exact-over-exact IEEE
+# divide (FRIEDMAN_CHI2_SQL shared query+oracle) — no ordered fold,
+# no ROUND anywhere. Scale: the (year, segment) revenue rollup
+# (orders ⋈ customer on the dimension key) is the only fact-sized
+# work; ranking runs on the b×k = 7×5 frame.
+# ---------------------------------------------------------------------------
+
+_FR_PLANT_A = 20_000_000_000_000  # AUTOMOBILE: always top rank
+_FR_PLANT_M = 10_000_000_000_000  # MACHINERY: always second
+
+
+@query(
+    "q308_friedman",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_custkey AS ck, year(o_orderdate) AS yr,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+               AS cents
+      FROM orders),
+    cell AS (SELECT o.yr AS blk, c.c_mktsegment AS trt,
+                    SUM(o.cents)::BIGINT
+                    + CASE WHEN c.c_mktsegment = 'AUTOMOBILE'
+                           THEN {_FR_PLANT_A}
+                           WHEN c.c_mktsegment = 'MACHINERY'
+                           THEN {_FR_PLANT_M}
+                           ELSE 0 END AS v
+             FROM o JOIN customer c ON c.c_custkey = o.ck
+             GROUP BY 1, 2),
+    rk AS (SELECT blk, trt,
+                  (2 * (RANK() OVER (PARTITION BY blk ORDER BY v)
+                        - 1)
+                   + COUNT(*) OVER (PARTITION BY blk, v)
+                   + 1)::BIGINT AS r2
+           FROM cell),
+    per AS (SELECT trt, SUM(r2)::BIGINT AS r2_sum,
+                   COUNT(*)::BIGINT AS b
+            FROM rk GROUP BY trt),
+    tot AS (SELECT SUM(r2 * r2)::BIGINT AS a4,
+                   COUNT(DISTINCT trt)::BIGINT AS k
+            FROM rk),
+    s4t AS (SELECT SUM((per.r2_sum - per.b * (tot.k + 1))
+                       * (per.r2_sum - per.b * (tot.k + 1)))::BIGINT
+                     AS s4
+            FROM per, tot),
+    fin AS (SELECT per.trt, per.r2_sum, per.b, tot.k, tot.a4,
+                   (per.b * tot.k * (tot.k + 1)
+                    * (tot.k + 1))::BIGINT AS c4,
+                   s4t.s4
+            FROM per, tot, s4t)
+    SELECT trt AS treatment, r2_sum, b, k, a4, c4, s4,
+           {FRIEDMAN_CHI2_SQL} AS chi2_f
+    FROM fin
+    ORDER BY treatment
+    """,
+)
+def q308_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranktests import friedman
+
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_custkey AS ck",
+        "year(o_orderdate) AS yr",
+        "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"), "c_mktsegment"
+    )
+    cell = (
+        o.join(c, "ck")
+        .groupBy("yr", "c_mktsegment")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+        .selectExpr(
+            "yr",
+            "c_mktsegment",
+            "rev + CASE WHEN c_mktsegment = 'AUTOMOBILE'"
+            f" THEN {_FR_PLANT_A}"
+            " WHEN c_mktsegment = 'MACHINERY'"
+            f" THEN {_FR_PLANT_M} ELSE 0 END AS v",
+        )
+    )
+    return friedman(cell, "yr", "c_mktsegment", "v").orderBy(
+        "treatment"
+    )

@@ -474,3 +474,90 @@ def test_jonckheere_trend_discovery(spark):
     )
     r0 = jonckheere_terpstra(raw, "yr", "v").collect()[0]
     assert abs(r0.z) < 4
+
+
+def _brute_friedman(blocks):
+    """Textbook tie-corrected Friedman with doubled midranks; blocks
+    = {block: {treatment: value}} (complete design)."""
+    trts = sorted(next(iter(blocks.values())))
+    r2 = {t: 0 for t in trts}
+    a4 = 0
+    for vals in blocks.values():
+        for t, v in vals.items():
+            below = sum(1 for u in vals.values() if u < v)
+            ties = sum(1 for u in vals.values() if u == v)
+            m2 = 2 * below + ties + 1
+            r2[t] += m2
+            a4 += m2 * m2
+    b = len(blocks)
+    k = len(trts)
+    c4 = b * k * (k + 1) * (k + 1)
+    s4 = sum((r2[t] - b * (k + 1)) ** 2 for t in trts)
+    chi = (
+        (float(k) - 1.0) * float(s4) / (float(a4) - float(c4))
+        if a4 > c4
+        else None
+    )
+    return r2, b, k, a4, c4, s4, chi
+
+
+def test_friedman_matches_brute_force_exactly(spark):
+    from metadata_ingestion_poc_spark.operators.ranktests import (
+        friedman,
+    )
+
+    # within-block ties in blocks 2 and 4; one fully tied block
+    blocks = {
+        1: {"x": 10, "y": 20, "z": 30},
+        2: {"x": 5, "y": 5, "z": 9},
+        3: {"x": 7, "y": 3, "z": 8},
+        4: {"x": 4, "y": 4, "z": 4},
+        5: {"x": 1, "y": 9, "z": 2},
+    }
+    rows = [
+        (blk, t, v)
+        for blk, vals in blocks.items()
+        for t, v in vals.items()
+    ]
+    df = spark.createDataFrame(rows, "blk int, trt string, v long")
+    got = {
+        r["treatment"]: r
+        for r in friedman(df, "blk", "trt", "v").collect()
+    }
+    r2, b, k, a4, c4, s4, chi = _brute_friedman(blocks)
+    assert set(got) == set(r2)
+    for t in r2:
+        assert got[t].r2_sum == r2[t]
+        assert got[t].b == b and got[t].k == k
+        assert got[t].a4 == a4 and got[t].c4 == c4
+        assert got[t].s4 == s4
+        assert got[t].chi2_f == chi  # one exact-over-exact divide
+    # doubled-rank conservation per block: sum over all cells
+    assert sum(r2.values()) == b * k * (k + 1)
+
+
+def test_friedman_all_tied_yields_null(spark):
+    from metadata_ingestion_poc_spark.operators.ranktests import (
+        friedman,
+    )
+
+    rows = [(blk, t, 7) for blk in (1, 2) for t in ("x", "y")]
+    df = spark.createDataFrame(rows, "blk int, trt string, v long")
+    r = friedman(df, "blk", "trt", "v").collect()[0]
+    assert r.a4 == r.c4 and r.chi2_f is None
+
+
+def test_friedman_planted_consistent_winner(spark):
+    """q308: the planted revenue boosts pin AUTOMOBILE to the top
+    rank and MACHINERY to second in every year block."""
+    rows = QUERIES["q308_friedman"](spark, SF).collect()
+    assert len(rows) == 5
+    by = {r["treatment"]: r for r in rows}
+    b, k = by["AUTOMOBILE"].b, by["AUTOMOBILE"].k
+    assert by["AUTOMOBILE"].r2_sum == b * 2 * k  # top in all blocks
+    assert by["MACHINERY"].r2_sum == b * 2 * (k - 1)
+    chi = rows[0].chi2_f
+    assert all(r.chi2_f == chi for r in rows)
+    assert chi > 9.49  # chi2_{k-1=4} at alpha=0.05
+    # conservation over the complete design
+    assert sum(r.r2_sum for r in rows) == b * k * (k + 1)
