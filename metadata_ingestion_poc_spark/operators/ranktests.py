@@ -816,3 +816,171 @@ def friedman(
             "chi2_f",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mood two-sample scale battery — the DISPERSION member of the
+# nonparametric family (public literature: Mood, Ann. Math. Statist.
+# 1954; conditional moments under ties from linear-rank-statistic
+# theory, e.g. Hájek & Šidák, "Theory of Rank Tests"). Every screen
+# above targets LOCATION (or trend/blocks thereof); Mood's statistic
+# Σ (rank − (n+1)/2)² over the candidate sample targets SCALE — "did
+# the SPREAD of this source's distribution change while its center
+# stayed put?", the tail-widening drift a location screen is blind
+# to by construction.
+#
+# Exactness: with doubled midranks m2 = 2b + t + 1, the per-value
+# score q_v = (m2_v − (n+1))² is an exact int64 (4× Mood's score;
+# the doubled deviation m2 − (n+1) = 2·(midrank − (n+1)/2) is
+# always an integer), so the candidate statistic t4 = Σ c_v·q_v and
+# the total s4 = Σ t_v·q_v are exact int64 (≤ 4n³: int64-safe below
+# n ≈ 1.3·10⁶ rows per battery cell; widen to DECIMAL(38,0) strings
+# past that, the q276 currency). The conditional moments are
+# E[t4] = n1·s4/n and Var[t4] = n1·n2/(n(n−1)) · Σ_v t_v·(q_v −
+# s4/n)²; the centered spread sum needs Σ t·q² which passes int64
+# near n ≈ 4·10³, so it is computed instead as an ORDERED LEFT FOLD
+# over the value grid (the q305 pattern, generalized from ≤k terms
+# to the bounded spine): Spark aggregate(array_sort(collect_list(
+# struct(v, term))), 0.0, +) ≡ DuckDB list_reduce(list(term ORDER
+# BY v), +) — the identical IEEE addition sequence, bit-identical,
+# shipped raw as fsum. z is ONE fixed chain over (t4, s4, n1, n2,
+# n, fsum) — no ROUND anywhere.
+# ---------------------------------------------------------------------------
+
+# z = (t4 − n1·s4/n) / sqrt(n1·n2/(n(n−1)) · fsum); the n1·s4
+# product is formed IN DOUBLE (it passes int64 near n ≈ 4·10⁴);
+# NULL when the combined sample is constant (fsum = 0) or n < 2
+MOOD_Z_SQL = (
+    "CASE WHEN n > 1 AND fsum > 0"
+    " THEN (CAST(t4 AS DOUBLE)"
+    "       - CAST(n1 AS DOUBLE) * CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE))"
+    " / SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+    "        / (CAST(n AS DOUBLE) * (n - 1.0)) * fsum)"
+    " ELSE NULL END"
+)
+
+
+def mood_scale_battery(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ref_group: str,
+) -> DataFrame:
+    """Mood scale test of every non-reference group vs ``ref_group``.
+
+    Returns one row per candidate group: (group, n1, n2, t4, s4,
+    fsum, z) — n1/n2 the candidate/reference sizes, t4 = 4·(Mood
+    statistic) and s4 = 4·(total score sum) exact int64, fsum the
+    ordered-fold centered spread sum (deterministic raw double), z
+    the conditional-moment normal approximation ``MOOD_Z_SQL``
+    (positive z = candidate MORE spread than reference).
+
+    One (group, value) rollup + one reference rollup is the only
+    data-sized exchange; midrank/score arithmetic is a window over
+    the bounded (candidate groups × combined spine) grid and the
+    fold collects one bounded spine per group.
+    """
+    g = df.select(
+        F.col(group_col).alias("grp"), F.col(value_col).alias("v")
+    )
+    ref = g.filter(F.col("grp") == ref_group)
+    cand = g.filter(F.col("grp") != ref_group)
+    cnt = cand.groupBy("grp", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    rcnt = ref.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("rc")
+    )
+    spine = (
+        cnt.select("grp").distinct()
+        .crossJoin(
+            cnt.select("v").union(rcnt.select("v")).distinct()
+        )
+    )
+    grid = (
+        spine.join(cnt, ["grp", "v"], "left")
+        .join(F.broadcast(rcnt), ["v"], "left")
+        .select(
+            "grp",
+            "v",
+            F.coalesce("c", F.lit(0)).alias("c"),
+            F.coalesce("rc", F.lit(0)).alias("rc"),
+        )
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("grp")
+    t = F.col("c") + F.col("rc")
+    cum = grid.select(
+        "grp",
+        "v",
+        "c",
+        t.alias("t"),
+        F.sum(F.col("c") + F.col("rc")).over(w).alias("cum"),
+        F.sum(F.col("c") + F.col("rc")).over(wall).alias("n"),
+    )
+    # doubled deviation from the center rank: m2 − (n+1) with
+    # m2 = 2·(cum − t) + t + 1 — an exact integer; q = its square,
+    # the 4×-scaled Mood score
+    dev = 2 * (F.col("cum") - F.col("t")) + F.col("t") + 1 - (
+        F.col("n") + 1
+    )
+    scored = cum.select(
+        "grp",
+        "v",
+        "c",
+        "t",
+        "n",
+        (dev * dev).cast("long").alias("q"),
+    ).persist()  # feeds the moment aggregate and the spread fold
+    agg = scored.groupBy("grp").agg(
+        F.sum("c").cast("long").alias("n1"),
+        F.sum(F.col("t") - F.col("c")).cast("long").alias("n2"),
+        F.sum(F.col("c") * F.col("q")).cast("long").alias("t4"),
+        F.sum(F.col("t") * F.col("q")).cast("long").alias("s4"),
+        F.max("n").cast("long").alias("n"),
+    )
+    # centered spread sum as an ordered fold over the value spine
+    # (see module comment): term = t · (q − s4/n)², v-sorted
+    folded = (
+        scored.join(
+            F.broadcast(agg.select("grp", "s4", F.col("n").alias("nn"))),
+            "grp",
+        )
+        .withColumn(
+            "term",
+            F.expr(
+                "CAST(t AS DOUBLE)"
+                " * (CAST(q AS DOUBLE)"
+                "    - CAST(s4 AS DOUBLE) / CAST(nn AS DOUBLE))"
+                " * (CAST(q AS DOUBLE)"
+                "    - CAST(s4 AS DOUBLE) / CAST(nn AS DOUBLE))"
+            ),
+        )
+        .groupBy("grp")
+        .agg(
+            F.expr(
+                "aggregate("
+                " transform(array_sort(collect_list(struct(v, term))),"
+                "   s -> s.term),"
+                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            ).alias("fsum")
+        )
+    )
+    return (
+        agg.join(F.broadcast(folded), "grp")
+        .select(
+            F.col("grp").alias("group"),
+            "n1",
+            "n2",
+            "t4",
+            "s4",
+            "fsum",
+            "n",
+        )
+        .withColumn("z", F.expr(MOOD_Z_SQL))
+        .drop("n")
+    )

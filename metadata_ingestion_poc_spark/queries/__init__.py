@@ -196,9 +196,9 @@ def _load_all() -> None:
 #
 # Round-15 rotation note: FIRST promote the round-14-new queries
 # that could not fit this window — q307 Jonckheere-Terpstra ordered
-# trend and q308 Friedman within-block screen (built after the
-# window filled; oracle-green at 3 SFs, never driver-swept) — then
-# the round-14 passthrough de-ROUNDs
+# trend, q308 Friedman within-block screen, q309 Mood scale battery
+# (built after the window filled; oracle-green at 3 SFs, never
+# driver-swept) — then the round-14 passthrough de-ROUNDs
 # (q09 q14 q16 q46 q49 q59 q103 q154 q166 — min/max/median
 # selection cells shipped raw; all J14-verified at 3 SFs), then
 # q122/q124/q125 and the q126-q160 staleness tail, then q161-q200.

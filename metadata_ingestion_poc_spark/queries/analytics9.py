@@ -21,6 +21,7 @@ from ..catalog import load_table
 from ..operators.ranktests import (
     FRIEDMAN_CHI2_SQL,
     JT_Z_SQL,
+    MOOD_Z_SQL,
     KENDALL_TAU_SQL,
     KW_H_SQL,
     MWU_Z_SQL,
@@ -1604,4 +1605,101 @@ def q308_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return friedman(cell, "yr", "c_mktsegment", "v").orderBy(
         "treatment"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q309 — Mood scale-drift battery (round 14, operators/ranktests.py
+# mood_scale_battery): the DISPERSION member of the nonparametric
+# family — every other screen targets location (or trend/blocks
+# thereof); Mood's central-rank-deviation statistic asks "did the
+# SPREAD move while the center stayed put?", the tail-widening drift
+# a location screen cannot see. Groups = event types vs reference
+# 'view' on the value micro-grid (exact cents); two planted types
+# get the integer affine map 3x − 10000 — spread tripled, center
+# nearly fixed (type means ≈ 5000 cents) — which z must reject
+# while the unplanted types stay near 0. Hashed cells: n1/n2/t4/s4
+# exact int64 (doubled-midrank deviation squares); fsum the
+# ordered-fold centered spread sum (the q305 fold pattern
+# generalized to the bounded value spine — bit-identical raw
+# double); z the one fixed chain MOOD_Z_SQL. No ROUND anywhere.
+# Scale: one (type, cents) rollup is the only data-sized exchange;
+# windows and the fold run on the bounded type × spine grid.
+# ---------------------------------------------------------------------------
+
+_MOOD_PLANT = "('error', 'purchase')"
+
+
+@query(
+    "q309_mood_scale",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type AS grp,
+             CASE WHEN event_type IN {_MOOD_PLANT}
+                  THEN 3 * CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                       - 10000
+                  ELSE CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+             END AS v
+      FROM events),
+    cand AS (SELECT grp, v FROM e WHERE grp <> 'view'),
+    cnt AS (SELECT grp, v, COUNT(*)::BIGINT AS c FROM cand
+            GROUP BY 1, 2),
+    rcnt AS (SELECT v, COUNT(*)::BIGINT AS rc FROM e
+             WHERE grp = 'view' GROUP BY 1),
+    spine AS (SELECT DISTINCT v FROM e),
+    grid AS (SELECT s.grp, sp.v
+             FROM (SELECT DISTINCT grp FROM cand) s
+             CROSS JOIN spine sp),
+    g2 AS (SELECT g.grp, g.v,
+                  COALESCE(c.c, 0) AS c, COALESCE(r.rc, 0) AS rc
+           FROM grid g
+           LEFT JOIN cnt c ON c.grp = g.grp AND c.v = g.v
+           LEFT JOIN rcnt r ON r.v = g.v),
+    cum AS (SELECT grp, v, c, c + rc AS t,
+                   SUM(c + rc) OVER (PARTITION BY grp ORDER BY v
+                                     ROWS BETWEEN UNBOUNDED
+                                     PRECEDING AND CURRENT ROW)
+                     AS cum,
+                   SUM(c + rc) OVER (PARTITION BY grp) AS n
+            FROM g2),
+    scored AS (SELECT grp, v, c, t, n,
+                      (2 * (cum - t) + t + 1 - (n + 1))
+                      * (2 * (cum - t) + t + 1 - (n + 1)) AS q
+               FROM cum),
+    agg AS (SELECT grp, SUM(c)::BIGINT AS n1,
+                   SUM(t - c)::BIGINT AS n2,
+                   SUM(c * q)::BIGINT AS t4,
+                   SUM(t * q)::BIGINT AS s4,
+                   MAX(n)::BIGINT AS n
+            FROM scored GROUP BY grp),
+    folded AS (SELECT s.grp,
+                      list_reduce(
+                        list(CAST(s.t AS DOUBLE)
+                             * (CAST(s.q AS DOUBLE)
+                                - CAST(a.s4 AS DOUBLE)
+                                  / CAST(a.n AS DOUBLE))
+                             * (CAST(s.q AS DOUBLE)
+                                - CAST(a.s4 AS DOUBLE)
+                                  / CAST(a.n AS DOUBLE))
+                             ORDER BY s.v),
+                        (x, y) -> x + y) AS fsum
+               FROM scored s JOIN agg a ON a.grp = s.grp
+               GROUP BY s.grp)
+    SELECT agg.grp AS "group", n1, n2, t4, s4, fsum,
+           {MOOD_Z_SQL} AS z
+    FROM agg JOIN folded ON folded.grp = agg.grp
+    ORDER BY "group"
+    """,
+)
+def q309_mood_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranktests import mood_scale_battery
+
+    e = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        f"CASE WHEN event_type IN {_MOOD_PLANT}"
+        " THEN 3 * CAST(FLOOR(value * 100 + 0.5) AS BIGINT) - 10000"
+        " ELSE CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END AS x",
+    )
+    return mood_scale_battery(e, "event_type", "x", "view").orderBy(
+        "group"
     )

@@ -561,3 +561,94 @@ def test_friedman_planted_consistent_winner(spark):
     assert chi > 9.49  # chi2_{k-1=4} at alpha=0.05
     # conservation over the complete design
     assert sum(r.r2_sum for r in rows) == b * k * (k + 1)
+
+
+def _brute_mood(cand, ref):
+    """Textbook Mood scale statistic with doubled midranks and the
+    conditional tie moments, replaying the operator's ordered-fold
+    and z chain."""
+    import math
+    from collections import Counter
+
+    allv = Counter(cand) + Counter(ref)
+    n = sum(allv.values())
+    below = 0
+    m2 = {}
+    for v in sorted(allv):
+        t = allv[v]
+        m2[v] = 2 * below + t + 1
+        below += t
+    q = {v: (m2[v] - (n + 1)) ** 2 for v in allv}
+    t4 = sum(q[v] for v in cand)
+    s4 = sum(allv[v] * q[v] for v in allv)
+    fsum = 0.0
+    for v in sorted(allv):  # ordered left fold, 0.0 seed
+        d = float(q[v]) - float(s4) / float(n)
+        fsum = fsum + float(allv[v]) * d * d
+    n1, n2 = len(cand), len(ref)
+    z = (
+        (float(t4) - float(n1) * float(s4) / float(n))
+        / math.sqrt(
+            float(n1) * float(n2) / (float(n) * (n - 1.0)) * fsum
+        )
+        if n > 1 and fsum > 0
+        else None
+    )
+    return n1, n2, t4, s4, fsum, z
+
+
+def test_mood_matches_brute_force_exactly(spark):
+    from metadata_ingestion_poc_spark.operators.ranktests import (
+        mood_scale_battery,
+    )
+
+    ref = [5, 6, 6, 7, 8, 9]
+    groups = {
+        "wide": [1, 2, 6, 13, 15],       # more spread than ref
+        "tied": [6, 6, 7, 7],            # heavy cross-sample ties
+        "same": [5, 6, 7, 8, 9],
+    }
+    rows = [("ref", v) for v in ref] + [
+        (g, v) for g, vs in groups.items() for v in vs
+    ]
+    df = spark.createDataFrame(rows, "grp string, v int")
+    got = {
+        r["group"]: r
+        for r in mood_scale_battery(df, "grp", "v", "ref").collect()
+    }
+    assert set(got) == set(groups)
+    for g, vs in groups.items():
+        n1, n2, t4, s4, fsum, z = _brute_mood(vs, ref)
+        assert got[g].n1 == n1 and got[g].n2 == n2
+        assert got[g].t4 == t4 and got[g].s4 == s4
+        assert got[g].fsum == fsum  # bit-identical ordered fold
+        assert got[g].z == z        # bit-identical fixed chain
+    assert got["wide"].z > 1  # spread excess pushes z positive
+
+
+def test_mood_constant_sample_yields_null(spark):
+    from metadata_ingestion_poc_spark.operators.ranktests import (
+        mood_scale_battery,
+    )
+
+    df = spark.createDataFrame(
+        [("ref", 7)] * 3 + [("a", 7)] * 4, "grp string, v int"
+    )
+    r = mood_scale_battery(df, "grp", "v", "ref").collect()[0]
+    assert r.fsum == 0.0 and r.z is None
+
+
+def test_mood_rejects_planted_scale_inflation(spark):
+    """q309: the 3x spread inflation on two event types must reject
+    decisively; unplanted types stay near zero (location screens
+    would see nothing — the planted center is nearly unchanged)."""
+    rows = QUERIES["q309_mood_scale"](spark, SF).collect()
+    assert len(rows) == 4
+    by = {r["group"]: r for r in rows}
+    for gname, r in by.items():
+        assert r.n1 > 1900 and r.n2 > 1900
+        assert 0 < r.t4 < r.s4  # candidate share of the score total
+        if gname in ("error", "purchase"):
+            assert r.z > 10
+        else:
+            assert abs(r.z) < 4
