@@ -1,13 +1,26 @@
-"""Nonparametric rank tests — Mann-Whitney U (Wilcoxon rank-sum)
-two-sample drift screen (public literature: Mann & Whitney, Ann. Math.
-Statist. 1947; tie handling per Lehmann, "Nonparametrics").
+"""Nonparametric rank tests — the complete classical family, each
+the answer to a distinct drift question a corpus pipeline asks:
 
-Completes the nonparametric two-sample family next to the KS battery
-(queries/analytics9.py q291): KS is sensitive to ANY distributional
-difference via the max-CDF gap; the rank-sum U targets location shift
-with much higher power per sample, which is the screen a corpus
-pipeline usually wants first ("did this source's length/quality
-distribution MOVE?").
+- ``mann_whitney_battery`` (q303) — two INDEPENDENT samples: "did
+  this source's distribution move vs the reference?" (location).
+- ``wilcoxon_signed_rank`` (q306) — PAIRED samples: "did the same
+  units move between two measurements?" (before/after).
+- ``kruskal_wallis`` (q305) — k samples: "are these k sources
+  homogeneous at all?" (joint null).
+- ``jonckheere_terpstra`` (q307) — k ORDERED samples: "do the
+  distributions trend with the group order?" (monotone drift).
+- ``friedman`` (q308) — b blocks × k treatments: "does a treatment
+  consistently win across blocks?" (repeated measures).
+- ``kendall_tau_b`` (q304) — two gridded columns: "are they
+  concordant?" (rank correlation).
+- ``mood_scale_battery`` (q309) — two samples: "did the SPREAD move
+  while the center stayed?" (dispersion).
+
+Public literature per operator in the section comments below. Next
+to the KS battery (queries/analytics9.py q291): KS is sensitive to
+ANY distributional difference via the max-CDF gap; the rank
+statistics buy much higher power per sample against their specific
+alternatives — which is why the family needs all its members.
 
 Exactness engineering (functions/determinism.py, designed exact from
 the start — the determinism-rule sweet spot the round-13 verdict
@@ -85,16 +98,39 @@ def mann_whitney_battery(
     One (group, value) rollup + one reference-value rollup; the rank
     arithmetic is a window over the bounded per-group value grid.
     """
-    g = df.select(
-        F.col(group_col).alias("grp"), F.col(value_col).alias("v")
+    return mann_whitney_from_counts(
+        rank_grid(df, group_col, value_col), ref_group
     )
-    ref = g.filter(F.col("grp") == ref_group)
-    cand = g.filter(F.col("grp") != ref_group)
-    cnt = cand.groupBy("grp", "v").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+
+
+def rank_grid(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """The (grp, v, c) count grid — the EXACT sufficient statistic
+    for every grid-based test in this module (MWU, Kruskal-Wallis,
+    Mood): each is a pure function of these counts, so a grid built
+    incrementally (streaming/drift.py merges per-batch partials by
+    integer addition) finalizes BIT-IDENTICALLY to the batch path.
+    """
+    return (
+        df.select(
+            F.col(group_col).alias("grp"), F.col(value_col).alias("v")
+        )
+        .groupBy("grp", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    rcnt = ref.groupBy("v").agg(
-        F.count(F.lit(1)).cast("long").alias("rc")
+
+
+def mann_whitney_from_counts(
+    cnt0: DataFrame, ref_group: str
+) -> DataFrame:
+    """:func:`mann_whitney_battery` from a pre-counted ``rank_grid``
+    (``(grp, v, c)`` including the reference group's rows)."""
+    cnt = cnt0.filter(F.col("grp") != ref_group).select(
+        "grp", "v", F.col("c").cast("long").alias("c")
+    )
+    rcnt = cnt0.filter(F.col("grp") == ref_group).select(
+        "v", F.col("c").cast("long").alias("rc")
     )
     # full outer on the value key: a value present only in the
     # reference still contributes to the candidate grid's cumulative
@@ -352,14 +388,16 @@ def kruskal_wallis(
     data-sized exchange; the value marginal, cumulative window, and
     term fold all run on the bounded grid / |groups| frame.
     """
-    cnt = (
-        df.select(
-            F.col(group_col).alias("grp"), F.col(value_col).alias("v")
-        )
-        .groupBy("grp", "v")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .persist()  # feeds the marginal and the per-group join
+    return kruskal_wallis_from_counts(
+        rank_grid(df, group_col, value_col)
     )
+
+
+def kruskal_wallis_from_counts(cnt0: DataFrame) -> DataFrame:
+    """:func:`kruskal_wallis` from a pre-counted ``rank_grid``."""
+    cnt = cnt0.select(
+        "grp", "v", F.col("c").cast("long").alias("c")
+    ).persist()  # feeds the marginal and the per-group join
     wv = Window.orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -880,16 +918,19 @@ def mood_scale_battery(
     the bounded (candidate groups × combined spine) grid and the
     fold collects one bounded spine per group.
     """
-    g = df.select(
-        F.col(group_col).alias("grp"), F.col(value_col).alias("v")
+    return mood_from_counts(
+        rank_grid(df, group_col, value_col), ref_group
     )
-    ref = g.filter(F.col("grp") == ref_group)
-    cand = g.filter(F.col("grp") != ref_group)
-    cnt = cand.groupBy("grp", "v").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+
+
+def mood_from_counts(cnt0: DataFrame, ref_group: str) -> DataFrame:
+    """:func:`mood_scale_battery` from a pre-counted ``rank_grid``
+    (``(grp, v, c)`` including the reference group's rows)."""
+    cnt = cnt0.filter(F.col("grp") != ref_group).select(
+        "grp", "v", F.col("c").cast("long").alias("c")
     )
-    rcnt = ref.groupBy("v").agg(
-        F.count(F.lit(1)).cast("long").alias("rc")
+    rcnt = cnt0.filter(F.col("grp") == ref_group).select(
+        "v", F.col("c").cast("long").alias("rc")
     )
     spine = (
         cnt.select("grp").distinct()
