@@ -158,7 +158,14 @@ def sample_frames(blobs: DataFrame, every_n_bytes: int = 32) -> DataFrame:
                 {"blob_id": ids, "frame_idx": idxs, "frame_bytes": chunks}
             )
 
-    videos = blobs.filter(F.col("media_type").startswith("video/"))
+    from .dedup import _spread
+
+    # _spread BEFORE the fan-out: a small blob table arrives as one
+    # input split, so the sampler AND every per-frame consumer
+    # downstream (the pHash DCT is the CPU floor of q284) would run
+    # on a single core. Stats-gated no-op at real scale (dedup.py:78);
+    # spreading blobs (not frames) keeps the shuffle 1× the blob bytes.
+    videos = _spread(blobs.filter(F.col("media_type").startswith("video/")))
     return videos.mapInPandas(frames, schema=FRAME_SCHEMA)
 
 
