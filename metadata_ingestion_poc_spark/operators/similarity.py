@@ -237,6 +237,7 @@ def ivf_build_index(
     vec_col: str = "embedding",
     refine_iters: int = 1,
     train_frac: float = 1.0,
+    n_rows: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Build the IVF index: (centroids, corpus cell assignments).
 
@@ -244,9 +245,11 @@ def ivf_build_index(
     assignment scan. Both frames are plain DataFrames; persist them
     with ``save_ivf_index`` so query batches reuse the index instead
     of rebuilding (the operational shape at scale: build nightly,
-    query all day).
+    query all day). Callers that already counted the corpus (every
+    `_checked_base` wrapper has n in hand) pass ``n_rows`` to skip the
+    redundant count job.
     """
-    n = corpus.count()
+    n = corpus.count() if n_rows is None else n_rows
     stride = max(n // n_cells, 1)
     cent_w = Window.orderBy(F.col("__cid"))
     cents = (
