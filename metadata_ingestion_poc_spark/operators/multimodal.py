@@ -328,11 +328,11 @@ def hamming_banded_pairs(
     times over the corpus.
     """
     bands, width = _band_layout(max_hamming)
-    from .dedup import _bucket_pairs
 
     mask = (1 << width) - 1
     banded = sig.select(
         F.col("id").alias("doc"),
+        F.col(hash_col).alias("h"),
         F.explode(
             F.array(
                 *[
@@ -346,7 +346,7 @@ def hamming_banded_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc", "bb.band", "bb.chunk")
+    ).select("doc", "h", "bb.band", "bb.chunk")
     keep = max_hamming + 1
     if keep < bands:
         # exact per-band candidate volume: bounded collect (≤ bands
@@ -367,20 +367,68 @@ def hamming_banded_pairs(
             range(bands), key=lambda b: (cost.get(b, 0.0), b)
         )[:keep]
         banded = banded.filter(F.col("band").isin(kept))
-    candidates = _bucket_pairs(banded, ["band", "chunk"], "doc").distinct()
-    fa = sig.select(F.col("id").alias("doc_a"), F.col(hash_col).alias("pa"))
-    fb = sig.select(F.col("id").alias("doc_b"), F.col(hash_col).alias("pb"))
-    return (
-        candidates.join(fa, "doc_a")
-        .join(fb, "doc_b")
-        .select(
-            F.col("doc_a").alias("id_a"),
-            F.col("doc_b").alias("id_b"),
-            F.bit_count(
-                F.col("pa").bitwiseXOR(F.col("pb"))
-            ).alias("hamming"),
+    # Verify INSIDE the bucket stage (round 14): the signature rides
+    # the bucket rollup as a (doc, h) struct, so candidate pairs carry
+    # both hashes the moment they are exploded — the exact popcount
+    # filter kills non-matches in the SAME stage, before any shuffle,
+    # and only the (rare) verified pairs reach the final distinct.
+    # The previous shape distinct'ed the full candidate explosion
+    # (3.4M rows at sf0.1 for q292's low-entropy fingerprints) and
+    # paid two join-backs to re-attach the hashes it had just dropped.
+    # Output is the identical pair set: collect_set of (doc, h)
+    # structs dedups per bucket (one hash per id), the C(m,2) explode
+    # keeps doc_a < doc_b via the doc-first struct sort order, and the
+    # final distinct removes multi-band duplicates exactly as before
+    # (pinned banded≡brute in tests/test_multimodal.py +
+    # tests/test_audio_fp.py).
+    from .dedup import _spread
+
+    # _spread the bucket arrays before the C(m,2) explode: the member
+    # frame is tiny in BYTES (one row per bucket), so AQE coalesces it
+    # onto a couple of partitions — and the quadratic pair fan-out +
+    # popcount then runs nearly serially. Stats-gated no-op at scale.
+    members = _spread(
+        banded.groupBy("band", "chunk")
+        .agg(
+            F.sort_array(
+                F.collect_set(F.struct(F.col("doc"), F.col("h")))
+            ).alias("ms")
         )
+        .filter(F.size("ms") >= 2)
+    )
+    pairs = members.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ms") - 2),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, F.size("ms") - 1),
+                        lambda j: F.struct(
+                            F.element_at("ms", (i + 1).cast("int"))
+                            .getField("doc")
+                            .alias("id_a"),
+                            F.element_at("ms", (j + 1).cast("int"))
+                            .getField("doc")
+                            .alias("id_b"),
+                            F.bit_count(
+                                F.element_at("ms", (i + 1).cast("int"))
+                                .getField("h")
+                                .bitwiseXOR(
+                                    F.element_at(
+                                        "ms", (j + 1).cast("int")
+                                    ).getField("h")
+                                )
+                            ).alias("hamming"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.id_a", "p.id_b", "p.hamming")
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
