@@ -785,6 +785,20 @@ def prefix_filter_jaccard_pairs(
         )
         .distinct()
     )
+    # Repartition the candidate pairs before verification (round 14):
+    # the pair frame is tiny in BYTES (two ids per row), so AQE
+    # coalesces it onto 1-4 partitions — and the per-pair
+    # array_intersect over both full shingle arrays (the CPU floor of
+    # verification: measured 7.7s serial vs 3.2s spread, end-to-end
+    # 6.3→3.2s at sf0.1) then runs nearly serially. The stats-gated
+    # _spread cannot make this call: a self-join output's size
+    # estimate is a row-product overestimate, so the gate always
+    # skips. An explicit round-robin to defaultParallelism is correct
+    # at every scale — the shuffle moves two ids per row while the
+    # stage it feeds does work proportional to pairs/core.
+    cand = cand.repartition(
+        cand.sparkSession.sparkContext.defaultParallelism
+    )
     # Verify with set arrays, not a re-exploded join: each candidate
     # pair carries both (sorted, distinct) shingle arrays and counts
     # the intersection in codegen — no pair×shingles shuffle.
