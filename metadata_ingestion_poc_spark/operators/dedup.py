@@ -108,6 +108,34 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
+def _spread_by(df: DataFrame, *cols: str) -> DataFrame:
+    """Keyed sibling of ``_spread``: hash-layout by ``cols`` with the
+    partition count PINNED to defaultParallelism when the stats say
+    the frame is small. AQE sizes post-shuffle partitions by BYTES,
+    so a small-byte frame collapses onto one or two tasks — which
+    serializes any window/rollup keyed on ``cols`` no matter how much
+    CPU it does per row. An explicitly numbered repartition disables
+    that coalescing; downstream operators keyed on ``cols`` (or a
+    superset) reuse the layout with no second exchange. Large frames
+    (or stats-less ones) get a plain keyed repartition and keep AQE
+    sizing — the production path.
+    """
+    spark = df.sparkSession
+    try:
+        target = spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect session: no SparkContext handle
+        return df.repartition(*[F.col(c) for c in cols])
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return df.repartition(*[F.col(c) for c in cols])
+    if size >= target * _max_partition_bytes(spark):
+        return df.repartition(*[F.col(c) for c in cols])
+    return df.repartition(target, *[F.col(c) for c in cols])
+
+
 def _max_partition_bytes(spark) -> int:
     """`spark.sql.files.maxPartitionBytes` as an int (handles the
     "134217728b" / "128MB" spellings a bytes-conf can come back as)."""

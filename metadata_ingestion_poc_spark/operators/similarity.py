@@ -65,12 +65,18 @@ def cosine_topk(
     Output: (query_id, neighbor_id, cosine, rank); self-matches
     excluded; ties broken by neighbor id so the result is total-ordered.
     """
+    from .dedup import _spread
+
     q = with_norm(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col("__vec").alias("q_vec"),
         F.col("__norm").alias("q_norm"),
     )
-    c = with_norm(corpus, vec_col).select(
+    # _spread the probe side (round 14): a small corpus parquet is one
+    # input split, so the |Q|×|C| dot-product sweep — the CPU floor of
+    # exact search — would run on a single core. Stats-gated no-op at
+    # real scale.
+    c = with_norm(_spread(corpus.select(id_col, vec_col)), vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("__vec").alias("c_vec"),
         F.col("__norm").alias("c_norm"),

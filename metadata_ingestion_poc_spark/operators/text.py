@@ -302,7 +302,13 @@ def winnow_fingerprints(
     """
     if k < 1 or w < 1:
         raise ValueError(f"k and w must be >= 1, got k={k}, w={w}")
-    toks_df = docs.withColumn(
+    from .dedup import _spread
+
+    # project + _spread first (round 14): the per-document md5 k-gram
+    # build and window-min sweep are the CPU floor of the operator,
+    # and a small docs parquet arrives as 1-3 input splits that the
+    # two checkpoints would otherwise pin. Stats-gated no-op at scale.
+    toks_df = _spread(docs.select(id_col, text_col)).withColumn(
         "__toks", F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     )
     toks = F.col("__toks")

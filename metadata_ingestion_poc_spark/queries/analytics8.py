@@ -2502,7 +2502,14 @@ def _seq_patterns(types: list[str]) -> list[list[str]]:
 def q287_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    from ..operators.dedup import _spread, _spread_by
+
+    # _spread_by pins the user_id exchange at defaultParallelism for a
+    # small frame (AQE sizes post-shuffle partitions by BYTES and
+    # collapses the whole window + session rollup onto one task —
+    # measured 2.9s serial at sf0.1); the window and the groupBy below
+    # both key on user_id, so they reuse this single exchange.
+    ev = _spread_by(load_table(spark, sf_dir, "events"), "user_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     sess = (
         ev.withColumn(
@@ -2567,8 +2574,10 @@ def q287_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         # single-event sessions can't contain a length-2 pattern, and
         # on this sparse fixture they're ~95% of sessions — dropping
         # them BEFORE the 150-way candidate explode cuts the fold
-        # work ~20x (support denominators still count every session)
-        sess.filter(F.size("arr") >= 2)
+        # work ~20x (support denominators still count every session).
+        # _spread: the surviving sessions are few BYTES, so AQE would
+        # run the 150-way explode + containment fold on 1-2 tasks.
+        _spread(sess.filter(F.size("arr") >= 2))
         .select(F.explode(cand).alias("c"), "arr")
         .filter(contains)
         .groupBy(
