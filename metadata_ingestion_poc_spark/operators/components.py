@@ -234,31 +234,44 @@ def _cc_propagation(
     shrink = _shrinker(sym, sym.count())
     rounds = 0
     converged = False
-    for _ in range(max_iter):
+
+    def _step(lbl: DataFrame) -> DataFrame:
         neighbor_min = (
-            sym.join(labels, sym.v == labels.node)
+            sym.join(lbl, sym.v == lbl.node)
             .groupBy("u")
             .agg(F.min("component").alias("nmin"))
         )
-        labels = _cut_lazy(
-            shrink(
-                labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
-                .select(
-                    "node",
-                    F.least(
-                        F.col("component"), F.coalesce("nmin", F.col("component"))
-                    ).alias("component"),
-                )
-            ),
-            reliable,
+        return (
+            lbl.join(neighbor_min, lbl.node == neighbor_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nmin", F.col("component"))
+                ).alias("component"),
+            )
         )
-        rounds += 1
+
+    # TWO propagation steps per convergence probe (round 14): the loop
+    # is latency-bound — each driver action costs a fixed scheduling /
+    # AQE round-trip that dwarfs the per-round data work — and min-
+    # label propagation is idempotent at its fixed point, so a step
+    # applied after convergence is a no-op and the final labels are
+    # identical; the probe cadence only trades (at most) one wasted
+    # cheap step for half the driver round-trips. `rounds` still
+    # counts steps actually applied.
+    while rounds < max_iter:
+        steps = min(2, max_iter - rounds)
+        labels_next = labels
+        for _ in range(steps):
+            labels_next = _step(labels_next)
+        labels = _cut_lazy(shrink(labels_next), reliable)
+        rounds += steps
         cur_sum = _label_sum(labels)
         if cur_sum == prev_sum:
             converged = True
             break
         prev_sum = cur_sum
-    else:
+    if not converged:
         warnings.warn(
             f"connected_components(propagation) hit max_iter={max_iter} "
             "before labels stabilized; labels may be wrong. Raise max_iter "
