@@ -196,12 +196,12 @@ def _bucket_pairs(df: DataFrame, bucket_cols: list[str], item_col: str) -> DataF
     bucket, so stop-bucket pruning remains the scale lever. Emits
     distinct (a, b) with a < b.
     """
-    # _spread the bucket arrays before the C(m,2) explode (round 14):
-    # the member frame is tiny in BYTES (one row per bucket), so AQE
-    # coalesces it onto a couple of partitions — and the quadratic
-    # pair fan-out then runs nearly serially regardless of cores.
-    # Stats-gated no-op at real scale.
-    members = _spread(
+    # (round-14 note: a `_spread` of the member arrays before the
+    # explode was A/B'd — it helps only when bucket fan-out is huge,
+    # e.g. the perceptual-hash banding that now verifies in-stage in
+    # multimodal.hamming_banded_pairs, and is break-even-to-negative
+    # for the shingle consumers here, so it was reverted.)
+    members = (
         df.groupBy(*bucket_cols)
         .agg(F.sort_array(F.collect_set(item_col)).alias("ms"))
         .filter(F.size("ms") >= 2)

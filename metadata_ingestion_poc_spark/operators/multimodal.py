@@ -303,10 +303,12 @@ def hamming_banded_pairs(
     banded candidate generation has ZERO recall loss vs the O(n²)
     brute-force scan (pinned in tests/test_multimodal.py and
     tests/test_audio_fp.py). Candidates are bucket co-members per
-    (band, chunk) — one shuffle via the shared _bucket_pairs rollup —
-    then verified with an exact popcount of the XOR; the binary
-    column never enters the join (signatures are id + one long, tiny
-    at any corpus size).
+    (band, chunk) — ONE shuffle: the bucket rollup collects (doc, h)
+    structs, so the exact XOR-popcount verification runs in the SAME
+    stage the C(m,2) pairs are exploded in (round 14 — no join-back,
+    non-matches never reach a shuffle); only verified pairs hit the
+    final cross-band distinct. The binary column never enters any
+    exchange (signatures are id + one long, tiny at any corpus size).
 
     Band pruning (round 12, STILL lossless): pigeonhole needs only
     max_hamming + 1 bands — a pair differing in ≤ max_hamming bits
