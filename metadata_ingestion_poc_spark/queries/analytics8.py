@@ -1135,6 +1135,21 @@ def q275_dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
 # three per-query driver verdicts partition the output into
 # (counts | gain strings | best) and localize any divergent cell
 # class empirically instead of guessing a fourth fix.
+#
+# ROOT CAUSE (round 15, adjudicated by the q276a bisection): the
+# divergence was never in the math — it was the OUTPUT TYPE of the
+# count cells. DuckDB's SUM over BIGINT returns HUGEINT, so the
+# oracle's cumulative counts (nl/pos_l/n_tot/pos_tot and everything
+# derived from them) reached the driver's pandas canonicalizer as
+# HUGEINT, which duckdb's .df() degrades to float64 ("30143.0"),
+# while Spark emits int64 ("30143") — every row hash-mismatches
+# while rowcount and schema match, exactly the observed signature.
+# The local mirror used .fetchall() (Python ints on both sides) and
+# therefore could not see it. Fix: CAST the window sums to BIGINT in
+# the oracle's `cum` CTE (values unchanged and exact — counts are
+# far below 2^63); tools/check.py now hard-fails any oracle whose
+# DESCRIBE output carries HUGEINT/DECIMAL/unsigned columns so this
+# class cannot recur.
 # ---------------------------------------------------------------------------
 
 # shared numerator/denominator templates — one string, two engines;
@@ -1174,10 +1189,10 @@ _STUMP_ORACLE_CTE = f"""
       FROM melted GROUP BY 1, 2),
     cum AS (
       SELECT feature, v,
-             SUM(n) OVER w AS nl,
-             SUM(pos) OVER w AS pos_l,
-             SUM(n) OVER (PARTITION BY feature) AS n_tot,
-             SUM(pos) OVER (PARTITION BY feature) AS pos_tot
+             CAST(SUM(n) OVER w AS BIGINT) AS nl,
+             CAST(SUM(pos) OVER w AS BIGINT) AS pos_l,
+             CAST(SUM(n) OVER (PARTITION BY feature) AS BIGINT) AS n_tot,
+             CAST(SUM(pos) OVER (PARTITION BY feature) AS BIGINT) AS pos_tot
       FROM hist
       WINDOW w AS (PARTITION BY feature ORDER BY v
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),

@@ -125,6 +125,29 @@ def main() -> int:
             n_fail += 1
             continue
         problems = []
+        # The external driver canonicalizes through pandas, where
+        # DuckDB degrades HUGEINT/DECIMAL cells to float64 ("30143.0")
+        # while Spark emits int64 ("30143") — rows/schema match but
+        # every hash differs (the 4-round q276 red). fetchall() cannot
+        # see that, so flag the TYPES explicitly.
+        try:
+            wide = [
+                (c, t)
+                for (c, t, *_) in con.execute(
+                    "DESCRIBE (" + oracles[name] + ")"
+                ).fetchall()
+                if "HUGEINT" in t
+                or t.startswith("DECIMAL")
+                or t.startswith("UINT")
+                or t.startswith("UBIGINT")
+            ]
+            if wide:
+                problems.append(
+                    f"oracle emits driver-degrading column types {wide}: "
+                    "CAST to BIGINT/DOUBLE/VARCHAR in the oracle SQL"
+                )
+        except Exception:
+            pass
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if sorted(scols) != sorted(dcols):
