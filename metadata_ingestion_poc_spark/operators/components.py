@@ -258,7 +258,10 @@ def _cc_propagation(
     # applied after convergence is a no-op and the final labels are
     # identical; the probe cadence only trades (at most) one wasted
     # cheap step for half the driver round-trips. `rounds` still
-    # counts steps actually applied.
+    # counts steps actually applied — NOTE the 2-step cadence makes it
+    # always even and it can overstate the true convergence round by
+    # exactly one (the post-fixed-point no-op step is counted); it is
+    # an observability upper bound, not the minimal round count.
     while rounds < max_iter:
         steps = min(2, max_iter - rounds)
         labels_next = labels

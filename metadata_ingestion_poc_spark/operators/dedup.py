@@ -824,9 +824,13 @@ def prefix_filter_jaccard_pairs(
     # skips. An explicit round-robin to defaultParallelism is correct
     # at every scale — the shuffle moves two ids per row while the
     # stage it feeds does work proportional to pairs/core.
-    cand = cand.repartition(
-        cand.sparkSession.sparkContext.defaultParallelism
-    )
+    try:
+        _target = cand.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect session: no SparkContext handle
+        _target = int(
+            cand.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    cand = cand.repartition(_target)
     # Verify with set arrays, not a re-exploded join: each candidate
     # pair carries both (sorted, distinct) shingle arrays and counts
     # the intersection in codegen — no pair×shingles shuffle.

@@ -429,7 +429,15 @@ def hamming_banded_pairs(
     )
     return (
         pairs.select("p.id_a", "p.id_b", "p.hamming")
-        .filter(F.col("hamming") <= max_hamming)
+        # id_a != id_b: the (doc, h) struct rollup makes a self-pair
+        # possible IF an id ever arrives with two different hashes
+        # (the old collect_set(doc) shape made that structurally
+        # impossible); every current caller emits one hash per id, so
+        # this is a pure guard, not a semantic change.
+        .filter(
+            (F.col("hamming") <= max_hamming)
+            & (F.col("id_a") != F.col("id_b"))
+        )
         .distinct()
     )
 

@@ -626,15 +626,21 @@ def _run_concurrent(*thunks):
     """Run independent Spark actions from driver threads so their jobs
     overlap (FIFO scheduling back-fills executor slots — guide §2.6).
     Returns their results in submission order; used only for
-    bounded-collect actions."""
+    bounded-collect actions. Under Spark Connect there is no
+    SparkContext for ``inheritable_thread_target``'s classic form to
+    propagate, so fall back to sequential execution — the overlap is a
+    latency optimization, never a semantic one."""
     from concurrent.futures import ThreadPoolExecutor
 
-    from pyspark import inheritable_thread_target
+    try:
+        from pyspark import inheritable_thread_target
+
+        wrapped = [inheritable_thread_target(t) for t in thunks]
+    except Exception:  # Spark Connect: no active classic SparkContext
+        return [t() for t in thunks]
 
     with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
-        futures = [
-            pool.submit(inheritable_thread_target(t)) for t in thunks
-        ]
+        futures = [pool.submit(w) for w in wrapped]
         return [f.result() for f in futures]
 
 
