@@ -40,9 +40,28 @@ def get_spark(
     master = master or os.environ.get("SPARK_MASTER", f"local[{DEFAULT_CPUS}]")
     shuffle = shuffle_partitions or DEFAULT_CPUS
 
+    # JIT code cache (round 15): a long-lived JVM running hundreds of
+    # DISTINCT codegen-heavy plans (this engine's literal-table ANN
+    # scans are the extreme case) saturates HotSpot's default 240 MB
+    # reserved code cache mid-run; UseCodeCacheFlushing then silently
+    # thrashes the hottest compiled methods, and the most codegen-
+    # heavy queries degrade 50-90% (measured: q290 in-suite 15.1 s at
+    # the default vs 8.2 s at 512m while its isolated time never
+    # moved — the full-suite A/B is in OPTIMIZATION_r15.md). Applied
+    # to driver AND executors (local mode runs codegen in the driver
+    # JVM; a cluster compiles the same classes in every executor).
+    # Only effective when this process launches the JVM — a
+    # pre-existing gateway (driver harness, test session reuse) keeps
+    # its own value, which is exactly the non-invasive behavior the
+    # driver contract needs.
+    code_cache = os.environ.get("SPARK_GRAFT_CODE_CACHE", "512m")
+    jit_opts = f"-XX:ReservedCodeCacheSize={code_cache}"
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.extraJavaOptions", jit_opts)
+        .config("spark.executor.extraJavaOptions", jit_opts)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
