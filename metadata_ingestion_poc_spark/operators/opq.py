@@ -384,7 +384,8 @@ def opq_ivfpq_build(
     base, _, n = _checked_base(corpus, id_col, vec_col, True,
                                "opq_ivfpq_build", dims=dims)
     cents, _ = ivf_build_index(
-        base, n_cells=n_cells, id_col=id_col, vec_col=vec_col, n_rows=n
+        base, n_cells=n_cells, id_col=id_col, vec_col=vec_col, n_rows=n,
+        assignments=False,
     )
     cents_raw: RawCells = {
         int(r["cell"]): [float(x) for x in r["c_vec"]]

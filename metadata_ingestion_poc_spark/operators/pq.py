@@ -825,7 +825,8 @@ def ivfpq_build(
     base, _, n = _checked_base(corpus, id_col, vec_col, True,
                                "ivfpq_build", dims=dims)
     cents, _ = ivf_build_index(
-        base, n_cells=n_cells, id_col=id_col, vec_col=vec_col, n_rows=n
+        base, n_cells=n_cells, id_col=id_col, vec_col=vec_col, n_rows=n,
+        assignments=False,
     )
     cents_raw: RawCells = {
         int(r["cell"]): [float(x) for x in r["c_vec"]]

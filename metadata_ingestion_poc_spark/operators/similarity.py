@@ -161,31 +161,58 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its `nprobe` nearest centroids (by cosine).
 
-    Centroids are broadcast (they are few); assignment is one scan of
-    the corpus with k dot products per row — the IVF build step.
-    Output: (id, cell, cell_rank, vec, norm).
+    The centroid frame is bounded by n_cells at every call site, so it
+    is collected and entered as ONE nested-array literal; assignment is
+    then a per-row codegen argmin — zero shuffle, zero join (round 15;
+    the previous shape crossJoined the broadcast centroids into an
+    n_cells× row blowup and ranked with a window, which SHUFFLED the
+    whole corpus — vectors attached — by id just to take a per-row
+    top-nprobe). Arithmetic and tie order are unchanged: the same
+    sequential-fold dot, the same ``/(nrm * c_norm)``, and the struct
+    sort on (−sim, cell) equals the old ``desc(cell_sim), asc(cell)``
+    row_number order. Output: (id, cell, cell_rank, vec, nrm).
     """
+    rows = sorted(
+        centroids.select("cell", "c_vec", "c_norm").collect(),
+        key=lambda r: int(r["cell"]),
+    )
+    if not rows:
+        raise ValueError("ivf_assign: empty centroid frame")
+    cb = "array(" + ", ".join(
+        "array(" + ", ".join(repr(float(x)) + "D" for x in r["c_vec"]) + ")"
+        for r in rows
+    ) + ")"
+    cn = "array(" + ", ".join(
+        repr(float(r["c_norm"])) + "D" for r in rows
+    ) + ")"
+    ca = "array(" + ", ".join(str(int(r["cell"])) for r in rows) + ")"
+    k = len(rows)
+    dotq = (
+        "aggregate(zip_with(vec, cw, (x, y) -> x * y), 0.0D, "
+        "(acc, v) -> acc + v)"
+    )
+    top = (
+        f"slice(array_sort(zip_with({cb}, sequence(1, {k}), "
+        f"(cw, i) -> named_struct("
+        f"'ns', -(({dotq}) / (nrm * element_at({cn}, i))), "
+        f"'cell', element_at({ca}, i)))), 1, {min(nprobe, k)})"
+    )
     v = with_norm(df, vec_col).select(
         F.col(id_col).alias("id"),
         F.col("__vec").alias("vec"),
         F.col("__norm").alias("nrm"),
     )
-    c = centroids.select(
-        F.col("cell"), F.col("c_vec"), F.col("c_norm")
-    )
-    scored = v.crossJoin(F.broadcast(c)).select(
+    return v.select(
         "id",
+        F.posexplode(F.expr(top)).alias("__p", "__t"),
         "vec",
         "nrm",
-        "cell",
-        (dot(F.col("vec"), F.col("c_vec")) / (F.col("nrm") * F.col("c_norm"))
-         ).alias("cell_sim"),
-    )
-    w = Window.partitionBy("id").orderBy(F.desc("cell_sim"), F.asc("cell"))
-    return (
-        scored.withColumn("cell_rank", F.row_number().over(w))
-        .filter(F.col("cell_rank") <= nprobe)
-        .select("id", "cell", "cell_rank", "vec", "nrm")
+    ).select(
+        "id",
+        F.col("__t.cell").alias("cell"),
+        (F.col("__p") + 1).alias("cell_rank"),
+        "vec",
+        "nrm",
     )
 
 
@@ -232,7 +259,12 @@ def _refine_centroids(
             )
             .withColumn("c_norm", norm(F.col("c_vec")))
         )
-        cents = new.localCheckpoint(eager=True)
+        # LAZY (round 15): the next consumer — the following
+        # iteration's centroid collect, or the caller's own
+        # cents.collect() — is the materializing action; an eager
+        # checkpoint here would add one count job per iteration for
+        # an n_cells-row frame.
+        cents = new.localCheckpoint(eager=False)
     return cents
 
 
@@ -244,7 +276,8 @@ def ivf_build_index(
     refine_iters: int = 1,
     train_frac: float = 1.0,
     n_rows: int | None = None,
-) -> tuple[DataFrame, DataFrame]:
+    assignments: bool = True,
+) -> tuple[DataFrame, DataFrame | None]:
     """Build the IVF index: (centroids, corpus cell assignments).
 
     The EXPENSIVE phase — seeding + Lloyd refinement + a full corpus
@@ -270,12 +303,20 @@ def ivf_build_index(
         .select("cell", "c_vec", "c_norm")
     )
     # n_cells rows: the single-partition window and the checkpoint are
-    # both O(n_cells), independent of corpus size.
-    cents = cents.localCheckpoint(eager=True)
+    # both O(n_cells), independent of corpus size. LAZY (round 15):
+    # the first consumer (the refine loop's centroid collect, or the
+    # caller's) materializes it — eager would add a count job.
+    cents = cents.localCheckpoint(eager=False)
     if refine_iters > 0:
         cents = _refine_centroids(
             cents, corpus, id_col, vec_col, refine_iters, train_frac
         )
+    if not assignments:
+        # IVF-PQ/OPQ builds re-derive their own residual-space codes
+        # and never read the raw assignment frame — skip constructing
+        # it (the assign expression alone is an n_cells·d-literal
+        # parse, paid at construction even when the frame is unused).
+        return cents, None
     corpus_cells = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1).select(
         F.col("id").alias("neighbor_id"),
         "cell",
