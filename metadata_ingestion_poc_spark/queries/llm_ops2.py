@@ -99,6 +99,7 @@ def q57_cosine_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query("q58_cosine_near_dup_lsh")
 def q58_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _spread
     from ..operators.similarity import hyperplane_signatures
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -111,28 +112,56 @@ def q58_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__norm").alias("n"),
         F.posexplode(sig_udf(F.col("embedding"))).alias("tbl", "bucket"),
     )
-    from ..operators.dedup import _bucket_pairs
-
-    cand = _bucket_pairs(
-        banded.select("tbl", "bucket", F.col("vec_id").alias("doc")),
-        ["tbl", "bucket"],
-        "doc",
-    ).distinct()
-    v = with_norm(emb).select(
-        F.col("vec_id"), F.col("__vec").alias("e"), F.col("__norm").alias("n")
+    # In-stage verification (round 15, the q292 hamming_banded_pairs
+    # shape): the vector+norm ride the bucket rollup as a
+    # (doc, e, n) struct, so the exact cosine evaluates IN the
+    # C(m,2)-explode stage and only verified pairs reach the cross-
+    # table distinct — the old plan distinct'ed the full candidate
+    # explosion and paid two join-backs to re-attach the vectors it
+    # had just dropped (guide §2.3/§2.4). Output is identical: the
+    # doc-first struct sort keeps doc_a < doc_b, the rounded cosine
+    # is the same IEEE expression per pair, and the final distinct
+    # removes multi-table duplicates exactly as before. Scale note:
+    # the rollup exchange now carries each vector n_tables times
+    # where the old exchange carried ids only — the explicit
+    # trade-off of §8 ("move heavy bytes once") taken in reverse
+    # because it deletes two corpus-wide shuffles and a distinct of
+    # the unverified candidate set; the _spread keeps the quadratic
+    # verify stage on every core and no-ops at scale.
+    members = _spread(
+        banded.groupBy("tbl", "bucket")
+        .agg(
+            F.sort_array(
+                F.collect_set(F.struct(
+                    F.col("vec_id").alias("doc"),
+                    F.col("e"),
+                    F.col("n"),
+                ))
+            ).alias("ms")
+        )
+        .filter(F.size("ms") >= 2)
     )
-    va = v.select(F.col("vec_id").alias("doc_a"), F.col("e").alias("ea"),
-                  F.col("n").alias("na"))
-    vb = v.select(F.col("vec_id").alias("doc_b"), F.col("e").alias("eb"),
-                  F.col("n").alias("nb"))
-    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    mi = "element_at(ms, cast(i + 1 as int))"
+    mj = "element_at(ms, cast(j + 1 as int))"
+    pair = (
+        f"named_struct("
+        f"'id_a', {mi}.doc, 'id_b', {mj}.doc, "
+        f"'cosine', round(aggregate(zip_with({mi}.e, {mj}.e, "
+        f"(x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
+        f" / ({mi}.n * {mj}.n), 6))"
+    )
+    pairs = members.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(0, size(ms) - 2), i -> "
+                f"transform(sequence(i + 1, size(ms) - 1), j -> {pair})))"
+            )
+        ).alias("p")
+    )
     return (
-        cand.join(va, "doc_a")
-        .join(vb, "doc_b")
-        .withColumn("cosine", F.round(cos, 6))
+        pairs.select("p.id_a", "p.id_b", "p.cosine")
         .filter(F.col("cosine") >= 0.3)
-        .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"),
-                "cosine")
+        .distinct()
         .orderBy("id_a", "id_b")
     )
 
