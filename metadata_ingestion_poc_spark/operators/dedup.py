@@ -187,14 +187,96 @@ def _shingle_index(
     return idx
 
 
-def _bucket_pairs(df: DataFrame, bucket_cols: list[str], item_col: str) -> DataFrame:
+# Hard cap on the members-per-side of any single pair-generation row
+# (round 15, replacing the docstring-only stop-bucket lever): one
+# low-entropy bucket with 10⁵ members used to build all C(m,2) ≈
+# 5·10⁹ pair structs inside ONE row before exploding — an executor
+# OOM at scale no configuration can absorb. With the chunked explode
+# below, no row ever materializes more than cap² pair structs
+# (~25 MB at the default), whatever the bucket size.
+PAIR_BUCKET_CAP = 1024
+
+
+def _chunked_members(members: DataFrame, cap: int, *keep: str) -> DataFrame:
+    """Bound a member-array frame for pair generation: split each
+    bucket's SORTED array ``ms`` into ⌈m/cap⌉ contiguous chunks and
+    emit one row per unordered chunk pair (ci ≤ cj) carrying
+    ``ma`` = chunk ci and ``mb`` = chunk cj (NULL when ci = cj).
+    Every unordered member pair lands in exactly ONE output row:
+    within its chunk when both sides share it, else in the single
+    (ci, cj) row — so downstream pair generation (C(|ma|,2) within,
+    |ma|·|mb| across) is bit-identical to the unchunked C(m,2)
+    explode, including order (slices of a sorted array are sorted,
+    and every ma element precedes every mb element). A bucket with
+    m ≤ cap degenerates to one row with ma = ms — the pre-cap plan.
+    No extra exchange: the chunk fan-out is a codegen explode in the
+    same stage as the rollup."""
+    nc = f"((size(ms) - 1) div {cap})"
+    return members.select(
+        *keep,
+        "ms",
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(0, {nc}), ci -> "
+                f"transform(sequence(ci, {nc}), cj -> "
+                f"named_struct('ci', ci, 'cj', cj))))"
+            )
+        ).alias("cp"),
+    ).select(
+        *keep,
+        F.expr(f"slice(ms, cp.ci * {cap} + 1, {cap})").alias("ma"),
+        F.expr(
+            f"if(cp.ci = cp.cj, null, slice(ms, cp.cj * {cap} + 1, {cap}))"
+        ).alias("mb"),
+    )
+
+
+def _chunk_pairs_sql(pair_sql) -> str:
+    """Pair-generation CASE over a `_chunked_members` row.
+    ``pair_sql(x, y)`` renders the output pair struct from two member
+    exprs, and must be valid for x preceding y in the bucket's sort
+    order (which both branches guarantee). The else-branch empty
+    array covers a trailing one-member chunk; CASE's lazy branch
+    evaluation keeps the within-branch (whose sequence would be
+    descending) from ever running on it."""
+    within = (
+        "flatten(transform(sequence(0, size(ma) - 2), i -> "
+        "transform(sequence(i + 1, size(ma) - 1), j -> "
+        + pair_sql(
+            "element_at(ma, cast(i + 1 as int))",
+            "element_at(ma, cast(j + 1 as int))",
+        )
+        + ")))"
+    )
+    cross = (
+        "flatten(transform(ma, x -> transform(mb, y -> "
+        + pair_sql("x", "y")
+        + ")))"
+    )
+    return (
+        f"case when mb is not null then {cross} "
+        f"when size(ma) >= 2 then {within} "
+        f"else array() end"
+    )
+
+
+def _bucket_pairs(
+    df: DataFrame,
+    bucket_cols: list[str],
+    item_col: str,
+    cap: int = PAIR_BUCKET_CAP,
+) -> DataFrame:
     """Candidate pairs from bucket co-membership, via ONE shuffle.
 
-    groupBy(bucket) → sorted member array → explode the C(m,2)
-    combinations. Replaces the self-join-on-bucket plan (which shuffles
-    the index twice and sort-merges); pair fan-out is still Σ m²/2 per
-    bucket, so stop-bucket pruning remains the scale lever. Emits
-    distinct (a, b) with a < b.
+    groupBy(bucket) → sorted member array → chunked explode of the
+    C(m,2) combinations (see `_chunked_members`: no single row ever
+    holds more than cap² pair structs; pair multiplicity — one
+    emission per co-membership — is preserved, which
+    ngram_jaccard_pairs' n_common count depends on). Replaces the
+    self-join-on-bucket plan (which shuffles the index twice and
+    sort-merges); pair fan-out is still Σ m²/2 per bucket, so
+    stop-bucket pruning remains the scale lever. Emits (a, b) with
+    a < b, once per shared bucket.
     """
     # (round-14 note: a `_spread` of the member arrays before the
     # explode was A/B'd — it helps only when bucket fan-out is huge,
@@ -206,21 +288,11 @@ def _bucket_pairs(df: DataFrame, bucket_cols: list[str], item_col: str) -> DataF
         .agg(F.sort_array(F.collect_set(item_col)).alias("ms"))
         .filter(F.size("ms") >= 2)
     )
-    pairs = members.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("ms") - 2),
-                    lambda i: F.transform(
-                        F.sequence(i + 1, F.size("ms") - 1),
-                        lambda j: F.struct(
-                            F.element_at("ms", (i + 1).cast("int")).alias("a"),
-                            F.element_at("ms", (j + 1).cast("int")).alias("b"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
+    pair = _chunk_pairs_sql(
+        lambda x, y: f"named_struct('a', {x}, 'b', {y})"
+    )
+    pairs = _chunked_members(members, cap).select(
+        F.explode(F.expr(pair)).alias("p")
     )
     return pairs.select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
 

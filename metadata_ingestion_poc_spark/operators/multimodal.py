@@ -383,7 +383,12 @@ def hamming_banded_pairs(
     # final distinct removes multi-band duplicates exactly as before
     # (pinned banded≡brute in tests/test_multimodal.py +
     # tests/test_audio_fp.py).
-    from .dedup import _spread
+    from .dedup import (
+        PAIR_BUCKET_CAP,
+        _chunk_pairs_sql,
+        _chunked_members,
+        _spread,
+    )
 
     # _spread the bucket arrays before the C(m,2) explode: the member
     # frame is tiny in BYTES (one row per bucket), so AQE coalesces it
@@ -398,34 +403,19 @@ def hamming_banded_pairs(
         )
         .filter(F.size("ms") >= 2)
     )
-    pairs = members.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("ms") - 2),
-                    lambda i: F.transform(
-                        F.sequence(i + 1, F.size("ms") - 1),
-                        lambda j: F.struct(
-                            F.element_at("ms", (i + 1).cast("int"))
-                            .getField("doc")
-                            .alias("id_a"),
-                            F.element_at("ms", (j + 1).cast("int"))
-                            .getField("doc")
-                            .alias("id_b"),
-                            F.bit_count(
-                                F.element_at("ms", (i + 1).cast("int"))
-                                .getField("h")
-                                .bitwiseXOR(
-                                    F.element_at(
-                                        "ms", (j + 1).cast("int")
-                                    ).getField("h")
-                                )
-                            ).alias("hamming"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
+    # Chunked pair explode (round 15): no single row ever builds more
+    # than cap² pair structs, whatever one low-entropy bucket holds —
+    # the enforced form of the stop-bucket lever (see dedup.py
+    # PAIR_BUCKET_CAP; pair set and order identical, a bucket with
+    # m ≤ cap degenerates to the pre-cap expression).
+    pair = _chunk_pairs_sql(
+        lambda x, y: (
+            f"named_struct('id_a', {x}.doc, 'id_b', {y}.doc, "
+            f"'hamming', bit_count({x}.h ^ {y}.h))"
+        )
+    )
+    pairs = _chunked_members(members, PAIR_BUCKET_CAP).select(
+        F.explode(F.expr(pair)).alias("p")
     )
     return (
         pairs.select("p.id_a", "p.id_b", "p.hamming")

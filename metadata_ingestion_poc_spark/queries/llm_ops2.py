@@ -141,22 +141,25 @@ def q58_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.size("ms") >= 2)
     )
-    mi = "element_at(ms, cast(i + 1 as int))"
-    mj = "element_at(ms, cast(j + 1 as int))"
-    pair = (
-        f"named_struct("
-        f"'id_a', {mi}.doc, 'id_b', {mj}.doc, "
-        f"'cosine', round(aggregate(zip_with({mi}.e, {mj}.e, "
-        f"(x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
-        f" / ({mi}.n * {mj}.n), 6))"
+    from ..operators.dedup import (
+        PAIR_BUCKET_CAP,
+        _chunk_pairs_sql,
+        _chunked_members,
     )
-    pairs = members.select(
-        F.explode(
-            F.expr(
-                f"flatten(transform(sequence(0, size(ms) - 2), i -> "
-                f"transform(sequence(i + 1, size(ms) - 1), j -> {pair})))"
-            )
-        ).alias("p")
+
+    # chunked explode (dedup.PAIR_BUCKET_CAP): a hot bucket never
+    # materializes more than cap² pair structs in one row
+    pair = _chunk_pairs_sql(
+        lambda a, b: (
+            f"named_struct("
+            f"'id_a', {a}.doc, 'id_b', {b}.doc, "
+            f"'cosine', round(aggregate(zip_with({a}.e, {b}.e, "
+            f"(xx, yy) -> xx * yy), 0.0D, (acc, v) -> acc + v)"
+            f" / ({a}.n * {b}.n), 6))"
+        )
+    )
+    pairs = _chunked_members(members, PAIR_BUCKET_CAP).select(
+        F.explode(F.expr(pair)).alias("p")
     )
     return (
         pairs.select("p.id_a", "p.id_b", "p.cosine")
