@@ -305,8 +305,6 @@ def _lpa_oracle(rounds: int) -> str:
 
 @query("q244_label_propagation", oracle=_lpa_oracle(_LPA_ROUNDS))
 def q244_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
@@ -324,18 +322,24 @@ def q244_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         sym.select("a").distinct().select(F.col("a").alias("node"))
         .withColumn("lbl", F.col("node"))
     )
-    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lbl"))
     for _ in range(_LPA_ROUNDS):
         votes = (
             sym.join(labels, labels["node"] == sym["b"])
             .groupBy(sym["a"].alias("node"), "lbl")
             .agg(F.count(F.lit(1)).cast("long").alias("c"))
         )
-        labels = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "lbl")
-            .localCheckpoint(eager=False)  # cut per-round lineage
+        # argmax by (c DESC, lbl ASC) as ONE hash aggregate (round 15):
+        # max_by over the (c, -lbl) struct picks the same winner the
+        # old row_number window did — (node, lbl) rows are distinct so
+        # the key is total — without the window's extra sort. No
+        # per-round lineage cut either: at _LPA_ROUNDS=2 the plan
+        # stays small, and leaving the lineage visible lets the
+        # optimizer REUSE the sym-side join exchange across rounds
+        # (a checkpoint's LogicalRDD hides it).
+        labels = votes.groupBy("node").agg(
+            F.expr("max_by(lbl, named_struct('c', c, 'nl', -lbl))").alias(
+                "lbl"
+            )
         )
     return (
         labels.groupBy(F.col("lbl").cast("long").alias("community"))
