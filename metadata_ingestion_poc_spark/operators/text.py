@@ -499,8 +499,13 @@ def tfidf_cosine_pairs(
     """
     from ..functions.determinism import DEC
 
-    toks = tokenize(docs, text_col=text_col).select(
-        "doc_id", F.explode("tokens").alias("term")
+    # explode_outer, not explode (the _shingle_index lesson): plain
+    # explode gets an inferred size()>0 filter pushed below the
+    # projection, re-evaluating the tokenize split per row.
+    toks = (
+        tokenize(docs, text_col=text_col)
+        .select("doc_id", F.explode_outer("tokens").alias("term"))
+        .filter(F.col("term").isNotNull())
     )
     n_docs = docs.count()  # scalar → literal in the idf expression
     tf = toks.groupBy("doc_id", "term").agg(

@@ -1063,10 +1063,18 @@ def q200_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _spread: the docs parquet is one input split — without it all
     # shingling runs on a single core (the dedup-family lesson)
     d = _spread(load_table(spark, sf_dir, "documents"))
+    # explode_outer, not explode (the _shingle_index lesson): plain
+    # explode gets an inferred size()>0 filter pushed below the
+    # projection with the whole O(len²) shingle expression inlined,
+    # evaluating it twice per row. And NO .distinct() after it
+    # (round 15): shingles() already array_distinct's per doc, so the
+    # exploded (doc_id, s) frame is distinct by construction — the
+    # old distinct was one full extra exchange of the shingle strings
+    # (the oracle's SELECT DISTINCT is the same no-op on its side).
     sh = (
         shingles(d, n=3)
-        .select("doc_id", F.explode("shingles").alias("s"))
-        .distinct()
+        .select("doc_id", F.explode_outer("shingles").alias("s"))
+        .filter(F.col("s").isNotNull())
     )
     sh = sh.localCheckpoint(eager=False)  # feeds both aggregates below
     # No 500k-row join-back: a shingle's winner IS its min(doc_id), so
