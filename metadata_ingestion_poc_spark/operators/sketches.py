@@ -672,13 +672,25 @@ def _sign_sums(df: DataFrame, key_expr: str, reps: int) -> list[int]:
       COALESCE pins the empty-input SUM (NULL) to 0, so the empty
       sign sum is 0 — the mathematically correct value.
     """
+    row = _sign_sums_frame(df, key_expr, reps).collect()[0]
+    n = int(row["n"])
+    return [n - 2 * int(row[f"o{j}"]) for j in range(1, reps + 1)]
+
+
+def _sign_sums_frame(df: DataFrame, key_expr: str, reps: int) -> DataFrame:
+    """The distributed half of `_sign_sums` — the one-row
+    (n, o_1..o_reps) aggregate BEFORE the bounded collect. Factored
+    out (round 15) so plan tooling can capture the REAL internal scan
+    of this collect-style operator (the operator's public result is a
+    driver-assembled frame whose explain shows only an ExistingRDD
+    shell — tools/internal_plans.py dumps this frame instead)."""
     from .dedup import _spread
 
     parity = (
         "translate(md5(CAST(k AS STRING)), '0123456789abcdef',"
         " '0101010101010101')"
     )
-    sums = (
+    return (
         _spread(df.selectExpr(f"({key_expr}) AS k"))
         .selectExpr(f"{parity} AS t")
         .agg(
@@ -693,9 +705,6 @@ def _sign_sums(df: DataFrame, key_expr: str, reps: int) -> list[int]:
             ],
         )
     )
-    row = sums.collect()[0]  # bounded: reps+1 integers
-    n = int(row["n"])
-    return [n - 2 * int(row[f"o{j}"]) for j in range(1, reps + 1)]
 
 
 def _median_of_means(gs: list[int], per: int) -> float:
