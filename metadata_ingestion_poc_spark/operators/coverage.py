@@ -13,20 +13,17 @@ practical algorithm for this family.
 - The (doc, shingle) inverted frame is built once (shingles() +
   explode_outer, the _shingle_index lesson) and localCheckpointed;
   every round scans that compact copy.
-- The covered set is BOUNDED by construction — at most R · (shingles
-  per doc) strings — so while it stays small it rides into each
-  round's plan as one array literal probed with array_contains: no
-  join against a covered frame, no growing lineage, and the only
+- Per round exactly ONE bounded collect (round 15; was two): the
+  1-row argmax. The covered set is never collected — "not yet
+  covered" is a broadcast LEFT ANTI join of the candidate frame
+  against the PICKED documents' own shingle rows (a ≤ R·shingles-
+  per-doc frame sliced straight out of the checkpointed index, tiny
+  by construction), and the running covered-universe size is the
+  running SUM of gains: each pick's gain IS the number of shingles
+  it newly covers, so cum_covered needs no second scan. The only
   per-round exchange is the doc-grouped gain rollup behind map-side
   combine, followed by a top-1 reduction (never a global sort of the
-  corpus). The bound is DATA-dependent though (one picked document
-  with ~100k shingles would inline a ~100k-element literal into every
-  later round's plan), so past `_COVERED_LITERAL_CAP` entries the
-  probe switches to a broadcast LEFT ANTI join against the covered
-  set — identical semantics, and the driver ships the set once per
-  round as a broadcast table instead of re-parsing it as plan text.
-- Per round exactly TWO bounded collects: the 1-row argmax and the
-  winner's ≤ shingles-per-doc shingle set.
+  corpus).
 
 Determinism: gains are integers; the argmax total order is
 (gain DESC, doc_id ASC); exhausted corpora truncate the traversal
@@ -40,20 +37,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import _spread, shingles
-
-# Above this many covered shingles, the per-round "not yet covered"
-# probe switches from an inlined array literal to a broadcast anti
-# join — a literal this large costs driver-side parse/plan time in
-# EVERY subsequent round, while a broadcast table ships once.
-_COVERED_LITERAL_CAP = 4096
-
-
-def _covered_literal(covered: set[str]) -> str:
-    items = ", ".join(
-        "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
-        for s in sorted(covered)
-    )
-    return f"array({items})"
 
 
 def greedy_set_cover(
@@ -77,22 +60,21 @@ def greedy_set_cover(
         .filter(F.col("s").isNotNull())
         .localCheckpoint(eager=False)
     )
-    covered: set[str] = set()
     picked: list[int] = []
     out: list[tuple[int, int, int, int]] = []
+    cum = 0
     for r in range(1, rounds + 1):
         cand = sh
         if picked:
-            cand = cand.filter(~F.col(id_col).isin(*picked))
-        if covered and len(covered) <= _COVERED_LITERAL_CAP:
+            # covered = union of the picked docs' shingles — expressed
+            # as an anti join against those docs' OWN index rows (a
+            # bounded slice of the checkpointed frame: ≤ R docs), so
+            # the covered set never round-trips through the driver.
+            # The picked-doc exclusion rides the same scan.
+            cov = sh.filter(F.col(id_col).isin(*picked)).select("s")
             cand = cand.filter(
-                ~F.expr(f"array_contains({_covered_literal(covered)}, s)")
-            )
-        elif covered:
-            cov = df.sparkSession.createDataFrame(
-                [(s,) for s in sorted(covered)], "s string"
-            )
-            cand = cand.join(F.broadcast(cov), "s", "left_anti")
+                ~F.col(id_col).isin(*picked)
+            ).join(F.broadcast(cov), "s", "left_anti")
         top = (
             cand.groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("__gain"))
@@ -104,10 +86,10 @@ def greedy_set_cover(
             break  # every remaining document is fully covered
         winner = int(top[0][id_col])
         gain = int(top[0]["__gain"])
-        covered |= {
-            row["s"]
-            for row in sh.filter(F.col(id_col) == winner).collect()
-        }
+        # each pick's gain is exactly the number of newly covered
+        # shingles, so the universe size is the running sum — no
+        # winner-shingle collect (round 15: one action per round).
+        cum += gain
         picked.append(winner)
-        out.append((r, winner, gain, len(covered)))
+        out.append((r, winner, gain, cum))
     return out

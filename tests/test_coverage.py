@@ -47,22 +47,44 @@ def test_greedy_truncates_when_corpus_exhausted(spark):
     assert len(sel) == 2
 
 
-def test_greedy_anti_join_path_matches_literal_path(spark, monkeypatch):
-    """Round-11 (advisor): past _COVERED_LITERAL_CAP covered shingles
-    the per-round probe switches from an inlined array literal to a
-    broadcast LEFT ANTI join. Forcing the cap to 0 must produce the
-    IDENTICAL trajectory — the two probe forms are the same predicate,
-    and a divergence means the fallback changed semantics."""
-    from metadata_ingestion_poc_spark.operators import coverage
-
+def test_greedy_matches_bruteforce_trajectory(spark):
+    """Round 15: the covered set is maintained distributed-side (anti
+    join against the picked docs' index rows; cum_covered is the
+    running gain sum — the old literal/collect path is gone). Pin the
+    full (rank, doc, gain, cum) trajectory against a Python
+    brute-force greedy over the same shingle sets."""
     rows = [
         (0, "a b c d e f"),
         (1, "a b c d x y z"),
         (2, "x y z w q r"),
         (3, "m n o p"),
     ]
-    lit_path = greedy_set_cover(_docs(spark, rows), rounds=4)
-    monkeypatch.setattr(coverage, "_COVERED_LITERAL_CAP", 0)
-    anti_path = greedy_set_cover(_docs(spark, rows), rounds=4)
-    assert anti_path == lit_path
-    assert len(lit_path) >= 3
+
+    def brute(rounds):
+        sets = {
+            i: {
+                " ".join(t.split()[j:j + 3])
+                for j in range(max(len(t.split()) - 2, 1))
+            }
+            for i, t in rows
+        }
+        covered: set[str] = set()
+        picked: list[int] = []
+        out = []
+        for r in range(1, rounds + 1):
+            gains = {
+                i: len(s - covered)
+                for i, s in sets.items()
+                if i not in picked and len(s - covered) > 0
+            }
+            if not gains:
+                break
+            winner = min(gains, key=lambda i: (-gains[i], i))
+            covered |= sets[winner]
+            picked.append(winner)
+            out.append((r, winner, gains[winner], len(covered)))
+        return out
+
+    sel = greedy_set_cover(_docs(spark, rows), rounds=4)
+    assert sel == brute(4)
+    assert len(sel) >= 3
