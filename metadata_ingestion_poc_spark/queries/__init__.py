@@ -194,71 +194,79 @@ def _load_all() -> None:
 # q123, q124, q125, q126-q160 not code-changed, q161-q200) defers to
 # round 15. 3 + 4 + 30 + 13 = 50.
 #
-# Round-15 rotation note: FIRST promote the round-14-new queries
-# that could not fit this window — q307 Jonckheere-Terpstra ordered
-# trend, q308 Friedman within-block screen, q309 Mood scale battery
-# (built after the window filled; oracle-green at 3 SFs, never
-# driver-swept) — then the round-14 passthrough de-ROUNDs
-# (q09 q14 q16 q46 q49 q59 q103 q154 q166 — min/max/median
-# selection cells shipped raw; all J14-verified at 3 SFs), then
-# q122/q124/q125 and the q126-q160 staleness tail, then q161-q200.
+# Round-15 rotation (window N=50), per the round-14 verdict and the
+# round-15 changes: (a) the round-14-new q307/q308/q309 (built after
+# that window filled; oracle-green at 3 SFs, never driver-swept);
+# (b) the q276 family — the 4-round red fixed this round (oracle
+# HUGEINT→BIGINT output-type cast; must prove hash-green in
+# CORRECTNESS_r15); (c) every oracle-bearing query round-15 code
+# changes touch: q244 (max_by vote + lazy loop), q253 (distributed
+# covered set), q200/q190 (redundant distinct + explode trap),
+# q296/q300 (_sign_sums frame factor), q249 (Connect guard),
+# q51/q54/q126/q142/q147/q158 (chunked _bucket_pairs),
+# q125/q251 (ivf_assign literal argmin / lazy build checkpoints);
+# (d) the round-14 passthrough de-ROUNDs (q09 q14 q16 q46 q49 q59
+# q103 q154 q166 — J14-verified at 3 SFs, driver credit due);
+# (e) the q122-q153 staleness tail (oracle-bearing entries in
+# registry order). 3 + 3 + 18 + 9 + 17 = 50. Remaining staleness
+# (q156-q200 not code-changed) defers to the next rotation.
 # ---------------------------------------------------------------------------
 _SWEEP_PRIORITY = [
-    # -- the q276 bisection (three-round driver red) --
+    # -- round-14 new, never swept --
+    "q307_jonckheere_trend",
+    "q308_friedman",
+    "q309_mood_scale",
+    # -- the q276 family: 4-round red fixed this round --
     "q276a_stump_counts",
     "q276b_stump_gains",
     "q276_decision_stump",
-    # -- round-14 new --
-    "q303_mann_whitney",
-    "q304_kendall_tau",
-    "q305_kruskal_wallis",
-    "q306_wilcoxon_signed_rank",
-    # -- round-14 code-changed: round6-chain -> raw-ieee migrations --
-    "q88_window_rank_extras",
-    "q51_ngram_jaccard_pairs",
-    "q105_contamination_overlap",
-    "q106_repetition_metrics",
-    "q107_domain_mixture_weights",
-    "q120_boilerplate_ngrams",
-    "q126_incremental_dedup",
-    "q132_lexical_diversity",
-    "q136_cross_source_contamination",
-    "q142_neardup_degree_histogram",
-    "q147_ngram_containment_pairs",
-    "q152_vocab_jaccard",
-    "q155_markov_transitions",
-    "q158_cluster_collapse",
-    "q160_threshold_sweep",
-    "q195_user_burstiness",
+    # -- round-15 code-changed, oracle-bearing --
+    "q244_label_propagation",
+    "q253_greedy_set_cover",
     "q200_ngram_novelty",
-    "q203_benford_screen",
-    "q204_fd_audit",
-    "q215_js_divergence",
-    "q217_cohens_kappa",
-    "q218_cohort_retention",
-    "q228_mutual_information",
-    "q229_psi_drift",
-    "q249_prefix_filter_jaccard",
-    "q255_source_overlap_matrix",
-    "q257_split_leakage",
-    # -- round-14 code-changed: AMS validation/audit flag, basket --
+    "q190_tfidf_cosine_pairs",
     "q296_ams_f2",
     "q300_ams_join_size",
-    "q298_basket_lift",
-    # -- q108-q125 staleness tail --
-    "q108_label_centroids",
-    "q109_embedding_norm_stats",
-    "q110_tpch_q12_priority_lines",
-    "q111_tpch_q20_heavy_suppliers",
-    "q112_join_right_outer",
-    "q113_join_full_outer",
-    "q114_tpch_q4_order_priority",
-    "q115_curation_pipeline",
-    "q116_length_histogram",
-    "q117_mixture_resample",
-    "q118_sessionize_gaps",
-    "q119_ngram_novelty",
-    "q121_domain_cap",
+    "q249_prefix_filter_jaccard",
+    "q51_ngram_jaccard_pairs",
+    "q54_dedup_clusters",
+    "q126_incremental_dedup",
+    "q142_neardup_degree_histogram",
+    "q147_ngram_containment_pairs",
+    "q158_cluster_collapse",
+    "q125_embedding_quantization",
+    "q251_pq_train_census",
+    # -- round-14 passthrough de-ROUNDs --
+    "q09_agg_global",
+    "q14_percentiles",
+    "q16_argmax_per_group",
+    "q46_tpch_q18_large_orders",
+    "q49_scalar_in_subquery",
+    "q59_salted_agg",
+    "q103_tpch_q2_cheapest_supplier",
+    "q154_mad_outliers",
+    "q166_bpe_token_accounting",
+    # -- q122-q153 staleness tail (oracle-bearing) --
+    "q122_shuffle_shard_export",
+    "q124_semantic_dedup",
+    "q128_table_profile",
+    "q130_text_normalize",
+    "q131_bigram_lm_score",
+    "q133_vocab_growth",
+    "q134_gopher_quality_rules",
+    "q135_source_kl_divergence",
+    "q137_dataset_split",
+    "q138_event_attribution",
+    "q139_duplicated_spans",
+    "q140_fuzzy_name_match",
+    "q141_self_repeated_spans",
+    "q143_eval_decontamination",
+    "q144_variant_json_analytics",
+    "q148_interval_overlap_join",
+    "q149_importance_weighted_sample",
+    "q150_group_reservoir_sample",
+    "q151_pii_profile",
+    "q153_group_regression",
 ]
 
 
